@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.graft.{ChLength, CosineDistance, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort}
+
+/** SQL surface of the engine: graft natives + the MyScale/ClickHouse
+  * dialect shim (SURVEY.md §2.8 — every scalar/aggregate function the
+  * reference emits or teaches its LLM to emit, mapped onto Spark
+  * expressions so `spark.sql` accepts the reference's Vector-SQL text).
+  *
+  * Two registration paths, same table: [[graft.plans.GraftExtensions]]
+  * (`spark.sql.extensions`, survives session cloning) and
+  * [[Registry.registerAll]] (imperative, for sessions the driver builds).
+  */
+object Registry {
+
+  /** name -> (builder, usage) */
+  val functions: Seq[(String, FunctionBuilder, String)] = Seq(
+    // --- graft natives -------------------------------------------------
+    ("cosine_distance", (e: Seq[Expression]) => CosineDistance(e(0), e(1)),
+      "cosine_distance(a, b) - 1 - cos(a,b) over float vectors"),
+    // MyScale spells it `distance` / `DISTANCE` (prompts.py:31,
+    // myscale_without_metadata.py:32); metric is Cosine in every table DDL.
+    ("distance", (e: Seq[Expression]) => CosineDistance(e(0), e(1)),
+      "distance(a, b) - MyScale dialect alias of cosine_distance"),
+    ("l2_distance", (e: Seq[Expression]) => L2Distance(e(0), e(1)),
+      "l2_distance(a, b) - Euclidean distance"),
+    ("l2distance", (e: Seq[Expression]) => L2Distance(e(0), e(1)),
+      "L2Distance(a, b) - ClickHouse spelling"),
+    ("inner_product", (e: Seq[Expression]) => InnerProduct(e(0), e(1)),
+      "inner_product(a, b) - dot product"),
+    ("dotproduct", (e: Seq[Expression]) => InnerProduct(e(0), e(1)),
+      "dotProduct(a, b) - ClickHouse spelling"),
+    ("neuralarray", (e: Seq[Expression]) => NeuralArray(e.head),
+      "NeuralArray(text) - deterministic text embedding; folds to a literal"),
+    ("parsedatetimebesteffort",
+      (e: Seq[Expression]) => ParseDateTimeBestEffort(e.head, orNull = false),
+      "parseDateTimeBestEffort(s) - ClickHouse best-effort datetime parse"),
+    ("parsedatetimebesteffortornull",
+      (e: Seq[Expression]) => ParseDateTimeBestEffort(e.head, orNull = true),
+      "parseDateTimeBestEffortOrNull(s) - null instead of error"),
+    // --- ClickHouse dialect aliases onto Spark built-ins ---------------
+    // has(arr, x) — prompts.py:100 `has(authors, 'Geoffrey Hinton')`
+    ("has", (e: Seq[Expression]) => ArrayContains(e(0), e(1)),
+      "has(arr, x) - ClickHouse array membership = array_contains"),
+    // arrayJoin(arr) — private_knowledge_base.py:146; a generator (explode)
+    ("arrayjoin", (e: Seq[Expression]) => Explode(e.head),
+      "arrayJoin(arr) - ClickHouse row-expansion = explode"),
+    // groupArray(x) — private_knowledge_base.py:75
+    ("grouparray", (e: Seq[Expression]) => CollectList(e.head),
+      "groupArray(x) - ClickHouse collect-to-array aggregate = collect_list"),
+    // arrayMax / arrayMin — private_knowledge_base.py:75
+    ("arraymax", (e: Seq[Expression]) => ArrayMax(e.head),
+      "arrayMax(arr) = array_max"),
+    ("arraymin", (e: Seq[Expression]) => ArrayMin(e.head),
+      "arrayMin(arr) = array_min"),
+    // arrayMap(x -> f(x), arr) — ClickHouse puts the lambda FIRST;
+    // Spark's transform(arr, lambda) puts it second (docs/vector-sql.md:206).
+    ("arraymap", (e: Seq[Expression]) => ArrayTransform(e(1), e(0)),
+      "arrayMap(x -> f(x), arr) = transform(arr, x -> f(x))"),
+    ("arrayfilter", (e: Seq[Expression]) => ArrayFilter(e(1), e(0)),
+      "arrayFilter(x -> p(x), arr) = filter(arr, p)"),
+    // length — overloaded over strings and arrays in ClickHouse (§2.8)
+    ("length", (e: Seq[Expression]) => ChLength(e.head),
+      "length(x) - ClickHouse overload: chars for strings, size for arrays"),
+    // today() — prompts.py:39
+    ("today", (_: Seq[Expression]) => CurrentDate(),
+      "today() = current_date"),
+    // JSONExtractString(json, key) — docs/vector-sql.md:204-209
+    ("jsonextractstring",
+      (e: Seq[Expression]) =>
+        GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
+      "JSONExtractString(json, k) = get_json_object(json, '$.k')"),
+    ("jsonextractint",
+      (e: Seq[Expression]) =>
+        Cast(GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
+          org.apache.spark.sql.types.LongType),
+      "JSONExtractInt(json, k) - extract and cast to bigint"),
+    ("jsonextractfloat",
+      (e: Seq[Expression]) =>
+        Cast(GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
+          org.apache.spark.sql.types.DoubleType),
+      "JSONExtractFloat(json, k) - extract and cast to double"))
+
+  /** Imperative registration onto an existing session. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder, _) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  /** The (identifier, info, builder) triples for SparkSessionExtensions. */
+  def injectable: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
+    functions.map { case (name, builder, usage) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+    }
+}

@@ -1,0 +1,124 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.HashEmbedder
+
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `NeuralArray(entity)` — the Vector-SQL text-to-embedding function
+  * (reference `app/backend/constants/prompts.py:34`; semantics: the app
+  * substitutes the embedding array *before* shipping SQL to the engine,
+  * `docs/vector-sql.md:77-93`, `app/backend/construct/build_retrievers.py:87-91`).
+  *
+  * Spark-native version: a deterministic, foldable expression. With a
+  * literal argument (the only form the reference produces), Catalyst's
+  * `ConstantFolding` collapses it to an `Array[Float]` literal during
+  * optimization — the distributed scan never re-embeds per row, which is
+  * exactly the reference's substitute-then-execute behavior.
+  */
+case class NeuralArray(child: Expression, dim: Int = HashEmbedder.DefaultDim)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "neural_array"
+
+  override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(
+      HashEmbedder.embed(s.asInstanceOf[UTF8String].toString, dim)
+        .map(java.lang.Float.valueOf))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `parseDateTimeBestEffort(s)` — ClickHouse best-effort datetime parsing
+  * (emitted by the reference's self-query translator for timestamp filters
+  * and taught in its SQL prompt: `app/backend/constants/prompts.py:100`,
+  * `docs/vector-sql.md:204`).
+  *
+  * Spark has no direct equivalent (`to_timestamp` takes one format), so
+  * this is a cascade over the formats the reference's data actually
+  * exercises: ISO date-time (with/without 'T', optional fraction), bare
+  * date, slash dates, and unix epoch seconds. Returns TimestampType
+  * (microseconds); null only for null input; unparseable input throws —
+  * matching ClickHouse, which errors rather than returning NULL (the OrNull
+  * variant is [[ParseDateTimeBestEffortOrNull]]).
+  */
+case class ParseDateTimeBestEffort(child: Expression, orNull: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = TimestampType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (orNull) "parse_datetime_best_effort_or_null" else "parse_datetime_best_effort"
+
+  override def nullSafeEval(s: Any): Any = {
+    val micros = ParseDateTimeBestEffort.parseMicros(s.asInstanceOf[UTF8String].toString)
+    micros match {
+      case Some(m) => java.lang.Long.valueOf(m)
+      case None if orNull => null
+      case None =>
+        throw new IllegalArgumentException(
+          s"parseDateTimeBestEffort: cannot parse '$s' as a datetime")
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ParseDateTimeBestEffort {
+  private val dateTimeFormats = Seq(
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]"),
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]"),
+    DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm:ss"),
+    DateTimeFormatter.ofPattern("dd/MM/yyyy HH:mm:ss"))
+  private val dateFormats = Seq(
+    DateTimeFormatter.ofPattern("yyyy-MM-dd"),
+    DateTimeFormatter.ofPattern("yyyy/MM/dd"),
+    DateTimeFormatter.ofPattern("yyyyMMdd"),
+    DateTimeFormatter.ofPattern("dd/MM/yyyy"))
+
+  /** Microseconds since epoch (UTC), or None if no format matches. */
+  def parseMicros(raw: String): Option[Long] = {
+    val s = raw.trim
+    if (s.isEmpty) return None
+    // unix epoch seconds (ClickHouse accepts 9-10 digit integers)
+    if (s.length >= 9 && s.length <= 10 && s.forall(_.isDigit))
+      return Some(s.toLong * 1000000L)
+    dateTimeFormats.foreach { f =>
+      try return Some(LocalDateTime.parse(s, f).toInstant(ZoneOffset.UTC).toEpochMilli * 1000L)
+      catch { case _: Exception => }
+    }
+    dateFormats.foreach { f =>
+      try return Some(LocalDate.parse(s, f).atStartOfDay.toInstant(ZoneOffset.UTC).toEpochMilli * 1000L)
+      catch { case _: Exception => }
+    }
+    None
+  }
+}
+
+/** ClickHouse `length` is overloaded over strings AND arrays
+  * (reference uses both: `length(categories) > 2` on an array at
+  * `app/backend/constants/prompts.py:82` and `length(vector) = 768` /
+  * `length(text)` at `private_knowledge_base.py:29,75`). Spark splits this
+  * into `length` (string) and `size` (array); this RuntimeReplaceable
+  * dispatches on the resolved child type so the Vector-SQL dialect keeps
+  * the single name. Replacement happens at analysis, so codegen sees the
+  * native Length/Size expressions.
+  */
+case class ChLength(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+  override def prettyName: String = "ch_length"
+  override lazy val replacement: Expression = child.dataType match {
+    case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
+    case BinaryType                => Length(child)
+    case _                        => Length(child)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
