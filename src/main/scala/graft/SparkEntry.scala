@@ -14,12 +14,15 @@ object SparkEntry {
 
   /** All query batteries. Order defines a stable registry. */
   private def allDefs: Seq[QueryDef] =
-    TpchQueries.defs
+    TpchQueries.defs ++ VectorQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7 v0.1 slice: Vector-SQL text with DISTANCE + NeuralArray
+    * through spark.sql, filtered, exact top-k.
+    */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.install(spark)
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q22_vector_sql")(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -73,8 +73,13 @@ object HashEmbedder {
   }
 
   /** Literal SQL text of an embedding — used to build oracle SQL with the
-    * same query vector the Spark plan uses.
+    * same query vector the Spark plan uses. Floats are printed via their
+    * EXACT decimal expansion (every float32 is a dyadic rational, so the
+    * expansion terminates and round-trips bit-exactly through a double
+    * parser) — 9-significant-digit shortest forms would NOT re-parse to the
+    * same double the Spark plan computes with.
     */
   def sqlArrayLiteral(v: Array[Float]): String =
-    v.map(x => f"$x%.9g").mkString("[", ", ", "]")
+    v.map(x => new java.math.BigDecimal(x.toDouble).toPlainString)
+      .mkString("[", ", ", "]")
 }
