@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.graft.{ChLength, CosineDistance, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort}
+import org.apache.spark.sql.graft.{ChLength, CosineDistance, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort, SimHash64}
 
 /** SQL surface of the engine: graft natives + the MyScale/ClickHouse
   * dialect shim (SURVEY.md §2.8 — every scalar/aggregate function the
@@ -37,6 +37,8 @@ object Registry {
       "dotProduct(a, b) - ClickHouse spelling"),
     ("neuralarray", (e: Seq[Expression]) => NeuralArray(e.head),
       "NeuralArray(text) - deterministic text embedding; folds to a literal"),
+    ("simhash64", (e: Seq[Expression]) => SimHash64(e.head),
+      "simhash64(tokens) - 64-bit Charikar similarity hash of a token array"),
     ("parsedatetimebesteffort",
       (e: Seq[Expression]) => ParseDateTimeBestEffort(e.head, orNull = false),
       "parseDateTimeBestEffort(s) - ClickHouse best-effort datetime parse"),

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import org.apache.spark.sql.graft.VectorFunctions.cosine_distance
+import org.apache.spark.sql.graft.GraftColumns.simhash64
+
+/** LLM-training-data pipeline operators over `documents`/`embeddings`
+  * (mandated extensions beyond the reference surface — dedup, text
+  * analysis, similarity; SURVEY.md §7 step 8).
+  *
+  * Scale notes (the point of these): every operator here is a pure
+  * DataFrame program whose joins are either (a) blocked/banded so candidate
+  * sets stay near-linear (q44 blocking, q45 MinHash-LSH bands, q46 SimHash
+  * bands — the 100 TB path), or (b) explicitly quadratic exact baselines
+  * kept as correctness oracles (q47).
+  */
+object PipelineQueries {
+
+  private def tok(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word 3-gram shingles of a token array (≥3 tokens assumed). */
+  private def shingles(t: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(3)))))
+
+  /** documents ∪ a mutated re-ingest copy (last 3 tokens dropped,
+    * doc_id+10000) — deterministic near-duplicates for the dedup ops.
+    */
+  private def withMutatedCopies(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mutated = base.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      array_join(slice(tok(col("text")), lit(1), size(tok(col("text"))) - 3), " ").as("text"))
+    base.unionByName(mutated)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup (hash-groupBy; ReplacingMergeTree-style keeper) ---
+    QueryDef("q40_dedup_exact", (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val doubled = d.unionByName(d) // simulated re-ingest of identical rows
+      doubled.groupBy("text")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).cast("long").as("n_docs"),
+          sum(col("n_copies") - 1).cast("long").as("n_dupes"))
+    }, Some("""
+      SELECT count(*) AS n_groups,
+             CAST(sum(n_copies) AS BIGINT) AS n_docs,
+             CAST(sum(n_copies - 1) AS BIGINT) AS n_dupes
+      FROM (
+        SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) d
+        GROUP BY text) g""")),
+
+    // ---- token counting + character-class stats ------------------------
+    QueryDef("q41_token_stats", (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(tok(col("text"))).cast("long"))
+        .withColumn("alpha_chars",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+        .withColumn("alpha_ratio",
+          round(col("alpha_chars").cast("double") / col("n_chars"), 6))
+        .select("doc_id", "n_tokens", "alpha_chars", "alpha_ratio")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars, 6) AS alpha_ratio
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring ------------------------------------------------
+    QueryDef("q42_quality_score", (s, dir) => {
+      val t = tok(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(t).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("n_chars"))
+        .withColumn("score", round(
+          lit(0.4) * col("alpha_ratio") +
+          lit(0.3) * least(lit(1.0), col("n_tokens") / lit(80.0)) +
+          lit(0.3) * (col("n_distinct").cast("double") / col("n_tokens")), 6))
+        .select("doc_id", "n_tokens", "n_distinct", "score")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, n_tokens, n_distinct,
+        round(0.4 * alpha_ratio + 0.3 * least(1.0, n_tokens / 80.0)
+              + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS score
+      FROM (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+          CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio
+        FROM documents) t
+      ORDER BY doc_id""")),
+
+    // ---- language ID (stopword-count heuristic) ------------------------
+    QueryDef("q43_langid", (s, dir) => {
+      val t = tok(lower(col("text")))
+      def score(words: Seq[String]): Column =
+        size(filter(t, x => array_contains(array(words.map(lit): _*), x))).cast("long")
+      Tables.documents(s, dir)
+        .withColumn("s_en", score(Seq("the", "a", "of", "and", "to", "is")))
+        .withColumn("s_es", score(Seq("el", "la", "de", "y", "que")))
+        .withColumn("s_de", score(Seq("der", "die", "das", "und", "zu")))
+        .withColumn("s_fr", score(Seq("le", "les", "et", "une", "dans")))
+        .withColumn("pred", expr("""
+          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_de >= s_fr THEN 'de'
+               ELSE 'fr' END"""))
+        .select("doc_id", "s_en", "s_es", "s_de", "s_fr", "pred")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, s_en, s_es, s_de, s_fr,
+        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr' END AS pred
+      FROM (
+        SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> list_contains(['the','a','of','and','to','is'], x))) AS BIGINT) AS s_en,
+          CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> list_contains(['el','la','de','y','que'], x))) AS BIGINT) AS s_es,
+          CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> list_contains(['der','die','das','und','zu'], x))) AS BIGINT) AS s_de,
+          CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> list_contains(['le','les','et','une','dans'], x))) AS BIGINT) AS s_fr
+        FROM documents) t
+      ORDER BY doc_id""")),
+
+    // ---- blocked word-3-gram Jaccard near-dup (exact within blocks) ----
+    // Blocking key (lang, n_tokens div 10) keeps the candidate set
+    // near-linear: only plausibly-similar docs are compared.
+    QueryDef("q44_ngram_jaccard_neardup", (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), tok(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .withColumn("bkt", expr("size(t) div 10"))
+        .withColumn("sh", shingles(col("t")))
+      val a = d.select(col("doc_id").as("i"), col("lang"), col("bkt"), col("sh").as("sha"))
+      val b = d.select(col("doc_id").as("j"), col("lang"), col("bkt"), col("sh").as("shb"))
+      a.join(b, Seq("lang", "bkt")).filter(col("i") < col("j"))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+        .filter(col("jac") >= 0.1)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy("i", "j")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      s AS (
+        SELECT doc_id, lang, len(t) // 10 AS bkt,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM d WHERE len(t) >= 3)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id AND a.lang = b.lang AND a.bkt = b.bkt
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+      ORDER BY i, j""")),
+
+    // ---- MinHash + LSH banded near-dup (the 100 TB dedup path) ---------
+    // 16 minhashes, 4 bands × 4 rows; candidates = band-bucket join, then
+    // exact Jaccard verify. No oracle: DuckDB can't reproduce xxhash64
+    // (driver records rows-only).
+    QueryDef("q45_minhash_lsh", (s, dir) => {
+      val docs = withMutatedCopies(s, dir)
+        .select(col("doc_id"), tok(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .withColumn("sh", shingles(col("t")))
+      val sigs = docs.withColumn("sig",
+        transform(sequence(lit(0), lit(15)),
+          h => array_min(transform(col("sh"), sg => xxhash64(sg, h)))))
+      val bands = sigs.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          bIdx => concat_ws(",",
+            transform(slice(col("sig"), bIdx * lit(4) + lit(1), lit(4)),
+              x => x.cast("string"))))).as(Seq("band_idx", "band_key")))
+      val a = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("i"), col("sh").as("sha"))
+      val b = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("j"), col("sh").as("shb"))
+      a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
+        .select("i", "j", "sha", "shb").dropDuplicates("i", "j")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy("i", "j")
+    }, None),
+
+    // ---- SimHash fingerprint + banded Hamming near-dup -----------------
+    // (custom codegen expression; bands = 16-bit fingerprint chunks, so a
+    // pair within Hamming distance 3 shares ≥1 band — Manku et al. WWW'07)
+    QueryDef("q46_simhash_neardup", (s, dir) => {
+      val docs = withMutatedCopies(s, dir)
+        .select(col("doc_id"), simhash64(tok(col("text"))).as("fp"))
+      // (fp >> (b*16)) & 0xFFFF: sign extension is masked away, so the
+      // signed SQL shift is equivalent to an unsigned one here.
+      val banded = docs.select(col("doc_id"), col("fp"),
+        posexplode(expr("transform(sequence(0, 3), b -> (fp >> (b * 16)) & 65535)"))
+          .as(Seq("band_idx", "band_key")))
+      val a = banded.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("i"), col("fp").as("fpa"))
+      val b = banded.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("j"), col("fp").as("fpb"))
+      a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
+        .select("i", "j", "fpa", "fpb").dropDuplicates("i", "j")
+        .withColumn("hamming", expr("bit_count(fpa ^ fpb)"))
+        .filter(col("hamming") <= 8)
+        .select("i", "j", "hamming")
+        .orderBy("i", "j")
+    }, None),
+
+    // ---- embedding-cosine near-dup (exact quadratic baseline) ----------
+    QueryDef("q47_embed_neardup", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("sim", lit(1.0) - cosine_distance(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.40)
+        .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+        .orderBy("i", "j")
+    }, Some("""
+      SELECT a.vec_id AS i, b.vec_id AS j,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.40
+      ORDER BY i, j""")),
+
+    // ---- content-defined fingerprint (sha/md5 family, §2.8 sha256 ids) -
+    QueryDef("q48_doc_fingerprint", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          substring(md5(lower(trim(col("text")))), 1, 16).as("fp"),
+          sha2(col("text"), 256).as("sha"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fp,
+             sha256(text) AS sha
+      FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.QueryDef.dec
+
+/** Structured Streaming slice over the `events` stream table
+  * (capability extension, SURVEY.md §2.9: the reference's closest analog
+  * is the append-only chat-memory table, `app/backend/chat_bot/
+  * tools.py:63-82`; TESTDATA.md designates `events` as the stream table).
+  *
+  * Transform builders are shared between batch and streaming DataFrames —
+  * the Structured Streaming contract — so correctness of the streaming
+  * path is checked by equality with the oracle-verified batch twin
+  * (see `StreamingSpec`).
+  */
+object EventsStream {
+
+  /** Schema of events.parquet with ts pre-converted from nanos (see
+    * [[graft.Tables.events]]) — streaming readers need it declared.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def fromRaw(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1 h windows: count + exact decimal sum per (window, type). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding 2 h windows every 1 h. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Watermarked variant for true streaming use (late data dropped after
+    * 30 min); append-mode compatible.
+    */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    tumblingKeyed(events.withWatermark("ts", "30 minutes"))
+
+  private def tumblingKeyed(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Open a file-based stream over a directory containing events parquet
+    * (maxFilesPerTrigger=1 so multiple files arrive as micro-batches).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fromRaw(spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir))
+  }
+}

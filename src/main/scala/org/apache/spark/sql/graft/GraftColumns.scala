@@ -1,0 +1,12 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+
+/** Column-API entry points for graft's non-vector custom expressions. */
+object GraftColumns {
+  import Bridge.{toColumn, toExpr}
+  def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
+  def neural_array(c: Column): Column = toColumn(NeuralArray(toExpr(c)))
+  def parse_datetime_best_effort(c: Column): Column =
+    toColumn(ParseDateTimeBestEffort(toExpr(c), orNull = false))
+}

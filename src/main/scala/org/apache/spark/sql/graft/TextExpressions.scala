@@ -55,6 +55,12 @@ case class ParseDateTimeBestEffort(child: Expression, orNull: Boolean)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = TimestampType
   override def nullIntolerant: Boolean = true
+  /** The OrNull variant produces null from NON-null input, so it must
+    * advertise nullability regardless of the child — otherwise the row
+    * converter trusts the non-null schema and reads an uninitialized
+    * value instead of the null bit (observed: epoch-0 timestamps).
+    */
+  override def nullable: Boolean = orNull || child.nullable
   override def prettyName: String =
     if (orNull) "parse_datetime_best_effort_or_null" else "parse_datetime_best_effort"
 

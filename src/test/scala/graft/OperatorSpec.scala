@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashEmbedder
+import graft.operators.{AnnIndex, SelfQueryFilter => F, VectorStore}
+import org.apache.spark.sql.graft.VectorFunctions._
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, TestSpark.sf)
+  private def embs = Tables.embeddings(spark, TestSpark.sf)
+
+  test("self-query comparators compile to correct predicates") {
+    val d = Seq(
+      (1L, "en", 100L, Seq("a", "b")),
+      (2L, "de", 300L, Seq("b", "c")),
+      (3L, "en", 500L, Seq("c", "d"))).toDF("id", "lang", "n", "tags")
+    def ids(n: F.Node): Seq[Long] =
+      d.filter(F.compile(n)).select("id").as[Long].collect().sorted.toSeq
+    assert(ids(F.Eq("lang", F.S("en"))) == Seq(1L, 3L))
+    assert(ids(F.Ne("lang", F.S("en"))) == Seq(2L))
+    assert(ids(F.Gt("n", F.I(100))) == Seq(2L, 3L))
+    assert(ids(F.Gte("n", F.I(300))) == Seq(2L, 3L))
+    assert(ids(F.Lt("n", F.I(300))) == Seq(1L))
+    assert(ids(F.Lte("n", F.I(300))) == Seq(1L, 2L))
+    assert(ids(F.Contain("tags", F.S("b"))) == Seq(1L, 2L))
+    assert(ids(F.Like("lang", "e%")) == Seq(1L, 3L))
+    assert(ids(F.In("lang", Seq(F.S("de"), F.S("fr")))) == Seq(2L))
+    assert(ids(F.And.of(F.Eq("lang", F.S("en")), F.Gt("n", F.I(200)))) == Seq(3L))
+    assert(ids(F.Or.of(F.Eq("lang", F.S("de")), F.Gt("n", F.I(400)))) == Seq(2L, 3L))
+    assert(ids(F.Not(F.Eq("lang", F.S("en")))) == Seq(2L))
+  }
+
+  test("self-query timestamp comparator (parseDateTimeBestEffort semantics)") {
+    val e = Tables.events(spark, TestSpark.sf)
+    val n = e.filter(F.compile(F.Gte("ts", F.T("2024-01-15")))).count()
+    val expected = e.filter(col("ts") >= to_timestamp(lit("2024-01-15"))).count()
+    assert(n == expected && n > 0 && n < e.count())
+  }
+
+  test("VectorStore top-k == sort-then-take oracle") {
+    val q = HashEmbedder.embed("any query text at all")
+    val store = VectorStore(embs, "embedding", Seq("vec_id"))
+    val topk = store.searchByVector(q, 15).select("vec_id").as[Long].collect().toSeq
+    val brute = embs
+      .withColumn("dist", cosine_distance(col("embedding"), typedlit(q.toIndexedSeq)))
+      .collect().map(r => (r.getAs[Double]("dist"), r.getAs[Long]("vec_id")))
+      .sortBy(identity).take(15).map(_._2).toSeq
+    assert(topk == brute)
+  }
+
+  test("VectorStore filter is PREWHERE-like: applied before ranking") {
+    val q = HashEmbedder.embed("filtered search")
+    val store = VectorStore(embs, "embedding", Seq("vec_id"))
+    val res = store.searchByVector(q, 5, Some(col("label") === 3))
+    val labels = res.select("label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ == 3))
+    // plan check: top-k is TakeOrderedAndProject, not a global Sort
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("knn plan pushes data filters into the parquet scan") {
+    val q = HashEmbedder.embed("pushdown probe")
+    val store = VectorStore(embs, "embedding", Seq("vec_id"))
+    val plan = store.searchByVector(q, 5, Some(col("label") === 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("AnnIndex: recall@10 >= 0.7 vs exact search, deterministic plumbing") {
+    val q = HashEmbedder.embed("distributed vector search engine")
+    val (model, indexed) = AnnIndex.fit(embs, "embedding", "vec_id", k = 16, iters = 3)
+    assert(indexed.select("cluster_id").distinct().count() > 1)
+    val ann = AnnIndex.query(indexed, model, "embedding", "vec_id", q, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = VectorStore(embs, "embedding", Seq("vec_id"))
+      .searchByVector(q, 10).select("vec_id").as[Long].collect().toSet
+    val recall = (ann & exact).size / 10.0
+    assert(recall >= 0.7, s"recall=$recall ann=$ann exact=$exact")
+  }
+
+  test("minhash LSH candidates are high-precision (all pairs jac >= 0.5)") {
+    val out = SparkEntry.queries("q45_minhash_lsh")(spark, TestSpark.sf)
+    val jacs = out.select("jac").as[Double].collect()
+    assert(jacs.nonEmpty && jacs.forall(_ >= 0.5))
+  }
+
+  test("minhash LSH finds most planted near-duplicates") {
+    val out = SparkEntry.queries("q45_minhash_lsh")(spark, TestSpark.sf)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val planted = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    val found = planted.count(out.contains)
+    assert(found >= planted.size * 0.8,
+      s"found only $found of ${planted.size} planted near-dups")
+  }
+
+  test("simhash banding finds planted near-duplicates") {
+    val out = SparkEntry.queries("q46_simhash_neardup")(spark, TestSpark.sf)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val planted = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    // 4×16-bit bands guarantee detection only for Hamming<=3; short docs
+    // (10 tokens, 3 dropped) can exceed that, so ~0.75 recall is expected
+    val found = planted.count(out.contains)
+    assert(found >= planted.size * 0.7)
+  }
+
+  test("multimodal decode stub: typed pipeline matches direct computation") {
+    val metas = graft.operators.Multimodal.decodeStub(
+      graft.operators.Multimodal.blobsFromDocuments(spark, docs))
+    val got = metas.filter(_.doc_id == 0L).head()
+    val text = docs.filter(col("doc_id") === 0).select("text").as[String].head()
+    assert(got.width == 64 + (text.charAt(0).toInt % 64))
+    assert(got.height == 64 + (text.charAt(1).toInt % 64))
+    assert(got.n_frames == 1 + text.getBytes.length % 16)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def stageDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.copy(
+      Paths.get(s"${TestSpark.sf}/events.parquet"),
+      Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming tumbling agg (complete mode) equals batch twin") {
+    val dir = stageDir()
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.tumbling(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventsStream.tumbling(Tables.events(spark, TestSpark.sf))
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermarked append-mode query runs and emits closed windows") {
+    val dir = stageDir()
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.tumblingWithWatermark(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      q.processAllAvailable()
+      // single static file: watermark only advances after the batch, so
+      // closed windows flush on the *next* (empty) trigger
+      q.processAllAvailable()
+      val n = spark.table("wm_out").count()
+      // all windows except those still open under the 30 min watermark
+      val total = EventsStream.tumbling(Tables.events(spark, TestSpark.sf)).count()
+      assert(n >= total - 5, s"append emitted $n of ~$total windows")
+    } finally q.stop()
+  }
+}
