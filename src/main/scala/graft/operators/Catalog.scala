@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table lifecycle facade: the ReplacingMergeTree/MergeTree semantics of
+  * the reference's six tables (SURVEY.md §1.2, §2.1 S5/S6/S8/S9) on plain
+  * parquet.
+  *
+  *   - upsert    = append-only write; readers apply last-writer-wins
+  *     compaction (`ENGINE=ReplacingMergeTree ORDER BY id`,
+  *     `app/backend/constants/myscale_tables.py:37,65` — MyScale also
+  *     dedups at read/merge time, not at insert).
+  *   - delete    = anti-join rewrite (`DELETE FROM ... WHERE`,
+  *     `app/backend/chat_bot/private_knowledge_base.py:93-99`).
+  *   - compact() = materialize the compaction view and truncate history
+  *     (the explicit OPTIMIZE analog).
+  *
+  * The version column is caller-supplied (ingest timestamp / batch id) so
+  * compaction is deterministic; SURVEY §7 "what's hard" notes the
+  * consistency trap — always read through [[read]], never raw parquet.
+  *
+  * At scale: writes partition by the natural partition column when given
+  * (`PARTITION BY session_id` analog, `tools.py:74-78`) so per-key reads
+  * and deletes prune partitions instead of scanning the table.
+  */
+final case class Catalog(spark: SparkSession, root: String) {
+
+  private def path(table: String) = s"$root/$table"
+
+  def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+  }
+
+  def append(table: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(path(table))
+
+  /** Last-writer-wins view over the append history. */
+  def read(table: String, key: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(desc(versionCol))
+    spark.read.parquet(path(table))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def readRaw(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** DELETE WHERE cond: rewrite as keep-complement overwrite. */
+  def deleteWhere(table: String, cond: Column): Unit = {
+    val kept = spark.read.parquet(path(table)).filter(!cond)
+    val tmp = path(table) + "__tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    replaceDir(tmp, path(table))
+  }
+
+  /** Materialize compaction (OPTIMIZE analog). */
+  def compact(table: String, key: Seq[String], versionCol: String): Unit = {
+    val tmp = path(table) + "__tmp"
+    read(table, key, versionCol).write.mode("overwrite").parquet(tmp)
+    replaceDir(tmp, path(table))
+  }
+
+  private def replaceDir(from: String, to: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    def rm(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rm(Paths.get(to))
+    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+  }
+}

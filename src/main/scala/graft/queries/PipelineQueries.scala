@@ -141,11 +141,14 @@ object PipelineQueries {
     // Blocking key (lang, n_tokens div 10) keeps the candidate set
     // near-linear: only plausibly-similar docs are compared.
     QueryDef("q44_ngram_jaccard_neardup", (s, dir) => {
+      // shingles hashed to longs before the pairwise intersects: 8-byte
+      // comparisons instead of ~25-char strings (same counts modulo a
+      // ~2^-64 collision; oracle intersects the strings)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .withColumn("bkt", expr("size(t) div 10"))
-        .withColumn("sh", shingles(col("t")))
+        .withColumn("sh", transform(shingles(col("t")), x => xxhash64(x)))
       val a = d.select(col("doc_id").as("i"), col("lang"), col("bkt"), col("sh").as("sha"))
       val b = d.select(col("doc_id").as("j"), col("lang"), col("bkt"), col("sh").as("shb"))
       a.join(b, Seq("lang", "bkt")).filter(col("i") < col("j"))

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Catalog, Ingest}
+import graft.sources.JsonEachRow
+
+class SourceCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeJsonlFixtures(): String = {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val rows = (0 until 50).map(i =>
+      s"""{"id": $i, "title": "t$i", "vec": [${0.5 * i}, 1.5], "meta": "{\\"views\\": ${i * 10}}"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part1.jsonl"),
+      rows.take(25).mkString("\n"))
+    val gz = new GZIPOutputStream(
+      Files.newOutputStream(java.nio.file.Paths.get(s"$dir/part2.jsonl.gz")))
+    gz.write(rows.drop(25).mkString("\n").getBytes)
+    gz.close()
+    dir
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("title", StringType),
+    StructField("vec", ArrayType(FloatType)),
+    StructField("meta", StringType)))
+
+  test("JsonEachRow: schema'd read over mixed plain+gz partitioned glob") {
+    val dir = writeJsonlFixtures()
+    val df = JsonEachRow.read(spark, schema, s"$dir/part*.jsonl*")
+    assert(df.count() == 50)
+    assert(df.schema == schema)
+    // JSON metadata column stays queryable (Object('JSON') mapping)
+    val views = df.filter(col("id") === 7)
+      .select(get_json_object(col("meta"), "$.views").cast("long")).as[Long].head()
+    assert(views == 70)
+  }
+
+  test("vector dim check: passes at the right dim, rejects wrong dim") {
+    val dir = writeJsonlFixtures()
+    val df = JsonEachRow.read(spark, schema, s"$dir/part*.jsonl*")
+    JsonEachRow.requireVectorDim(df, "vec", 2)
+    intercept[IllegalArgumentException] {
+      JsonEachRow.requireVectorDim(df, "vec", 768)
+    }
+  }
+
+  test("Catalog: upsert compaction + delete + compact roundtrip") {
+    val root = Files.createTempDirectory("graft-cat").toString
+    val cat = Catalog(spark, root)
+    val v1 = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("id", "v", "version")
+    cat.create("t", v1)
+    cat.append("t", Seq((2L, "b2", 2)).toDF("id", "v", "version"))
+    val upserted = cat.read("t", Seq("id"), "version")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(upserted == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    cat.deleteWhere("t", col("id") === 3)
+    assert(cat.read("t", Seq("id"), "version").count() == 2)
+    cat.compact("t", Seq("id"), "version")
+    // post-compact raw history contains exactly the live rows
+    assert(cat.readRaw("t").count() == 2)
+    assert(cat.read("t", Seq("id"), "version")
+      .select("v").as[String].collect().sorted.toSeq == Seq("a", "b2"))
+  }
+
+  test("RewriteMustHaveColumns appends missing projection columns (injected)") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force shared session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne base) // genuinely a new session with the extensions
+      Tables.documents(s2, TestSpark.sf).createOrReplaceTempView("kbdocs")
+      s2.conf.set("spark.graft.mustHave.kbdocs", "doc_id,lang")
+      val out = s2.sql("SELECT text FROM kbdocs")
+      assert(out.columns.toSeq == Seq("text", "doc_id", "lang"))
+      assert(out.count() > 0)
+      // already-present must-haves are not duplicated
+      val out2 = s2.sql("SELECT doc_id, text FROM kbdocs")
+      assert(out2.columns.toSeq == Seq("doc_id", "text", "lang"))
+      // without the conf, no rewrite
+      s2.conf.unset("spark.graft.mustHave.kbdocs")
+      assert(s2.sql("SELECT text FROM kbdocs").columns.toSeq == Seq("text"))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("Ingest: chunk sizes, strict >10-word filter, embed dim") {
+    val docs = Seq((1L, "src", (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val chunks = Ingest.chunk(docs, "doc_id", "source", "text")
+    // 40 tokens -> chunks of 15/15/10
+    assert(chunks.count() == 3)
+    val kept = Ingest.narrativeFilter(chunks)
+    assert(kept.count() == 2) // the 10-word tail is dropped (strict >10)
+    val embedded = Ingest.embed(kept, "chunk_text")
+    val vecs = embedded.select("vector").as[Seq[Float]].collect()
+    assert(vecs.forall(_.length == graft.functions.HashEmbedder.DefaultDim))
+  }
+}
