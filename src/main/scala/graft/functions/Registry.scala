@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.graft.{ChLength, CosineDistance, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort, SimHash64}
+import org.apache.spark.sql.graft.{ChLength, CosineDistance, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort, SimHash64, VectorAvg}
 
 /** SQL surface of the engine: graft natives + the MyScale/ClickHouse
   * dialect shim (SURVEY.md §2.8 — every scalar/aggregate function the
@@ -39,6 +39,12 @@ object Registry {
       "NeuralArray(text) - deterministic text embedding; folds to a literal"),
     ("simhash64", (e: Seq[Expression]) => SimHash64(e.head),
       "simhash64(tokens) - 64-bit Charikar similarity hash of a token array"),
+    ("vector_avg", (e: Seq[Expression]) => VectorAvg(e.head),
+      "vector_avg(vec) - element-wise mean of float vectors (centroid aggregate)"),
+    // toJSONString(struct) — docs/vector-sql.md:204
+    ("tojsonstring", (e: Seq[Expression]) =>
+      StructsToJson(Map.empty, e.head),
+      "toJSONString(x) - ClickHouse JSON encode = to_json"),
     ("parsedatetimebesteffort",
       (e: Seq[Expression]) => ParseDateTimeBestEffort(e.head, orNull = false),
       "parseDateTimeBestEffort(s) - ClickHouse best-effort datetime parse"),

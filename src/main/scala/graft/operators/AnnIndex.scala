@@ -86,13 +86,14 @@ object AnnIndex {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = withAssignment(df, embCol, centroids)
-      // re-estimate: mean per (cluster, dim) — one shuffle keyed small
+      // re-estimate with the custom vector_avg aggregate: partial buffers
+      // are one double[dim] per (cluster, partition), so the shuffle is
+      // k×dim doubles instead of rows×dim exploded rows
+      import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
       val means = assigned
-        .select(col("cluster_id"), posexplode(col(embCol)).as(Seq("dim", "v")))
-        .groupBy("cluster_id", "dim").agg(avg("v").as("m"))
         .groupBy("cluster_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cluster_id"), transform(col("pairs"), p => p("m")).as("centroid"))
+        .agg(toColumn(org.apache.spark.sql.graft.VectorAvg(toExpr(col(embCol)))
+          .toAggregateExpression()).as("centroid"))
         .collect()
       val next = centroids.clone()
       means.foreach { r: Row =>

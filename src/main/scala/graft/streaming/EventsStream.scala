@@ -58,6 +58,28 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Typed event row for stateful ops. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Custom streaming state: running per-user event counts via
+    * `mapGroupsWithState` (the reference's chat-memory is exactly an
+    * append stream keyed by session, `app/backend/chat_bot/tools.py:63-82`;
+    * this is the KeyValueGroupedDataset stateful surface of SURVEY §2.9).
+    */
+  def runningUserCounts(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (user, n)
+      }
+  }
+
   /** Open a file-based stream over a directory containing events parquet
     * (maxFilesPerTrigger=1 so multiple files arrive as micro-batches).
     */

@@ -36,6 +36,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful mapGroupsWithState running counts match batch groupBy") {
+    import spark.implicits._
+    val dir = stageDir()
+    val stream = EventsStream.readStream(spark, dir).as[EventsStream.Event]
+    val q = EventsStream.runningUserCounts(stream)
+      .toDF("user_id", "n")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      // last emitted row per user = final running count
+      val streamed = spark.table("state_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = Tables.events(spark, TestSpark.sf)
+        .groupBy("user_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("watermarked append-mode query runs and emits closed windows") {
     val dir = stageDir()
     val stream = EventsStream.readStream(spark, dir)
