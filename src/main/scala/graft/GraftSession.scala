@@ -25,6 +25,15 @@ object GraftSession {
     */
   def install(spark: SparkSession): SparkSession = {
     graft.functions.Registry.registerAll(spark)
+    // ANN top-k rewrite: experimental.extraOptimizations works on ANY
+    // session (no extensions config needed); conf-gated, default off.
+    val hasAnn = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.AnnTopKRule])
+    if (!hasAnn) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          org.apache.spark.sql.graft.AnnTopKRule(spark)
+    }
     spark
   }
 

@@ -79,7 +79,8 @@ object AnnIndex {
     * the smallest ids. Returns the model and the indexed table
     * (input + `cluster_id`).
     */
-  def fit(df: DataFrame, embCol: String, idCol: String, k: Int, iters: Int): (Model, DataFrame) = {
+  def fit(dfIn: DataFrame, embCol: String, idCol: String, k: Int, iters: Int): (Model, DataFrame) = {
+    val df = dfIn.cache() // scanned iters+1 times during Lloyd's
     var centroids: Array[Array[Double]] =
       df.orderBy(col(idCol)).limit(k).select(embCol).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -101,7 +102,17 @@ object AnnIndex {
       }
       centroids = next
     }
-    (Model(centroids), withAssignment(df, embCol, centroids))
+    val model = Model(centroids)
+    // make the index visible to the AnnTopKRule optimizer rewrite
+    org.apache.spark.sql.graft.AnnTopKRule.register("default", model)
+    // The index is MATERIALIZED (cache + force): downstream plans see
+    // cluster_id as a concrete InMemoryRelation column, so the ANN rule
+    // filters a stored column instead of re-deriving the assignment per
+    // row. At 100 TB this would be a parquet write PARTITION BY
+    // cluster_id — same contract, durable.
+    val indexed = withAssignment(df, embCol, centroids).cache()
+    indexed.count()
+    (model, indexed)
   }
 
   /** ANN query: prune to nprobe clusters, exact re-rank inside. */

@@ -4,11 +4,32 @@ import graft.Tables
 
 /** Remaining §2.8 dialect functions exercised through the SQL surface:
   * arrayJoin (Generator), toJSONString/JSONExtractString (Object('JSON')
-  * round-trip), and the custom vector_avg aggregate.
+  * round-trip), the custom vector_avg aggregate, and the ANN optimizer
+  * rewrite end-to-end through SQL text.
   */
 object DialectQueries {
 
+  private val annQueryText = "distributed vector search engine"
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- ANN short-circuit through plain Vector-SQL text ---------------
+    // The same query as q22 but over an IVF-indexed view with
+    // spark.graft.ann.enabled: AnnTopKRule injects the cluster prune, so
+    // the scan touches nprobe/k of the table (approximate -> rows-only;
+    // exactness vs recall asserted in OperatorSpec).
+    QueryDef("q72_ann_sql_rewrite", (s, dir) => {
+      val (_, indexed) = graft.operators.AnnIndex.fit(
+        graft.Tables.embeddings(s, dir), "embedding", "vec_id", k = 16, iters = 3)
+      indexed.createOrReplaceTempView("indexed_embeddings")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.sql(s"""
+        SELECT vec_id, label,
+               round(distance(embedding, NeuralArray('$annQueryText')), 6) AS dist
+        FROM indexed_embeddings
+        ORDER BY distance(embedding, NeuralArray('$annQueryText')), vec_id
+        LIMIT 10""")
+    }, None),
 
     // ---- arrayJoin = explode as a dialect function ---------------------
     // (`SELECT arrayJoin(file_names) FROM (...)`,

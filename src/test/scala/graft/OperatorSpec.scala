@@ -85,6 +85,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall ann=$ann exact=$exact")
   }
 
+  test("AnnTopKRule: SQL ORDER BY distance LIMIT gets cluster-pruned") {
+    val q = HashEmbedder.embed("distributed vector search engine")
+    val (model, indexed) = AnnIndex.fit(embs, "embedding", "vec_id", k = 16, iters = 3)
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      val store = VectorStore(indexed, "embedding", Seq("vec_id"))
+      val df = store.searchByVector(q, 10)
+      val pruned = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.isInstanceOf[org.apache.spark.sql.catalyst.expressions.In] => f
+      }
+      assert(pruned.nonEmpty,
+        s"no cluster prune in plan:\n${df.queryExecution.optimizedPlan}")
+      val ruleRes = df.select("vec_id").as[Long].collect().toSet
+      val apiRes = AnnIndex.query(indexed, model, "embedding", "vec_id", q, 10, 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(ruleRes == apiRes) // rule path == explicit IVF query path
+      // opt-out restores exactness
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val exact = store.searchByVector(q, 10).select("vec_id").as[Long].collect().toSet
+      val bruteForce = VectorStore(embs, "embedding", Seq("vec_id"))
+        .searchByVector(q, 10).select("vec_id").as[Long].collect().toSet
+      assert(exact == bruteForce)
+    } finally spark.conf.set("spark.graft.ann.enabled", "false")
+  }
+
+  test("salted join and salted aggregation match unsalted results") {
+    import graft.operators.Salting
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val o = Tables.orders(spark, TestSpark.sf).select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plainJoin = li.join(o, "l_orderkey").count()
+    val salted = Salting.saltedJoin(li, o, "l_orderkey", buckets = 8).count()
+    assert(salted == plainJoin)
+    val plainSum = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("total"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val saltedSum = Salting.saltedSum(li, "l_returnflag", col("l_quantity"), 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(saltedSum.keySet == plainSum.keySet)
+    saltedSum.foreach { case (k, v) =>
+      assert(math.abs(v - plainSum(k)) < 1e-6 * math.abs(v))
+    }
+  }
+
   test("minhash LSH candidates are high-precision (all pairs jac >= 0.5)") {
     val out = SparkEntry.queries("q45_minhash_lsh")(spark, TestSpark.sf)
     val jacs = out.select("jac").as[Double].collect()
