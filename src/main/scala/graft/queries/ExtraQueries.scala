@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import org.apache.spark.sql.graft.VectorFunctions.cosine_distance
+import graft.functions.HashEmbedder
+
+/** Extended SQL-surface coverage: the reference's composite acceptance
+  * query shape, analytic windows, datetime/string/null functions,
+  * percentiles, recursive CTEs, pivot.
+  */
+object ExtraQueries {
+
+  private val qText = "semantic retrieval over filtered corpus"
+  private val qVec = HashEmbedder.embed(qText)
+  private val qLit = HashEmbedder.sqlArrayLiteral(qVec)
+
+  /** Shared Spark/DuckDB text: bucket customers by custkey decade via a
+    * recursive generator, then join-aggregate.
+    */
+  val recursiveSql: String = """
+      WITH RECURSIVE buckets(b) AS (
+        SELECT 0
+        UNION ALL
+        SELECT b + 1 FROM buckets WHERE b < 9)
+      SELECT b AS bucket, count(c_custkey) AS n_customers,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM buckets LEFT JOIN customer ON c_custkey % 10 = b
+      GROUP BY b ORDER BY b"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- the reference's de-facto acceptance query shape ---------------
+    // ("published later than X and more than 2 categories and title like
+    //  ... and has(...)" + kNN — myscale_tables.py:13-14; P4+P5+P6+P7+T1
+    //  composed over documents⋈embeddings)
+    QueryDef("q73_acceptance_combo", (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      d.join(e, d("doc_id") === e("vec_id"))
+        .filter(col("n_chars") > 200 && col("text").like("%vector%") && col("lang") =!= "zh")
+        .withColumn("dist", cosine_distance(col("embedding"), typedlit(qVec.toIndexedSeq)))
+        .orderBy(col("dist"), col("doc_id"))
+        .limit(5)
+        .select(col("doc_id"), col("lang"), col("n_chars"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT doc_id, lang, n_chars,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE n_chars > 200 AND text LIKE '%vector%' AND lang <> 'zh'
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), doc_id
+      LIMIT 5""")),
+
+    // ---- analytic windows: first/last/nth value, percent_rank, cume ----
+    QueryDef("q74_window_analytics", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).filter(col("o_custkey") < 50)
+        .withColumn("cheapest", first(col("o_totalprice")).over(wf))
+        .withColumn("priciest", last(col("o_totalprice")).over(wf))
+        .withColumn("second", nth_value(col("o_totalprice"), 2).over(wf))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("cheapest"), col("priciest"), col("second"),
+          round(col("prank"), 6).as("prank"), round(col("cume"), 6).as("cume"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        first_value(o_totalprice) OVER wf AS cheapest,
+        last_value(o_totalprice) OVER wf AS priciest,
+        nth_value(o_totalprice, 2) OVER wf AS second,
+        round(percent_rank() OVER w, 6) AS prank,
+        round(cume_dist() OVER w, 6) AS cume
+      FROM orders WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- datetime part extraction --------------------------------------
+    QueryDef("q75_datetime_parts", (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "q", "m")
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             CAST(month(o_orderdate) AS INT) AS m, count(*) AS n
+      FROM orders GROUP BY 1, 2, 3 ORDER BY y, q, m""")),
+
+    // ---- string function battery ---------------------------------------
+    QueryDef("q76_string_funcs", (s, dir) => {
+      Tables.part(s, dir).filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          lpad(col("p_brand"), 12, "*").as("pad"),
+          reverse(col("p_type")).as("rev"),
+          length(concat_ws("|", col("p_name"), col("p_type"))).cast("long").as("len2"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pre,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+             lpad(p_brand, 12, '*') AS pad, reverse(p_type) AS rev,
+             CAST(length(p_name || '|' || p_type) AS BIGINT) AS len2
+      FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""")),
+
+    // ---- null handling ---------------------------------------------------
+    QueryDef("q77_null_handling", (s, dir) => {
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_nn"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_c"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+          least(col("o_totalprice"), lit(100000.0)).as("cap_price"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_nn,
+             coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_c,
+             greatest(o_totalprice, 100000.0) AS floor_price,
+             least(o_totalprice, 100000.0) AS cap_price
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
+    // ---- exact interpolated percentiles ---------------------------------
+    QueryDef("q78_percentiles", (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+        round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+        round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+        round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS price_p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- recursive CTE (identical text on both engines) -----------------
+    QueryDef("q79_recursive_cte", (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(recursiveSql)
+    }, Some(recursiveSql)),
+
+    // ---- pivot -----------------------------------------------------------
+    QueryDef("q80_pivot_events", (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+      p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'error') AS error,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+  )
+
+}
