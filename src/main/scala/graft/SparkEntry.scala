@@ -41,5 +41,5 @@ object SparkEntry {
     * records a weaker rows-only check for those).
     */
   def oracleSql: Map[String, String] =
-    allDefs.flatMap(d => d.oracle.map(o => d.name -> o.trim)).toMap
+    allDefs.flatMap(d => d.oracle.filter(_ != null).map(o => d.name -> o.trim)).toMap
 }

@@ -45,6 +45,12 @@ object DocQueries {
     // (stuff_documents.py:29-31 ref_id assignment; build_chains.py:37
     //  max_tokens_limit=12000 running-sum truncation)
     QueryDef("q31_refid_token_cutoff", (s, dir) => {
+      // Global (unpartitioned) window is intentional: in the reference
+      // this runs over ONE retrieval's k<=10 docs (stuff_documents.py),
+      // never a full table — at scale the input is always a small
+      // retrieved set, so the single-partition WindowExec is not a
+      // bottleneck. The test drives it over the whole table only to get
+      // an oracle-checkable fixture.
       val w = Window.orderBy(desc("n_chars"), col("doc_id"))
       Tables.documents(s, dir)
         .withColumn("n_tokens",

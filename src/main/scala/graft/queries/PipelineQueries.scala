@@ -144,11 +144,13 @@ object PipelineQueries {
       // shingles hashed to longs before the pairwise intersects: 8-byte
       // comparisons instead of ~25-char strings (same counts modulo a
       // ~2^-64 collision; oracle intersects the strings)
+      // cached: both sides of the self-join reuse the shingle computation
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .withColumn("bkt", expr("size(t) div 10"))
         .withColumn("sh", transform(shingles(col("t")), x => xxhash64(x)))
+        .cache()
       val a = d.select(col("doc_id").as("i"), col("lang"), col("bkt"), col("sh").as("sha"))
       val b = d.select(col("doc_id").as("j"), col("lang"), col("bkt"), col("sh").as("shb"))
       a.join(b, Seq("lang", "bkt")).filter(col("i") < col("j"))
@@ -193,6 +195,7 @@ object PipelineQueries {
           bIdx => concat_ws(",",
             transform(slice(col("sig"), bIdx * lit(4) + lit(1), lit(4)),
               x => x.cast("string"))))).as(Seq("band_idx", "band_key")))
+        .cache() // minhash sigs are the expensive part; self-join reuses them
       val a = bands.select(col("band_idx"), col("band_key"),
         col("doc_id").as("i"), col("sh").as("sha"))
       val b = bands.select(col("band_idx"), col("band_key"),
@@ -213,6 +216,7 @@ object PipelineQueries {
     QueryDef("q46_simhash_neardup", (s, dir) => {
       val docs = withMutatedCopies(s, dir)
         .select(col("doc_id"), simhash64(tok(col("text"))).as("fp"))
+        .cache() // fingerprints reused by both self-join sides
       // (fp >> (b*16)) & 0xFFFF: sign extension is masked away, so the
       // signed SQL shift is equivalent to an unsigned one here.
       val banded = docs.select(col("doc_id"), col("fp"),
