@@ -92,7 +92,18 @@ object Registry {
       (e: Seq[Expression]) =>
         Cast(GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
           org.apache.spark.sql.types.DoubleType),
-      "JSONExtractFloat(json, k) - extract and cast to double"))
+      "JSONExtractFloat(json, k) - extract and cast to double"),
+    // JSONExtractArrayRaw(json, k) — docs/vector-sql.md:206-207. NB: Spark
+    // from_json returns PARSED strings (no surrounding quotes) where
+    // ClickHouse returns raw JSON fragments; equivalent for the
+    // reference's usage (string arrays fed to trim(BOTH '"')).
+    ("jsonextractarrayraw",
+      (e: Seq[Expression]) =>
+        JsonToStructs(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType),
+          Map.empty[String, String],
+          GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1))))),
+      "JSONExtractArrayRaw(json, k) - JSON array field as array<string>"))
 
   /** Imperative registration onto an existing session. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {

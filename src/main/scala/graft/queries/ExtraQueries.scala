@@ -89,14 +89,16 @@ object ExtraQueries {
         .groupBy(
           year(col("o_orderdate")).as("y"),
           quarter(col("o_orderdate")).as("q"),
-          month(col("o_orderdate")).as("m"))
+          month(col("o_orderdate")).as("m"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
         .agg(count(lit(1)).as("n"))
         .orderBy("y", "q", "m")
     }, Some("""
       SELECT CAST(year(o_orderdate) AS INT) AS y,
              CAST(quarter(o_orderdate) AS INT) AS q,
-             CAST(month(o_orderdate) AS INT) AS m, count(*) AS n
-      FROM orders GROUP BY 1, 2, 3 ORDER BY y, q, m""")),
+             CAST(month(o_orderdate) AS INT) AS m,
+             strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+      FROM orders GROUP BY 1, 2, 3, 4 ORDER BY y, q, m""")),
 
     // ---- string function battery ---------------------------------------
     QueryDef("q76_string_funcs", (s, dir) => {

@@ -102,6 +102,13 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == HashEmbedder.embed("hello world").toSeq)
   }
 
+  test("JSONExtractArrayRaw returns the array field as array<string>") {
+    val got = spark.sql(
+      """SELECT JSONExtractArrayRaw('{"xs": ["a", "b", "c"]}', 'xs')""")
+      .as[Seq[String]].head()
+    assert(got == Seq("a", "b", "c"))
+  }
+
   test("hash embedder: deterministic, unit-norm, fixed dim") {
     val v1 = HashEmbedder.embed("spark vector search")
     val v2 = HashEmbedder.embed("spark vector search")

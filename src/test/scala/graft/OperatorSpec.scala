@@ -111,6 +111,32 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.enabled", "false")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.operators.Bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Bucketing.saveBucketed(spark,
+        Tables.lineitem(spark, TestSpark.sf).select("l_orderkey", "l_quantity"),
+        "li_b", "l_orderkey", 4)
+      Bucketing.saveBucketed(spark,
+        Tables.orders(spark, TestSpark.sf).select("o_orderkey", "o_totalprice")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        "o_b", "l_orderkey", 4)
+      val joined = Bucketing.cogroupJoin(spark, "li_b", "o_b", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // same result as the unbucketed join
+      val expected = Tables.lineitem(spark, TestSpark.sf)
+        .join(Tables.orders(spark, TestSpark.sf),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
   test("salted join and salted aggregation match unsalted results") {
     import graft.operators.Salting
     val li = Tables.lineitem(spark, TestSpark.sf)
