@@ -160,6 +160,25 @@ object ExtraQueries {
       s.sql(recursiveSql)
     }, Some(recursiveSql)),
 
+    // ---- EP1/EP3 end-to-end: ingest -> embed -> filtered retrieval ------
+    // The full reference user story in one plan (SURVEY §3): parse/chunk
+    // (S4), narrative filter (P9), sha ids, batch embed, then filtered
+    // cosine top-k over the freshly ingested chunks. Rows-only: the
+    // oracle cannot reproduce hash embeddings; invariants are asserted in
+    // OperatorSpec.
+    QueryDef("q81_e2e_rag_pipeline", (s, dir) => {
+      import graft.operators.{Ingest, VectorStore, SelfQueryFilter => F}
+      val chunks = Ingest.chunk(Tables.documents(s, dir), "doc_id", "source", "text")
+      val kept = Ingest.narrativeFilter(chunks)
+        .withColumn("entity_id", Ingest.withEntityId(chunks, "source", "chunk_text"))
+      val embedded = Ingest.embed(kept, "chunk_text")
+      VectorStore(embedded, "vector", Seq("entity_id"))
+        .search("distributed query engine", 5,
+          Some(F.In("source", Seq(F.S("src0"), F.S("src1"), F.S("src2")))))
+        .select(col("doc_id"), col("chunk_idx"), col("source"),
+          col("entity_id"), round(col("dist"), 6).as("dist"))
+    }, None),
+
     // ---- pivot -----------------------------------------------------------
     QueryDef("q80_pivot_events", (s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")

@@ -80,6 +80,13 @@ object EventsStream {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dimension (re-read per batch, so slowly-changing dims pick up
+    * updates). The standard "enrich the event stream" shape.
+    */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+
   /** Open a file-based stream over a directory containing events parquet
     * (maxFilesPerTrigger=1 so multiple files arrive as micro-batches).
     */

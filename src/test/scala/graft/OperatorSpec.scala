@@ -183,6 +183,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(found >= planted.size * 0.7)
   }
 
+  test("e2e RAG pipeline: ingest -> embed -> filtered retrieval invariants") {
+    val out = SparkEntry.queries("q81_e2e_rag_pipeline")(spark, TestSpark.sf)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    // filter respected, distances ascending, ids well-formed sha256 hex
+    assert(rows.forall(r => Set("src0", "src1", "src2")(r.getAs[String]("source"))))
+    val dists = rows.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+    assert(rows.forall(_.getAs[String]("entity_id").matches("[0-9a-f]{64}")))
+  }
+
   test("multimodal decode stub: typed pipeline matches direct computation") {
     val metas = graft.operators.Multimodal.decodeStub(
       graft.operators.Multimodal.blobsFromDocuments(spark, docs))

@@ -57,6 +57,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches every event") {
+    import org.apache.spark.sql.functions._
+    val dir = stageDir()
+    val batchEvents = Tables.events(spark, TestSpark.sf)
+    val userDim = batchEvents.select("user_id").distinct()
+      .withColumn("tier", col("user_id") % 3)
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.enriched(stream, userDim)
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = EventsStream.enriched(batchEvents, userDim)
+        .groupBy("tier").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked append-mode query runs and emits closed windows") {
     val dir = stageDir()
     val stream = EventsStream.readStream(spark, dir)
