@@ -160,6 +160,29 @@ object ExtraQueries {
       s.sql(recursiveSql)
     }, Some(recursiveSql)),
 
+    // ---- as-of join (point-in-time enrichment) --------------------------
+    // Each purchase matched to the user's most recent prior view; oracle
+    // is DuckDB's native ASOF LEFT JOIN, graft's composition is
+    // union + last-value window (operators.AsOfJoin).
+    QueryDef("q82_asof_join", (s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      AsOfJoin.join(purchases, views, "user_id", "ts", Seq("event_id", "ts"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("matched_event_id").as("view_id"), col("matched_ts").as("view_ts"))
+        .orderBy("purchase_id")
+    }, Some("""
+      WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+      SELECT p.event_id AS purchase_id, p.user_id,
+             r.event_id AS view_id, r.ts AS view_ts
+      FROM p ASOF LEFT JOIN v r ON p.user_id = r.user_id AND p.ts >= r.ts
+      ORDER BY purchase_id""")),
+
     // ---- EP1/EP3 end-to-end: ingest -> embed -> filtered retrieval ------
     // The full reference user story in one plan (SURVEY §3): parse/chunk
     // (S4), narrative filter (P9), sha ids, batch embed, then filtered
