@@ -183,6 +183,56 @@ object ExtraQueries {
       FROM p ASOF LEFT JOIN v r ON p.user_id = r.user_id AND p.ts >= r.ts
       ORDER BY purchase_id""")),
 
+    // ---- banded range join ---------------------------------------------
+    // Event pairs within 5 minutes of each other (any users) via time
+    // bands — equi-join plan, never a nested loop. Oracle: DuckDB's
+    // inequality join over the same predicate.
+    QueryDef("q83_range_join", (s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "ts")
+      RangeJoin.selfWithin(ev, "event_id", "ts", windowSec = 300L)
+        .select(col("i"), col("j"))
+        .orderBy("i", "j")
+    }, Some("""
+      SELECT a.event_id AS i, b.event_id AS j
+      FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') a,
+           (SELECT event_id, ts FROM events WHERE event_type = 'purchase') b
+      WHERE a.event_id < b.event_id
+        AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+      ORDER BY i, j""")),
+
+    // ---- EP3 document stuffing (format + ref-id + separator join) -------
+    // The reference's CustomStuffDocumentChain: per-doc prompt format with
+    // enumerated ref ids, joined by a separator into one context string
+    // (stuff_documents.py:27-42, doc_prompt myscale_tables.py:77-80).
+    QueryDef("q84_stuff_documents", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("ref_id", row_number().over(w) - 1)
+        .filter(col("ref_id") < 5)
+        .withColumn("formatted", format_string("Doc #%d (%s): %s",
+          col("ref_id"), col("lang"),
+          regexp_replace(substring(col("text"), 1, 40), "\n", " ")))
+        .groupBy()
+        .agg(
+          concat_ws("\n---\n", array_sort(collect_list(
+            struct(col("ref_id"), col("formatted")))).getField("formatted"))
+            .as("context"),
+          count(lit(1)).as("n_docs"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS ref_id,
+               lang, text
+        FROM documents)
+      SELECT string_agg('Doc #' || ref_id || ' (' || lang || '): ' ||
+                        replace(substr(text, 1, 40), chr(10), ' '),
+                        chr(10) || '---' || chr(10) ORDER BY ref_id) AS context,
+             count(*) AS n_docs
+      FROM ranked WHERE ref_id < 5""")),
+
     // ---- EP1/EP3 end-to-end: ingest -> embed -> filtered retrieval ------
     // The full reference user story in one plan (SURVEY §3): parse/chunk
     // (S4), narrative filter (P9), sha ids, batch embed, then filtered
