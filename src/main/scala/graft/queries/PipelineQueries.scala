@@ -144,17 +144,21 @@ object PipelineQueries {
       // shingles hashed to longs before the pairwise intersects: 8-byte
       // comparisons instead of ~25-char strings (same counts modulo a
       // ~2^-64 collision; oracle intersects the strings)
-      // cached: both sides of the self-join reuse the shingle computation
+      // cached: both sides of the self-join reuse the shingle computation.
+      // Shingles hashed to longs AND pre-sorted so the per-pair verify is
+      // a linear merge (custom codegen expression), not a hash set build.
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .withColumn("bkt", expr("size(t) div 10"))
-        .withColumn("sh", transform(shingles(col("t")), x => xxhash64(x)))
+        .withColumn("sh", array_sort(transform(shingles(col("t")), x => xxhash64(x))))
         .cache()
       val a = d.select(col("doc_id").as("i"), col("lang"), col("bkt"), col("sh").as("sha"))
       val b = d.select(col("doc_id").as("j"), col("lang"), col("bkt"), col("sh").as("shb"))
+      import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
       a.join(b, Seq("lang", "bkt")).filter(col("i") < col("j"))
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("inter", toColumn(org.apache.spark.sql.graft.SortedIntersectCount(
+          toExpr(col("sha")), toExpr(col("shb")))))
         .withColumn("jac", col("inter").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("inter")))
         .filter(col("jac") >= 0.1)

@@ -102,6 +102,18 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == HashEmbedder.embed("hello world").toSeq)
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted arrays") {
+    import org.apache.spark.sql.graft.{Bridge, SortedIntersectCount}
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    val got = df.select(Bridge.toColumn(SortedIntersectCount(
+      Bridge.toExpr($"a"), Bridge.toExpr($"b")))).as[Int].collect().toSeq
+    val ref = df.select(size(array_intersect($"a", $"b"))).as[Int].collect().toSeq
+    assert(got == Seq(2, 0, 0) && got == ref)
+  }
+
   test("JSONExtractArrayRaw returns the array field as array<string>") {
     val got = spark.sql(
       """SELECT JSONExtractArrayRaw('{"xs": ["a", "b", "c"]}', 'xs')""")

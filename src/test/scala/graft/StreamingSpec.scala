@@ -57,6 +57,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window agg agrees with the lag/cumsum sessionization (q34)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, TestSpark.sf)
+    // two independent algorithms for gap-based sessions must agree
+    val viaSessionWindow = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaLagCumsum = SparkEntry.queries("q34_sessionize")(spark, TestSpark.sf)
+      .select("user_id", "n_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSessionWindow == viaLagCumsum)
+  }
+
   test("stream-static broadcast join enriches every event") {
     import org.apache.spark.sql.functions._
     val dir = stageDir()
