@@ -99,6 +99,38 @@ class SourceCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("Catalog: partitioned create prunes per-key reads") {
+    val root = Files.createTempDirectory("graft-cat-part").toString
+    val cat = Catalog(spark, root)
+    val df = Seq((1L, "s1", "a"), (2L, "s1", "b"), (3L, "s2", "c"))
+      .toDF("id", "session_id", "v")
+    cat.create("m", df, partitionBy = Seq("session_id"))
+    // physical layout: one directory per session (the chat-memory
+    // PARTITION BY session_id analog); per-key read prunes partitions
+    assert(new java.io.File(s"$root/m/session_id=s1").exists())
+    val one = cat.readRaw("m").filter(col("session_id") === "s1")
+    assert(one.count() == 2)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("JsonEachRow PERMISSIVE mode: malformed lines become null rows, not failures") {
+    val dir = Files.createTempDirectory("graft-badjson").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad.jsonl"),
+      """{"id": 1, "title": "ok", "vec": [1.0], "meta": "{}"}
+        |{not json at all
+        |{"id": 3, "title": "ok3", "vec": [2.0], "meta": "{}"}""".stripMargin)
+    val df = JsonEachRow.read(spark, schema, s"$dir/*.jsonl")
+    assert(df.count() == 3) // bad row kept as nulls
+    assert(df.filter(col("id").isNull).count() == 1)
+    assert(df.filter(col("id").isNotNull).count() == 2)
+  }
+
+  test("arrayFilter dialect function filters with a lambda") {
+    val got = spark.sql(
+      "SELECT arrayFilter(x -> x > 2, array(1, 2, 3, 4)) AS r").head().getSeq[Int](0)
+    assert(got == Seq(3, 4))
+  }
+
   test("Ingest: chunk sizes, strict >10-word filter, embed dim") {
     val docs = Seq((1L, "src", (1 to 40).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "source", "text")
