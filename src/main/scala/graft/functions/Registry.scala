@@ -61,6 +61,10 @@ object Registry {
     // groupArray(x) — private_knowledge_base.py:75
     ("grouparray", (e: Seq[Expression]) => CollectList(e.head),
       "groupArray(x) - ClickHouse collect-to-array aggregate = collect_list"),
+    // arrayElement(arr, i) — ClickHouse arr[i], 1-based (Spark SQL's
+    // arr[i] is 0-based; element_at is the 1-based equivalent)
+    ("arrayelement", (e: Seq[Expression]) => ElementAt(e(0), e(1)),
+      "arrayElement(arr, i) - ClickHouse 1-based indexing = element_at"),
     // arrayMax / arrayMin — private_knowledge_base.py:75
     ("arraymax", (e: Seq[Expression]) => ArrayMax(e.head),
       "arrayMax(arr) = array_max"),

@@ -133,6 +133,26 @@ object VectorQueries {
         FROM embeddings) t
       WHERE rn <= 3 ORDER BY label, rn""")),
 
+    // ---- P1: retriever facade with must-have column selection ----------
+    // (retrieval always returns text_col + dist + must_have_cols,
+    //  myscale_without_metadata.py:29; the select list is narrowed but
+    //  dist is always appended)
+    QueryDef("q27_retriever_select", (s, dir) => {
+      store(s, dir)
+        .searchByVector(qVec, 8,
+          Some(F.compile(F.Gte("label", F.I(2)))),
+          select = Seq("vec_id", "label"))
+        .withColumn("dist", round(col("dist"), 6))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      WHERE label >= 2
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 8""")),
+
     // ---- P5: self-query filter AST alone (documents) -------------------
     QueryDef("q26_selfquery_documents", (s, dir) => {
       val filter = F.Or.of(

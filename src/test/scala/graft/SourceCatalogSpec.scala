@@ -125,6 +125,11 @@ class SourceCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("id").isNotNull).count() == 2)
   }
 
+  test("arrayElement is 1-based like ClickHouse") {
+    val r = spark.sql("SELECT arrayElement(array('a','b','c'), 1) AS x").head().getString(0)
+    assert(r == "a")
+  }
+
   test("arrayFilter dialect function filters with a lambda") {
     val got = spark.sql(
       "SELECT arrayFilter(x -> x > 2, array(1, 2, 3, 4)) AS r").head().getSeq[Int](0)
