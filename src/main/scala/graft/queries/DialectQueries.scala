@@ -19,8 +19,8 @@ object DialectQueries {
     // the scan touches nprobe/k of the table (approximate -> rows-only;
     // exactness vs recall asserted in OperatorSpec).
     QueryDef("q72_ann_sql_rewrite", (s, dir) => {
-      val (_, indexed) = graft.operators.AnnIndex.fit(
-        graft.Tables.embeddings(s, dir), "embedding", "vec_id", k = 16, iters = 3)
+      val (_, indexed) = graft.operators.AnnIndex.fitCached(
+        graft.Tables.embeddings(s, dir), dir, "embedding", "vec_id", k = 16, iters = 3)
       indexed.createOrReplaceTempView("indexed_embeddings")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.sql(s"""

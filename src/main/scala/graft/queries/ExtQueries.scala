@@ -18,8 +18,8 @@ object ExtQueries {
     // the exact oracle is asserted in AnnIndexSpec.
     QueryDef("q49_ann_ivf", (s, dir) => {
       val q = graft.functions.HashEmbedder.embed("distributed vector search engine")
-      val (model, indexed) = AnnIndex.fit(Tables.embeddings(s, dir),
-        "embedding", "vec_id", k = 16, iters = 3)
+      val (model, indexed) = AnnIndex.fitCached(Tables.embeddings(s, dir),
+        dir, "embedding", "vec_id", k = 16, iters = 3)
       AnnIndex.query(indexed, model, "embedding", "vec_id", q, k = 10, nprobe = 4)
         .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
     }, None),
