@@ -183,6 +183,88 @@ object ExtraQueries {
       FROM p ASOF LEFT JOIN v r ON p.user_id = r.user_id AND p.ts >= r.ts
       ORDER BY purchase_id""")),
 
+    // ---- conditional + bitwise aggregates -------------------------------
+    QueryDef("q85_conditional_aggs", (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_big"),
+          sum(when(col("l_discount") >= 0.05, 1).otherwise(0)).cast("long").as("n_disc"),
+          bool_or(col("l_quantity") === 50).as("any_max"),
+          bool_and(col("l_quantity") >= 1).as("all_pos"),
+          bit_and(col("l_linenumber")).as("band"),
+          bit_or(col("l_linenumber")).as("bor"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        count(*) FILTER (l_quantity > 25) AS n_big,
+        CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        bool_or(l_quantity = 50) AS any_max,
+        bool_and(l_quantity >= 1) AS all_pos,
+        bit_and(l_linenumber) AS band,
+        bit_or(l_linenumber) AS bor
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- statistical aggregates (rounded: engines use different
+    //      numerically-stable accumulation orders) ------------------------
+    QueryDef("q86_statistical_aggs", (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        round(stddev_samp(l_quantity), 6) AS sd_qty,
+        round(var_samp(l_quantity), 6) AS var_qty,
+        round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- ALL-variant set operations -------------------------------------
+    QueryDef("q87_setops_all", (s, dir) => {
+      val hi = Tables.lineitem(s, dir).filter(col("l_quantity") >= 25)
+        .select("l_orderkey")
+      val lo = Tables.lineitem(s, dir).filter(col("l_quantity") < 25)
+        .select("l_orderkey")
+      val u  = hi.union(lo).distinct()                  // UNION (distinct)
+      val ea = hi.exceptAll(lo)                          // EXCEPT ALL
+      val ia = hi.intersectAll(lo)                       // INTERSECT ALL
+      u.agg(count(lit(1)).as("n_union")).crossJoin(
+          ea.agg(count(lit(1)).as("n_except_all")))
+        .crossJoin(ia.agg(count(lit(1)).as("n_intersect_all")))
+    }, Some("""
+      SELECT
+        (SELECT count(*) FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+          UNION SELECT l_orderkey FROM lineitem WHERE l_quantity < 25)) AS n_union,
+        (SELECT count(*) FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+          EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_quantity < 25)) AS n_except_all,
+        (SELECT count(*) FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+          INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_quantity < 25)) AS n_intersect_all""")),
+
+    // ---- interval arithmetic --------------------------------------------
+    QueryDef("q88_interval_arith", (s, dir) => {
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 300)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due"),
+          (col("o_orderdate") - expr("INTERVAL 1 HOUR")).as("cutoff"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_y2k"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             o_orderdate + INTERVAL 90 DAY AS due,
+             o_orderdate - INTERVAL 1 HOUR AS cutoff,
+             CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
+      FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""")),
+
     // ---- banded range join ---------------------------------------------
     // Event pairs within 5 minutes of each other (any users) via time
     // bands — equi-join plan, never a nested loop. Oracle: DuckDB's
