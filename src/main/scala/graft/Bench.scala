@@ -71,7 +71,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       run() // warm
-      val sec = math.min(run(), run())
+      val sec = (1 to 3).map(_ => run()).min // best-of-3: fs cache noise
       total / sec
     } catch { case _: Throwable => -1.0 }
 
