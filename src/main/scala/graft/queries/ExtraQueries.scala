@@ -29,6 +29,15 @@ object ExtraQueries {
       FROM buckets LEFT JOIN customer ON c_custkey % 10 = b
       GROUP BY b ORDER BY b"""
 
+  private def tsLit2(x: String) = to_timestamp(lit(x))
+
+  val groupByAllSql: String = """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- the reference's de-facto acceptance query shape ---------------
@@ -182,6 +191,46 @@ object ExtraQueries {
              r.event_id AS view_id, r.ts AS view_ts
       FROM p ASOF LEFT JOIN v r ON p.user_id = r.user_id AND p.ts >= r.ts
       ORDER BY purchase_id""")),
+
+    // ---- kitchen sink: 7-table join chain -------------------------------
+    // Every TPC-H-ish table in one plan: dims broadcast, facts shuffle
+    // once; the plan-quality stressor.
+    QueryDef("q89_kitchen_sink", (s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") >= tsLit2("1997-01-01"))
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_size") <= 20)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          QueryDef.dsum6(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"),
+          countDistinct(sup("s_suppkey")).as("n_suppliers"))
+        .orderBy("r_name")
+    }, Some("""
+      SELECT r_name, count(*) AS n_lines,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        count(DISTINCT s_suppkey) AS n_suppliers
+      FROM lineitem, orders, customer, nation, region, supplier, part
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+        AND o_orderdate >= TIMESTAMP '1997-01-01' AND p_size <= 20
+      GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- GROUP BY ALL (modern SQL; identical text both engines) ---------
+    QueryDef("q90_group_by_all", (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(groupByAllSql)
+    }, Some(groupByAllSql)),
 
     // ---- conditional + bitwise aggregates -------------------------------
     QueryDef("q85_conditional_aggs", (s, dir) => {
