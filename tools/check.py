@@ -64,10 +64,13 @@ def main(sf_dir, out_dir):
         results[name] = f"OK rows={got.num_rows}"
     width = max(len(k) for k in results) if results else 0
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_acceptable = sum(1 for v in results.values()
+                       if v.startswith("OK") or v.startswith("ROWS_ONLY"))
     for k, v in sorted(results.items()):
         print(f"{k:<{width}}  {v[:500]}")
     print(f"== {n_ok}/{len(results)} exact-match OK")
-    return 0 if n_ok == len(results) else 1
+    # rows-only (no-oracle) queries are expected; only real mismatches fail
+    return 0 if n_acceptable == len(results) else 1
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
