@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin, SelfQueryFilter => F}
+
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin: left rows before any right row get null matches") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "early"),
+      (1L, ts("2024-01-01 12:00:00"), "late")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 06:00:00"), 42L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.join(left, right, "k", "ts", Seq("rid"))
+      .orderBy("ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("matched_rid"))) // early: no match
+    assert(out(1).getAs[Long]("matched_rid") == 42L)          // late: matched
+  }
+
+  test("AsOfJoin: equal timestamps match inclusively (right <= left)") {
+    val t = ts("2024-01-01 06:00:00")
+    val left = Seq((1L, t, "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, t, 7L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.join(left, right, "k", "ts", Seq("rid")).collect()
+    assert(out.head.getAs[Long]("matched_rid") == 7L)
+  }
+
+  test("AsOfJoin: keys with no right rows at all still emit left rows") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, ts("2024-01-01 00:00:00"), "b")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2023-12-31 00:00:00"), 9L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.join(left, right, "k", "ts", Seq("rid"))
+    assert(out.count() == 2)
+    assert(out.filter(col("k") === 2).collect().head
+      .isNullAt(out.schema.fieldIndex("matched_rid")))
+  }
+
+  test("RangeJoin: boundary pairs exactly at the window are included") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:05:00")),  // exactly 300s from #1
+      (3L, ts("2024-01-01 00:10:01"))). // 301s from #2
+      toDF("event_id", "ts")
+    val pairs = RangeJoin.selfWithin(df, "event_id", "ts", 300L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // inclusive boundary; (2,3) excluded
+  }
+
+  test("RangeJoin: cross-band pairs found in both time directions") {
+    // two rows 10s apart straddling a 300s band boundary, higher id earlier
+    val df = Seq(
+      (9L, ts("2024-01-01 00:04:55")),
+      (2L, ts("2024-01-01 00:05:05"))).toDF("event_id", "ts")
+    val pairs = RangeJoin.selfWithin(df, "event_id", "ts", 300L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 9L)))
+  }
+
+  test("SelfQueryFilter: toSql and compile agree on the documents table") {
+    val ast = F.Or.of(
+      F.And.of(F.Eq("lang", F.S("en")), F.Gt("n_chars", F.I(250))),
+      F.And.of(F.Like("text", "%stream%"), F.Not(F.Eq("lang", F.S("de")))))
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.createOrReplaceTempView("sq_docs")
+    val viaCompile = docs.filter(F.compile(ast))
+      .select("doc_id").as[Long].collect().toSet
+    // toSql fragment is ANSI; run it through Spark SQL as a cross-check
+    val viaSql = spark.sql(
+        s"SELECT doc_id FROM sq_docs WHERE ${F.toSql(ast).replace("list_contains", "array_contains")}")
+      .as[Long].collect().toSet
+    assert(viaCompile == viaSql && viaCompile.nonEmpty)
+  }
+}
