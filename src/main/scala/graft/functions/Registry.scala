@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.graft.{ChLength, CosineDistance, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort, SimHash64, VectorAvg}
+import org.apache.spark.sql.graft.{ChLength, CosineDistance, CosineDistanceF16, CosineDistancePacked, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort, SimHash64, VecPack, VecPackF16, VecUnpack, VecUnpackF16, VectorAvg}
 
 /** SQL surface of the engine: graft natives + the MyScale/ClickHouse
   * dialect shim (SURVEY.md §2.8 — every scalar/aggregate function the
@@ -41,6 +41,19 @@ object Registry {
       "simhash64(tokens) - 64-bit Charikar similarity hash of a token array"),
     ("vector_avg", (e: Seq[Expression]) => VectorAvg(e.head),
       "vector_avg(vec) - element-wise mean of float vectors (centroid aggregate)"),
+    // Packed vector storage (reference fp16_storage=1, myscale_tables.py:35)
+    ("vec_pack", (e: Seq[Expression]) => VecPack(e.head),
+      "vec_pack(arr) - array<float> to fp32-packed binary"),
+    ("vec_unpack", (e: Seq[Expression]) => VecUnpack(e.head),
+      "vec_unpack(bin) - fp32-packed binary to array<float>"),
+    ("vec_pack_f16", (e: Seq[Expression]) => VecPackF16(e.head),
+      "vec_pack_f16(arr) - array<float> to fp16-packed binary (half bytes)"),
+    ("vec_unpack_f16", (e: Seq[Expression]) => VecUnpackF16(e.head),
+      "vec_unpack_f16(bin) - fp16-packed binary to array<float>"),
+    ("cosine_distance_packed", (e: Seq[Expression]) => CosineDistancePacked(e(0), e(1)),
+      "cosine_distance_packed(bin, q) - cosine distance over fp32-packed storage"),
+    ("cosine_distance_f16", (e: Seq[Expression]) => CosineDistanceF16(e(0), e(1)),
+      "cosine_distance_f16(bin, q) - cosine distance over fp16-packed storage"),
     // toJSONString(struct) — docs/vector-sql.md:204
     ("tojsonstring", (e: Seq[Expression]) =>
       StructsToJson(Map.empty, e.head),

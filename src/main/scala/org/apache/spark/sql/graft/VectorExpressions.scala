@@ -43,6 +43,27 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
     * auto-vectorize it, vs a per-element virtual getFloat() which caps the
     * scan near 0.75 M vectors/s/core (measured; bulk path ~2x).
     */
+  /** If the right side (the query vector in every k-NN plan) is a
+    * deterministic foldable non-null expression, evaluate it ONCE at codegen
+    * time and hoist the primitive float[] into a generated-class reference
+    * object. Without this, codegen re-copies the 768-float literal out of its
+    * `GenericArrayData` on EVERY row (~3 KB/row memcpy) and re-accumulates
+    * its norm — half the scan's work for a value that never changes.
+    */
+  protected def foldedQuery(ctx: CodegenContext): Option[(String, Array[Float])] =
+    if (right.foldable && right.deterministic) {
+      val v = right.eval(null)
+      if (v == null) None
+      else {
+        val arr = v.asInstanceOf[ArrayData].toFloatArray
+        Some((ctx.addReferenceObj("graftQueryVec", arr, "float[]"), arr))
+      }
+    } else None
+
+  /** Exact double bits of a codegen-time constant, embedded losslessly. */
+  protected def dbl(v: Double): String =
+    s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(v)}L)"
+
   protected def genLoop(ctx: CodegenContext, ev: ExprCode,
       finish: (String, String, String, String) => String): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
@@ -82,8 +103,52 @@ case class CosineDistance(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    genLoop(ctx, ev, (dot, nx, ny, _) =>
-      s"1.0 - $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))")
+    foldedQuery(ctx) match {
+      case Some((qv, arr)) =>
+        // ny = Σ y_i² precomputed once (the per-row ny chain was half the
+        // loop's work). 4 independent accumulator chains — the same order
+        // as CosineDistancePacked's folded loop, so packed and array scans
+        // stay BIT-identical to each other (asserted in PackedVectorSpec).
+        var qn2 = 0.0
+        var i = 0
+        while (i < arr.length) { val y = arr(i).toDouble; qn2 += y * y; i += 1 }
+        val qnorm = math.sqrt(qn2)
+        nullSafeCodeGen(ctx, ev, (x, _) => {
+          val n = ctx.freshName("n"); val j = ctx.freshName("i")
+          val k = ctx.freshName("k"); val xa = ctx.freshName("xa")
+          val d = (0 to 3).map(i => ctx.freshName(s"dot$i"))
+          val m = (0 to 3).map(i => ctx.freshName(s"nx$i"))
+          val xs = (0 to 3).map(i => ctx.freshName(s"x$i"))
+          s"""
+             |final float[] $xa = $x.toFloatArray();
+             |final int $n = java.lang.Math.min($xa.length, $qv.length);
+             |double ${d(0)} = 0.0, ${d(1)} = 0.0, ${d(2)} = 0.0, ${d(3)} = 0.0;
+             |double ${m(0)} = 0.0, ${m(1)} = 0.0, ${m(2)} = 0.0, ${m(3)} = 0.0;
+             |final int $k = $n & ~3;
+             |int $j = 0;
+             |for (; $j < $k; $j += 4) {
+             |  final double ${xs(0)} = (double) $xa[$j];
+             |  final double ${xs(1)} = (double) $xa[$j + 1];
+             |  final double ${xs(2)} = (double) $xa[$j + 2];
+             |  final double ${xs(3)} = (double) $xa[$j + 3];
+             |  ${d(0)} += ${xs(0)} * (double) $qv[$j];     ${m(0)} += ${xs(0)} * ${xs(0)};
+             |  ${d(1)} += ${xs(1)} * (double) $qv[$j + 1]; ${m(1)} += ${xs(1)} * ${xs(1)};
+             |  ${d(2)} += ${xs(2)} * (double) $qv[$j + 2]; ${m(2)} += ${xs(2)} * ${xs(2)};
+             |  ${d(3)} += ${xs(3)} * (double) $qv[$j + 3]; ${m(3)} += ${xs(3)} * ${xs(3)};
+             |}
+             |for (; $j < $n; $j++) {
+             |  final double ${xs(0)} = (double) $xa[$j];
+             |  ${d(0)} += ${xs(0)} * (double) $qv[$j]; ${m(0)} += ${xs(0)} * ${xs(0)};
+             |}
+             |final double ${d.head}T = (${d(0)} + ${d(1)}) + (${d(2)} + ${d(3)});
+             |final double ${m.head}T = (${m(0)} + ${m(1)}) + (${m(2)} + ${m(3)});
+             |${ev.value} = 1.0 - ${d.head}T / (java.lang.Math.sqrt(${m.head}T) * ${dbl(qnorm)});
+           """.stripMargin
+        })
+      case None =>
+        genLoop(ctx, ev, (dot, nx, ny, _) =>
+          s"1.0 - $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))")
+    }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -102,7 +167,23 @@ case class InnerProduct(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    genLoop(ctx, ev, (dot, _, _, _) => dot)
+    foldedQuery(ctx) match {
+      case Some((qv, _)) =>
+        nullSafeCodeGen(ctx, ev, (x, _) => {
+          val n = ctx.freshName("n"); val j = ctx.freshName("i")
+          val xa = ctx.freshName("xa"); val dot = ctx.freshName("dot")
+          s"""
+             |final float[] $xa = $x.toFloatArray();
+             |final int $n = java.lang.Math.min($xa.length, $qv.length);
+             |double $dot = 0.0;
+             |for (int $j = 0; $j < $n; $j++) {
+             |  $dot += (double) $xa[$j] * (double) $qv[$j];
+             |}
+             |${ev.value} = $dot;
+           """.stripMargin
+        })
+      case None => genLoop(ctx, ev, (dot, _, _, _) => dot)
+    }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -126,19 +207,38 @@ case class L2Distance(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
-      s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
-       """.stripMargin
-    })
+    foldedQuery(ctx) match {
+      case Some((qv, _)) =>
+        nullSafeCodeGen(ctx, ev, (x, _) => {
+          val n = ctx.freshName("n"); val j = ctx.freshName("i")
+          val xa = ctx.freshName("xa"); val acc = ctx.freshName("acc")
+          val d = ctx.freshName("d")
+          s"""
+             |final float[] $xa = $x.toFloatArray();
+             |final int $n = java.lang.Math.min($xa.length, $qv.length);
+             |double $acc = 0.0;
+             |for (int $j = 0; $j < $n; $j++) {
+             |  final double $d = (double) $xa[$j] - (double) $qv[$j];
+             |  $acc += $d * $d;
+             |}
+             |${ev.value} = java.lang.Math.sqrt($acc);
+           """.stripMargin
+        })
+      case None =>
+        nullSafeCodeGen(ctx, ev, (x, y) => {
+          val n = ctx.freshName("n"); val i = ctx.freshName("i")
+          val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+          s"""
+             |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+             |  $acc += $d * $d;
+             |}
+             |${ev.value} = java.lang.Math.sqrt($acc);
+           """.stripMargin
+        })
+    }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
