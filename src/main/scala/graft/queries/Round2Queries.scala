@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.HashEmbedder
+import graft.operators.{AnnIndex, MvccCatalog}
 import org.apache.spark.sql.graft.PackedVectorFunctions._
 
 /** Round-2 battery: packed vector storage (the reference's `fp16_storage=1`
@@ -49,6 +50,56 @@ object Round2Queries {
           sum(when(col("err") > 0.001, 1L).otherwise(0L)).as("n_bad"))
     }, Some("""
       SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(0 AS BIGINT) AS n_bad
-      FROM embeddings"""))
+      FROM embeddings""")),
+
+    // ---- S7 durable form: IVF index persisted PARTITION BY cluster_id --
+    // Full probe (nprobe = k) makes the result EXACT, so the whole
+    // persisted path — write, partitioned read-back, distance, top-k — is
+    // oracle-gated; selective pruning (nprobe < k) is the same plan with a
+    // tighter partition filter and is asserted file-count-wise in
+    // AnnIndexSpec.
+    QueryDef("q93_ivf_partitioned", (s, dir) => {
+      val (model, persisted) = AnnIndex.fitPersistedCached(
+        Tables.embeddings(s, dir), dir, "embedding", "vec_id", k = 16, iters = 3)
+      AnnIndex.query(persisted, model, "embedding", "vec_id", qVec, k = 10, nprobe = 16)
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
+    // ---- S8/S9 at scale: MVCC lifecycle (tombstone delete + time travel)
+    // Same lifecycle as q63 but deletes write key tombstones instead of
+    // rewriting the table, and the pre-delete snapshot stays queryable.
+    // Output = latest snapshot UNION the time-travel read of commit 1.
+    QueryDef("q94_mvcc_timetravel", (s, dir) => {
+      val root = "/root/repo/target/tmp/mvcc_q94"
+      val cat = MvccCatalog(s, root)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      cat.create("kb", docs, version = 1)
+      cat.append("kb", docs.filter(col("lang") === "en")
+        .withColumn("text", concat(col("text"), lit(" v2"))), version = 2)
+      cat.deleteWhere("kb", col("lang") === "zh", Seq("doc_id"), version = 3)
+      def snap(label: String, asOf: Option[Long]) =
+        cat.read("kb", Seq("doc_id"), asOf)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__v") === 2, 1L).otherwise(0L)).as("n_v2"))
+          .withColumn("snap", lit(label))
+          .select("snap", "lang", "n", "n_v2")
+      snap("latest", None).unionByName(snap("v1", Some(1L)))
+        .orderBy("snap", "lang")
+    }, Some("""
+      SELECT 'latest' AS snap, lang, count(*) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+      FROM documents WHERE lang <> 'zh' GROUP BY lang
+      UNION ALL
+      SELECT 'v1' AS snap, lang, count(*) AS n, CAST(0 AS BIGINT) AS n_v2
+      FROM documents GROUP BY lang
+      ORDER BY snap, lang"""))
   )
 }

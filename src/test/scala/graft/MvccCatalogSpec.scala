@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.MvccCatalog
+
+class MvccCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat(name: String): MvccCatalog =
+    MvccCatalog(spark, s"/root/repo/target/tmp/mvcc_spec_$name")
+
+  private def dataFiles(cat: MvccCatalog, table: String): Int =
+    new java.io.File(s"${cat.root}/$table/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+  test("tombstone delete removes rows WITHOUT rewriting data files") {
+    val cat = freshCat("tomb")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    cat.create("t", df, version = 1)
+    val before = dataFiles(cat, "t")
+    cat.deleteWhere("t", col("s") === "b", Seq("id"), version = 2)
+    assert(dataFiles(cat, "t") === before) // data untouched
+    assert(cat.read("t", Seq("id")).select("id").as[Long].collect().sorted
+      === Array(1L, 3L))
+  }
+
+  test("time travel: snapshot before the delete still sees the row") {
+    val cat = freshCat("tt")
+    cat.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), version = 1)
+    cat.deleteWhere("t", col("id") === 2, Seq("id"), version = 2)
+    assert(cat.read("t", Seq("id"), asOf = Some(1)).count() === 2)
+    assert(cat.read("t", Seq("id")).count() === 1)
+  }
+
+  test("re-insert after delete is visible (tombstone only kills older versions)") {
+    val cat = freshCat("reins")
+    cat.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), version = 1)
+    cat.deleteWhere("t", col("id") === 2, Seq("id"), version = 2)
+    cat.append("t", Seq((2L, "b-again")).toDF("id", "s"), version = 3)
+    val r = cat.read("t", Seq("id")).orderBy("id")
+      .select("id", "s").as[(Long, String)].collect()
+    assert(r === Array((1L, "a"), (2L, "b-again")))
+  }
+
+  test("LWW upsert + currentVersion + compact preserves the snapshot") {
+    val cat = freshCat("lww")
+    cat.create("t", Seq((1L, "v1"), (2L, "v1")).toDF("id", "s"), version = 1)
+    cat.append("t", Seq((1L, "v2")).toDF("id", "s"), version = 2)
+    cat.deleteWhere("t", col("id") === 2, Seq("id"), version = 3)
+    assert(cat.currentVersion("t") === 3)
+    val before = cat.read("t", Seq("id")).select("id", "s").as[(Long, String)]
+      .collect().sortBy(_._1)
+    cat.compact("t", Seq("id"), version = 4)
+    val after = cat.read("t", Seq("id")).select("id", "s").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(before === after)
+    assert(before === Array((1L, "v2")))
+    // history is gone after compact: asOf(1) now sees the compacted state
+    assert(cat.read("t", Seq("id"), asOf = Some(1)).count() === 0)
+  }
+}

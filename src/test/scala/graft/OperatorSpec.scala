@@ -85,6 +85,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall ann=$ann exact=$exact")
   }
 
+  test("AnnIndex persisted: partition-pruned read, full probe == exact") {
+    val q = HashEmbedder.embed("distributed vector search engine")
+    val (model, persisted) = AnnIndex.fitPersistedCached(
+      embs, TestSpark.sf, "embedding", "vec_id", k = 16, iters = 3)
+    // full probe over the durable index is exact
+    val full = AnnIndex.query(persisted, model, "embedding", "vec_id", q, 10, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = VectorStore(embs, "embedding", Seq("vec_id"))
+      .searchByVector(q, 10).select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+    // selective probe prunes parquet DIRECTORIES at planning time:
+    // the scan node's selected partitions shrink to exactly nprobe
+    val probed = model.nearest(q, 4)
+    val prunedScan = persisted.filter(col("cluster_id").isin(probed: _*))
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.head
+    assert(scanParts(prunedScan) === 4,
+      s"expected 4 probed partitions, got ${scanParts(prunedScan)}")
+    assert(scanParts(persisted.filter(col("cluster_id") >= 0)) === 16)
+    val phys = prunedScan.queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters") && phys.contains("cluster_id"),
+      s"expected partition filter on cluster_id in:\n$phys")
+  }
+
   test("AnnTopKRule: SQL ORDER BY distance LIMIT gets cluster-pruned") {
     val q = HashEmbedder.embed("distributed vector search engine")
     val (model, indexed) = AnnIndex.fit(embs, "embedding", "vec_id", k = 16, iters = 3)
