@@ -38,12 +38,30 @@ object Bench {
     }
     val coldTotal = cold.map(_._2).sum
 
+    // Plan-quality telemetry for the measured pass: total shuffle bytes
+    // written and spill. A correct plan that shuffles 10x the data it
+    // needs to is wrong at 100 TB even if fast at sf0.1.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     // Pass 2, MEASURED: steady-state per-query latency.
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    Thread.sleep(500) // let the async listener bus drain the last tasks
+    spark.sparkContext.removeSparkListener(listener)
     // Key by the short "qNN" prefix and round to ms: the driver captures only
     // a bounded tail of stdout, and round 1's full-name/full-precision line
     // (~2.9 KB) was truncated past its buffer → BENCH_r01 "parsed": null.
@@ -90,7 +108,7 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"knn_vectors_per_sec":${knnVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"knn_vectors_per_sec":${knnVps.toLong}}"""
     println(line)
     spark.stop()
   }

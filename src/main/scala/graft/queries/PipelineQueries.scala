@@ -187,25 +187,34 @@ object PipelineQueries {
     // exact Jaccard verify. No oracle: DuckDB can't reproduce xxhash64
     // (driver records rows-only).
     QueryDef("q45_minhash_lsh", (s, dir) => {
+      // Two cached tables, both narrow where it matters: the shingle
+      // store (doc_id -> sh) and the band table (doc_id, band_idx,
+      // band_key). The candidate join + (i,j) dedup shuffle ONLY ids —
+      // at 100 TB the ~5 KB shingle arrays must not ride through three
+      // exchanges; survivors re-join the shingle store by doc_id for the
+      // exact-Jaccard verify.
       val docs = withMutatedCopies(s, dir)
         .select(col("doc_id"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
-        .withColumn("sh", shingles(col("t")))
+        .select(col("doc_id"), shingles(col("t")).as("sh"))
+        .cache()
       val sigs = docs.withColumn("sig",
         transform(sequence(lit(0), lit(15)),
           h => array_min(transform(col("sh"), sg => xxhash64(sg, h)))))
-      val bands = sigs.select(col("doc_id"), col("sh"),
+      val bands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)),
           bIdx => concat_ws(",",
             transform(slice(col("sig"), bIdx * lit(4) + lit(1), lit(4)),
               x => x.cast("string"))))).as(Seq("band_idx", "band_key")))
         .cache() // minhash sigs are the expensive part; self-join reuses them
-      val a = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("i"), col("sh").as("sha"))
-      val b = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("j"), col("sh").as("shb"))
-      a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
-        .select("i", "j", "sha", "shb").dropDuplicates("i", "j")
+      val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
+      val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("j"))
+      val cands = a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("i") < col("j"))
+        .select("i", "j").dropDuplicates("i", "j")
+      cands
+        .join(docs.select(col("doc_id").as("i"), col("sh").as("sha")), Seq("i"))
+        .join(docs.select(col("doc_id").as("j"), col("sh").as("shb")), Seq("j"))
         .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
         .withColumn("jac", col("inter").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("inter")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.HashEmbedder
-import graft.operators.{AnnIndex, MvccCatalog}
+import graft.operators.{AnnIndex, MvccCatalog, SelfQueryParser, SelfQueryFilter => F}
 import org.apache.spark.sql.graft.PackedVectorFunctions._
 
 /** Round-2 battery: packed vector storage (the reference's `fp16_storage=1`
@@ -100,6 +100,32 @@ object Round2Queries {
       UNION ALL
       SELECT 'v1' AS snap, lang, count(*) AS n, CAST(0 AS BIGINT) AS n_v2
       FROM documents GROUP BY lang
-      ORDER BY snap, lang"""))
+      ORDER BY snap, lang""")),
+
+    // ---- P5 wire format: LangChain structured-query payload end-to-end -
+    // q26 enters through the programmatic AST; this enters through the
+    // raw fenced-JSON text the self-query LLM actually returns. The
+    // oracle WHERE clause is rendered from the SAME parsed AST, so parse
+    // -> compile -> execute is what's being gated.
+    QueryDef("q95_selfquery_wire", (s, dir) => {
+      val raw = """```json
+        {
+            "query": "vector search engines",
+            "filter": "or(and(eq(\"lang\", \"en\"), gt(\"n_chars\", 250)), and(in(\"lang\", [\"de\", \"fr\"]), like(\"text\", \"%data%\")))"
+        }
+        ```"""
+      val req = SelfQueryParser.parseRequest(raw)
+      Tables.documents(s, dir)
+        .filter(F.compile(req.filter.get))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }, Some {
+      val ast = SelfQueryParser.parseFilter(
+        """or(and(eq("lang", "en"), gt("n_chars", 250)), and(in("lang", ["de", "fr"]), like("text", "%data%")))""")
+      s"""
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE ${F.toSql(ast)}
+      ORDER BY doc_id"""
+    })
   )
 }
