@@ -80,6 +80,65 @@ object EventsStream {
       }
   }
 
+  /** Open per-user session being accumulated across micro-batches. */
+  final case class OpenSession(start: Long, last: Long, n: Int)
+
+  /** A session closed either by an in-batch gap or an event-time timeout. */
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization as CUSTOM STREAMING STATE:
+    * `flatMapGroupsWithState` with an event-time timeout (SURVEY §2.9 /
+    * §2.10 — the stateful surface beyond mapGroupsWithState). Sessions
+    * closed by a gap inside a batch are emitted immediately; the trailing
+    * open session is parked in `GroupState` with a timeout at
+    * `last + gap`, so it is emitted once the watermark passes it — the
+    * streaming twin of q34's lag/cumsum batch sessionizer.
+    *
+    * State is one `OpenSession` (24 bytes) per ACTIVE user, not per event
+    * — at 100 TB/day of events the state store holds only concurrently
+    * live sessions, and the event-time timeout GCs abandoned ones.
+    */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[Event],
+      gapMinutes: Int = 15): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(user,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val times = it.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(OpenSession(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= close(s)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * static dimension (re-read per batch, so slowly-changing dims pick up
     * updates). The standard "enrich the event stream" shape.

@@ -57,6 +57,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: in-batch gap + timeout closes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionizeStateful(ms.toDS(), gapMinutes = 15)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    def ev(id: Long, user: Long, minute: Long) = EventsStream.Event(
+      id, new java.sql.Timestamp(minute * 60000), user, "click", 1.0, "{}")
+    try {
+      // batch 1: user 1 has an in-batch gap (0,5 | 60,65); user 2 left open
+      // minute offsets start at 1000: events at epoch 0 would collide
+      // with the INITIAL watermark (also epoch 0) and be dropped as late
+      ms.addData(ev(1, 1, 1000), ev(2, 1, 1005), ev(3, 1, 1060), ev(4, 1, 1065),
+        ev(5, 2, 1000), ev(6, 2, 1002))
+      q.processAllAvailable()
+      // push the watermark far past every open timeout, then one more
+      // micro-batch so the timed-out states are processed and emitted
+      ms.addData(ev(7, 3, 1500))
+      q.processAllAvailable()
+      ms.addData(ev(8, 3, 1501))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[EventsStream.ClosedSession].collect()
+        .map(s => (s.user_id, s.session_start.getTime / 60000,
+          s.session_end.getTime / 60000, s.n_events)).toSet
+      assert(got.contains((1L, 1000L, 1005L, 2))) // closed by the in-batch gap
+      assert(got.contains((1L, 1060L, 1065L, 2))) // closed by event-time timeout
+      assert(got.contains((2L, 1000L, 1002L, 2))) // closed by event-time timeout
+      assert(!got.exists(_._1 == 3L))         // user 3's session is still open
+    } finally q.stop()
+  }
+
   test("session_window agg agrees with the lag/cumsum sessionization (q34)") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, TestSpark.sf)
