@@ -107,8 +107,31 @@ object Bench {
       total / sec
     } catch { case _: Throwable => -1.0 }
 
+    // IVF quality at this SF: recall@10 averaged over 5 queries, k scaled
+    // ~sqrt(N) (128 at sf0.1), nprobe = k/4 -> 25% of the data probed = 4x
+    // scan reduction. NB the synthetic embeddings are uniform-random (no
+    // cluster structure), so recall ~ probe fraction is the achievable
+    // ceiling here; clustered real embeddings do much better per probe.
+    val annRecall = try {
+      val e = graft.Tables.embeddings(spark, sfDir)
+      val (model, indexed) = graft.operators.AnnIndex.fitCached(
+        e, sfDir + "#bench-ivf", "embedding", "vec_id", k = 128, iters = 3)
+      val recalls = Seq("distributed vector search engine",
+        "neural information retrieval", "columnar database engines",
+        "graph partitioning at scale", "streaming joins").map { text =>
+        val q = graft.functions.HashEmbedder.embed(text)
+        val ann = graft.operators.AnnIndex.query(
+            indexed, model, "embedding", "vec_id", q, k = 10, nprobe = 32)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = graft.operators.VectorStore(e, "embedding", Seq("vec_id"))
+          .searchByVector(q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+        ann.intersect(exact).size / 10.0
+      }
+      recalls.sum / recalls.size
+    } catch { case _: Throwable => -1.0 }
+
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"knn_vectors_per_sec":${knnVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"knn_vectors_per_sec":${knnVps.toLong}}"""
     println(line)
     spark.stop()
   }
