@@ -6,6 +6,7 @@ import graft.Tables
 import graft.functions.HashEmbedder
 import graft.operators.{AnnIndex, MvccCatalog, SelfQueryParser, SelfQueryFilter => F}
 import org.apache.spark.sql.graft.PackedVectorFunctions._
+import org.apache.spark.sql.graft.VectorFunctions.{cosine_distance, inner_product}
 
 /** Round-2 battery: packed vector storage (the reference's `fp16_storage=1`
   * MSTG option, `app/backend/constants/myscale_tables.py:35,63`) surfaced as
@@ -126,6 +127,56 @@ object Round2Queries {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE ${F.toSql(ast)}
       ORDER BY doc_id"""
-    })
+    }),
+
+    // ---- embedding near-dup, SUB-QUADRATIC (random-hyperplane LSH) ------
+    // q47 is the exact O(n^2) baseline; this is the 100 TB path: 16 sign
+    // bits against deterministic hyperplanes, banded 4x4 -> candidates =
+    // band-bucket join, exact cosine verify on candidates only. The
+    // corpus plants scaled copies (2*v): scaling preserves every sign bit,
+    // so recall on >= 0.99 pairs is exactly 1 and the brute-force DuckDB
+    // oracle matches the LSH result — the pruning is what's being gated.
+    // (Max random-pair cosine in 64-d at this N is ~0.7, far below 0.99.)
+    QueryDef("q96_embed_neardup_lsh", (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val scaled = e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val all = e.unionByName(scaled)
+      // 32 hyperplanes, 4 bands x 8 bits: 256-way buckets per band cut
+      // candidates ~64x vs the quadratic join at sf0.01 (4-bit bands only
+      // managed ~4x — too coarse once N grows).
+      val planes = (0 until 32).map(i => HashEmbedder.embed(s"lsh-hyperplane-$i"))
+      val bits = planes.map(h =>
+        (inner_product(col("embedding"), typedlit(h.toIndexedSeq)) > 0).cast("int"))
+      val bands = (0 until 4).map { b =>
+        concat_ws("", bits.slice(b * 8, b * 8 + 8).map(_.cast("string")): _*)
+      }
+      val banded = all.select(col("vec_id"),
+        posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+      val cands = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("i"))
+        .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("j")),
+          Seq("band_idx", "band_key"))
+        .filter(col("i") < col("j"))
+        .select("i", "j").dropDuplicates("i", "j")
+      cands
+        .join(all.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
+        .join(all.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
+        .withColumn("sim", lit(1.0) - cosine_distance(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.99)
+        .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+        .orderBy("i", "j")
+    }, Some("""
+      WITH all_v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               CAST(list_transform(embedding, x -> x * 2) AS DOUBLE[])
+        FROM embeddings)
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+      FROM all_v a, all_v b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.emb, b.emb) >= 0.99
+      ORDER BY i, j"""))
   )
 }
