@@ -130,8 +130,35 @@ object Bench {
       recalls.sum / recalls.size
     } catch { case _: Throwable => -1.0 }
 
+    // BASELINE.md budget: parse->chunk->filter->id->embed >= 50 k chunks/s
+    // (hash-embedder). Timed end-to-end including the embed stage.
+    val ingestCps = try {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Ingest
+      // replicate the corpus to ~150 k chunks so per-chunk cost dominates
+      // fixed job overhead (sf0.1 alone yields only ~17 k chunks / 0.5 s)
+      val docs = graft.Tables.documents(spark, sfDir)
+        .withColumn("__c", explode(sequence(lit(0), lit(9))))
+        .withColumn("doc_id", col("doc_id") + col("__c") * 1000000L)
+        .drop("__c")
+      def pipeline() = {
+        val chunks = Ingest.chunk(docs, "doc_id", "source", "text")
+        Ingest.embed(
+          Ingest.narrativeFilter(chunks)
+            .withColumn("entity_id", Ingest.withEntityId(chunks, "source", "chunk_text")),
+          "chunk_text")
+      }
+      val n = pipeline().count() // warm + row count
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        pipeline().count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      n / sec
+    } catch { case _: Throwable => -1.0 }
+
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"knn_vectors_per_sec":${knnVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnVps.toLong}}"""
     println(line)
     spark.stop()
   }
