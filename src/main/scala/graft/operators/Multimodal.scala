@@ -54,4 +54,30 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaBlob]
   }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Long, luma: Long)
+
+  /** Video-style frame sampling: decode frame count, keep every `every`-th
+    * frame, emit one row per sampled frame with a per-frame feature (the
+    * "luma" here is a stub byte-read; a real impl would hand the frame to
+    * the codec). Shape notes for 100 TB: a flatMap Generator (rows fan OUT
+    * inside the task, no shuffle), payload touched once per doc, output
+    * columnar-typed.
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], every: Int): Dataset[FrameSample] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      val session = new DecoderSession
+      it.flatMap { blob =>
+        val (_, _, nFrames) = session.decode(blob.payload)
+        val len = blob.payload.length
+        (0L until nFrames by every).map { idx =>
+          val luma =
+            if (len == 0) 0L
+            else (blob.payload(((idx * 7) % len).toInt) & 0xff).toLong
+          FrameSample(blob.doc_id, idx, luma)
+        }
+      }
+    }
+  }
 }

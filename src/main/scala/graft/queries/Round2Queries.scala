@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.HashEmbedder
-import graft.operators.{AnnIndex, MvccCatalog, SelfQueryParser, SelfQueryFilter => F}
+import graft.operators.{AnnIndex, Multimodal, MvccCatalog, SelfQueryParser, SelfQueryFilter => F}
 import org.apache.spark.sql.graft.PackedVectorFunctions._
 import org.apache.spark.sql.graft.VectorFunctions.{cosine_distance, inner_product}
 
@@ -177,6 +177,47 @@ object Round2Queries {
       FROM all_v a, all_v b
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(a.emb, b.emb) >= 0.99
-      ORDER BY i, j"""))
+      ORDER BY i, j""")),
+
+    // ---- BPE-ish subword token counting (brief-mandated text analysis) --
+    // GPT-2-style pretokenizer regex (ASCII simplification — contractions,
+    // space-prefixed word/number runs, punctuation runs, whitespace). The
+    // SAME pattern runs in Spark (Java regex) and DuckDB (RE2): both use
+    // leftmost-first alternation, so token counts agree exactly.
+    QueryDef("q97_bpe_tokens", (s, dir) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+      Tables.documents(s, dir)
+        .withColumn("n_bpe", size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).cast("long"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_bpe"), 6))
+        .select("doc_id", "n_bpe", "chars_per_token")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+')) AS BIGINT) AS n_bpe,
+        round(CAST(n_chars AS DOUBLE) /
+          len(regexp_extract_all(lower(text),
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+')), 6) AS chars_per_token
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- multimodal frame sampling (decode -> every-2nd-frame feature) --
+    // The decoder is the deterministic stub (no media libs here), which
+    // makes the fan-out expressible in SQL — so the driver verifies the
+    // mapPartitions/flatMap plumbing, schema, and sampling arithmetic
+    // end-to-end against DuckDB.
+    QueryDef("q98_frame_sample", (s, dir) => {
+      val blobs = Multimodal.blobsFromDocuments(s,
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
+      Multimodal.sampleFrames(blobs, every = 2).toDF()
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, 1 + strlen(text) % 16 AS n_frames
+        FROM documents WHERE doc_id % 5 = 0)
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        CAST(ascii(substr(text, CAST((i * 7) % strlen(text) AS INT) + 1, 1)) AS BIGINT) AS luma
+      FROM f, unnest(range(0, n_frames, 2)) AS t(i)
+      ORDER BY doc_id, frame_idx"""))
   )
 }
