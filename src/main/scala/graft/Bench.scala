@@ -112,16 +112,17 @@ object Bench {
     // scan reduction. NB the synthetic embeddings are uniform-random (no
     // cluster structure), so recall ~ probe fraction is the achievable
     // ceiling here; clustered real embeddings do much better per probe.
-    val annRecall = try {
+    val annTexts = Seq("distributed vector search engine",
+      "neural information retrieval", "columnar database engines",
+      "graph partitioning at scale", "streaming joins")
+    def annRecallAt(nprobe: Int): Double = try {
       val e = graft.Tables.embeddings(spark, sfDir)
       val (model, indexed) = graft.operators.AnnIndex.fitCached(
         e, sfDir + "#bench-ivf", "embedding", "vec_id", k = 128, iters = 3)
-      val recalls = Seq("distributed vector search engine",
-        "neural information retrieval", "columnar database engines",
-        "graph partitioning at scale", "streaming joins").map { text =>
+      val recalls = annTexts.map { text =>
         val q = graft.functions.HashEmbedder.embed(text)
         val ann = graft.operators.AnnIndex.query(
-            indexed, model, "embedding", "vec_id", q, k = 10, nprobe = 32)
+            indexed, model, "embedding", "vec_id", q, k = 10, nprobe = nprobe)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val exact = graft.operators.VectorStore(e, "embedding", Seq("vec_id"))
           .searchByVector(q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
@@ -129,6 +130,11 @@ object Bench {
       }
       recalls.sum / recalls.size
     } catch { case _: Throwable => -1.0 }
+    val annRecall = annRecallAt(32)
+    // recall as a function of probed fraction (k=128 centroids): the
+    // scan-reduction/recall trade a caller would tune nprobe against
+    val annCurve = Seq(8, 16, 32, 64)
+      .map(np => s"$np:${math.rint(annRecallAt(np) * 100) / 100}").mkString(",")
 
     // BASELINE.md budget: parse->chunk->filter->id->embed >= 50 k chunks/s
     // (hash-embedder). Timed end-to-end including the embed stage.
@@ -158,7 +164,7 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnVps.toLong}}"""
     println(line)
     spark.stop()
   }
