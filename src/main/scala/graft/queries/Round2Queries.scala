@@ -142,16 +142,17 @@ object Round2Queries {
       val scaled = e.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
       val all = e.unionByName(scaled)
-      // 32 hyperplanes, 4 bands x 8 bits: 256-way buckets per band cut
-      // candidates ~64x vs the quadratic join at sf0.01 (4-bit bands only
-      // managed ~4x — too coarse once N grows).
-      val planes = (0 until 32).map(i => HashEmbedder.embed(s"lsh-hyperplane-$i"))
-      val bits = planes.map(h =>
-        (inner_product(col("embedding"), typedlit(h.toIndexedSeq)) > 0).cast("int"))
-      val bands = (0 until 4).map { b =>
-        concat_ws("", bits.slice(b * 8, b * 8 + 8).map(_.cast("string")): _*)
-      }
-      val banded = all.select(col("vec_id"),
+      // 64 hyperplanes, 4 bands x 16 bits: 65536-way buckets per band. At
+      // 2N vectors the expected spurious candidates are 4*(2N)^2/2/2^bits —
+      // band width has to GROW with log(N) to keep the candidate set
+      // near-linear (8-bit bands were ~78M pairs at sf0.1; 16-bit ~300k).
+      // one fused expression computes all 64 sign bits per row (one array
+      // copy + one loop, vs 64 inner_product columns copying 64x); band
+      // keys are 16-bit integer slices of the packed long
+      val sig = org.apache.spark.sql.graft.LshSignature.lsh_signature(col("embedding"), 64)
+      val bands = (0 until 4).map(b =>
+        expr(s"int((__sig >> ${b * 16}) & 65535)"))
+      val banded = all.withColumn("__sig", sig).select(col("vec_id"),
         posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
       val cands = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("i"))
         .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("j")),

@@ -92,6 +92,28 @@ class PackedVectorSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("lsh_signature: scale-invariant, codegen == interpreted, bit semantics") {
+    import org.apache.spark.sql.graft.LshSignature
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(100)
+    // positive scaling preserves every sign bit (the q96 planted-copy
+    // guarantee)
+    val sigs = e.select(
+      LshSignature.lsh_signature($"embedding", 64).as("s1"),
+      LshSignature.lsh_signature(
+        transform($"embedding", x => (x * lit(2.0f)).cast("float")), 64).as("s2"))
+    assert(sigs.filter($"s1" =!= $"s2").count() === 0)
+    // interpreted path (expression eval outside codegen) agrees
+    val v = HashEmbedder.embed("lsh parity probe")
+    val viaDf = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(LshSignature.lsh_signature($"v", 64)).as[Long].head()
+    val expr = org.apache.spark.sql.graft.LshSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      LshSignature.planes(64), 64)
+    assert(expr.eval(null).asInstanceOf[Long] === viaDf)
+  }
+
   test("SQL surface: vec_pack / cosine_distance_packed registered") {
     Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb_pv")
     val viaSql = spark.sql(s"""
