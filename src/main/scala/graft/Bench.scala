@@ -136,6 +136,36 @@ object Bench {
     val annCurve = Seq(8, 16, 32, 64)
       .map(np => s"$np:${math.rint(annRecallAt(np) * 100) / 100}").mkString(",")
 
+    // PQ ADC scan throughput: 2M 8-byte codes, per-row cost = 8 LUT adds.
+    val pqVps = try {
+      import org.apache.spark.sql.functions._
+      import graft.operators.PqIndex
+      val e = graft.Tables.embeddings(spark, sfDir)
+      val model = PqIndex.fitCached(e, sfDir, "embedding", "vec_id")
+      val n = e.count()
+      val copies = math.max(1L, 2000000L / math.max(1L, n)).toInt
+      val path = "/root/repo/target/tmp/pq_bench.parquet"
+      if (!new java.io.File(path).exists()) {
+        e.withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
+          .select(col("vec_id"), col("__c"),
+            PqIndex.encode(model, col("embedding")).as("__code"))
+          .repartition(32).write.mode("overwrite")
+          .option("compression", "uncompressed").parquet(path)
+      }
+      val big = spark.read.parquet(path)
+      val total = big.count()
+      val q = graft.functions.HashEmbedder.embed("throughput probe")
+      val run = () => {
+        val t0 = System.nanoTime()
+        big.withColumn("d", PqIndex.adcDistance(model, col("__code"), q))
+          .orderBy(col("d"), col("vec_id"), col("__c")).limit(10).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run()
+      val sec = (1 to 3).map(_ => run()).min
+      total / sec
+    } catch { case _: Throwable => -1.0 }
+
     // BASELINE.md budget: parse->chunk->filter->id->embed >= 50 k chunks/s
     // (hash-embedder). Timed end-to-end including the embed stage.
     val ingestCps = try {
@@ -164,7 +194,7 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashEmbedder
+import graft.operators.{PqIndex, VectorStore}
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, TestSpark.sf)
+  private lazy val model = PqIndex.fitCached(e, TestSpark.sf, "embedding", "vec_id")
+
+  test("codes are m bytes (32x compression of 64 fp32 dims)") {
+    val enc = PqIndex.encodedCached(e, TestSpark.sf, model, "embedding")
+    val lens = enc.select(octet_length(col("__code"))).distinct().as[Int].collect()
+    assert(lens.toSeq == Seq(8))
+  }
+
+  test("encode: codegen and interpreted paths agree") {
+    import org.apache.spark.sql.graft.PqEncode
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val v = HashEmbedder.embed("pq parity probe")
+    val viaDf = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(PqIndex.encode(model, $"v")).as[Array[Byte]].head()
+    val interp = PqEncode(
+      Literal.create(new GenericArrayData(v), ArrayType(FloatType)),
+      model.flat, model.m, model.k, model.dsub).eval(null).asInstanceOf[Array[Byte]]
+    assert(viaDf.toSeq == interp.toSeq)
+  }
+
+  test("ADC distance == explicit LUT sum for sampled vectors") {
+    val q = HashEmbedder.embed("adc check")
+    val enc = PqIndex.encodedCached(e, TestSpark.sf, model, "embedding")
+    val rows = enc.limit(20)
+      .select($"__code", PqIndex.adcDistance(model, $"__code", q).as("adc"))
+      .as[(Array[Byte], Double)].collect()
+    rows.foreach { case (code, adc) =>
+      var expect = 0.0
+      for (mm <- 0 until model.m) {
+        val c = code(mm) & 0xff
+        var acc = 0.0
+        for (j <- 0 until model.dsub) {
+          val t = q(mm * model.dsub + j).toDouble - model.codebooks(mm)(c)(j).toDouble
+          acc += t * t
+        }
+        expect += acc
+      }
+      assert(math.abs(adc - expect) < 1e-9)
+    }
+  }
+
+  test("ADC top-100 shortlist + exact re-rank reproduces exact top-10") {
+    val enc = PqIndex.encodedCached(e, TestSpark.sf, model, "embedding")
+    for (t <- Seq("distributed vector search engine", "streaming joins")) {
+      val q = HashEmbedder.embed(t)
+      val pq = PqIndex.search(model, enc, "embedding", "vec_id", q, 10, 100)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = VectorStore(e, "embedding", Seq("vec_id"))
+        .searchByVector(q, 10).select("vec_id").as[Long].collect().toSeq
+      assert(pq == exact, s"query '$t'")
+    }
+  }
+
+  test("quantization error: mean ADC error vs true distance is bounded") {
+    // ADC approximates squared L2; on unit-ish vectors the mean absolute
+    // error of the approximation should be well under the distance scale
+    val q = HashEmbedder.embed("error bound probe")
+    val enc = PqIndex.encodedCached(e, TestSpark.sf, model, "embedding")
+    import org.apache.spark.sql.graft.VectorFunctions.l2_distance
+    val stats = enc
+      .withColumn("adc", PqIndex.adcDistance(model, $"__code", q))
+      .withColumn("true2", pow(l2_distance($"embedding", typedlit(q.toIndexedSeq)), 2))
+      .agg(avg(abs($"adc" - $"true2")).as("mae"), avg($"true2").as("scale"))
+      .as[(Double, Double)].head()
+    assert(stats._1 < stats._2 * 0.25, s"mae=${stats._1} scale=${stats._2}")
+  }
+}
