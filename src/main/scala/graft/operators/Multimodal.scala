@@ -55,6 +55,35 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaBlob]
   }
 
+  final case class Resized(doc_id: Long, out_w: Long, out_h: Long, checksum: Long)
+
+  /** Resize stage (stub): aspect-preserving fit into `maxSide`, plus a
+    * deterministic "resampled" checksum (stride-sampled payload bytes) in
+    * place of real pixel resampling. Real per-partition decode shape as
+    * [[decodeStub]]; arithmetic is integer-exact so the oracle can
+    * reproduce it.
+    */
+  def resizeStub(blobs: Dataset[MediaBlob], maxSide: Long = 32): Dataset[Resized] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      val session = new DecoderSession
+      it.map { blob =>
+        val (w, h, _) = session.decode(blob.payload)
+        val longer = math.max(w, h)
+        val ow = w * maxSide / longer
+        val oh = h * maxSide / longer
+        val len = blob.payload.length
+        var sum = 0L
+        if (len > 0) {
+          val stride = math.max(1, len / 16)
+          var i = 0
+          while (i < len) { sum += (blob.payload(i) & 0xff).toLong; i += stride }
+        }
+        Resized(blob.doc_id, ow, oh, sum)
+      }
+    }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Long, luma: Long)
 
   /** Video-style frame sampling: decode frame count, keep every `every`-th

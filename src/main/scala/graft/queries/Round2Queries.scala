@@ -243,6 +243,53 @@ object Round2Queries {
       FROM embeddings
       ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST($qLit AS DOUBLE[])), vec_id
-      LIMIT 10"""))
+      LIMIT 10""")),
+
+    // ---- multimodal resize stage (aspect-fit + resampled checksum) ------
+    // Completes the decode / feature-extract / resize / frame-sample
+    // quartet; integer-exact stub arithmetic keeps the oracle honest.
+    QueryDef("q100_resize_stub", (s, dir) => {
+      val blobs = Multimodal.blobsFromDocuments(s,
+        Tables.documents(s, dir).filter(col("doc_id") % 3 === 0))
+      Multimodal.resizeStub(blobs, maxSide = 32).toDF().orderBy("doc_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, text,
+          64 + ascii(substr(text, 1, 1)) % 64 AS w,
+          64 + ascii(substr(text, 2, 1)) % 64 AS h,
+          greatest(1, strlen(text) // 16) AS stride
+        FROM documents WHERE doc_id % 3 = 0),
+      s AS (
+        SELECT doc_id,
+          CAST(sum(ascii(substr(text, CAST(i AS INT) + 1, 1))) AS BIGINT) AS checksum
+        FROM d, unnest(range(0, strlen(text), stride)) AS t(i)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(w * 32 // greatest(w, h) AS BIGINT) AS out_w,
+        CAST(h * 32 // greatest(w, h) AS BIGINT) AS out_h,
+        coalesce(s.checksum, 0) AS checksum
+      FROM d LEFT JOIN s USING (doc_id)
+      ORDER BY doc_id""")),
+
+    // ---- polynomial (Rabin-style) document fingerprint ------------------
+    // The full-document polynomial hash both engines can fold exactly
+    // (mod 1e9+7 keeps BIGINT arithmetic overflow-free in DuckDB, which
+    // errors on wraparound). The windowed/rolling variant drives
+    // content-defined chunking in [[org.apache.spark.sql.graft.CdcChunks]]
+    // (spec-verified; DuckDB cannot express the sliding window).
+    QueryDef("q101_rolling_fingerprint", (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fp", expr(
+          "aggregate(sequence(1, length(text)), 0L, " +
+            "(acc, i) -> (acc * 257 + ascii(substring(text, i, 1))) % 1000000007)"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(0, list_transform(range(1, strlen(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+          (acc, c) -> (acc * 257 + c) % 1000000007) AS BIGINT) AS fp
+      FROM documents ORDER BY doc_id"""))
   )
 }

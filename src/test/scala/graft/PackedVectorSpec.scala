@@ -114,6 +114,28 @@ class PackedVectorSpec extends AnyFunSuite {
     assert(expr.eval(null).asInstanceOf[Long] === viaDf)
   }
 
+  test("cdc_chunks: lengths partition the doc; boundaries are insert-stable") {
+    import org.apache.spark.sql.graft.CdcChunks
+    val docs = Tables.documents(spark, TestSpark.sf).limit(50)
+    // chunk lengths sum back to the byte length for every doc
+    val bad = docs.select(octet_length($"text").cast("long").as("len"),
+        aggregate(CdcChunks.cdc_chunks($"text"), lit(0L), (a, x) => a + x).as("sum"))
+      .filter($"len" =!= $"sum").count()
+    assert(bad === 0)
+    // content-defined stability: an edit near the END leaves the chunk
+    // sequence before the edit untouched (fixed-size chunking would not)
+    val text = Tables.documents(spark, TestSpark.sf)
+      .orderBy($"n_chars".desc).select("text").as[String].head()
+    val orig = CdcChunks.split(text.getBytes, 16, 0x3f)
+    val edited = CdcChunks.split((text + " trailing edit").getBytes, 16, 0x3f)
+    assert(orig.length > 2, s"want multiple chunks, got ${orig.toSeq}")
+    assert(edited.take(orig.length - 1).toSeq == orig.take(orig.length - 1).toSeq)
+    // a PREFIX edit shifts content, yet the cut positions resynchronize:
+    // the tail chunk lengths eventually realign with the original
+    val prefixEdited = CdcChunks.split(("prefix " + text).getBytes, 16, 0x3f)
+    assert(prefixEdited.takeRight(2).toSeq == orig.takeRight(2).toSeq)
+  }
+
   test("SQL surface: vec_pack / cosine_distance_packed registered") {
     Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb_pv")
     val viaSql = spark.sql(s"""
