@@ -245,6 +245,34 @@ object Round2Queries {
                                             CAST($qLit AS DOUBLE[])), vec_id
       LIMIT 10""")),
 
+    // ---- IVF-PQ: the composed index stack (partition prune + ADC) ------
+    // Persisted IVF partitions bound WHAT is read (cluster_id pruning,
+    // q93); PQ codes bound what the scan COSTS per row (q99). Composed,
+    // a probe reads nprobe/k of the files and scans them by 8-byte codes
+    // before the exact re-rank — the standard big-index serving stack
+    // (FAISS IVF-PQ shape) on plain Spark. Full probe + re-rank = exact,
+    // so the composition is oracle-gated; partial-probe behavior is
+    // covered by the q93/q49 pruning specs.
+    QueryDef("q102_ivfpq", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (annModel, persisted) = AnnIndex.fitPersistedCached(
+        e, dir, "embedding", "vec_id", k = 16, iters = 3)
+      val pqModel = PqIndex.fitCached(e, dir, "embedding", "vec_id")
+      val enc = PqIndex.encodedCached(persisted, dir + "#ivfpq", pqModel, "embedding")
+      val probed = annModel.nearest(qVec, 16)
+      val pruned = enc.filter(col("cluster_id").isin(probed: _*))
+      val cand = math.max(200L, e.count() / 50).toInt
+      PqIndex.search(pqModel, pruned, "embedding", "vec_id", qVec, k = 10, candidates = cand)
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
     // ---- multimodal resize stage (aspect-fit + resampled checksum) ------
     // Completes the decode / feature-extract / resize / frame-sample
     // quartet; integer-exact stub arithmetic keeps the oracle honest.

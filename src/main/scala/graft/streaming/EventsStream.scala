@@ -139,6 +139,24 @@ object EventsStream {
       }
   }
 
+  /** STREAM-STREAM interval join: purchases matched to the same user's
+    * views within the preceding hour. Both sides are watermarked so the
+    * join state is bounded — Spark buffers only rows inside
+    * (watermark - interval), the condition every stream-stream join needs
+    * to run forever. Batch twin = the same join condition on static
+    * frames (StreamingSpec proves equality).
+    */
+  def purchasesWithRecentViews(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = views.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    p.join(v, p("user_id") === v("user_id") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), p("user_id"), col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * static dimension (re-read per batch, so slowly-changing dims pick up
     * updates). The standard "enrich the event stream" shape.

@@ -90,6 +90,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    val dir = stageDir()
+    val stream = EventsStream.readStream(spark, dir)
+    val purchases = stream.filter(col("event_type") === "purchase")
+    val views = stream.filter(col("event_type") === "view")
+    val q = EventsStream.purchasesWithRecentViews(purchases, views)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      q.processAllAvailable() // second trigger flushes watermark-closed state
+      val batchEvents = Tables.events(spark, TestSpark.sf)
+      val batch = EventsStream.purchasesWithRecentViews(
+        batchEvents.filter(col("event_type") === "purchase"),
+        batchEvents.filter(col("event_type") === "view"))
+        .collect().map(_.toSeq).toSet
+      val streamed = spark.table("ssj_out").collect().map(_.toSeq).toSet
+      // append-mode emits matches once both watermarks pass; with a single
+      // static file everything closes, so the sets must be equal
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session_window agg agrees with the lag/cumsum sessionization (q34)") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, TestSpark.sf)
