@@ -54,6 +54,13 @@ object Registry {
       "cosine_distance_packed(bin, q) - cosine distance over fp32-packed storage"),
     ("cosine_distance_f16", (e: Seq[Expression]) => CosineDistanceF16(e(0), e(1)),
       "cosine_distance_f16(bin, q) - cosine distance over fp16-packed storage"),
+    ("lsh_signature", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.LshSignature(e.head,
+        org.apache.spark.sql.graft.LshSignature.planes(64), 64),
+      "lsh_signature(vec) - 64 hyperplane sign bits of a 64-d vector as one long"),
+    ("cdc_chunks", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.CdcChunks(e.head, 16, 0x3f),
+      "cdc_chunks(text) - content-defined chunk lengths (rolling hash, ~64 B target)"),
     // toJSONString(struct) — docs/vector-sql.md:204
     ("tojsonstring", (e: Seq[Expression]) =>
       StructsToJson(Map.empty, e.head),

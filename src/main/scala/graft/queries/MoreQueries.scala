@@ -133,15 +133,27 @@ object MoreQueries {
         AND today() >= DATE '2020-01-01'
       ORDER BY doc_id""")),
 
-    // ---- approx distinct (HLL++; deterministic but engine-specific) ----
+    // ---- approx distinct (HLL++) ---------------------------------------
+    // Sketch VALUES are engine-specific, so the gate pins the INVARIANT
+    // instead: the exact count (which DuckDB reproduces) plus a boolean
+    // that the HLL estimate landed within 3x its configured rsd (0.05 ->
+    // 15% bound; the estimate is deterministic for fixed data, measured
+    // well inside the bound at sf0.01 and sf0.1).
     QueryDef("q66_approx_distinct", (s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.15).as("within_bound"))
         .orderBy("l_returnflag")
-    }, None),
+    }, Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS within_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- remaining analytic window functions ---------------------------
     QueryDef("q67_window_funcs", (s, dir) => {

@@ -142,10 +142,10 @@ object Round2Queries {
       val scaled = e.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
       val all = e.unionByName(scaled)
-      // 64 hyperplanes, 4 bands x 16 bits: 65536-way buckets per band. At
-      // 2N vectors the expected spurious candidates are 4*(2N)^2/2/2^bits —
-      // band width has to GROW with log(N) to keep the candidate set
-      // near-linear (8-bit bands were ~78M pairs at sf0.1; 16-bit ~300k).
+      // 64 hyperplanes, 4 bands x 16 bits: 65536-way buckets per band.
+      // Expected spurious candidates are bands*(2N)^2/2/2^bits, so band
+      // width must GROW with log(N) to keep the candidate set near-linear
+      // — 16-bit bands hold ~2^34 rows before collisions dominate.
       // one fused expression computes all 64 sign bits per row (one array
       // copy + one loop, vs 64 inner_product columns copying 64x); band
       // keys are 16-bit integer slices of the packed long
@@ -224,8 +224,11 @@ object Round2Queries {
     // ---- product quantization: ADC shortlist + exact re-rank ------------
     // 32x-compressed codes absorb the scan (8 table lookups/row); the
     // exact cosine metric re-ranks only the ADC top-C shortlist
-    // (C = max(200, N/50) -> 4% at sf0.01, 2% at sf0.1; measured 2x the
-    // margin where the shortlist stops missing true neighbors). Because
+    // (C = max(200, N/4): the test embeddings are uniform-random 64-d and
+    // the codebooks train on a 2000-vector sample, so ADC ranks are noisy
+    // — the true nearest sat at ADC rank ~219 of 2000, so C must keep a
+    // real margin over that; clustered real embeddings rank far tighter).
+    // Because
     // re-rank is exact and the shortlist reliably contains the true
     // top-10, the result equals the brute-force scan and the q20 oracle
     // gates the whole encode -> ADC -> re-rank path.
@@ -233,7 +236,7 @@ object Round2Queries {
       val e = Tables.embeddings(s, dir)
       val model = PqIndex.fitCached(e, dir, "embedding", "vec_id")
       val enc = PqIndex.encodedCached(e, dir, model, "embedding")
-      val cand = math.max(200L, enc.count() / 50).toInt
+      val cand = math.max(200L, enc.count() / 4).toInt
       PqIndex.search(model, enc, "embedding", "vec_id", qVec, k = 10, candidates = cand)
         .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
     }, Some(s"""
@@ -261,7 +264,7 @@ object Round2Queries {
       val enc = PqIndex.encodedCached(persisted, dir + "#ivfpq", pqModel, "embedding")
       val probed = annModel.nearest(qVec, 16)
       val pruned = enc.filter(col("cluster_id").isin(probed: _*))
-      val cand = math.max(200L, e.count() / 50).toInt
+      val cand = math.max(200L, e.count() / 4).toInt
       PqIndex.search(pqModel, pruned, "embedding", "vec_id", qVec, k = 10, candidates = cand)
         .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
     }, Some(s"""
