@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import org.apache.spark.sql.graft.VectorFunctions.cosine_distance
-import org.apache.spark.sql.graft.GraftColumns.simhash64
+import org.apache.spark.sql.graft.GraftColumns.{simhash64, simhash_poly}
 
 /** LLM-training-data pipeline operators over `documents`/`embeddings`
   * (mandated extensions beyond the reference surface — dedup, text
@@ -184,8 +184,11 @@ object PipelineQueries {
 
     // ---- MinHash + LSH banded near-dup (the 100 TB dedup path) ---------
     // 16 minhashes, 4 bands × 4 rows; candidates = band-bucket join, then
-    // exact Jaccard verify. No oracle: DuckDB can't reproduce xxhash64
-    // (driver records rows-only).
+    // exact Jaccard verify. Hashing = one polynomial base hash per shingle
+    // + 16 affine rehashes (Carter-Wegman style) — chosen over xxhash64
+    // BECAUSE DuckDB can fold the identical arithmetic, so the entire
+    // pipeline (mutation, shingling, minhash, banding, candidate join,
+    // Jaccard verify) is oracle-gated end-to-end, not rows-only.
     QueryDef("q45_minhash_lsh", (s, dir) => {
       // Two cached tables, both narrow where it matters: the shingle
       // store (doc_id -> sh) and the band table (doc_id, band_idx,
@@ -197,10 +200,13 @@ object PipelineQueries {
         .select(col("doc_id"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingles(col("t")).as("sh"))
+        .withColumn("hv", expr(
+          "transform(sh, s -> aggregate(sequence(1, length(s)), 0L, " +
+            "(acc, i) -> (acc * 257 + ascii(substring(s, i, 1))) % 2147483647))"))
         .cache()
-      val sigs = docs.withColumn("sig",
-        transform(sequence(lit(0), lit(15)),
-          h => array_min(transform(col("sh"), sg => xxhash64(sg, h)))))
+      val sigs = docs.withColumn("sig", expr(
+        "transform(sequence(0, 15), h -> " +
+          "array_min(transform(hv, x -> (x * (2*h + 1) + 7919*h + 13) % 2147483647)))"))
       val bands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)),
           bIdx => concat_ws(",",
@@ -221,19 +227,66 @@ object PipelineQueries {
         .filter(col("jac") >= 0.5)
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
         .orderBy("i", "j")
-    }, None),
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000,
+               array_to_string(regexp_split_to_array(trim(text), '\s+')[1:
+                 len(regexp_split_to_array(trim(text), '\s+')) - 3], ' ')
+        FROM documents),
+      tokd AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM base),
+      d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM tokd WHERE len(t) >= 3),
+      h AS (
+        SELECT doc_id, sh,
+          list_transform(sh, s -> list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, strlen(s) + 1),
+                i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, c) -> (acc * 257 + c) % 2147483647)) AS hv
+        FROM d),
+      sg AS (
+        SELECT doc_id, sh,
+          list_transform(range(0, 16), hh ->
+            list_min(list_transform(hv, x -> (x * (2*hh + 1) + 7919*hh + 13) % 2147483647))) AS sig
+        FROM h),
+      bands AS (
+        SELECT doc_id, b,
+          sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4] AS band_key
+        FROM sg, unnest([0, 1, 2, 3]) AS u(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      v AS (
+        SELECT i, j,
+          len(list_intersect(x.sh, y.sh)) AS inter, len(x.sh) AS la, len(y.sh) AS lb
+        FROM cand JOIN sg x ON x.doc_id = cand.i JOIN sg y ON y.doc_id = cand.j)
+      SELECT i, j,
+        round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jac
+      FROM v
+      WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+      ORDER BY i, j""")),
 
     // ---- SimHash fingerprint + banded Hamming near-dup -----------------
     // (custom codegen expression; bands = 16-bit fingerprint chunks, so a
     // pair within Hamming distance 3 shares ≥1 band — Manku et al. WWW'07)
     QueryDef("q46_simhash_neardup", (s, dir) => {
+      // simhash_poly: the cross-engine 60-bit basis, so DuckDB reproduces
+      // the fingerprints bit-for-bit and the whole banded pipeline is
+      // oracle-gated (SimHash64/FNV stays the production default; its
+      // banding behavior is covered by specs).
       val docs = withMutatedCopies(s, dir)
-        .select(col("doc_id"), simhash64(tok(col("text"))).as("fp"))
+        .select(col("doc_id"), simhash_poly(tok(col("text"))).as("fp"))
         .cache() // fingerprints reused by both self-join sides
-      // (fp >> (b*16)) & 0xFFFF: sign extension is masked away, so the
-      // signed SQL shift is equivalent to an unsigned one here.
+      // 4 bands x 15 bits; sign extension impossible (bit 59 is the top)
       val banded = docs.select(col("doc_id"), col("fp"),
-        posexplode(expr("transform(sequence(0, 3), b -> (fp >> (b * 16)) & 65535)"))
+        posexplode(expr("transform(sequence(0, 3), b -> (fp >> (b * 15)) & 32767)"))
           .as(Seq("band_idx", "band_key")))
       val a = banded.select(col("band_idx"), col("band_key"),
         col("doc_id").as("i"), col("fp").as("fpa"))
@@ -242,14 +295,50 @@ object PipelineQueries {
       // hamming filter BEFORE the (i,j) dedup: the verify is one
       // XOR+popcount, so running it map-side on all candidates (incl.
       // cross-band repeats) shrinks the dedup shuffle from every spurious
-      // band collision (~3.7M pairs on this corpus) to just the real
-      // near-dups — worth ~4 orders of magnitude of shuffled rows.
+      // band collision to just the real near-dups.
       a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
-        .withColumn("hamming", expr("bit_count(fpa ^ fpb)"))
+        .withColumn("hamming", expr("bit_count(fpa ^ fpb)").cast("long"))
         .filter(col("hamming") <= 8)
         .select("i", "j", "hamming").dropDuplicates("i", "j")
         .orderBy("i", "j")
-    }, None),
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000,
+               array_to_string(regexp_split_to_array(trim(text), '\s+')[1:
+                 len(regexp_split_to_array(trim(text), '\s+')) - 3], ' ')
+        FROM documents),
+      t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tt FROM base),
+      h AS (
+        SELECT doc_id, len(tt) AS n,
+          list_transform(tt, s -> list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, strlen(s) + 1),
+                i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, c) -> (acc * 257 + c) % 2147483647)) AS ht
+        FROM t),
+      bits AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 60), b -> CASE WHEN
+            2 * len(list_filter(ht, x -> ((x * (2*b + 3) + 8191*b + 7) % 2147483647) % 2 = 1)) > n
+            THEN 1 ELSE 0 END) AS bl
+        FROM h),
+      bands AS (
+        SELECT doc_id, b,
+          array_to_string(bl[b*15+1 : b*15+15], '') AS band_key
+        FROM bits, unnest([0, 1, 2, 3]) AS u(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      v AS (
+        SELECT i, j,
+          len(list_filter(range(1, 61), k -> x.bl[CAST(k AS INT)] != y.bl[CAST(k AS INT)])) AS ham
+        FROM cand JOIN bits x ON x.doc_id = cand.i JOIN bits y ON y.doc_id = cand.j)
+      SELECT i, j, CAST(ham AS BIGINT) AS hamming
+      FROM v WHERE ham <= 8 ORDER BY i, j""")),
 
     // ---- embedding-cosine near-dup (exact quadratic baseline) ----------
     QueryDef("q47_embed_neardup", (s, dir) => {

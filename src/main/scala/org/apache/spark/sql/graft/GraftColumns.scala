@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 object GraftColumns {
   import Bridge.{toColumn, toExpr}
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
+  def simhash_poly(c: Column): Column = toColumn(SimHashPoly(toExpr(c)))
   def neural_array(c: Column): Column = toColumn(NeuralArray(toExpr(c)))
   def parse_datetime_best_effort(c: Column): Column =
     toColumn(ParseDateTimeBestEffort(toExpr(c), orNull = false))
