@@ -30,7 +30,10 @@ case class PqEncode(child: Expression, flat: Array[Float], m: Int, k: Int, dsub:
         val off = (mm * k + c) * dsub
         var acc = 0.0; var j = 0
         while (j < dsub) {
-          val t = x(mm * dsub + j).toDouble - flat(off + j).toDouble
+          // vectors shorter than m*dsub are zero-padded, not a crash
+          val xi = mm * dsub + j
+          val xv = if (xi < x.length) x(xi).toDouble else 0.0
+          val t = xv - flat(off + j).toDouble
           acc += t * t; j += 1
         }
         if (acc < bestD) { bestD = acc; best = c }
@@ -59,7 +62,8 @@ case class PqEncode(child: Expression, flat: Array[Float], m: Int, k: Int, dsub:
          |    final int $off = ($mm * $k + $c) * $dsub;
          |    double $acc = 0.0;
          |    for (int $j = 0; $j < $dsub; $j++) {
-         |      final double $t = (double) $xa[$mm * $dsub + $j] - (double) $fl[$off + $j];
+         |      final int ${j}x = $mm * $dsub + $j;
+         |      final double $t = (${j}x < $xa.length ? (double) $xa[${j}x] : 0.0) - (double) $fl[$off + $j];
          |      $acc += $t * $t;
          |    }
          |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }

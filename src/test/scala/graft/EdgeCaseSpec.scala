@@ -78,4 +78,64 @@ class EdgeCaseSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(viaCompile == viaSql && viaCompile.nonEmpty)
   }
+
+  // ---- round-2 expression edge cases ----------------------------------
+
+  test("packed vectors: empty array, null, and odd-length binary") {
+    import org.apache.spark.sql.graft.PackedVectorFunctions._
+    val df = Seq(Tuple1(Seq.empty[Float])).toDF("v")
+    // empty vector -> empty binary -> empty round-trip
+    val rt = df.select(vec_unpack(vec_pack($"v")).as("v")).as[Seq[Float]].head()
+    assert(rt.isEmpty)
+    // null propagates (nullIntolerant)
+    val withNull = Seq((1, None: Option[Seq[Float]])).toDF("id", "v")
+    assert(withNull.select(vec_pack($"v")).filter($"vec_pack(v)".isNotNull).count() === 0)
+    // truncated binary: distance uses min(len/4, qlen) -- no crash
+    val q = Seq(1.0f, 2.0f, 3.0f)
+    val trunc = Seq(Tuple1(Array[Byte](0, 0, -128, 63))).toDF("b") // 1 float = 1.0f
+    val d = trunc.select(cosine_distance_packed($"b", typedlit(q)).as("d")).as[Double].head()
+    assert(!d.isNaN)
+  }
+
+  test("f16: zero vector and subnormal flush") {
+    import org.apache.spark.sql.graft.F16
+    assert(F16.halfToFloat(F16.floatToHalf(0.0f) & 0xffff) === 0.0f)
+    // below half subnormal range flushes to signed zero
+    assert(math.abs(F16.halfToFloat(F16.floatToHalf(1e-9f) & 0xffff)) === 0.0f)
+    // largest normal half round-trips
+    assert(F16.halfToFloat(F16.floatToHalf(65504.0f) & 0xffff) === 65504.0f)
+  }
+
+  test("cdc_chunks: empty and sub-window strings") {
+    import org.apache.spark.sql.graft.CdcChunks
+    assert(CdcChunks.split(Array.emptyByteArray, 16, 0x3f).toSeq == Seq(0L))
+    assert(CdcChunks.split("short".getBytes, 16, 0x3f).toSeq == Seq(5L))
+    val viaDf = Seq(Tuple1("")).toDF("t")
+      .select(CdcChunks.cdc_chunks($"t")).as[Seq[Long]].head()
+    assert(viaDf == Seq(0L))
+  }
+
+  test("PqEncode: dimension mismatch truncates safely, never crashes") {
+    import graft.operators.PqIndex
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val model = PqIndex.fitCached(e, TestSpark.sf, "embedding", "vec_id")
+    // a shorter vector than dsub*m: encode reads what exists
+    val short = Seq(Tuple1(Seq.fill(8)(0.1f))).toDF("v")
+    val code = short.select(PqIndex.encode(model, $"v")).as[Array[Byte]].head()
+    assert(code.length === 8)
+  }
+
+  test("lsh_signature: empty vector yields a signature without crashing") {
+    import org.apache.spark.sql.graft.LshSignature
+    val df = Seq(Tuple1(Seq.empty[Float])).toDF("v")
+    val sig = df.select(LshSignature.lsh_signature($"v", 64)).as[Long].head()
+    assert(sig === 0L) // all dots are 0 -> no bit set
+  }
+
+  test("SelfQueryParser: deeply nested and unicode-ish content") {
+    import graft.operators.{SelfQueryParser => P}
+    val ast = P.parseFilter(
+      """and(and(and(eq("a", 1), eq("b", 2)), or(eq("c", 3), eq("d", 4))), not(eq("e", "naïve")))""")
+    assert(F.toSql(ast).contains("naïve"))
+  }
 }

@@ -150,6 +150,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: stream upserts into MvccCatalog, versions = batches") {
+    import graft.operators.MvccCatalog
+    val dir = stageDir()
+    val root = Files.createTempDirectory("graft-mvcc-stream").toString
+    val cat = MvccCatalog(spark, root)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0) cat.create("ev", batch, version = 1)
+        else cat.append("ev", batch, version = id + 1)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = cat.read("ev", Seq("event_id")).count()
+      val batch = Tables.events(spark, TestSpark.sf).count()
+      assert(streamed === batch)
+      // the catalog's MVCC machinery still works on the streamed table
+      cat.deleteWhere("ev", col("user_id") === 1, Seq("event_id"),
+        version = cat.currentVersion("ev") + 1)
+      val afterDelete = cat.read("ev", Seq("event_id")).count()
+      val expected = Tables.events(spark, TestSpark.sf)
+        .filter(col("user_id") =!= 1).count()
+      assert(afterDelete === expected)
+    } finally q.stop()
+  }
+
   test("watermarked append-mode query runs and emits closed windows") {
     val dir = stageDir()
     val stream = EventsStream.readStream(spark, dir)
