@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.HashEmbedder
-import graft.operators.{AnnIndex, Multimodal, MvccCatalog, PqIndex, SelfQueryParser, SelfQueryFilter => F}
+import graft.operators.{AnnIndex, Multimodal, MvccCatalog, PqIndex, Sq8Index, SelfQueryParser, SelfQueryFilter => F}
 import org.apache.spark.sql.graft.PackedVectorFunctions._
 import org.apache.spark.sql.graft.VectorFunctions.{cosine_distance, inner_product}
 
@@ -321,6 +321,32 @@ object Round2Queries {
           list_prepend(0, list_transform(range(1, strlen(text) + 1),
             i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
           (acc, c) -> (acc * 257 + c) % 1000000007) AS BIGINT) AS fp
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- SQ8 scalar quantization: 1 B/dim scan + exact re-rank ----------
+    // The middle rung of the storage ladder (fp32 > fp16 > SQ8 > PQ):
+    // per-dim affine int8 against trained bounds, 4x smaller than fp32 at
+    // per-dim error <= range/510. The SQ8 shortlist (max(100, N/10)) is
+    // exact-re-ranked, so the result equals the brute-force scan and the
+    // q20 oracle gates the train -> encode -> scan -> re-rank path.
+    QueryDef("q103_sq8_topk", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Sq8Index.fitCached(e, dir, "embedding")
+      val enc = e.withColumn("__sq", Sq8Index.encode(model, col("embedding")))
+      val cand = math.max(100L, e.count() / 10).toInt
+      enc
+        .withColumn("__d", Sq8Index.distance(model, col("__sq"), typedlit(qVec.toIndexedSeq)))
+        .orderBy(col("__d"), col("vec_id")).limit(cand)
+        .withColumn("dist", cosine_distance(col("embedding"), typedlit(qVec.toIndexedSeq)))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10"""))
   )
 }

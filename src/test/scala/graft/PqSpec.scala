@@ -66,6 +66,36 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8: per-dim round-trip error bounded by scale/2; shortlist rerank exact") {
+    import graft.operators.Sq8Index
+    import org.apache.spark.sql.graft.Sq8Ops
+    val sq = Sq8Index.fitCached(e, TestSpark.sf, "embedding")
+    // every stored vector reconstructs within half a quantization step/dim
+    val vecs = e.select("embedding").as[Seq[Float]].collect()
+    vecs.take(200).foreach { v =>
+      val rt = Sq8Ops.decode(Sq8Ops.encode(v.toArray, sq.mins, sq.scales), sq.mins, sq.scales)
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - rt(i)) <= sq.scales(i) / 2 + 1e-6,
+          s"dim $i: ${v(i)} vs ${rt(i)} scale ${sq.scales(i)}")
+      }
+    }
+    // SQ8 shortlist + exact rerank reproduces the exact top-10
+    for (t <- Seq("distributed vector search engine", "streaming joins")) {
+      val q = HashEmbedder.embed(t)
+      val enc = e.withColumn("__sq", Sq8Index.encode(sq, col("embedding")))
+      val got = enc
+        .withColumn("__d", Sq8Index.distance(sq, col("__sq"), typedlit(q.toIndexedSeq)))
+        .orderBy(col("__d"), col("vec_id")).limit(100)
+        .withColumn("dist", org.apache.spark.sql.graft.VectorFunctions
+          .cosine_distance(col("embedding"), typedlit(q.toIndexedSeq)))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = VectorStore(e, "embedding", Seq("vec_id"))
+        .searchByVector(q, 10).select("vec_id").as[Long].collect().toSeq
+      assert(got == exact, s"query '$t'")
+    }
+  }
+
   test("quantization error: mean ADC error vs true distance is bounded") {
     // ADC approximates squared L2; on unit-ish vectors the mean absolute
     // error of the approximation should be well under the distance scale
