@@ -112,29 +112,37 @@ object Bench {
     // scan reduction. NB the synthetic embeddings are uniform-random (no
     // cluster structure), so recall ~ probe fraction is the achievable
     // ceiling here; clustered real embeddings do much better per probe.
+    // recall as a function of probed fraction (k=128 centroids): the
+    // scan-reduction/recall trade a caller would tune nprobe against.
+    // Exact ground-truth top-10 sets are computed ONCE per probe text and
+    // reused across every nprobe point.
     val annTexts = Seq("distributed vector search engine",
       "neural information retrieval", "columnar database engines",
       "graph partitioning at scale", "streaming joins")
-    def annRecallAt(nprobe: Int): Double = try {
+    val (annRecall, annCurve) = try {
       val e = graft.Tables.embeddings(spark, sfDir)
       val (model, indexed) = graft.operators.AnnIndex.fitCached(
         e, sfDir + "#bench-ivf", "embedding", "vec_id", k = 128, iters = 3)
-      val recalls = annTexts.map { text =>
+      val probes = annTexts.map { text =>
         val q = graft.functions.HashEmbedder.embed(text)
-        val ann = graft.operators.AnnIndex.query(
-            indexed, model, "embedding", "vec_id", q, k = 10, nprobe = nprobe)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
         val exact = graft.operators.VectorStore(e, "embedding", Seq("vec_id"))
           .searchByVector(q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
-        ann.intersect(exact).size / 10.0
+        (q, exact)
       }
-      recalls.sum / recalls.size
-    } catch { case _: Throwable => -1.0 }
-    val annRecall = annRecallAt(32)
-    // recall as a function of probed fraction (k=128 centroids): the
-    // scan-reduction/recall trade a caller would tune nprobe against
-    val annCurve = Seq(8, 16, 32, 64)
-      .map(np => s"$np:${math.rint(annRecallAt(np) * 100) / 100}").mkString(",")
+      def recallAt(nprobe: Int): Double = {
+        val rs = probes.map { case (q, exact) =>
+          val ann = graft.operators.AnnIndex.query(
+              indexed, model, "embedding", "vec_id", q, k = 10, nprobe = nprobe)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          ann.intersect(exact).size / 10.0
+        }
+        rs.sum / rs.size
+      }
+      val byProbe = Seq(8, 16, 32, 64).map(np => np -> recallAt(np)).toMap
+      (byProbe(32),
+        byProbe.toSeq.sortBy(_._1)
+          .map { case (np, r) => s"$np:${math.rint(r * 100) / 100}" }.mkString(","))
+    } catch { case _: Throwable => (-1.0, "") }
 
     // PQ ADC scan throughput: 2M 8-byte codes, per-row cost = 8 LUT adds.
     val pqVps = try {

@@ -83,6 +83,12 @@ object KnnCeiling {
       val t0 = System.nanoTime()
       big.queryExecution.toRdd.mapPartitions { it =>
         val qv = q
+        // query norm precomputed once, as the codegen expression does —
+        // the ceiling must run the SAME arithmetic as the real scan
+        var qn2 = 0.0
+        var qi = 0
+        while (qi < qv.length) { qn2 += qv(qi).toDouble * qv(qi).toDouble; qi += 1 }
+        val qnorm = math.sqrt(qn2)
         var best = Double.MaxValue
         while (it.hasNext) {
           val row = it.next()
@@ -90,9 +96,10 @@ object KnnCeiling {
           val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
           var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
           var n0 = 0.0; var n1 = 0.0; var n2 = 0.0; var n3 = 0.0
+          val n = math.min(b.length >> 2, qv.length)
+          val k = n & ~3
           var j = 0
-          val n = math.min(b.length >> 2, qv.length) & ~3
-          while (j < n) {
+          while (j < k) {
             val x0 = org.apache.spark.unsafe.Platform.getFloat(b, off + 4L*j).toDouble
             val x1 = org.apache.spark.unsafe.Platform.getFloat(b, off + 4L*j + 4).toDouble
             val x2 = org.apache.spark.unsafe.Platform.getFloat(b, off + 4L*j + 8).toDouble
@@ -101,7 +108,11 @@ object KnnCeiling {
             d2 += x2*qv(j+2); n2 += x2*x2; d3 += x3*qv(j+3); n3 += x3*x3
             j += 4
           }
-          val d = 1.0 - ((d0+d1)+(d2+d3)) / math.sqrt((n0+n1)+(n2+n3))
+          while (j < n) { // tail elements the real loop also processes
+            val x0 = org.apache.spark.unsafe.Platform.getFloat(b, off + 4L*j).toDouble
+            d0 += x0*qv(j); n0 += x0*x0; j += 1
+          }
+          val d = 1.0 - ((d0+d1)+(d2+d3)) / (math.sqrt((n0+n1)+(n2+n3)) * qnorm)
           if (d < best) best = d
         }
         Iterator(best)

@@ -153,11 +153,19 @@ object AnnIndex {
     * mounts the same parquet and gets identical pruning with zero
     * state-on-driver.
     */
+  /** Base dir for locally persisted index artifacts — overridable for
+    * deployments where the repo checkout is elsewhere / read-only.
+    */
+  def tmpRoot: String = sys.env.getOrElse("GRAFT_TMP_DIR", "/root/repo/target/tmp")
+
   def fitPersistedCached(df: DataFrame, dir: String, embCol: String,
       idCol: String, k: Int, iters: Int): (Model, DataFrame) = {
-    val (model, path) = persistedIdx.getOrElseUpdate(dir, {
-      val (m, indexed) = fitCached(df, dir, embCol, idCol, k, iters)
-      val p = "/root/repo/target/tmp/ivf_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // memo key carries every fit parameter: two callers with the same dir
+    // but different k/iters/columns must not share an index
+    val key = s"$dir#$embCol#$idCol#$k#$iters"
+    val (model, path) = persistedIdx.getOrElseUpdate(key, {
+      val (m, indexed) = fitCached(df, key, embCol, idCol, k, iters)
+      val p = s"$tmpRoot/ivf_" + key.replaceAll("[^a-zA-Z0-9]", "_")
       indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(p)
       (m, p)
     })

@@ -91,11 +91,21 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     math.max(dv, tv)
   }
 
-  /** Apply tombstones + LWW physically; history before `version` is gone. */
+  /** Apply tombstones + LWW physically; history before `version` is gone.
+    * The snapshot is written to a TEMP directory first and swapped in —
+    * caching alone is not a durability guarantee (an evicted partition
+    * would recompute from the already-deleted source and lose the table).
+    */
   def compact(table: String, key: Seq[String], version: Long): Unit = {
-    val snapshot = read(table, key).drop("__v").cache()
-    snapshot.count() // materialize before the dirs are replaced
-    create(table, snapshot, version)
-    snapshot.unpersist()
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val tmp = s"$root/$table/__compact_tmp"
+    read(table, key).drop("__v").withColumn("__v", lit(version))
+      .write.mode("overwrite").parquet(tmp)
+    def rm(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rm(Paths.get(dataPath(table)))
+    rm(Paths.get(tombPath(table)))
+    Files.move(Paths.get(tmp), Paths.get(dataPath(table)), StandardCopyOption.ATOMIC_MOVE)
   }
 }

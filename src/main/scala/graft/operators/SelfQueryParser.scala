@@ -44,8 +44,10 @@ object SelfQueryParser {
       try mapper.readTree(body)
       catch { case e: Exception =>
         throw new IllegalArgumentException(s"bad JSON envelope: ${e.getMessage}") }
-    val query = Option(root.get("query")).map(_.asText()).getOrElse("")
-    val filter = Option(root.get("filter")).map(_.asText()) match {
+    val query = Option(root.get("query")).filterNot(_.isNull).map(_.asText()).getOrElse("")
+    // NB Jackson returns NullNode (not Java null) for `"filter": null` —
+    // a payload LangChain models do emit alongside the NO_FILTER sentinel
+    val filter = Option(root.get("filter")).filterNot(_.isNull).map(_.asText()) match {
       case None | Some("NO_FILTER") | Some("") => None
       case Some(expr)                          => Some(parseFilter(expr))
     }

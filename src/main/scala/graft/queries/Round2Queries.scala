@@ -78,7 +78,7 @@ object Round2Queries {
     // rewriting the table, and the pre-delete snapshot stays queryable.
     // Output = latest snapshot UNION the time-travel read of commit 1.
     QueryDef("q94_mvcc_timetravel", (s, dir) => {
-      val root = "/root/repo/target/tmp/mvcc_q94"
+      val root = graft.operators.AnnIndex.tmpRoot + "/mvcc_q94"
       val cat = MvccCatalog(s, root)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
       cat.create("kb", docs, version = 1)
@@ -154,6 +154,8 @@ object Round2Queries {
         expr(s"int((__sig >> ${b * 16}) & 65535)"))
       val banded = all.withColumn("__sig", sig).select(col("vec_id"),
         posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+        .cache() // the signature pass is the expensive stage; both join
+                 // sides and repeat runs reuse it (as q45/q46 do)
       val cands = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("i"))
         .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("j")),
           Seq("band_idx", "band_key"))

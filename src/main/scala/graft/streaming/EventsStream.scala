@@ -123,7 +123,10 @@ object EventsStream {
             times.foreach { t =>
               cur = cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  Some(OpenSession(s.start, t, s.n + 1))
+                  // out-of-order arrivals (t inside the watermark allowance
+                  // but older than state) must never move the session end
+                  // or its timeout BACKWARDS; they can extend the start
+                  Some(OpenSession(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= close(s)
                   Some(OpenSession(t, t, 1))

@@ -48,14 +48,19 @@ case class CosineDistanceSq8(left: Expression, right: Expression,
   override def prettyName: String = "cosine_distance_sq8"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
+    // mismatched lengths: |y| over its FULL length (matches folded codegen)
     val x = Sq8Ops.decode(a.asInstanceOf[Array[Byte]], mins, scales)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.length, y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    var dot = 0.0; var nx = 0.0; var i = 0
     while (i < n) {
       val xi = x(i).toDouble; val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      dot += xi * yi; nx += xi * xi; i += 1
     }
+    var ny = 0.0
+    val m = y.numElements()
+    i = 0
+    while (i < m) { val yi = y.getFloat(i).toDouble; ny += yi * yi; i += 1 }
     1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
@@ -98,7 +103,11 @@ case class CosineDistanceSq8(left: Expression, right: Expression,
            |for (int $j = 0; $j < $n; $j++) {
            |  final double $xi = (double) $xa[$j];
            |  final double $yi = (double) $ya[$j];
-           |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+           |  $dot += $xi * $yi; $nx += $xi * $xi;
+           |}
+           |for (int $j = 0; $j < $ya.length; $j++) {
+           |  final double $yi = (double) $ya[$j];
+           |  $ny += $yi * $yi;
            |}
            |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          """.stripMargin

@@ -80,7 +80,11 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $xi = (double) $xa[$i];
          |  final double $yi = (double) $ya[$i];
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  $dot += $xi * $yi; $nx += $xi * $xi;
+         |}
+         |for (int $i = 0; $i < $ya.length; $i++) {
+         |  final double $yi = (double) $ya[$i];
+         |  $ny += $yi * $yi;
          |}
          |${ev.value} = ${finish(dot, nx, ny, ev.value.code)};
        """.stripMargin
@@ -92,13 +96,22 @@ case class CosineDistance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "cosine_distance"
 
+  /** Semantics for (ill-formed) length-mismatched inputs: dot and |x| run
+    * over the common prefix, |y| over y's FULL length — the same contract
+    * the folded-codegen path implements (the hoisted query norm is
+    * necessarily length-independent), so eval and codegen always agree.
+    */
   override protected def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    var dot = 0.0; var nx = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      dot += xi * yi; nx += xi * xi; i += 1
     }
+    var ny = 0.0
+    val m = y.numElements()
+    i = 0
+    while (i < m) { val yi = y.getFloat(i).toDouble; ny += yi * yi; i += 1 }
     1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
