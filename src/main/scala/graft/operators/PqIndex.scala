@@ -69,38 +69,45 @@ object PqIndex {
       val sample = df.orderBy(col(idCol)).limit(sampleN)
         .select(embCol).collect()
         .map(_.getSeq[Float](0).toArray)
-      val d = sample.head.length
-      require(d % m == 0, s"dim $d not divisible by m=$m")
-      val dsub = d / m
-      val kEff = math.min(k, sample.length)
-      val codebooks = Array.tabulate(m) { mm =>
-        val subs = sample.map(v => java.util.Arrays.copyOfRange(v, mm * dsub, (mm + 1) * dsub))
-        var cents = Array.tabulate(kEff)(i => subs(i).clone())
-        for (_ <- 1 to iters) {
-          val sums = Array.fill(kEff, dsub)(0.0)
-          val counts = new Array[Long](kEff)
-          subs.foreach { s =>
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < kEff) {
-              var acc = 0.0; var j = 0
-              while (j < dsub) { val t = s(j) - cents(c)(j); acc += t * t; j += 1 }
-              if (acc < bestD) { bestD = acc; best = c }
-              c += 1
-            }
-            var j = 0
-            while (j < dsub) { sums(best)(j) += s(j); j += 1 }
-            counts(best) += 1
-          }
-          cents = Array.tabulate(kEff) { c =>
-            if (counts(c) == 0) cents(c)
-            else Array.tabulate(dsub)(j => (sums(c)(j) / counts(c)).toFloat)
-          }
-        }
-        cents
-      }
-      Model(codebooks)
+      trainOn(sample, m, k, iters)
     })
+
+  /** Lloyd's per subspace over an in-driver sample (shared by the raw and
+    * residual trainers).
+    */
+  private def trainOn(sample: Array[Array[Float]], m: Int, k: Int, iters: Int): Model = {
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val kEff = math.min(k, sample.length)
+    val codebooks = Array.tabulate(m) { mm =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, mm * dsub, (mm + 1) * dsub))
+      var cents = Array.tabulate(kEff)(i => subs(i).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kEff, dsub)(0.0)
+        val counts = new Array[Long](kEff)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            var acc = 0.0; var j = 0
+            while (j < dsub) { val t = s(j) - cents(c)(j); acc += t * t; j += 1 }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += s(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(kEff) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(j => (sums(c)(j) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+    Model(codebooks)
+  }
 
   /** Encode an embedding column to PQ codes (binary, m bytes). */
   def encode(model: Model, vec: Column): Column = {
@@ -114,6 +121,64 @@ object PqIndex {
     import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
     toColumn(org.apache.spark.sql.graft.PqAdcDistance(
       toExpr(code), model.flat, model.m, model.k, model.dsub, query))
+  }
+
+  /** Residual IVF-PQ (PAMI'11 §IV): codebooks trained on v - centroid of
+    * v's IVF cluster — residuals are smaller and better-centered than raw
+    * vectors, so the same 8 bytes quantize them more finely. The residual
+    * column is built with plain zip_with against the broadcast centroid
+    * literal; encode reuses [[org.apache.spark.sql.graft.PqEncode]].
+    */
+  def fitResidualCached(indexed: DataFrame, cacheKey: String, embCol: String,
+      idCol: String, ann: AnnIndex.Model,
+      m: Int = 8, k: Int = 256, iters: Int = 5, sampleN: Int = 2000): Model =
+    models.getOrElseUpdate(cacheKey + "#residual", {
+      val sample = indexed.orderBy(col(idCol)).limit(sampleN)
+        .select(col(embCol), col("cluster_id")).collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).toArray
+          val c = ann.centroids(r.getInt(1))
+          v.indices.map(i => (v(i) - c(i).toFloat)).toArray
+        }
+      trainOn(sample, m, k, iters)
+    })
+
+  /** Memoized residual-encoded table over an IVF-indexed input. */
+  def encodedResidualCached(indexed: DataFrame, cacheKey: String, model: Model,
+      ann: AnnIndex.Model, embCol: String): DataFrame =
+    encoded.getOrElseUpdate(cacheKey + "#residual", {
+      val enc = indexed.withColumn("__code",
+        encode(model, residualCol(ann, col(embCol), col("cluster_id")))).cache()
+      enc.count()
+      enc
+    })
+
+  /** Column of per-row residuals (v - centroid[cluster_id]). */
+  def residualCol(ann: AnnIndex.Model, vec: Column, clusterId: Column): Column = {
+    val centLit = array(ann.centroids.map(c =>
+      array(c.map(x => lit(x.toFloat)): _*)): _*)
+    zip_with(vec, element_at(centLit, clusterId + 1), (a, b) => (a - b).cast("float"))
+  }
+
+  /** Residual ADC distance: per-cluster LUTs built from q - centroid_c. */
+  def adcResidualDistance(model: Model, ann: AnnIndex.Model,
+      code: Column, clusterId: Column, query: Array[Float]): Column = {
+    val nClusters = ann.centroids.length
+    val luts = new Array[Double](nClusters * model.m * model.k)
+    for (c <- 0 until nClusters) {
+      val rq = query.indices.map(i => query(i) - ann.centroids(c)(i).toFloat).toArray
+      for (mm <- 0 until model.m; kk <- 0 until model.k) {
+        var acc = 0.0
+        for (j <- 0 until model.dsub) {
+          val t = rq(mm * model.dsub + j).toDouble - model.codebooks(mm)(kk)(j).toDouble
+          acc += t * t
+        }
+        luts(c * model.m * model.k + mm * model.k + kk) = acc
+      }
+    }
+    import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
+    toColumn(org.apache.spark.sql.graft.PqAdcResidual(
+      toExpr(code), toExpr(clusterId), luts, model.m, model.k))
   }
 
   /** ADC top-`candidates` + exact re-rank to top-`k`: the standard PQ

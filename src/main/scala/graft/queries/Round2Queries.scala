@@ -349,6 +349,36 @@ object Round2Queries {
       FROM embeddings
       ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
+    // ---- residual IVF-PQ (PAMI'11 §IV — the full construction) ----------
+    // Codes quantize v - centroid(cluster(v)) over the persisted IVF
+    // index; the scan picks its per-cluster LUT by the row's cluster_id.
+    // Residuals are smaller and better-centered than raw vectors, so the
+    // same 8 bytes carry more precision (spec compares needed shortlist
+    // ranks vs plain PQ). Full probe + exact re-rank keeps the result
+    // equal to the brute-force scan -> q20 oracle gates the whole path.
+    QueryDef("q104_ivfpq_residual", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (annModel, persisted) = AnnIndex.fitPersistedCached(
+        e, dir, "embedding", "vec_id", k = 16, iters = 3)
+      val pq = PqIndex.fitResidualCached(persisted, dir, "embedding", "vec_id", annModel)
+      val enc = PqIndex.encodedResidualCached(persisted, dir, pq, annModel, "embedding")
+      val cand = math.max(200L, e.count() / 4).toInt
+      enc
+        .withColumn("__d", PqIndex.adcResidualDistance(
+          pq, annModel, col("__code"), col("cluster_id"), qVec))
+        .orderBy(col("__d"), col("vec_id")).limit(cand)
+        .withColumn("dist", cosine_distance(col("embedding"), typedlit(qVec.toIndexedSeq)))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
       LIMIT 10"""))
   )
 }

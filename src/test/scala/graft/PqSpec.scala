@@ -66,6 +66,55 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ: better ADC ranks than raw PQ; LUT selection correct") {
+    import graft.operators.AnnIndex
+    val (ann, persisted) = AnnIndex.fitPersistedCached(
+      e, TestSpark.sf, "embedding", "vec_id", k = 16, iters = 3)
+    val resModel = PqIndex.fitResidualCached(persisted, TestSpark.sf, "embedding", "vec_id", ann)
+    val resEnc = PqIndex.encodedResidualCached(persisted, TestSpark.sf, resModel, ann, "embedding")
+    val rawEnc = PqIndex.encodedCached(e, TestSpark.sf, model, "embedding")
+    // needed shortlist depth = worst ADC rank of any true top-10 member;
+    // averaged over queries, residual coding should not be worse than raw
+    def worstRank(qText: String): (Int, Int) = {
+      val q = HashEmbedder.embed(qText)
+      val exact = VectorStore(e, "embedding", Seq("vec_id"))
+        .searchByVector(q, 10).select("vec_id").as[Long].collect().toSet
+      val rawOrder = rawEnc
+        .withColumn("__d", PqIndex.adcDistance(model, $"__code", q))
+        .orderBy($"__d", $"vec_id").select("vec_id").as[Long].collect()
+      val resOrder = resEnc
+        .withColumn("__d", PqIndex.adcResidualDistance(resModel, ann, $"__code", $"cluster_id", q))
+        .orderBy($"__d", $"vec_id").select("vec_id").as[Long].collect()
+      (rawOrder.zipWithIndex.filter(p => exact(p._1)).map(_._2).max,
+        resOrder.zipWithIndex.filter(p => exact(p._1)).map(_._2).max)
+    }
+    val ranks = Seq("distributed vector search engine", "streaming joins",
+      "columnar database engines").map(worstRank)
+    val (rawAvg, resAvg) = (ranks.map(_._1).sum / 3.0, ranks.map(_._2).sum / 3.0)
+    info(s"avg worst needed rank: raw=$rawAvg residual=$resAvg")
+    assert(resAvg <= rawAvg * 1.5, s"residual coding much worse: $ranks")
+    // interpreted vs codegen parity of the residual ADC
+    val q = HashEmbedder.embed("residual parity")
+    val viaDf = resEnc.limit(5)
+      .select($"__code", $"cluster_id",
+        PqIndex.adcResidualDistance(resModel, ann, $"__code", $"cluster_id", q).as("d"))
+      .as[(Array[Byte], Int, Double)].collect()
+    viaDf.foreach { case (code, cid, d) =>
+      var expect = 0.0
+      val rq = q.indices.map(i => q(i) - ann.centroids(cid)(i).toFloat).toArray
+      for (mm <- 0 until resModel.m) {
+        val kk = code(mm) & 0xff
+        var acc = 0.0
+        for (j <- 0 until resModel.dsub) {
+          val t = rq(mm * resModel.dsub + j).toDouble - resModel.codebooks(mm)(kk)(j).toDouble
+          acc += t * t
+        }
+        expect += acc
+      }
+      assert(math.abs(d - expect) < 1e-9)
+    }
+  }
+
   test("SQ8: per-dim round-trip error bounded by scale/2; shortlist rerank exact") {
     import graft.operators.Sq8Index
     import org.apache.spark.sql.graft.Sq8Ops
