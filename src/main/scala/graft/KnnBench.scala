@@ -41,19 +41,19 @@ object KnnBench {
       println(f"[knnbench] $label%-28s n=$total sec=$s%.3f vps=${total/s}%.3g")
     }
 
-    val arr = stage("/root/repo/target/tmp/knn_arr.parquet", "snappy")(
+    val arr = stage(graft.operators.AnnIndex.tmpRoot + "/knn_arr.parquet", "snappy")(
       base.select(col("vec_id"), col("__c"), col("embedding")))
     time("array/snappy", arr, _.withColumn("d", cosine_distance(col("embedding"), qc)))
 
-    val p32 = stage("/root/repo/target/tmp/knn_p32.parquet", "snappy")(
+    val p32 = stage(graft.operators.AnnIndex.tmpRoot + "/knn_p32.parquet", "snappy")(
       base.select(col("vec_id"), col("__c"), vec_pack(col("embedding")).as("emb")))
     time("packed-fp32/snappy", p32, _.withColumn("d", cosine_distance_packed(col("emb"), qc)))
 
-    val p32u = stage("/root/repo/target/tmp/knn_p32u.parquet", "uncompressed")(
+    val p32u = stage(graft.operators.AnnIndex.tmpRoot + "/knn_p32u.parquet", "uncompressed")(
       base.select(col("vec_id"), col("__c"), vec_pack(col("embedding")).as("emb")))
     time("packed-fp32/uncompressed", p32u, _.withColumn("d", cosine_distance_packed(col("emb"), qc)))
 
-    val p16 = stage("/root/repo/target/tmp/knn_p16.parquet", "uncompressed")(
+    val p16 = stage(graft.operators.AnnIndex.tmpRoot + "/knn_p16.parquet", "uncompressed")(
       base.select(col("vec_id"), col("__c"), vec_pack_f16(col("embedding")).as("emb")))
     time("packed-fp16/uncompressed", p16, _.withColumn("d", cosine_distance_f16(col("emb"), qc)))
 
@@ -75,7 +75,7 @@ object KnnCeiling {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val big = spark.read.parquet("/root/repo/target/tmp/knn_p32u.parquet")
+    val big = spark.read.parquet(graft.operators.AnnIndex.tmpRoot + "/knn_p32u.parquet")
       .select("emb").cache()
     val total = big.count()
     val q = graft.functions.HashEmbedder.embed("throughput probe")

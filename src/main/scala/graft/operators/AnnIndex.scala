@@ -76,7 +76,11 @@ object AnnIndex {
     val normLit = array(centroids.map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
     val rowNorm = sqrt(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
       (s, j) => s + element_at(col(embCol), j + 1) * element_at(col(embCol), j + 1)))
-    val init = struct(lit(-1).as("idx"), lit(Double.MaxValue).as("d"))
+    // init idx 0, not -1: a row whose distance to every centroid is NaN
+    // (zero-norm or NaN-poisoned vector -> 0/0) never wins a comparison,
+    // and a -1 sentinel would escape into cluster_id, breaking the
+    // residual-PQ centroid/LUT lookups and the partition layout
+    val init = struct(lit(0).as("idx"), lit(Double.MaxValue).as("d"))
     val best = aggregate(
       sequence(lit(0), lit(centroids.length - 1)),
       init,

@@ -32,14 +32,19 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
   private def dataPath(t: String) = s"$root/$t/data"
   private def tombPath(t: String) = s"$root/$t/tombstones"
 
-  def create(table: String, df: DataFrame, version: Long): Unit = {
-    def rm(p: String): Unit = {
-      import java.nio.file._
-      import scala.jdk.CollectionConverters._
-      val pp = Paths.get(p)
-      if (Files.exists(pp))
-        Files.walk(pp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  /** Recursive delete; the walk stream is closed (try-with-resources). */
+  private def rm(p: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val pp = Paths.get(p)
+    if (Files.exists(pp)) {
+      val walk = Files.walk(pp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
+  }
+
+  def create(table: String, df: DataFrame, version: Long): Unit = {
     rm(s"$root/$table")
     df.withColumn("__v", lit(version)).write.mode("overwrite").parquet(dataPath(table))
   }
@@ -98,14 +103,19 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     */
   def compact(table: String, key: Seq[String], version: Long): Unit = {
     import java.nio.file._
-    import scala.jdk.CollectionConverters._
     val tmp = s"$root/$table/__compact_tmp"
+    val trash = s"$root/$table/__compact_trash"
     read(table, key).drop("__v").withColumn("__v", lit(version))
       .write.mode("overwrite").parquet(tmp)
-    def rm(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    rm(Paths.get(dataPath(table)))
-    rm(Paths.get(tombPath(table)))
+    // rename-swap: the old data dir is moved aside (recoverable) before
+    // the new one takes its place; a crash between the two renames leaves
+    // both __compact_tmp and __compact_trash intact for manual recovery.
+    // (A filesystem can't make the pair atomic; a production variant
+    // would use a manifest/_last_committed pointer instead.)
+    rm(trash)
+    Files.move(Paths.get(dataPath(table)), Paths.get(trash), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(dataPath(table)), StandardCopyOption.ATOMIC_MOVE)
+    rm(trash)
+    rm(tombPath(table))
   }
 }

@@ -15,6 +15,19 @@ object Sq8Index {
   final case class Model(mins: Array[Float], scales: Array[Float])
 
   private val models = new scala.collection.concurrent.TrieMap[String, Model]
+  private val encodedTables =
+    new scala.collection.concurrent.TrieMap[String, (DataFrame, Long)]
+
+  /** Memoized encoded table + its row count (the offline index build, as
+    * [[PqIndex.encodedCached]]); repeat queries reuse the cache instead of
+    * re-encoding and re-counting.
+    */
+  def encodedCached(df: DataFrame, cacheKey: String, model: Model,
+      embCol: String): (DataFrame, Long) =
+    encodedTables.getOrElseUpdate(cacheKey, {
+      val enc = df.withColumn("__sq", encode(model, col(embCol))).cache()
+      (enc, enc.count())
+    })
 
   /** Per-dimension bounds: posexplode + hash agg keyed by dim — partial
     * min/max combine map-side, so the shuffle is dim rows per partition

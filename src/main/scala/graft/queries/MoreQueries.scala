@@ -45,7 +45,7 @@ object MoreQueries {
     // ---- S5/S6/S8/S9 + W1: create/append/upsert-read/delete lifecycle --
     QueryDef("q63_upsert_delete", (s, dir) => {
       // fixed path (create() overwrites): bounded disk across driver rounds
-      val root = "/root/repo/target/tmp/catalog_q63"
+      val root = graft.operators.AnnIndex.tmpRoot + "/catalog_q63"
       val cat = Catalog(s, root)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("lang"), lit(1).as("version"))

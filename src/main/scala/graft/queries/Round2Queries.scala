@@ -334,8 +334,8 @@ object Round2Queries {
     QueryDef("q103_sq8_topk", (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val model = Sq8Index.fitCached(e, dir, "embedding")
-      val enc = e.withColumn("__sq", Sq8Index.encode(model, col("embedding")))
-      val cand = math.max(100L, e.count() / 10).toInt
+      val (enc, n) = Sq8Index.encodedCached(e, dir, model, "embedding")
+      val cand = math.max(100L, n / 10).toInt
       enc
         .withColumn("__d", Sq8Index.distance(model, col("__sq"), typedlit(qVec.toIndexedSeq)))
         .orderBy(col("__d"), col("vec_id")).limit(cand)
@@ -364,7 +364,7 @@ object Round2Queries {
         e, dir, "embedding", "vec_id", k = 16, iters = 3)
       val pq = PqIndex.fitResidualCached(persisted, dir, "embedding", "vec_id", annModel)
       val enc = PqIndex.encodedResidualCached(persisted, dir, pq, annModel, "embedding")
-      val cand = math.max(200L, e.count() / 4).toInt
+      val cand = math.max(200L, enc.count() / 4).toInt // enc is cached
       enc
         .withColumn("__d", PqIndex.adcResidualDistance(
           pq, annModel, col("__code"), col("cluster_id"), qVec))

@@ -122,6 +122,14 @@ object EventsStream {
             var cur = state.getOption
             times.foreach { t =>
               cur = cur match {
+                case Some(s) if t < s.start - gapMs =>
+                  // an out-of-order event a full gap BEFORE the open
+                  // session belongs to a past session; emit it as its own
+                  // singleton rather than silently bridging (only reachable
+                  // when gap < watermark delay)
+                  closed ::= ClosedSession(user,
+                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
+                  cur
                 case Some(s) if t - s.last <= gapMs =>
                   // out-of-order arrivals (t inside the watermark allowance
                   // but older than state) must never move the session end

@@ -65,7 +65,8 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
     s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(v)}L)"
 
   protected def genLoop(ctx: CodegenContext, ev: ExprCode,
-      finish: (String, String, String, String) => String): ExprCode =
+      finish: (String, String, String, String) => String,
+      needNy: Boolean = true): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val xa = ctx.freshName("xa"); val ya = ctx.freshName("ya")
@@ -82,10 +83,10 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
          |  final double $yi = (double) $ya[$i];
          |  $dot += $xi * $yi; $nx += $xi * $xi;
          |}
-         |for (int $i = 0; $i < $ya.length; $i++) {
+         |${if (needNy) s"""for (int $i = 0; $i < $ya.length; $i++) {
          |  final double $yi = (double) $ya[$i];
          |  $ny += $yi * $yi;
-         |}
+         |}""" else ""}
          |${ev.value} = ${finish(dot, nx, ny, ev.value.code)};
        """.stripMargin
     })
@@ -195,7 +196,7 @@ case class InnerProduct(left: Expression, right: Expression)
              |${ev.value} = $dot;
            """.stripMargin
         })
-      case None => genLoop(ctx, ev, (dot, _, _, _) => dot)
+      case None => genLoop(ctx, ev, (dot, _, _, _) => dot, needNy = false)
     }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
