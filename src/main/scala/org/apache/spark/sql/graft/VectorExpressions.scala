@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
   * matching the reference's ascending `dist` order
   * (`myscale_without_metadata.py:32-34`).
   */
+/** CONTRACT shared by every cosine-distance implementation — the folded
+  * loops are intentionally written out per storage layout (array here,
+  * packed fp32/f16 in [[PackedVectors.scala]], int8 in
+  * [[Sq8Expressions.scala]]), so any change to these rules must be
+  * mirrored in all of them (parity is spec-asserted in PackedVectorSpec /
+  * PqSpec / ExpressionSpec):
+  *   1. dot and |x| accumulate over the common prefix min(len(x), len(q));
+  *      |q| accumulates over q's FULL length (it is hoisted at codegen).
+  *   2. folded paths use 4 independent accumulator chains with the
+  *      (d0+d1)+(d2+d3) reduction; array and fp32-packed scans must stay
+  *      BIT-identical to each other.
+  *   3. interpreted eval mirrors the same |q| rule (sequential order).
+  */
 abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
