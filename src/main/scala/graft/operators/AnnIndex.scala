@@ -162,6 +162,23 @@ object AnnIndex {
     */
   def tmpRoot: String = sys.env.getOrElse("GRAFT_TMP_DIR", "/root/repo/target/tmp")
 
+  /** STREAMING index maintenance: assign arriving vectors to the FROZEN
+    * centroids and append them into the persisted partitioned index — the
+    * standard serving-index update pattern (centroids retrain offline;
+    * between retrains, inserts only need an assignment pass). Use from
+    * `foreachBatch`; each appended file lands under its `cluster_id=N/`
+    * partition dir, so probes keep pruning correctly as the index grows.
+    */
+  def appendAssigned(model: Model, batch: DataFrame, embCol: String,
+      indexPath: String): Unit =
+    withAssignment(batch, embCol, model.centroids)
+      .write.mode("append").partitionBy("cluster_id").parquet(indexPath)
+
+  /** The on-disk location fitPersistedCached used for these parameters. */
+  def persistedPath(dir: String, embCol: String, idCol: String,
+      k: Int, iters: Int): String =
+    s"$tmpRoot/ivf_" + s"$dir#$embCol#$idCol#$k#$iters".replaceAll("[^a-zA-Z0-9]", "_")
+
   def fitPersistedCached(df: DataFrame, dir: String, embCol: String,
       idCol: String, k: Int, iters: Int): (Model, DataFrame) = {
     // memo key carries every fit parameter: two callers with the same dir
@@ -169,7 +186,7 @@ object AnnIndex {
     val key = s"$dir#$embCol#$idCol#$k#$iters"
     val (model, path) = persistedIdx.getOrElseUpdate(key, {
       val (m, indexed) = fitCached(df, key, embCol, idCol, k, iters)
-      val p = s"$tmpRoot/ivf_" + key.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = persistedPath(dir, embCol, idCol, k, iters)
       indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(p)
       (m, p)
     })

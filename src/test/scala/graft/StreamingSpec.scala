@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashEmbedder
 import graft.streaming.EventsStream
 
 class StreamingSpec extends AnyFunSuite {
@@ -177,6 +178,48 @@ class StreamingSpec extends AnyFunSuite {
       val expected = Tables.events(spark, TestSpark.sf)
         .filter(col("user_id") =!= 1).count()
       assert(afterDelete === expected)
+    } finally q.stop()
+  }
+
+  test("streaming IVF maintenance: arriving vectors appended into partitioned index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{AnnIndex, VectorStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // freeze centroids on the existing corpus; stream in NEW vectors
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val (model, _) = AnnIndex.fitPersistedCached(e, TestSpark.sf, "embedding", "vec_id", 16, 3)
+    val idxPath = Files.createTempDirectory("graft-ivf-stream").toString + "/idx"
+    // seed the streaming index with the base corpus
+    AnnIndex.appendAssigned(model, e, "embedding", idxPath)
+    // new vectors arrive as micro-batches (deterministic: re-embedded text)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDS().toDF("vec_id", "embedding")
+      .withColumn("label", lit(99))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ivf-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.appendAssigned(model, batch, "embedding", idxPath)
+      }
+      .start()
+    try {
+      val newVecs = (0 until 20).map(i =>
+        (100000L + i, HashEmbedder.embed(s"streamed doc $i").toSeq))
+      ms.addData(newVecs.take(10): _*)
+      q.processAllAvailable()
+      ms.addData(newVecs.drop(10): _*)
+      q.processAllAvailable()
+      val grown = spark.read.parquet(idxPath)
+      assert(grown.count() === e.count() + 20)
+      // a probe against the grown index still finds the streamed vectors
+      val probe = HashEmbedder.embed("streamed doc 7")
+      val top = VectorStore(grown, "embedding", Seq("vec_id"))
+        .searchByVector(probe, 1).select("vec_id").as[Long].head()
+      assert(top === 100007L) // its own embedding is its nearest neighbor
+      // and partition layout still prunes: files live under cluster_id=N/
+      val dirs = new java.io.File(idxPath).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("cluster_id="))
+      assert(dirs.nonEmpty)
     } finally q.stop()
   }
 
