@@ -84,7 +84,11 @@ object Bench {
       val e = graft.Tables.embeddings(spark, sfDir)
       val n = e.count()
       val copies = math.max(1L, 2000000L / math.max(1L, n)).toInt
-      val path = graft.operators.AnnIndex.tmpRoot + "/knn_bench_packed.parquet"
+      // staging keyed by sfDir: the staged corpus depends on which SF it
+      // was replicated from, so a run at a different SF must not silently
+      // reuse the previous SF's file
+      val path = graft.operators.AnnIndex.tmpRoot +
+        s"/knn_bench_packed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}.parquet"
       if (!new java.io.File(path).exists()) {
         // uncompressed: random float bytes don't compress, and skipping
         // snappy decode is worth ~30% scan throughput (KnnBench sweep)
@@ -152,7 +156,8 @@ object Bench {
       val model = PqIndex.fitCached(e, sfDir, "embedding", "vec_id")
       val n = e.count()
       val copies = math.max(1L, 2000000L / math.max(1L, n)).toInt
-      val path = graft.operators.AnnIndex.tmpRoot + "/pq_bench.parquet"
+      val path = graft.operators.AnnIndex.tmpRoot +
+        s"/pq_bench_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}.parquet"
       if (!new java.io.File(path).exists()) {
         e.withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
           .select(col("vec_id"), col("__c"),

@@ -54,10 +54,20 @@ object Registry {
       "cosine_distance_packed(bin, q) - cosine distance over fp32-packed storage"),
     ("cosine_distance_f16", (e: Seq[Expression]) => CosineDistanceF16(e(0), e(1)),
       "cosine_distance_f16(bin, q) - cosine distance over fp16-packed storage"),
-    ("lsh_signature", (e: Seq[Expression]) =>
+    ("lsh_signature", (e: Seq[Expression]) => {
+      // optional 2nd arg = vector dimension (int literal). Without it a
+      // >64-d vector would silently hash only its first 64 coordinates
+      // (LshSignature truncates at min(len, dim)) — callers with wider
+      // embeddings must pass their dim explicitly.
+      val dim = if (e.length > 1) e(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"lsh_signature(vec, dim): dim must be an INT literal, got $other")
+      } else 64
       org.apache.spark.sql.graft.LshSignature(e.head,
-        org.apache.spark.sql.graft.LshSignature.planes(64), 64),
-      "lsh_signature(vec) - 64 hyperplane sign bits of a 64-d vector as one long"),
+        org.apache.spark.sql.graft.LshSignature.planes(dim), dim)
+    },
+      "lsh_signature(vec[, dim]) - 64 hyperplane sign bits over a dim-d vector (default 64) as one long"),
     ("cdc_chunks", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.CdcChunks(e.head, 16, 0x3f),
       "cdc_chunks(text) - content-defined chunk lengths (rolling hash, ~64 B target)"),

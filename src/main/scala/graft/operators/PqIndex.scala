@@ -41,10 +41,28 @@ object PqIndex {
     }
   }
 
+  /** SESSION-LIFETIME memos, never evicted: cached encoded tables pin
+    * executor memory for the JVM's life — the same residency contract a
+    * serving index has. Keys fold in every identity the cached value
+    * depends on (caller key + embedding column + model content hash /
+    * train parameters), so two callers reusing a key string with a
+    * different model or column can never alias a stale entry.
+    */
   private val models =
     new scala.collection.concurrent.TrieMap[String, Model]
   private val encoded =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
+
+  /** Content identity of a trained model (codebooks are KBs; hashing them
+    * is cheap next to any Spark job the memo guards).
+    */
+  private def modelId(model: Model): String =
+    (java.util.Arrays.hashCode(model.flat).toLong & 0xffffffffL).toString
+
+  /** Content identity of the IVF model a residual codec is trained against. */
+  private def annId(ann: AnnIndex.Model): String =
+    (java.util.Arrays.deepHashCode(
+      ann.centroids.asInstanceOf[Array[AnyRef]]).toLong & 0xffffffffL).toString
 
   /** Memoized encoded table (id, label?, embedding, __code), cached — the
     * encode pass is the offline index build; at scale it would persist
@@ -52,7 +70,7 @@ object PqIndex {
     */
   def encodedCached(df: DataFrame, cacheKey: String, model: Model,
       embCol: String): DataFrame =
-    encoded.getOrElseUpdate(cacheKey, {
+    encoded.getOrElseUpdate(s"$cacheKey#$embCol#${modelId(model)}", {
       val enc = df.withColumn("__code", encode(model, col(embCol))).cache()
       enc.count()
       enc
@@ -65,7 +83,7 @@ object PqIndex {
     */
   def fitCached(df: DataFrame, cacheKey: String, embCol: String, idCol: String,
       m: Int = 8, k: Int = 256, iters: Int = 5, sampleN: Int = 2000): Model =
-    models.getOrElseUpdate(cacheKey, {
+    models.getOrElseUpdate(s"$cacheKey#$embCol#$idCol#$m#$k#$iters#$sampleN", {
       val sample = df.orderBy(col(idCol)).limit(sampleN)
         .select(embCol).collect()
         .map(_.getSeq[Float](0).toArray)
@@ -132,7 +150,8 @@ object PqIndex {
   def fitResidualCached(indexed: DataFrame, cacheKey: String, embCol: String,
       idCol: String, ann: AnnIndex.Model,
       m: Int = 8, k: Int = 256, iters: Int = 5, sampleN: Int = 2000): Model =
-    models.getOrElseUpdate(cacheKey + "#residual", {
+    models.getOrElseUpdate(
+      s"$cacheKey#$embCol#$idCol#$m#$k#$iters#$sampleN#residual#${annId(ann)}", {
       val sample = indexed.orderBy(col(idCol)).limit(sampleN)
         .select(col(embCol), col("cluster_id")).collect()
         .map { r =>
@@ -146,7 +165,8 @@ object PqIndex {
   /** Memoized residual-encoded table over an IVF-indexed input. */
   def encodedResidualCached(indexed: DataFrame, cacheKey: String, model: Model,
       ann: AnnIndex.Model, embCol: String): DataFrame =
-    encoded.getOrElseUpdate(cacheKey + "#residual", {
+    encoded.getOrElseUpdate(
+      s"$cacheKey#$embCol#${modelId(model)}#residual#${annId(ann)}", {
       val enc = indexed.withColumn("__code",
         encode(model, residualCol(ann, col(embCol), col("cluster_id")))).cache()
       enc.count()

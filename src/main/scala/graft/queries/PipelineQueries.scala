@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import org.apache.spark.sql.graft.VectorFunctions.cosine_distance
+import org.apache.spark.sql.graft.VectorFunctions.{cosine_distance, inner_product}
 import org.apache.spark.sql.graft.GraftColumns.{simhash64, simhash_poly}
 
 /** LLM-training-data pipeline operators over `documents`/`embeddings`
@@ -341,12 +341,19 @@ object PipelineQueries {
       FROM v WHERE ham <= 8 ORDER BY i, j""")),
 
     // ---- embedding-cosine near-dup (exact quadratic baseline) ----------
+    // Norms are precomputed ONCE PER ROW before the pair join (they sit in
+    // a Project under the join, which CollapseProject cannot merge through)
+    // so the O(n^2) inner loop runs one dot product instead of dot + both
+    // norms — the pair count is the oracle's cost, the per-pair flops need
+    // not be 3x it.
     QueryDef("q47_embed_neardup", (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(inner_product(col("embedding"), col("embedding"))).as("nrm"))
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("i") < col("j"))
-        .withColumn("sim", lit(1.0) - cosine_distance(col("ea"), col("eb")))
+        .withColumn("sim", inner_product(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.40)
         .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
         .orderBy("i", "j")

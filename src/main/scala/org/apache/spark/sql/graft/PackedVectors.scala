@@ -17,9 +17,10 @@ import org.apache.spark.unsafe.Platform
   *   - fp32 packed: `vec_pack(array<float>) -> binary` (4 B/elt, native
   *     order). LOSSLESS — `cosine_distance_packed` over it produces
   *     bit-identical doubles to [[CosineDistance]] over the array column.
-  *   - fp16 packed: `vec_pack_f16 -> binary` (2 B/elt, IEEE 754 half,
-  *     round-to-nearest-even). Halves scan bytes again at a ≤2^-11 relative
-  *     quantization error — the same trade the reference ships by default.
+  *   - fp16 packed: `vec_pack_f16 -> binary` (2 B/elt, IEEE 754 half
+  *     layout, round-half-up with saturation — see [[F16.floatToHalf]]).
+  *     Halves scan bytes again at a ≤2^-11 relative quantization error —
+  *     the same trade the reference ships by default.
   *
   * Why packing matters at 100 TB: parquet stores `array<float>` as a
   * repeated-group LIST — per-element definition/repetition levels and a
@@ -32,8 +33,13 @@ import org.apache.spark.unsafe.Platform
   */
 object F16 {
 
-  /** float -> IEEE 754 binary16 bits, round-to-nearest-even (standard
-    * public bit algorithm; preserves NaN/Inf, flushes |x|<2^-24 to ±0).
+  /** float -> IEEE 754 binary16 bits. Rounding is HALF-UP (+half-ulp then
+    * truncate), not IEEE round-to-nearest-even, and finite values that RNE
+    * would overflow to ±Inf saturate to the max finite half ±65504 (e.g.
+    * 65520f -> 65504). Exact NaN/Inf inputs are preserved; |x| below the
+    * smallest subnormal half flushes to ±0. For unit-norm embedding
+    * coordinates (|x| <= 1) the half-up-vs-RNE difference is at most one
+    * ulp on exact ties — well inside the 2^-11 budget q92 gates.
     */
   def floatToHalf(f: Float): Short = {
     val fbits = java.lang.Float.floatToIntBits(f)
@@ -247,33 +253,13 @@ abstract class PackedDistanceExpression extends BinaryExpression with ImplicitCa
   /** Name of the static decoder in [[PackedOps]] for the generic path. */
   protected def decodeFn: String
 
-  /** Generic codegen (non-literal query): decode then the standard cosine
-    * loop — same accumulation order as the interpreted path.
+  /** Generic codegen (non-literal query): decode then the canonical
+    * kernel — bit-identical to the interpreted path by construction.
     */
   protected def genGeneric(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n"); val j = ctx.freshName("i")
-      val xa = ctx.freshName("xa"); val ya = ctx.freshName("ya")
-      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      s"""
-         |final float[] $xa = org.apache.spark.sql.graft.PackedOps.$decodeFn($x);
-         |final float[] $ya = $y.toFloatArray();
-         |final int $n = java.lang.Math.min($xa.length, $ya.length);
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $j = 0; $j < $n; $j++) {
-         |  final double $xi = (double) $xa[$j];
-         |  final double $yi = (double) $ya[$j];
-         |  $dot += $xi * $yi; $nx += $xi * $xi;
-         |}
-         |for (int $j = 0; $j < $ya.length; $j++) {
-         |  final double $yi = (double) $ya[$j];
-         |  $ny += $yi * $yi;
-         |}
-         |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.cosine(" +
+        s"org.apache.spark.sql.graft.PackedOps.$decodeFn($x), $y.toFloatArray());")
 
   protected def dbl(v: Double): String =
     s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(v)}L)"
@@ -288,31 +274,16 @@ case class CosineDistancePacked(left: Expression, right: Expression)
   override protected def decode(b: Array[Byte]): Array[Float] = PackedOps.unpack(b)
   override protected def decodeFn: String = "unpack"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = decode(a.asInstanceOf[Array[Byte]])
-    val y = b.asInstanceOf[ArrayData]
-    // mismatched lengths: |y| over its FULL length, matching the hoisted-
-    // norm codegen path (see VectorBinaryExpression.compute)
-    val n = math.min(x.length, y.numElements())
-    var dot = 0.0; var nx = 0.0; var i = 0
-    while (i < n) {
-      val xi = x(i).toDouble; val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; i += 1
-    }
-    var ny = 0.0
-    val m = y.numElements()
-    i = 0
-    while (i < m) { val yi = y.getFloat(i).toDouble; ny += yi * yi; i += 1 }
-    1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    // canonical kernel: 4-chain over the common prefix, |y| (full length)
+    // in the same order the folded loop hoists — all paths bit-identical
+    VectorKernels.cosine(decode(a.asInstanceOf[Array[Byte]]),
+      b.asInstanceOf[ArrayData].toFloatArray)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     queryVec(ctx) match {
       case Some((qv, arr)) =>
-        var qn2 = 0.0
-        var i = 0
-        while (i < arr.length) { val y = arr(i).toDouble; qn2 += y * y; i += 1 }
-        val qnorm = math.sqrt(qn2)
+        val qnorm = math.sqrt(VectorKernels.norm2(arr))
         nullSafeCodeGen(ctx, ev, (x, _) => {
           // Walk the byte[] in place (no per-row copy), 4 independent
           // accumulator chains: the plain loop is LATENCY-bound on the
@@ -365,45 +336,49 @@ case class CosineDistanceF16(left: Expression, right: Expression)
   override protected def decode(b: Array[Byte]): Array[Float] = PackedOps.unpackF16(b)
   override protected def decodeFn: String = "unpackF16"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = decode(a.asInstanceOf[Array[Byte]])
-    val y = b.asInstanceOf[ArrayData]
-    // mismatched lengths: |y| over its FULL length, matching the hoisted-
-    // norm codegen path (see VectorBinaryExpression.compute)
-    val n = math.min(x.length, y.numElements())
-    var dot = 0.0; var nx = 0.0; var i = 0
-    while (i < n) {
-      val xi = x(i).toDouble; val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; i += 1
-    }
-    var ny = 0.0
-    val m = y.numElements()
-    i = 0
-    while (i < m) { val yi = y.getFloat(i).toDouble; ny += yi * yi; i += 1 }
-    1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(decode(a.asInstanceOf[Array[Byte]]),
+      b.asInstanceOf[ArrayData].toFloatArray)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     queryVec(ctx) match {
       case Some((qv, arr)) =>
-        var qn2 = 0.0
-        var i = 0
-        while (i < arr.length) { val y = arr(i).toDouble; qn2 += y * y; i += 1 }
-        val qnorm = math.sqrt(qn2)
+        val qnorm = math.sqrt(VectorKernels.norm2(arr))
         val tab = ctx.addReferenceObj("graftF16Table", F16.table, "float[]")
         nullSafeCodeGen(ctx, ev, (x, _) => {
+          // decode via table lookup, then the same 4-chain order as every
+          // other cosine path (see VectorKernels contract)
           val n = ctx.freshName("n"); val j = ctx.freshName("i")
-          val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
-          val xi = ctx.freshName("xi"); val off = ctx.freshName("off")
+          val k = ctx.freshName("k"); val off = ctx.freshName("off")
+          val d = (0 to 3).map(i => ctx.freshName(s"dot$i"))
+          val m = (0 to 3).map(i => ctx.freshName(s"nx$i"))
+          val xs = (0 to 3).map(i => ctx.freshName(s"x$i"))
+          def ld(o: String) =
+            s"(double) $tab[org.apache.spark.unsafe.Platform.getShort($x, $off + 2L * $j$o) & 0xffff]"
           s"""
              |final int $n = java.lang.Math.min($x.length >> 1, $qv.length);
              |final long $off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET;
-             |double $dot = 0.0; double $nx = 0.0;
-             |for (int $j = 0; $j < $n; $j++) {
-             |  final double $xi = (double) $tab[org.apache.spark.unsafe.Platform.getShort($x, $off + 2L * $j) & 0xffff];
-             |  $dot += $xi * (double) $qv[$j]; $nx += $xi * $xi;
+             |double ${d(0)} = 0.0, ${d(1)} = 0.0, ${d(2)} = 0.0, ${d(3)} = 0.0;
+             |double ${m(0)} = 0.0, ${m(1)} = 0.0, ${m(2)} = 0.0, ${m(3)} = 0.0;
+             |final int $k = $n & ~3;
+             |int $j = 0;
+             |for (; $j < $k; $j += 4) {
+             |  final double ${xs(0)} = ${ld("")};
+             |  final double ${xs(1)} = ${ld(" + 2L")};
+             |  final double ${xs(2)} = ${ld(" + 4L")};
+             |  final double ${xs(3)} = ${ld(" + 6L")};
+             |  ${d(0)} += ${xs(0)} * (double) $qv[$j];     ${m(0)} += ${xs(0)} * ${xs(0)};
+             |  ${d(1)} += ${xs(1)} * (double) $qv[$j + 1]; ${m(1)} += ${xs(1)} * ${xs(1)};
+             |  ${d(2)} += ${xs(2)} * (double) $qv[$j + 2]; ${m(2)} += ${xs(2)} * ${xs(2)};
+             |  ${d(3)} += ${xs(3)} * (double) $qv[$j + 3]; ${m(3)} += ${xs(3)} * ${xs(3)};
              |}
-             |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($nx) * ${dbl(qnorm)});
+             |for (; $j < $n; $j++) {
+             |  final double ${xs(0)} = ${ld("")};
+             |  ${d(0)} += ${xs(0)} * (double) $qv[$j]; ${m(0)} += ${xs(0)} * ${xs(0)};
+             |}
+             |final double ${d.head}T = (${d(0)} + ${d(1)}) + (${d(2)} + ${d(3)});
+             |final double ${m.head}T = (${m(0)} + ${m(1)}) + (${m(2)} + ${m(3)});
+             |${ev.value} = 1.0 - ${d.head}T / (java.lang.Math.sqrt(${m.head}T) * ${dbl(qnorm)});
            """.stripMargin
         })
       case None => genGeneric(ctx, ev)

@@ -31,11 +31,65 @@ import org.apache.spark.sql.types._
   * PqSpec / ExpressionSpec):
   *   1. dot and |x| accumulate over the common prefix min(len(x), len(q));
   *      |q| accumulates over q's FULL length (it is hoisted at codegen).
-  *   2. folded paths use 4 independent accumulator chains with the
-  *      (d0+d1)+(d2+d3) reduction; array and fp32-packed scans must stay
-  *      BIT-identical to each other.
-  *   3. interpreted eval mirrors the same |q| rule (sequential order).
+  *   2. EVERY path — interpreted eval, generic codegen, folded codegen,
+  *      across the array / fp32-packed / f16 layouts — accumulates in 4
+  *      independent chains with the (d0+d1)+(d2+d3) reduction (tail
+  *      elements into chain 0), the canonical order defined once in
+  *      [[VectorKernels]]. Interpreted and generic-codegen paths CALL the
+  *      kernel; folded loops inline the same order and hoist the query
+  *      norm via [[VectorKernels.norm2]]. Consequence: an expression
+  *      falling back to interpreted eval (codegen compile failure,
+  *      CODEGEN_FACTORY_MODE=NO_CODEGEN) returns bit-identical doubles to
+  *      the codegen'd plan — near-tied top-k order cannot depend on the
+  *      execution mode (asserted in ExpressionSpec).
   */
+
+/** The ONE canonical accumulation order for cosine distance (see contract
+  * above). Static forwarders make these callable from generated Java.
+  */
+object VectorKernels {
+  /** Σy² in the canonical 4-chain order over y's full length. */
+  def norm2(y: Array[Float]): Double = {
+    var n0 = 0.0; var n1 = 0.0; var n2 = 0.0; var n3 = 0.0
+    val k = y.length & ~3
+    var i = 0
+    while (i < k) {
+      val y0 = y(i).toDouble; val y1 = y(i + 1).toDouble
+      val y2 = y(i + 2).toDouble; val y3 = y(i + 3).toDouble
+      n0 += y0 * y0; n1 += y1 * y1; n2 += y2 * y2; n3 += y3 * y3
+      i += 4
+    }
+    while (i < y.length) { val y0 = y(i).toDouble; n0 += y0 * y0; i += 1 }
+    (n0 + n1) + (n2 + n3)
+  }
+
+  /** Cosine distance: dot/|x|² 4-chain over the common prefix, |y|² =
+    * norm2(y) over y's full length.
+    */
+  def cosine(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+    var m0 = 0.0; var m1 = 0.0; var m2 = 0.0; var m3 = 0.0
+    val k = n & ~3
+    var i = 0
+    while (i < k) {
+      val x0 = x(i).toDouble; val x1 = x(i + 1).toDouble
+      val x2 = x(i + 2).toDouble; val x3 = x(i + 3).toDouble
+      d0 += x0 * y(i).toDouble;     m0 += x0 * x0
+      d1 += x1 * y(i + 1).toDouble; m1 += x1 * x1
+      d2 += x2 * y(i + 2).toDouble; m2 += x2 * x2
+      d3 += x3 * y(i + 3).toDouble; m3 += x3 * x3
+      i += 4
+    }
+    while (i < n) {
+      val x0 = x(i).toDouble
+      d0 += x0 * y(i).toDouble; m0 += x0 * x0; i += 1
+    }
+    val dot = (d0 + d1) + (d2 + d3)
+    val nx = (m0 + m1) + (m2 + m3)
+    1.0 - dot / (math.sqrt(nx) * math.sqrt(norm2(y)))
+  }
+}
 abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -110,36 +164,23 @@ case class CosineDistance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "cosine_distance"
 
-  /** Semantics for (ill-formed) length-mismatched inputs: dot and |x| run
-    * over the common prefix, |y| over y's FULL length — the same contract
-    * the folded-codegen path implements (the hoisted query norm is
-    * necessarily length-independent), so eval and codegen always agree.
+  /** Interpreted eval = the canonical kernel (see VectorKernels): dot and
+    * |x| over the common prefix, |y| over y's FULL length, 4-chain order —
+    * bit-identical to both codegen paths by construction.
     */
-  override protected def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; i += 1
-    }
-    var ny = 0.0
-    val m = y.numElements()
-    i = 0
-    while (i < m) { val yi = y.getFloat(i).toDouble; ny += yi * yi; i += 1 }
-    1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override protected def compute(x: ArrayData, y: ArrayData): Double =
+    VectorKernels.cosine(x.toFloatArray, y.toFloatArray)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     foldedQuery(ctx) match {
       case Some((qv, arr)) =>
         // ny = Σ y_i² precomputed once (the per-row ny chain was half the
-        // loop's work). 4 independent accumulator chains — the same order
-        // as CosineDistancePacked's folded loop, so packed and array scans
-        // stay BIT-identical to each other (asserted in PackedVectorSpec).
-        var qn2 = 0.0
-        var i = 0
-        while (i < arr.length) { val y = arr(i).toDouble; qn2 += y * y; i += 1 }
-        val qnorm = math.sqrt(qn2)
+        // loop's work), in the kernel's 4-chain order. The inlined loop
+        // below matches VectorKernels.cosine exactly, so folded codegen,
+        // interpreted eval, and CosineDistancePacked's folded loop all
+        // produce BIT-identical doubles (asserted in PackedVectorSpec /
+        // ExpressionSpec).
+        val qnorm = math.sqrt(VectorKernels.norm2(arr))
         nullSafeCodeGen(ctx, ev, (x, _) => {
           val n = ctx.freshName("n"); val j = ctx.freshName("i")
           val k = ctx.freshName("k"); val xa = ctx.freshName("xa")
@@ -173,8 +214,11 @@ case class CosineDistance(left: Expression, right: Expression)
            """.stripMargin
         })
       case None =>
-        genLoop(ctx, ev, (dot, nx, ny, _) =>
-          s"1.0 - $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))")
+        // non-foldable query (col-col case): delegate to the canonical
+        // kernel — same code the interpreted path runs, parity for free
+        nullSafeCodeGen(ctx, ev, (x, y) =>
+          s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.cosine(" +
+            s"$x.toFloatArray(), $y.toFloatArray());")
     }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

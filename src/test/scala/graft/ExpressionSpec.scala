@@ -140,4 +140,64 @@ class ExpressionSpec extends AnyFunSuite {
     assert(ham(hs(0), hs(1)) <= 8)
     assert(ham(hs(0), hs(2)) > 12)
   }
+
+  // The VectorKernels contract: interpreted eval, generic codegen, and the
+  // folded (hoisted-query) codegen all reduce in the SAME 4-chain order, so
+  // a plan falling back to interpreted eval (codegen compile failure or
+  // CODEGEN_FACTORY_MODE=NO_CODEGEN) returns bit-identical doubles — the
+  // top-k order of near-tied neighbors cannot depend on the execution mode.
+  test("cosine paths are BIT-identical: interpreted == folded codegen == packed") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graft.{CosineDistance, PackedOps, VectorKernels}
+    import org.apache.spark.sql.graft.PackedVectorFunctions._
+    import org.apache.spark.sql.types._
+    val q = HashEmbedder.embed("parity probe")
+    val rows = Tables.embeddings(spark, TestSpark.sf).limit(64)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    // folded codegen over the array layout (typedlit query -> hoisted)
+    val viaCodegen = Tables.embeddings(spark, TestSpark.sf).limit(64)
+      .select(cosine_distance($"embedding", typedlit(q.toIndexedSeq)))
+      .as[Double].collect()
+    // folded codegen over the packed layout
+    val viaPacked = Tables.embeddings(spark, TestSpark.sf).limit(64)
+      .select(cosine_distance_packed(vec_pack($"embedding"), typedlit(q.toIndexedSeq)))
+      .as[Double].collect()
+    // interpreted eval (Literal children -> nullSafeEval, no codegen at all)
+    val viaInterp = rows.map { v =>
+      CosineDistance(
+        Literal.create(new GenericArrayData(v), ArrayType(FloatType)),
+        Literal.create(new GenericArrayData(q), ArrayType(FloatType)))
+        .eval(null).asInstanceOf[Double]
+    }
+    // the kernel itself (what the generic codegen path calls)
+    val viaKernel = rows.map(v => VectorKernels.cosine(v, q))
+    assert(viaCodegen.toSeq == viaInterp.toSeq)
+    assert(viaCodegen.toSeq == viaKernel.toSeq)
+    assert(viaCodegen.toSeq == viaPacked.toSeq)
+    // packed interpreted too (CosineDistancePacked.nullSafeEval)
+    val viaPackedInterp = rows.map { v =>
+      import org.apache.spark.sql.graft.CosineDistancePacked
+      CosineDistancePacked(
+        Literal.create(PackedOps.pack(new GenericArrayData(v)), BinaryType),
+        Literal.create(new GenericArrayData(q), ArrayType(FloatType)))
+        .eval(null).asInstanceOf[Double]
+    }
+    assert(viaPackedInterp.toSeq == viaCodegen.toSeq)
+  }
+
+  test("lsh_signature SQL fn accepts an explicit dim argument") {
+    val wide = (0 until 128).map(i => (i % 7 - 3).toFloat)
+    val df = Seq(wide).toDF("v")
+    df.createOrReplaceTempView("lsh_dim_probe")
+    val s64 = spark.sql("SELECT lsh_signature(v) FROM lsh_dim_probe").as[Long].head()
+    val s128 = spark.sql("SELECT lsh_signature(v, 128) FROM lsh_dim_probe").as[Long].head()
+    // 128-d planes see all coordinates; the default-64 call truncates, so
+    // the signatures must come from different projections
+    val ref = org.apache.spark.sql.graft.LshSignature
+      .lsh_signature($"v", 128)
+    val viaApi = df.select(ref).as[Long].head()
+    assert(s128 == viaApi)
+    assert(s64 != s128)
+  }
 }
