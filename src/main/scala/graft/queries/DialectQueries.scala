@@ -23,6 +23,9 @@ object DialectQueries {
         graft.Tables.embeddings(s, dir), dir, "embedding", "vec_id", k = 16, iters = 3)
       indexed.createOrReplaceTempView("indexed_embeddings")
       s.conf.set("spark.graft.ann.enabled", "true")
+      // explicit: q105 (the full-probe exact twin) sets nprobe=16 on the
+      // same session conf; this query must not inherit it
+      s.conf.set("spark.graft.ann.nprobe", "4")
       s.sql(s"""
         SELECT vec_id, label,
                round(distance(embedding, NeuralArray('$annQueryText')), 6) AS dist
