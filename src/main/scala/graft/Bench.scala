@@ -148,6 +148,33 @@ object Bench {
           .map { case (np, r) => s"$np:${math.rint(r * 100) / 100}" }.mkString(","))
     } catch { case _: Throwable => (-1.0, "") }
 
+    // The OPERATING POINT (BASELINE.md ANN budget: recall@10 >= 0.95 at
+    // >= 10x scan reduction) on the deterministic planted-cluster corpus —
+    // real embedding corpora are clustered; the uniform curve above is the
+    // honest worst-case ceiling. Scan fraction is MEASURED rows probed /
+    // corpus rows, not nominal nprobe/k.
+    val (annCRecall, annCFrac) = try {
+      val n = 20000L; val c = 64; val nprobe = 5
+      val corpus = graft.ClusteredCorpus.df(spark, n, c).cache()
+      corpus.count()
+      val (model, indexed) = graft.operators.AnnIndex.fitCached(
+        corpus, "#bench-ivf-clustered", "embedding", "vec_id", k = c, iters = 3)
+      val rs = (0 until 5).map { t =>
+        val q = graft.ClusteredCorpus.query(t)
+        val exact = graft.operators.VectorStore(corpus, "embedding", Seq("vec_id"))
+          .searchByVector(q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+        val probed = model.nearest(q, nprobe)
+        val scanned = indexed.filter(
+          org.apache.spark.sql.functions.col("cluster_id").isin(probed: _*))
+          .count().toDouble / n
+        val ann = graft.operators.AnnIndex.query(
+            indexed, model, "embedding", "vec_id", q, k = 10, nprobe = nprobe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (ann.intersect(exact).size / 10.0, scanned)
+      }
+      (rs.map(_._1).sum / rs.size, rs.map(_._2).max)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     // PQ ADC scan throughput: 2M 8-byte codes, per-row cost = 8 LUT adds.
     val pqVps = try {
       import org.apache.spark.sql.functions._
@@ -207,7 +234,7 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

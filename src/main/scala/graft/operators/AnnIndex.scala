@@ -97,15 +97,60 @@ object AnnIndex {
       .drop("__row_norm")
   }
 
-  /** Train k-means (Lloyd's) with deterministic init: the k vectors with
-    * the smallest ids. Returns the model and the indexed table
-    * (input + `cluster_id`).
+  /** Deterministic k-means++-style seeding over a driver-side sample:
+    * first centroid = the lowest-id vector, each next = the sample point
+    * with the LARGEST min-distance to the seeds so far (the argmax variant
+    * of Arthur & Vassilvitskii SODA'07's D²-sampling; a.k.a. farthest-
+    * point / Gonzalez k-center init — fully deterministic, no RNG). On
+    * data with real cluster structure this provably covers every
+    * well-separated cluster before placing a second seed inside any one
+    * of them — exactly what the old first-k-by-id init failed to do, and
+    * the root of round 2's recall-per-probe gap.
+    *
+    * Sample-based seeding is the standard scalable compromise (k-means||
+    * is the fully distributed variant); the sample is k*8 capped at 8192 —
+    * centroid-count-proportional, KBs to MBs on the driver.
+    */
+  private def seedFarthest(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val kEff = math.min(k, sample.length)
+    val chosen = new Array[Array[Double]](kEff)
+    chosen(0) = sample(0)
+    val dmin = sample.map(v => cosineDist(v, chosen(0)))
+    var c = 1
+    while (c < kEff) {
+      var best = 0; var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < sample.length) {
+        // NaN-poisoned rows (zero-norm vectors) never win: NaN > x is false
+        if (dmin(i) > bestD) { bestD = dmin(i); best = i }
+        i += 1
+      }
+      chosen(c) = sample(best)
+      i = 0
+      while (i < sample.length) {
+        val d = cosineDist(sample(i), chosen(c))
+        if (d < dmin(i)) dmin(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    chosen
+  }
+
+  /** Train k-means (Lloyd's, distributed) with deterministic k-means++
+    * seeding from a driver-side sample. Returns the model and the indexed
+    * table (input + `cluster_id`). Serving guidance at scale: size k to
+    * the target cluster granularity (k ≈ N / 1k–4k rows per cluster), not
+    * √N — recall per probe depends on clusters matching the data's real
+    * structure, and too-few centroids force wide probes.
     */
   def fit(dfIn: DataFrame, embCol: String, idCol: String, k: Int, iters: Int): (Model, DataFrame) = {
     val df = dfIn.cache() // scanned iters+1 times during Lloyd's
-    var centroids: Array[Array[Double]] =
-      df.orderBy(col(idCol)).limit(k).select(embCol).collect()
+    val sampleN = math.min(8192, math.max(k * 8, 256))
+    val sample: Array[Array[Double]] =
+      df.orderBy(col(idCol)).limit(sampleN).select(embCol).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids: Array[Array[Double]] = seedFarthest(sample, k)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = withAssignment(df, embCol, centroids)

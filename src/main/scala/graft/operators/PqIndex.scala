@@ -204,6 +204,16 @@ object PqIndex {
   /** ADC top-`candidates` + exact re-rank to top-`k`: the standard PQ
     * serving pattern — the byte codes absorb the scan, the exact metric
     * touches only the shortlist.
+    *
+    * Sizing `candidates` (the serving config): on clustered data — i.e.
+    * real embedding corpora — a FIXED small C suffices and is independent
+    * of corpus size (AnnRecallSpec gates recall@10 >= 0.95 at C = 200 on
+    * the planted-cluster corpus; at 100 TB the re-rank stays a constant
+    * few hundred rows per query). The C = N/4 scaling in q99/q102/q104 is
+    * NOT a serving recommendation: those queries gate EXACTNESS on the
+    * uniform-random worst case, where ADC ranks are noisy by construction
+    * and the shortlist must grow with N to contain the true top-k with
+    * certainty.
     */
   def search(model: Model, encoded: DataFrame, embCol: String, idCol: String,
       query: Array[Float], k: Int, candidates: Int): DataFrame = {
