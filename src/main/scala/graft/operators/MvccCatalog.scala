@@ -44,26 +44,44 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** COMMIT CONTRACT (exactly-once sink semantics): one commit = one
+    * version, and committing a version that already exists REPLACES it.
+    * Data lives partitioned by `__v`, so an append is a dynamic-partition
+    * overwrite of exactly its own `__v=N` directory — re-running the same
+    * commit (a Structured Streaming `foreachBatch` replay after failure,
+    * with version derived from batchId) rewrites the same directory to the
+    * same contents instead of duplicating rows. This is the standard
+    * idempotent-sink pattern that upgrades foreachBatch's at-least-once
+    * delivery to exactly-once (replay-tested in StreamingSpec). Bonus at
+    * scale: `asOf` snapshot filters become partition prunes.
+    */
   def create(table: String, df: DataFrame, version: Long): Unit = {
     rm(s"$root/$table")
-    df.withColumn("__v", lit(version)).write.mode("overwrite").parquet(dataPath(table))
+    df.withColumn("__v", lit(version)).write.mode("overwrite")
+      .partitionBy("__v").parquet(dataPath(table))
   }
 
   def append(table: String, df: DataFrame, version: Long): Unit =
-    df.withColumn("__v", lit(version)).write.mode("append").parquet(dataPath(table))
+    df.withColumn("__v", lit(version)).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__v").parquet(dataPath(table))
 
   private def tombstones(table: String): Option[DataFrame] =
     Try(spark.read.parquet(tombPath(table))).toOption
 
   /** DELETE WHERE cond, committed at `version`: materializes only the
-    * matched keys (evaluated against the pre-delete snapshot).
+    * matched keys (evaluated against the pre-delete snapshot). Same
+    * replace-on-replay contract as append: tombstones are partitioned by
+    * their deleting version.
     */
   def deleteWhere(table: String, cond: Column, key: Seq[String], version: Long): Unit = {
     val doomed = read(table, key, asOf = Some(version - 1))
       .filter(cond)
       .select(key.map(col): _*).distinct()
       .withColumn("__tv", lit(version))
-    doomed.write.mode("append").parquet(tombPath(table))
+    doomed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__tv").parquet(tombPath(table))
   }
 
   /** Snapshot read: latest when `asOf` is None, else the table as of that
@@ -86,12 +104,16 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
       .drop("__rn")
   }
 
-  /** Current committed version (max over data + tombstones); 0 if empty. */
+  /** Current committed version (max over data + tombstones); 0 if empty.
+    * `__v`/`__tv` are partition columns now, so their read-back type
+    * follows partition inference (int for small values) — cast before
+    * extracting.
+    */
   def currentVersion(table: String): Long = {
     val dv = Try(spark.read.parquet(dataPath(table))
-      .agg(max("__v")).head().getLong(0)).getOrElse(0L)
+      .agg(max(col("__v")).cast("long")).head().getLong(0)).getOrElse(0L)
     val tv = tombstones(table)
-      .flatMap(t => Try(t.agg(max("__tv")).head().getLong(0)).toOption)
+      .flatMap(t => Try(t.agg(max(col("__tv")).cast("long")).head().getLong(0)).toOption)
       .getOrElse(0L)
     math.max(dv, tv)
   }
@@ -106,7 +128,7 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     val tmp = s"$root/$table/__compact_tmp"
     val trash = s"$root/$table/__compact_trash"
     read(table, key).drop("__v").withColumn("__v", lit(version))
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").partitionBy("__v").parquet(tmp)
     // rename-swap: the old data dir is moved aside (recoverable) before
     // the new one takes its place; a crash between the two renames leaves
     // both __compact_tmp and __compact_trash intact for manual recovery.

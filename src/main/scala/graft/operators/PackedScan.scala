@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import org.apache.spark.sql.graft.VectorKernels
+
+/** MEMOIZED IN-MEMORY PACKED RELATION — the repeated-query serving path
+  * for exact k-NN.
+  *
+  * The parquet scan path (q20/q91) is the right plan for a first query:
+  * one pass, zero exchanges, TakeOrderedAndProject. But a SERVING workload
+  * re-scans the same corpus per query, and there the bottleneck is not
+  * the distance kernel (a cached tight loop sustains ~34 M vectors/s on
+  * 32 threads — KnnBench ceiling probe) but parquet re-decode and per-row
+  * UnsafeRow materialization. This operator removes both: each partition
+  * is pinned as ONE contiguous float[] (dim-strided) plus a long[] of
+  * ids, persisted MEMORY_ONLY as plain JVM arrays, and a query is one
+  * `runJob` that walks the block with [[VectorKernels.cosineStrided]]
+  * into a bounded per-partition top-k, merged on the driver.
+  *
+  * This is the same structure a 1000-executor serving tier would hold:
+  * hot partitions pinned executor-side, queries scatter-gather per-
+  * partition top-k (the scatter-gather shape MyScale's distributed MSTG
+  * queries have; the reference delegates it wholesale,
+  * `app/backend/vector_store/myscale_without_metadata.py:28-36`).
+  *
+  * Results are BIT-identical to the DataFrame scans: cosineStrided
+  * reduces in the canonical VectorKernels order, and ties break by id
+  * exactly like `.orderBy(dist, id)` — so the whole path is oracle-gated
+  * (q108) against the same DuckDB SQL as q20.
+  */
+final class PackedScan private (
+    blocks: RDD[PackedScan.Block], val dim: Int, val rows: Long) {
+
+  /** Exact top-k (id, cosine distance), ascending by (dist, id). */
+  def topK(q: Array[Float], k: Int): Array[(Long, Double)] = {
+    val qnorm = math.sqrt(VectorKernels.norm2(q))
+    val perPart = blocks.mapPartitions { it =>
+      // bounded insertion top-k per partition: k is tiny (10ish), so the
+      // branch-predictable insertion beats a heap
+      val bestD = Array.fill(k)(Double.PositiveInfinity)
+      val bestId = Array.fill(k)(Long.MaxValue)
+      var found = 0
+      it.foreach { b =>
+        val n = b.ids.length
+        var r = 0
+        while (r < n) {
+          val d = VectorKernels.cosineStrided(b.vecs, r * b.dim, b.dim, q, qnorm)
+          val id = b.ids(r)
+          val worst = bestD(k - 1)
+          if (d < worst || (d == worst && id < bestId(k - 1))) {
+            var p = k - 1
+            while (p > 0 && (d < bestD(p - 1) ||
+                (d == bestD(p - 1) && id < bestId(p - 1)))) {
+              bestD(p) = bestD(p - 1); bestId(p) = bestId(p - 1); p -= 1
+            }
+            bestD(p) = d; bestId(p) = id
+            if (found < k) found += 1
+          }
+          r += 1
+        }
+      }
+      Iterator.single((0 until found).map(i => (bestId(i), bestD(i))).toArray)
+    }.collect()
+    perPart.flatten.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
+  /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
+  def topKDF(spark: SparkSession, q: Array[Float], k: Int): DataFrame = {
+    import spark.implicits._
+    topK(q, k).toSeq.toDF("vec_id", "dist")
+  }
+
+  def unpersist(): Unit = blocks.unpersist()
+}
+
+object PackedScan {
+
+  /** One partition's pinned data: ids[i] owns vecs[i*dim, (i+1)*dim). */
+  final case class Block(ids: Array[Long], vecs: Array[Float], dim: Int)
+
+  /** Session-lifetime memo (serving indexes stay resident; keyed by
+    * caller key + columns so nothing aliases).
+    */
+  private val cache =
+    new scala.collection.concurrent.TrieMap[String, PackedScan]
+
+  def buildCached(df: DataFrame, cacheKey: String, idCol: String,
+      embCol: String): PackedScan =
+    cache.getOrElseUpdate(s"$cacheKey#$idCol#$embCol", build(df, idCol, embCol))
+
+  /** Pack (one pass over the source) and pin MEMORY_ONLY. */
+  def build(df: DataFrame, idCol: String, embCol: String): PackedScan = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+    val blocks = src.rdd.mapPartitions { it =>
+      val ids = Array.newBuilder[Long]
+      var vecs = new Array[Float](0)
+      var used = 0
+      var dim = -1
+      it.foreach { case (id, v) =>
+        if (dim < 0) dim = v.length
+        require(v.length == dim, s"ragged vector: ${v.length} != $dim")
+        if (used + dim > vecs.length) {
+          val grown = new Array[Float](math.max(dim * 1024, vecs.length * 2))
+          System.arraycopy(vecs, 0, grown, 0, used)
+          vecs = grown
+        }
+        System.arraycopy(v, 0, vecs, used, dim)
+        used += dim
+        ids += id
+      }
+      val idArr = ids.result()
+      if (idArr.isEmpty) Iterator.empty
+      else {
+        val tight = new Array[Float](used)
+        System.arraycopy(vecs, 0, tight, 0, used)
+        Iterator.single(Block(idArr, tight, dim))
+      }
+    }
+    blocks.persist(StorageLevel.MEMORY_ONLY)
+    val rows = blocks.map(_.ids.length.toLong).fold(0L)(_ + _)
+    val dim = blocks.take(1).headOption.map(_.dim).getOrElse(0)
+    new PackedScan(blocks, dim, rows)
+  }
+}

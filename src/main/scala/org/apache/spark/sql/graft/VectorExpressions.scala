@@ -89,6 +89,37 @@ object VectorKernels {
     val nx = (m0 + m1) + (m2 + m3)
     1.0 - dot / (math.sqrt(nx) * math.sqrt(norm2(y)))
   }
+
+  /** The same canonical reduction over a STRIDED slice xs[off, off+dim) —
+    * the in-memory packed-block serving path ([[graft.operators
+    * .PackedScan]]) computes against vectors laid out contiguously in one
+    * float[] per partition. `qnorm` must be sqrt(norm2(y)) so results stay
+    * bit-identical to every other cosine path.
+    */
+  def cosineStrided(xs: Array[Float], off: Int, dim: Int,
+      y: Array[Float], qnorm: Double): Double = {
+    val n = math.min(dim, y.length)
+    var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+    var m0 = 0.0; var m1 = 0.0; var m2 = 0.0; var m3 = 0.0
+    val k = n & ~3
+    var i = 0
+    while (i < k) {
+      val x0 = xs(off + i).toDouble; val x1 = xs(off + i + 1).toDouble
+      val x2 = xs(off + i + 2).toDouble; val x3 = xs(off + i + 3).toDouble
+      d0 += x0 * y(i).toDouble;     m0 += x0 * x0
+      d1 += x1 * y(i + 1).toDouble; m1 += x1 * x1
+      d2 += x2 * y(i + 2).toDouble; m2 += x2 * x2
+      d3 += x3 * y(i + 3).toDouble; m3 += x3 * x3
+      i += 4
+    }
+    while (i < n) {
+      val x0 = xs(off + i).toDouble
+      d0 += x0 * y(i).toDouble; m0 += x0 * x0; i += 1
+    }
+    val dot = (d0 + d1) + (d2 + d3)
+    val nx = (m0 + m1) + (m2 + m3)
+    1.0 - dot / (math.sqrt(nx) * qnorm)
+  }
 }
 abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =

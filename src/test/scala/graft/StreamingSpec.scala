@@ -181,6 +181,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch replay is idempotent: re-committing a version never duplicates") {
+    import graft.operators.MvccCatalog
+    // foreachBatch delivers at-least-once; the sink upgrades it to
+    // exactly-once because version = f(batchId) and MvccCatalog commits
+    // REPLACE their own __v partition (see MvccCatalog commit contract).
+    // This simulates the failure replay: the same batch committed again
+    // under the same version, for both appends and deletes.
+    val root = Files.createTempDirectory("graft-mvcc-replay").toString
+    val cat = MvccCatalog(spark, root)
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val b1 = ev.filter(col("event_id") % 2 === 0)
+    val b2 = ev.filter(col("event_id") % 2 === 1)
+    cat.create("t", b1, version = 1)
+    cat.append("t", b2, version = 2)
+    val committed = cat.read("t", Seq("event_id")).count()
+    assert(committed === ev.count())
+    cat.append("t", b2, version = 2) // replayed commit
+    cat.append("t", b2, version = 2) // and again
+    assert(cat.read("t", Seq("event_id")).count() === committed)
+    assert(cat.currentVersion("t") === 2L)
+    cat.deleteWhere("t", col("user_id") === 1, Seq("event_id"), version = 3)
+    val afterDelete = cat.read("t", Seq("event_id")).count()
+    cat.deleteWhere("t", col("user_id") === 1, Seq("event_id"), version = 3) // replayed
+    assert(cat.read("t", Seq("event_id")).count() === afterDelete)
+    // time travel still sees the pre-delete snapshot
+    assert(cat.read("t", Seq("event_id"), asOf = Some(2L)).count() === committed)
+  }
+
   test("streaming IVF maintenance: arriving vectors appended into partitioned index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
