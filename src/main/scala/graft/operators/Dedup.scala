@@ -47,23 +47,28 @@ object Dedup {
 
     var round = 0
     var converged = false
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    if (dbg) { val t0 = System.nanoTime(); edges.count(); System.err.println(f"[cc] edges materialized ${(System.nanoTime()-t0)/1e9}%.3fs") }
     while (!converged && round < maxRounds) {
-      // min label over each node's neighborhood (nodes with no edges keep
-      // their label via the left join)
-      val nbrMin = edges
+      val tr = System.nanoTime()
+      // one round = min over {own label} ∪ {neighbors' labels}: the union
+      // feeds a single hash aggregate on id (isolated nodes survive via
+      // their self row), so a round is one broadcast-or-shuffle join plus
+      // one groupBy — no left-join repair pass. min(canonical) under the
+      // agg tracks the previous label so the convergence test rides the
+      // same action that materializes the round.
+      val next = edges
         .join(labels.select(col("id").as("src"), col("canonical").as("slbl")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("slbl")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("canonical"), coalesce(col("nbr_min"), col("canonical")))
-            .as("canonical"),
-          (col("nbr_min") < col("canonical")).as("changed"))
+        .select(col("dst").as("id"), col("slbl").as("lbl"), lit(null).cast("long").as("prev"))
+        .unionByName(labels.select(col("id"), col("canonical").as("lbl"),
+          col("canonical").as("prev")))
+        .groupBy("id")
+        .agg(min(col("lbl")).as("canonical"), min(col("prev")).as("prev"))
         .localCheckpoint(true)
-      converged = next.filter(col("changed")).limit(1).count() == 0
-      labels = next.drop("changed")
+      converged = next.filter(col("canonical") < col("prev")).limit(1).count() == 0
+      labels = next.drop("prev")
       round += 1
+      if (dbg) System.err.println(f"[cc] round $round ${(System.nanoTime()-tr)/1e9}%.3fs converged=$converged")
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     labels
