@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import org.apache.spark.sql.graft.VectorKernels
+
+/** GRAPH-BASED ANN — the public-domain navigable-small-world family
+  * (Malkov et al., "Approximate nearest neighbor algorithm based on
+  * navigable small world graphs", Information Systems 2014; HNSW is its
+  * hierarchical refinement, TPAMI 2018), expressed Spark-first: one
+  * proximity graph PER PARTITION, pinned executor-side like [[PackedScan]],
+  * queried by scatter-gather beam search + driver merge.
+  *
+  * Reference anchor: the reference serves every vector search through
+  * MyScale's MSTG index (`app/backend/constants/myscale_tables.py:35,63`,
+  * `docs/self-query.md:104`) — a tree+graph hybrid. IVF (`AnnIndex`)
+  * covers the tree/routing half; this operator covers the graph half, the
+  * part that makes high recall cheap at low scan fractions.
+  *
+  * Why per-partition graphs: a single global graph needs random access to
+  * any node's vector, which a shared-nothing cluster cannot give without
+  * shipping the whole corpus to every executor. Per-partition graphs keep
+  * every edge local (zero cross-executor traffic at query time), the build
+  * embarrassingly parallel, and the query the same P×k scatter-gather as
+  * every other top-k path in this repo. The trade is beam cost ×P instead
+  * of ×1 — at 1000 executors each graph still cuts its partition's scan by
+  * 10-100×, which is the win that matters at 100 TB. This mirrors how IVF
+  * here prunes partitions (q93): both reduce per-node work; they compose
+  * (cluster-partitioned graphs) if needed.
+  *
+  * Build (per partition, in id order for determinism): insert points one
+  * at a time; each new point beam-searches the graph-so-far (width efC),
+  * links bidirectionally to its M nearest, and any over-full neighbor
+  * list is pruned back to the 2M nearest — the classic NSW construction,
+  * with two guarantees layered on top:
+  *   - a node's FIRST link (to its nearest earlier node — its "parent")
+  *     is never pruned, and
+  *   - the final adjacency is the symmetric closure of the link lists,
+  * so edge {i, parent(i)} survives for every i > 0 and the undirected
+  * graph is CONNECTED by induction from node 0 (the entry point). Without
+  * this, mutual pruning can orphan nodes (observed: 35/8000) and the
+  * exactness contract below would silently become approximate.
+  *
+  * Exactness contract (what lets an oracle gate this): with ef ≥ partition
+  * size, beam search never prunes and — the graph being connected — visits
+  * every node, so the result equals the exhaustive scan and the same
+  * DuckDB SQL that gates q20 gates q114. The serving operating point
+  * (small ef, high recall, few nodes visited) is gated by GraphAnnSpec on
+  * MEASURED visit counts, mirroring how AnnRecallSpec gates IVF.
+  *
+  * Distances use the canonical [[VectorKernels]] reduction order and ties
+  * break by id, so every path stays bit-identical to the scan plans.
+  */
+final class GraphAnn private (
+    blocks: RDD[GraphAnn.Graph], val dim: Int, val rows: Long) {
+
+  /** Beam-search top-k. Returns ((id, dist) ascending, nodes visited). */
+  def topK(q: Array[Float], k: Int, ef: Int): (Array[(Long, Double)], Long) = {
+    val qnorm = math.sqrt(VectorKernels.norm2(q))
+    val perPart = blocks.mapPartitions { it =>
+      it.map(g => GraphAnn.searchOne(g, q, qnorm, math.max(k, ef)))
+    }.collect()
+    val visited = perPart.map(_._2).sum
+    val merged = perPart.iterator.flatMap(_._1)
+      .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+    (merged, visited)
+  }
+
+  /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
+  def topKDF(spark: SparkSession, q: Array[Float], k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
+    topK(q, k, ef)._1.toSeq.toDF("vec_id", "dist")
+  }
+
+  def unpersist(): Unit = blocks.unpersist()
+}
+
+object GraphAnn {
+
+  /** One partition's graph: ids[i] owns vecs[i*dim,(i+1)*dim); nbrs[i] are
+    * node INDICES (partition-local, edges never cross partitions).
+    */
+  final case class Graph(ids: Array[Long], vecs: Array[Float], dim: Int,
+      nbrs: Array[Array[Int]])
+
+  private val cache =
+    new scala.collection.concurrent.TrieMap[String, GraphAnn]
+
+  def buildCached(df: DataFrame, cacheKey: String, idCol: String,
+      embCol: String, m: Int = 12, efC: Int = 64): GraphAnn =
+    cache.getOrElseUpdate(s"$cacheKey#$idCol#$embCol#$m#$efC",
+      build(df, idCol, embCol, m, efC))
+
+  /** Build per-partition NSW graphs and pin MEMORY_ONLY. */
+  def build(df: DataFrame, idCol: String, embCol: String,
+      m: Int = 12, efC: Int = 64): GraphAnn = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+    val blocks = src.rdd.mapPartitions { it =>
+      val all = it.toArray
+      if (all.isEmpty) Iterator.empty
+      else Iterator.single(packAndBuild(all, m, efC))
+    }
+    blocks.persist(StorageLevel.MEMORY_ONLY)
+    val rows = blocks.map(_.ids.length.toLong).fold(0L)(_ + _)
+    val dim = blocks.take(1).headOption.map(_.dim).getOrElse(0)
+    new GraphAnn(blocks, dim, rows)
+  }
+
+  /** Pack one block's rows (any order) into contiguous storage, id-sorted
+    * for deterministic insertion, and build its NSW graph.
+    */
+  private[operators] def packAndBuild(rows: Array[(Long, Array[Float])],
+      m: Int, efC: Int): Graph = {
+    val all = rows.sortBy(_._1) // id order: deterministic insertion
+    val n = all.length
+    val dim = all(0)._2.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Float](n * dim)
+    var i = 0
+    while (i < n) {
+      require(all(i)._2.length == dim, "ragged vector")
+      ids(i) = all(i)._1
+      System.arraycopy(all(i)._2, 0, vecs, i * dim, dim)
+      i += 1
+    }
+    buildGraph(ids, vecs, dim, m, efC)
+  }
+
+  /** NSW incremental construction over one partition's packed vectors. */
+  private def buildGraph(ids: Array[Long], vecs: Array[Float], dim: Int,
+      m: Int, efC: Int): Graph = {
+    val n = ids.length
+    val mmax = 2 * m
+    val nbrs = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int](mmax + 1))
+    var i = 1
+    while (i < n) {
+      val qv = new Array[Float](dim)
+      System.arraycopy(vecs, i * dim, qv, 0, dim)
+      // beam-search the graph of nodes [0, i) for the efC nearest
+      val found = beam(vecs, dim, j => nbrs(j), upTo = i,
+        qv = qv, qnorm = math.sqrt(VectorKernels.norm2(qv)), ef = efC)._1
+      val links = found.take(m)
+      links.foreach { case (j, _) =>
+        nbrs(i) += j
+        nbrs(j) += i
+        if (nbrs(j).length > mmax) prune(nbrs(j), j, vecs, dim, mmax)
+      }
+      i += 1
+    }
+    // symmetric closure: search follows adjacency as an UNDIRECTED graph,
+    // so a link surviving in either endpoint's list keeps both reachable
+    val adj = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int])
+    var a = 0
+    while (a < n) {
+      nbrs(a).foreach { b => adj(a) += b; adj(b) += a }
+      a += 1
+    }
+    Graph(ids, vecs, dim, adj.map(_.distinct.sorted.toArray))
+  }
+
+  /** Keep node j's parent link (buf's first-ever entry — the connectivity
+    * anchor) plus the (mmax - 1) nearest of the rest, deterministic by
+    * (dist, idx).
+    */
+  private def prune(buf: scala.collection.mutable.ArrayBuffer[Int], j: Int,
+      vecs: Array[Float], dim: Int, mmax: Int): Unit = {
+    val anchor = buf.head
+    val jOff = j * dim
+    val jq = new Array[Float](dim)
+    System.arraycopy(vecs, jOff, jq, 0, dim)
+    val jnorm = math.sqrt(VectorKernels.norm2(jq))
+    val kept = buf.iterator.drop(1)
+      .map(x => (x, VectorKernels.cosineStrided(vecs, x * dim, dim, jq, jnorm)))
+      .toArray
+      .sortBy { case (x, d) => (d, x) }
+      .take(mmax - 1).map(_._1)
+    buf.clear()
+    buf += anchor
+    buf ++= kept
+  }
+
+  /** Best-first beam search from node 0. Returns (ef nearest as
+    * (nodeIdx, dist) sorted by (dist, idx), visited count). With ef >=
+    * node count this visits the whole (connected) graph — the exactness
+    * contract.
+    */
+  private def beam(vecs: Array[Float], dim: Int,
+      nbrsOf: Int => scala.collection.IndexedSeq[Int], upTo: Int,
+      qv: Array[Float], qnorm: Double,
+      ef: Int): (Array[(Int, Double)], Long) = {
+
+    def dist(node: Int): Double =
+      VectorKernels.cosineStrided(vecs, node * dim, dim, qv, qnorm)
+
+    val visited = new java.util.BitSet(upTo)
+    // candidates: min-heap by (dist, idx); results: max-heap by (dist, idx)
+    implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+    val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+    var nVisited = 0L
+
+    val d0 = dist(0)
+    visited.set(0); nVisited += 1
+    cand.enqueue((d0, 0)); res.enqueue((d0, 0))
+
+    while (cand.nonEmpty) {
+      val (cd, c) = cand.dequeue()
+      if (res.size >= ef && ord.gt((cd, c), res.head)) {
+        cand.clear() // nearest open candidate is worse than the worst kept
+      } else {
+        val ns = nbrsOf(c)
+        var x = 0
+        while (x < ns.length) {
+          val nb = ns(x)
+          if (nb < upTo && !visited.get(nb)) {
+            visited.set(nb); nVisited += 1
+            val d = dist(nb)
+            if (res.size < ef || ord.lt((d, nb), res.head)) {
+              cand.enqueue((d, nb))
+              res.enqueue((d, nb))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          x += 1
+        }
+      }
+    }
+    val out = new Array[(Int, Double)](res.size)
+    var w = res.size - 1
+    while (w >= 0) { val (d, idx) = res.dequeue(); out(w) = (idx, d); w -= 1 }
+    (out, nVisited)
+  }
+
+  /** External-query search over one graph block: (ids mapped, visited). */
+  private[operators] def searchOne(g: Graph, q: Array[Float], qnorm: Double,
+      ef: Int): (Array[(Long, Double)], Long) = {
+    val (found, visited) = beam(g.vecs, g.dim, j => g.nbrs(j),
+      upTo = g.ids.length, qv = q, qnorm = qnorm, ef = ef)
+    (found.map { case (idx, d) => (g.ids(idx), d) }, visited)
+  }
+}
+
+/** MSTG-STYLE COMPOSITION — IVF routing over per-CLUSTER NSW graphs.
+  *
+  * The reference's MSTG index is a tree+graph hybrid
+  * (`app/backend/constants/myscale_tables.py:35,63`): a coarse routing
+  * structure picks a region, a proximity graph serves it. This is that
+  * composition from this repo's own halves: [[AnnIndex]] k-means
+  * centroids route the query to nprobe clusters (the "tree"), and each
+  * cluster owns an NSW graph ([[GraphAnn]]) that beam-searches only its
+  * members (the "graph"). The scan reductions MULTIPLY: nprobe/k from
+  * routing × the beam's visit fraction within probed clusters — measured
+  * by GraphAnnSpec against both single-stage baselines.
+  *
+  * Layout: clusters are hash-distributed across partitions
+  * (`repartition(k, cluster_id)`), one Graph object per cluster, pinned
+  * MEMORY_ONLY — at 1000 executors each holds ~k/1000 cluster graphs and
+  * a query touches at most nprobe of them, so per-query work is O(nprobe
+  * × beam) regardless of corpus size.
+  *
+  * Exactness contract: nprobe = k (route everywhere) + ef ≥ the largest
+  * cluster ⇒ every cluster graph is fully visited ⇒ equals the
+  * exhaustive scan — q115's oracle gate.
+  */
+final class IvfGraph private (
+    model: AnnIndex.Model,
+    blocks: RDD[(Int, GraphAnn.Graph)], val rows: Long) {
+
+  /** Beam-search the nprobe routed clusters. Returns ((id, dist)
+    * ascending, nodes visited across probed graphs).
+    */
+  def topK(q: Array[Float], k: Int, nprobe: Int, ef: Int)
+      : (Array[(Long, Double)], Long) = {
+    val probed = model.nearest(q, nprobe).toSet
+    val qnorm = math.sqrt(VectorKernels.norm2(q))
+    val width = math.max(k, ef)
+    val perPart = blocks.mapPartitions { it =>
+      it.collect { case (cid, g) if probed.contains(cid) =>
+        GraphAnn.searchOne(g, q, qnorm, width)
+      }
+    }.collect()
+    val visited = perPart.map(_._2).sum
+    val merged = perPart.iterator.flatMap(_._1)
+      .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+    (merged, visited)
+  }
+
+  /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
+  def topKDF(spark: SparkSession, q: Array[Float], k: Int, nprobe: Int,
+      ef: Int): DataFrame = {
+    import spark.implicits._
+    topK(q, k, nprobe, ef)._1.toSeq.toDF("vec_id", "dist")
+  }
+
+  def nClusters: Int = model.centroids.length
+
+  def unpersist(): Unit = blocks.unpersist()
+}
+
+object IvfGraph {
+
+  private val cache = new scala.collection.concurrent.TrieMap[String, IvfGraph]
+
+  /** Build from [[AnnIndex.fit]] output (cacheKey contract as
+    * [[PqIndex]]: caller-supplied key, session-lifetime, never evicted).
+    */
+  def buildCached(indexed: DataFrame, model: AnnIndex.Model, cacheKey: String,
+      idCol: String, embCol: String, m: Int = 12, efC: Int = 64): IvfGraph =
+    cache.getOrElseUpdate(
+      s"$cacheKey#$idCol#$embCol#$m#$efC#${model.centroids.length}",
+      build(indexed, model, idCol, embCol, m, efC))
+
+  /** One NSW graph per cluster_id, clusters hash-spread over k
+    * partitions, pinned MEMORY_ONLY.
+    */
+  def build(indexed: DataFrame, model: AnnIndex.Model, idCol: String,
+      embCol: String, m: Int = 12, efC: Int = 64): IvfGraph = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val k = model.centroids.length
+    val src = indexed
+      .repartition(k, col("cluster_id"))
+      .select(col("cluster_id").cast("int"), col(idCol).cast("long"),
+        col(embCol))
+      .as[(Int, Long, Array[Float])]
+    val blocks = src.rdd.mapPartitions { it =>
+      it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
+        (cid, GraphAnn.packAndBuild(rows.map(r => (r._2, r._3)), m, efC))
+      }
+    }
+    blocks.persist(StorageLevel.MEMORY_ONLY)
+    val rows = blocks.map(_._2.ids.length.toLong).fold(0L)(_ + _)
+    new IvfGraph(model, blocks, rows)
+  }
+}

@@ -78,6 +78,54 @@ object Round3Queries {
       LIMIT 10"""
     }),
 
+    // ---- graph ANN (NSW family), full-ef => exact ----------------------
+    // Per-partition navigable-small-world graphs ([[graft.operators
+    // .GraphAnn]]): with ef = corpus size the beam visits every node of
+    // every connected partition graph, so the result equals the exhaustive
+    // scan and q20's oracle gates it. The serving operating point (small
+    // ef, <=10% visited at recall >= 0.95) is gated by GraphAnnSpec on
+    // measured visit counts.
+    QueryDef("q114_graph_ann_exact", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.GraphAnn.buildCached(e, dir, "vec_id", "embedding")
+      g.topKDF(s, qVec, 10, ef = g.rows.toInt)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .orderBy(col("dist"), col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
+    // ---- MSTG-style IVF×graph, full-probe + full-ef => exact -----------
+    // Centroid routing (the "tree") over per-cluster NSW graphs (the
+    // "graph") — the reference's MSTG shape (myscale_tables.py:35,63).
+    // With nprobe = k and ef = corpus size every cluster graph is fully
+    // visited, so the result is the exhaustive scan; the composed serving
+    // point (recall >= 0.95 at <= 5% visited) is gated by GraphAnnSpec.
+    QueryDef("q115_ivf_graph_exact", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (model, indexed) = graft.operators.AnnIndex.fitCached(
+        e, dir, "embedding", "vec_id", k = 16, iters = 3)
+      val g = graft.operators.IvfGraph.buildCached(
+        indexed, model, dir, "vec_id", "embedding")
+      g.topKDF(s, qVec, 10, nprobe = 16, ef = g.rows.toInt)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .orderBy(col("dist"), col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
     // ---- RAG pipeline exact core: ingest + embed invariants ------------
     // (judge r2 item 7: the deterministic parts of q81, oracle-gated)
     QueryDef("q106_rag_core", (s, dir) => {

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, GraphAnn, IvfGraph, VectorStore}
+
+/** Gates for the graph-ANN family ([[graft.operators.GraphAnn]]).
+  *
+  * Two contracts, mirroring how AnnRecallSpec gates IVF:
+  *   1. EXACTNESS — with ef >= corpus size the beam visits every node of
+  *      every (connected-by-construction) partition graph, so the result
+  *      equals the exhaustive scan bit-for-bit (same VectorKernels
+  *      reduction, same (dist, id) tie-break). This is what lets q114
+  *      share q20's DuckDB oracle.
+  *   2. OPERATING POINT — on the planted-cluster corpus (the realistic
+  *      case; see ClusteredCorpus's scaladoc for why uniform-random is
+  *      the degenerate one), a small-ef beam must reach recall@10 >= 0.95
+  *      while VISITING <= 10% of the corpus, measured by actual visit
+  *      counts, not nominal parameters.
+  */
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val N = 8000L
+  private val C = 40
+  // 2 partitions: exercises the per-partition build + scatter-gather merge
+  // (the 1000-executor layout in miniature) while keeping each graph big
+  // enough that a beam's visit count is a meaningful fraction.
+  private lazy val corpus = {
+    val df = ClusteredCorpus.df(spark, N, C).repartition(2).cache()
+    df.count()
+    df
+  }
+  private lazy val graph = GraphAnn.build(corpus, "vec_id", "embedding")
+
+  private def exactTop10On(df: org.apache.spark.sql.DataFrame,
+      q: Array[Float]): Set[Long] =
+    VectorStore(df, "embedding", Seq("vec_id"))
+      .searchByVector(q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private def exactTop10(q: Array[Float]): Set[Long] = exactTop10On(corpus, q)
+
+  test("full-ef beam equals the exhaustive scan and visits every node") {
+    val q = ClusteredCorpus.query(0)
+    val (got, visited) = graph.topK(q, 10, ef = N.toInt)
+    assert(visited == N, s"connected graphs must visit all $N nodes, got $visited")
+    assert(got.map(_._1).toSet == exactTop10(q))
+    // ascending (dist, id) order out of the merge
+    assert(got.sortBy { case (id, d) => (d, id) }.sameElements(got))
+  }
+
+  test("serving point: recall@10 >= 0.95 visiting <= 10% of the corpus") {
+    val results = (0 until 5).map { t =>
+      val q = ClusteredCorpus.query(t)
+      val exact = exactTop10(q)
+      val (got, visited) = graph.topK(q, 10, ef = 64)
+      (got.map(_._1).toSet.intersect(exact).size / 10.0, visited.toDouble / N)
+    }
+    val recall = results.map(_._1).sum / results.size
+    val maxFrac = results.map(_._2).max
+    info(f"graph recall@10 = $recall%.3f, worst visited fraction = $maxFrac%.3f")
+    assert(recall >= 0.95, s"recall@10 $recall below 0.95")
+    assert(maxFrac <= 0.10, s"visited fraction $maxFrac above 0.10 (10x reduction)")
+  }
+
+  // ---- MSTG-style composition: IVF routing × per-cluster graphs --------
+
+  // the composed index gets a 2x corpus (400-point clusters): beam visit
+  // counts are threshold-limited (~size-independent), so the composed
+  // fraction keeps shrinking with cluster size — the property that makes
+  // IVF x graph the 100-TB shape, asserted here at the smallest scale
+  // where it is visible over the nprobe x cluster_size floor
+  private val N2 = 16000L
+  private lazy val corpus2 = {
+    val df = ClusteredCorpus.df(spark, N2, C).repartition(4).cache()
+    df.count()
+    df
+  }
+  private lazy val (ivfModel, ivfIndexed) = {
+    val (m, ix) = AnnIndex.fit(corpus2, "embedding", "vec_id", k = C, iters = 5)
+    (m, ix.cache())
+  }
+  // leaner per-cluster graphs (m=8): routing already confines the search
+  // to the right region, so in-cluster adjacency can be sparser — degree
+  // is the per-expansion visit multiplier
+  private lazy val ivfGraph =
+    IvfGraph.build(ivfIndexed, ivfModel, "vec_id", "embedding", m = 8, efC = 48)
+
+  test("IvfGraph full-probe full-ef equals the exhaustive scan") {
+    val q = ClusteredCorpus.query(0)
+    val (got, visited) = ivfGraph.topK(q, 10, nprobe = C, ef = N2.toInt)
+    assert(visited == N2, s"full probe + full ef must visit all $N2 nodes, got $visited")
+    assert(got.map(_._1).toSet == exactTop10On(corpus2, q))
+  }
+
+  test("IvfGraph: routing and beam reductions compose (recall >= 0.95, <= 5% visited)") {
+    val results = (0 until 5).map { t =>
+      val q = ClusteredCorpus.query(t)
+      val exact = exactTop10On(corpus2, q)
+      // ef can be much smaller than the standalone graph's: routing has
+      // already confined the search to clusters where the true neighbors
+      // are dense, so a narrow beam suffices
+      val (got, visited) = ivfGraph.topK(q, 10, nprobe = 3, ef = 16)
+      (got.map(_._1).toSet.intersect(exact).size / 10.0, visited.toDouble / N2)
+    }
+    val recall = results.map(_._1).sum / results.size
+    val maxFrac = results.map(_._2).max
+    info(f"ivf-graph recall@10 = $recall%.3f, worst visited fraction = $maxFrac%.3f")
+    assert(recall >= 0.95, s"recall@10 $recall below 0.95")
+    assert(maxFrac <= 0.05, s"visited fraction $maxFrac above 0.05")
+  }
+}

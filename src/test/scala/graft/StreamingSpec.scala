@@ -91,6 +91,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: cross-batch re-deliveries dedup on content") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventsStream.Event]
+    val q = EventsStream.dedupWithinWatermark(ms.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def ev(id: Long, user: Long, minute: Long, props: String) = EventsStream.Event(
+      id, new java.sql.Timestamp(minute * 60000), user, "doc", 1.0, props)
+    try {
+      // batch 1: two distinct payloads, one duplicated in-batch
+      ms.addData(ev(1, 1, 1000, "{\"d\":\"a\"}"), ev(2, 1, 1001, "{\"d\":\"a\"}"),
+        ev(3, 2, 1002, "{\"d\":\"b\"}"))
+      q.processAllAvailable()
+      // batch 2: payload "a" re-delivered under a NEW event id within the
+      // watermark window — must still dedup (content key, not id); payload
+      // "c" is genuinely new
+      ms.addData(ev(4, 1, 1003, "{\"d\":\"a\"}"), ev(5, 3, 1004, "{\"d\":\"c\"}"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L)) // one survivor per distinct payload
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch twin") {
     val dir = stageDir()
     val stream = EventsStream.readStream(spark, dir)
