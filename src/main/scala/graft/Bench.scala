@@ -191,6 +191,29 @@ object Bench {
       (rs.map(_._1).sum / rs.size, rs.map(_._2).max)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // MSTG-style composed serving point (IVF routing x per-cluster NSW
+    // graphs, graft.operators.IvfGraph): recall@10 + MEASURED visited
+    // fraction on the same clustered corpus. Routing and beam reductions
+    // multiply, and per-query work is O(nprobe x beam) independent of
+    // corpus size.
+    val (graphRecall, graphFrac) = try {
+      val n = 20000L; val c = 64
+      val corpus = graft.ClusteredCorpus.df(spark, n, c).cache()
+      val (model, indexed) = graft.operators.AnnIndex.fitCached(
+        corpus, "#bench-ivf-clustered", "embedding", "vec_id", k = c, iters = 3)
+      val g = graft.operators.IvfGraph.buildCached(
+        indexed, model, "#bench-ivf-clustered", "vec_id", "embedding",
+        m = 8, efC = 48)
+      val rs = (0 until 5).map { t =>
+        val q = graft.ClusteredCorpus.query(t)
+        val exact = graft.operators.VectorStore(corpus, "embedding", Seq("vec_id"))
+          .searchByVector(q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+        val (got, visited) = g.topK(q, 10, nprobe = 5, ef = 16)
+        (got.map(_._1).toSet.intersect(exact).size / 10.0, visited.toDouble / n)
+      }
+      (rs.map(_._1).sum / rs.size, rs.map(_._2).max)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     // PQ ADC scan throughput: 2M 8-byte codes, per-row cost = 8 LUT adds.
     val pqVps = try {
       import org.apache.spark.sql.functions._
@@ -250,7 +273,7 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_scan_vps":${knnScanVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_scan_vps":${knnScanVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

@@ -81,6 +81,31 @@ object Registry {
     ("parsedatetimebesteffortornull",
       (e: Seq[Expression]) => ParseDateTimeBestEffort(e.head, orNull = true),
       "parseDateTimeBestEffortOrNull(s) - null instead of error"),
+    // shorten(s, width) — the reference's display truncation helper
+    // (textwrap.shorten, app/backend/callbacks/arxiv_callbacks.py:25):
+    // collapse whitespace; if the result exceeds `width`, keep the longest
+    // word-prefix that fits alongside the " [...]" placeholder (just
+    // "[...]" when not even one word fits). Built compositionally from
+    // codegen'd built-ins via the Column bridge — no UDF.
+    ("shorten", (ex: Seq[Expression]) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
+      val s = toColumn(ex(0))
+      val w = toColumn(ex(1))
+      val collapsed = trim(regexp_replace(s, "\\s+", " "))
+      val words = split(collapsed, " ")
+      // longest j with len(join(words[0..j], ' ')) <= width - len(" [...]")
+      val jmax = array_max(filter(
+        sequence(lit(1), size(words)),
+        j => length(concat_ws(" ", slice(words, lit(1), j))) <= w - lit(6)))
+      val prefix = when(jmax.isNull, lit(""))
+        .otherwise(concat_ws(" ", slice(words, lit(1), jmax)))
+      toExpr(
+        when(length(collapsed) <= w, collapsed)
+          .otherwise(when(prefix === "", lit("[...]"))
+            .otherwise(concat(prefix, lit(" [...]")))))
+    },
+      "shorten(s, width) - whitespace-collapsed word-boundary truncation with [...] placeholder"),
     // --- ClickHouse dialect aliases onto Spark built-ins ---------------
     // has(arr, x) — prompts.py:100 `has(authors, 'Geoffrey Hinton')`
     ("has", (e: Seq[Expression]) => ArrayContains(e(0), e(1)),

@@ -171,6 +171,40 @@ object Round3Queries {
       GROUP BY source
       ORDER BY source""")),
 
+    // ---- shorten(s, w) display helper ----------------------------------
+    // The last unchecked §2.8 row (reference textwrap.shorten,
+    // arxiv_callbacks.py:25): whitespace collapse + word-boundary
+    // truncation with " [...]". Both engines compute the same longest
+    // fitting word-prefix, so the strings hash-compare exactly.
+    QueryDef("q116_shorten", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("docs_shorten")
+      s.sql("""
+        SELECT doc_id, shorten(text, 80) AS s80, shorten(text, 20) AS s20,
+               length(shorten(text, 80)) AS l80
+        FROM docs_shorten ORDER BY doc_id""")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        FROM documents),
+      f AS (
+        SELECT doc_id, t,
+          list_max(list_filter(range(1, len(string_split(t, ' ')) + 1),
+            j -> length(array_to_string((string_split(t, ' '))[1:CAST(j AS INT)], ' ')) <= 74)) AS j80,
+          list_max(list_filter(range(1, len(string_split(t, ' ')) + 1),
+            j -> length(array_to_string((string_split(t, ' '))[1:CAST(j AS INT)], ' ')) <= 14)) AS j20
+        FROM c),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN length(t) <= 80 THEN t
+               WHEN j80 IS NULL THEN '[...]'
+               ELSE array_to_string((string_split(t, ' '))[1:CAST(j80 AS INT)], ' ') || ' [...]' END AS s80,
+          CASE WHEN length(t) <= 20 THEN t
+               WHEN j20 IS NULL THEN '[...]'
+               ELSE array_to_string((string_split(t, ' '))[1:CAST(j20 AS INT)], ' ') || ' [...]' END AS s20
+        FROM f)
+      SELECT doc_id, s80, s20, CAST(length(s80) AS BIGINT) AS l80
+      FROM g ORDER BY doc_id""")),
+
     // ---- typed Object('JSON') view (judge r2 item 6) -------------------
     // Schema inference + from_json flatten: the filter and aggregate below
     // run on the typed `p_k` bigint column (one JSON parse per row), not
