@@ -87,23 +87,34 @@ object Registry {
     // word-prefix that fits alongside the " [...]" placeholder (just
     // "[...]" when not even one word fits). Built compositionally from
     // codegen'd built-ins via the Column bridge — no UDF.
+    // KNOWN DIVERGENCE from Python textwrap.shorten: textwrap also breaks
+    // on hyphens inside words (break_on_hyphens=True default), so a
+    // hyphenated word straddling the limit can truncate mid-word there but
+    // not here; this implementation (and its DuckDB oracle twin) break on
+    // whitespace only.
     ("shorten", (ex: Seq[Expression]) => {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
-      val s = toColumn(ex(0))
-      val w = toColumn(ex(1))
-      val collapsed = trim(regexp_replace(s, "\\s+", " "))
-      val words = split(collapsed, " ")
+      // Built from RAW catalyst nodes, not the Column bridge: a bridged
+      // ColumnNodeExpression fails to resolve when NESTED inside another
+      // dialect function (q116's `length(shorten(text, 80))` hit this —
+      // ch_length's RuntimeReplaceable replacement saw an unresolvable
+      // columnnodeexpression child).
+      val s = ex(0)
+      val w = ex(1)
+      val collapsed = StringTrim(RegExpReplace(s, Literal("\\s+"), Literal(" ")))
+      val words = StringSplit(collapsed, Literal(" "), Literal(-1))
       // longest j with len(join(words[0..j], ' ')) <= width - len(" [...]")
-      val jmax = array_max(filter(
-        sequence(lit(1), size(words)),
-        j => length(concat_ws(" ", slice(words, lit(1), j))) <= w - lit(6)))
-      val prefix = when(jmax.isNull, lit(""))
-        .otherwise(concat_ws(" ", slice(words, lit(1), jmax)))
-      toExpr(
-        when(length(collapsed) <= w, collapsed)
-          .otherwise(when(prefix === "", lit("[...]"))
-            .otherwise(concat(prefix, lit(" [...]")))))
+      val j = UnresolvedNamedLambdaVariable(Seq("j"))
+      val fits = LessThanOrEqual(
+        Length(ConcatWs(Seq(Literal(" "), Slice(words, Literal(1), j)))),
+        Subtract(w, Literal(6)))
+      val jmax = ArrayMax(ArrayFilter(
+        Sequence(Literal(1), Size(words, legacySizeOfNull = false), None, None),
+        LambdaFunction(fits, Seq(j))))
+      val prefix = If(IsNull(jmax), Literal(""),
+        ConcatWs(Seq(Literal(" "), Slice(words, Literal(1), jmax))))
+      If(LessThanOrEqual(Length(collapsed), w), collapsed,
+        If(EqualTo(prefix, Literal("")), Literal("[...]"),
+          Concat(Seq(prefix, Literal(" [...]")))))
     },
       "shorten(s, width) - whitespace-collapsed word-boundary truncation with [...] placeholder"),
     // --- ClickHouse dialect aliases onto Spark built-ins ---------------

@@ -63,7 +63,14 @@ object Dedup {
         .unionByName(labels.select(col("id"), col("canonical").as("lbl"),
           col("canonical").as("prev")))
         .groupBy("id")
-        .agg(min(col("lbl")).as("canonical"), min(col("prev")).as("prev"))
+        // coalesce to MaxValue: an edge endpoint missing from `nodes` has
+        // no self row, so min(prev) is NULL — without the coalesce it
+        // would be EXCLUDED from the convergence test (NULL comparison)
+        // while still appearing in the output, allowing premature
+        // "convergence" with unstable labels. MaxValue counts it as
+        // changed until it has a real previous-round label.
+        .agg(min(col("lbl")).as("canonical"),
+          coalesce(min(col("prev")), lit(Long.MaxValue)).as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("canonical") < col("prev")).limit(1).count() == 0
       labels = next.drop("prev")

@@ -109,7 +109,12 @@ object Round3Pipeline {
       val bench = d.filter(col("doc_id") % 37 === 0)
         .select(col("doc_id").as("bench_id"),
           concat_ws(" ", slice(col("t"), lit(4), lit(8))).as("prompt"))
-      val grams = d.select(col("doc_id"),
+      // docs shorter than the window have no 8-grams: without the guard,
+      // sequence(0, size-8) with stop < start generates a DESCENDING run
+      // into negative indices and slice() throws — the DuckDB twin's
+      // range(0, len-7) is simply empty, so filter first (map-only).
+      val grams = d.filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
           explode(transform(sequence(lit(0), size(col("t")) - 8),
             i => concat_ws(" ", slice(col("t"), i + lit(1), lit(8))))).as("gram"))
       broadcast(bench).join(grams, col("prompt") === col("gram"))
@@ -189,14 +194,18 @@ object Round3Pipeline {
       val top = d.select(col("doc_id"), explode(col("w")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+      // single-word docs have no bigrams: sequence(1, 0) yields [1, 0] and
+      // element_at(w, 0) throws — guard with when() and emit NULL, matching
+      // the CASE in the DuckDB twin (divide-by-zero there is not portable).
       d.join(top, "doc_id")
         .select(col("doc_id"),
           round(col("top_cnt").cast("double") / size(col("w")), 6).as("top_word_frac"),
-          round(lit(1.0) -
-            size(array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
-              i => concat(element_at(col("w"), i), lit(" "),
-                element_at(col("w"), i + 1))))).cast("double")
-            / (size(col("w")) - 1), 6).as("dup_bigram_frac"))
+          when(size(col("w")) >= 2,
+            round(lit(1.0) -
+              size(array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
+                i => concat(element_at(col("w"), i), lit(" "),
+                  element_at(col("w"), i + 1))))).cast("double")
+              / (size(col("w")) - 1), 6)).as("dup_bigram_frac"))
         .orderBy("doc_id")
     }, Some("""
       WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
@@ -213,7 +222,9 @@ object Round3Pipeline {
         FROM d)
       SELECT wc.doc_id,
         round(CAST(top_cnt AS DOUBLE) / n, 6) AS top_word_frac,
-        round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
+        CASE WHEN n_bigrams >= 1
+             THEN round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+             ELSE NULL END AS dup_bigram_frac
       FROM wc JOIN bg ON wc.doc_id = bg.doc_id
       ORDER BY wc.doc_id"""))
   )

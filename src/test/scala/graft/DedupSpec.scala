@@ -34,4 +34,16 @@ class DedupSpec extends AnyFunSuite {
     val got = cc(Seq(10L -> 1L, 10L -> 2L, 10L -> 3L), Seq(1L, 2L, 3L, 10L))
     assert(got.values.toSet == Set(1L))
   }
+
+  test("edge endpoints missing from the node universe still stabilize") {
+    // 5 and 6 appear only as edge endpoints (not in nodes): they have no
+    // self row, so their prev-label is NULL in round 1 — the coalesce in
+    // connectedComponents must count them as changed until their label is
+    // the true component minimum, not let the loop converge prematurely.
+    // Chain 1-5-6-2 forces multi-round propagation THROUGH the unseen
+    // nodes for 2 to reach canonical 1.
+    val got = cc(Seq(1L -> 5L, 5L -> 6L, 6L -> 2L), Seq(1L, 2L))
+    assert(got(1L) == 1L && got(2L) == 1L)
+    assert(got.get(5L).forall(_ == 1L) && got.get(6L).forall(_ == 1L))
+  }
 }
