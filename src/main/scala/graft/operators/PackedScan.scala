@@ -33,7 +33,8 @@ import org.apache.spark.sql.graft.VectorKernels
   * (q108) against the same DuckDB SQL as q20.
   */
 final class PackedScan private (
-    blocks: RDD[PackedScan.Block], val dim: Int, val rows: Long) {
+    blocks: RDD[PackedScan.Block], val dim: Int, val rows: Long,
+    val bytes: Long) {
 
   /** Exact top-k (id, cosine distance), ascending by (dist, id). */
   def topK(q: Array[Float], k: Int): Array[(Long, Double)] = {
@@ -82,15 +83,16 @@ object PackedScan {
   /** One partition's pinned data: ids[i] owns vecs[i*dim, (i+1)*dim). */
   final case class Block(ids: Array[Long], vecs: Array[Float], dim: Int)
 
-  /** Session-lifetime memo (serving indexes stay resident; keyed by
-    * caller key + columns so nothing aliases).
+  /** Memoized through [[ServingCache]]: resident until the LRU byte
+    * budget evicts it (keyed by caller key + columns so nothing aliases);
+    * a rebuilt instance after eviction returns identical results.
     */
-  private val cache =
-    new scala.collection.concurrent.TrieMap[String, PackedScan]
-
   def buildCached(df: DataFrame, cacheKey: String, idCol: String,
       embCol: String): PackedScan =
-    cache.getOrElseUpdate(s"$cacheKey#$idCol#$embCol", build(df, idCol, embCol))
+    ServingCache.getOrBuild(s"packed#$cacheKey#$idCol#$embCol") {
+      val ps = build(df, idCol, embCol)
+      (ps, ps.bytes, () => ps.unpersist())
+    }
 
   /** Pack (one pass over the source) and pin MEMORY_ONLY. */
   def build(df: DataFrame, idCol: String, embCol: String): PackedScan = {
@@ -124,8 +126,11 @@ object PackedScan {
       }
     }
     blocks.persist(StorageLevel.MEMORY_ONLY)
-    val rows = blocks.map(_.ids.length.toLong).fold(0L)(_ + _)
+    // rows + pinned bytes in ONE materializing job (ids: 8 B, floats: 4 B)
+    val (rows, bytes) = blocks
+      .map(b => (b.ids.length.toLong, b.ids.length.toLong * 8 + b.vecs.length.toLong * 4))
+      .fold((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) }
     val dim = blocks.take(1).headOption.map(_.dim).getOrElse(0)
-    new PackedScan(blocks, dim, rows)
+    new PackedScan(blocks, dim, rows, bytes)
   }
 }

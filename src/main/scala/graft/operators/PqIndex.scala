@@ -41,17 +41,16 @@ object PqIndex {
     }
   }
 
-  /** SESSION-LIFETIME memos, never evicted: cached encoded tables pin
-    * executor memory for the JVM's life — the same residency contract a
-    * serving index has. Keys fold in every identity the cached value
-    * depends on (caller key + embedding column + model content hash /
-    * train parameters), so two callers reusing a key string with a
-    * different model or column can never alias a stale entry.
+  /** Trained models are KB-scale and stay in a plain memo; ENCODED
+    * TABLES pin executor memory and are registered with [[ServingCache]]
+    * (LRU byte budget, evict = unpersist, rebuild on next use). Keys fold
+    * in every identity the cached value depends on (caller key +
+    * embedding column + model content hash / train parameters), so two
+    * callers reusing a key string with a different model or column can
+    * never alias a stale entry.
     */
   private val models =
     new scala.collection.concurrent.TrieMap[String, Model]
-  private val encoded =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]
 
   /** Content identity of a trained model (codebooks are KBs; hashing them
     * is cheap next to any Spark job the memo guards).
@@ -70,11 +69,12 @@ object PqIndex {
     */
   def encodedCached(df: DataFrame, cacheKey: String, model: Model,
       embCol: String): DataFrame =
-    encoded.getOrElseUpdate(s"$cacheKey#$embCol#${modelId(model)}", {
+    ServingCache.getOrBuild(s"pq#$cacheKey#$embCol#${modelId(model)}") {
       val enc = df.withColumn("__code", encode(model, col(embCol))).cache()
-      enc.count()
-      enc
-    })
+      val n = enc.count()
+      // cached row ≈ source embedding floats + m code bytes + row overhead
+      (enc, n * (model.m.toLong * model.dsub * 4 + model.m + 64), () => { enc.unpersist(); () })
+    }
 
   /** Train per-subspace k-means (Lloyd's, driver-side) on a deterministic
     * sample: the `sampleN` lowest-id vectors. Deterministic init = first
@@ -165,13 +165,13 @@ object PqIndex {
   /** Memoized residual-encoded table over an IVF-indexed input. */
   def encodedResidualCached(indexed: DataFrame, cacheKey: String, model: Model,
       ann: AnnIndex.Model, embCol: String): DataFrame =
-    encoded.getOrElseUpdate(
-      s"$cacheKey#$embCol#${modelId(model)}#residual#${annId(ann)}", {
+    ServingCache.getOrBuild(
+      s"pq#$cacheKey#$embCol#${modelId(model)}#residual#${annId(ann)}") {
       val enc = indexed.withColumn("__code",
         encode(model, residualCol(ann, col(embCol), col("cluster_id")))).cache()
-      enc.count()
-      enc
-    })
+      val n = enc.count()
+      (enc, n * (model.m.toLong * model.dsub * 4 + model.m + 64), () => { enc.unpersist(); () })
+    }
 
   /** Column of per-row residuals (v - centroid[cluster_id]). */
   def residualCol(ann: AnnIndex.Model, vec: Column, clusterId: Column): Column = {

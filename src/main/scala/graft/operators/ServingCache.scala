@@ -1,0 +1,113 @@
+package graft.operators
+
+/** BOUNDED LRU registry for session-lifetime serving structures — the
+  * memory governor for everything this engine pins executor-side between
+  * queries: [[PackedScan]] packed blocks, [[GraphAnn]]/[[IvfGraph]] graph
+  * blocks, [[PqIndex]]/[[Sq8Index]] encoded tables, [[AnnIndex]] fitted
+  * in-memory indexes.
+  *
+  * Why it exists: a serving session outlives any one query. The reference
+  * serves several tables concurrently (Wikipedia + ArXiv + per-user
+  * private KBs, `app/backend/construct/build_all.py:34-49`), and each
+  * table a user touches builds an index structure that stays resident.
+  * Unbounded memos (round 3 shipped one TrieMap per operator, nothing
+  * ever unpersisted) mean pinned bytes grow monotonically until executor
+  * storage pressure degrades EVERY query — the round-3 bench recorded
+  * exactly that signature. A serving tier needs the same policy an OS
+  * page cache has: admit everything, evict least-recently-used when over
+  * budget.
+  *
+  * Accounting is by the structure's own byte estimate (exact for packed
+  * arrays, approximate for cached DataFrames — order-of-magnitude is what
+  * the budget needs). Eviction calls the structure's evict thunk
+  * (`RDD.unpersist` / `DataFrame.unpersist`) and drops the memo entry, so
+  * the next `getOrBuild` rebuilds from source — correctness never depends
+  * on residency, only latency does.
+  *
+  * Budget default 16 GiB (local[32] has 128 GiB; a real cluster sets
+  * `GRAFT_SERVING_CACHE_BYTES` to a fraction of executor storage memory).
+  */
+object ServingCache {
+
+  private final class Entry(val bytes: Long, val value: AnyRef,
+      val evictFn: () => Unit)
+
+  @volatile private var budget: Long =
+    sys.env.get("GRAFT_SERVING_CACHE_BYTES").map(_.toLong).getOrElse(16L << 30)
+
+  /** accessOrder = true: iteration order is least-recently-USED first. */
+  private val lru =
+    new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
+
+  def maxBytes: Long = budget
+
+  /** Set the byte budget and immediately enforce it. */
+  def setMaxBytes(b: Long): Unit = synchronized { budget = b; enforce(None) }
+
+  def totalBytes: Long = synchronized {
+    var t = 0L
+    lru.values.forEach(e => t += e.bytes)
+    t
+  }
+
+  def size: Int = synchronized(lru.size)
+
+  def contains(key: String): Boolean = synchronized(lru.containsKey(key))
+
+  /** Memoized build: returns the cached value (refreshing its LRU
+    * position) or builds, registers, and enforces the budget. `build`
+    * returns (value, pinnedBytes, evictThunk). The build runs OUTSIDE the
+    * lock (it launches Spark jobs); a lost race evicts its own result.
+    */
+  def getOrBuild[T <: AnyRef](key: String)(build: => (T, Long, () => Unit)): T = {
+    synchronized {
+      val hit = lru.get(key)
+      if (hit != null) return hit.value.asInstanceOf[T]
+    }
+    val (v, bytes, evictFn) = build
+    synchronized {
+      val raced = lru.get(key)
+      if (raced != null) {
+        try evictFn() catch { case _: Throwable => }
+        raced.value.asInstanceOf[T]
+      } else {
+        lru.put(key, new Entry(bytes, v, evictFn))
+        enforce(Some(key))
+        v
+      }
+    }
+  }
+
+  /** Evict one key (no-op if absent). */
+  def evict(key: String): Unit = synchronized {
+    val e = lru.remove(key)
+    if (e != null) { try e.evictFn() catch { case _: Throwable => } }
+  }
+
+  /** Unpin everything — the between-batteries reset the bench uses so
+    * each measured battery runs against only its own resident set.
+    */
+  def evictAll(): Unit = synchronized {
+    lru.values.forEach(e => { try e.evictFn() catch { case _: Throwable => } })
+    lru.clear()
+  }
+
+  /** Drop least-recently-used entries until under budget; the entry being
+    * admitted (`keep`) survives even if it alone exceeds the budget — a
+    * structure larger than the whole budget still has to serve the query
+    * that built it.
+    */
+  private def enforce(keep: Option[String]): Unit = {
+    var total = 0L
+    lru.values.forEach(e => total += e.bytes)
+    val it = lru.entrySet().iterator()
+    while (total > budget && it.hasNext) {
+      val e = it.next()
+      if (!keep.contains(e.getKey)) {
+        it.remove()
+        total -= e.getValue.bytes
+        try e.getValue.evictFn() catch { case _: Throwable => }
+      }
+    }
+  }
+}

@@ -15,19 +15,20 @@ object Sq8Index {
   final case class Model(mins: Array[Float], scales: Array[Float])
 
   private val models = new scala.collection.concurrent.TrieMap[String, Model]
-  private val encodedTables =
-    new scala.collection.concurrent.TrieMap[String, (DataFrame, Long)]
 
   /** Memoized encoded table + its row count (the offline index build, as
-    * [[PqIndex.encodedCached]]); repeat queries reuse the cache instead of
-    * re-encoding and re-counting.
+    * [[PqIndex.encodedCached]]); registered with [[ServingCache]] so the
+    * LRU byte budget governs residency (evict = unpersist + rebuild).
     */
   def encodedCached(df: DataFrame, cacheKey: String, model: Model,
       embCol: String): (DataFrame, Long) =
-    encodedTables.getOrElseUpdate(cacheKey, {
+    ServingCache.getOrBuild(s"sq8#$cacheKey") {
       val enc = df.withColumn("__sq", encode(model, col(embCol))).cache()
-      (enc, enc.count())
-    })
+      val n = enc.count()
+      val dim = model.mins.length.toLong
+      // cached row ≈ source floats + dim code bytes + row overhead
+      ((enc, n), n * (dim * 5 + 64), () => { enc.unpersist(); () })
+    }
 
   /** Per-dimension bounds: posexplode + hash agg keyed by dim — partial
     * min/max combine map-side, so the shuffle is dim rows per partition
