@@ -72,8 +72,13 @@ object PqIndex {
     ServingCache.getOrBuild(s"pq#$cacheKey#$embCol#${modelId(model)}") {
       val enc = df.withColumn("__code", encode(model, col(embCol))).cache()
       val n = enc.count()
-      // cached row ≈ source embedding floats + m code bytes + row overhead
-      (enc, n * (model.m.toLong * model.dsub * 4 + model.m + 64), () => { enc.unpersist(); () })
+      // `enc` caches ALL source columns, not just embedding + code — read
+      // the ACTUAL pinned size from the materialized InMemoryRelation so
+      // wide payload columns (document text) can't silently blow the LRU
+      // budget; the schema heuristic is only the fallback
+      val bytes = ServingCache.cachedBytes(
+        enc, n * (model.m.toLong * model.dsub * 4 + model.m + 64))
+      (enc, bytes, () => { enc.unpersist(); () })
     }
 
   /** Train per-subspace k-means (Lloyd's, driver-side) on a deterministic

@@ -32,8 +32,16 @@ object ServingCache {
   private final class Entry(val bytes: Long, val value: AnyRef,
       val evictFn: () => Unit)
 
+  /** Malformed / non-positive GRAFT_SERVING_CACHE_BYTES must not poison
+    * object init (an ExceptionInInitializerError on first cache use) or
+    * thrash (a 0/negative budget evicts on every admit) — fall back to
+    * the 16 GiB default.
+    */
   @volatile private var budget: Long =
-    sys.env.get("GRAFT_SERVING_CACHE_BYTES").map(_.toLong).getOrElse(16L << 30)
+    sys.env.get("GRAFT_SERVING_CACHE_BYTES")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ > 0)
+      .getOrElse(16L << 30)
 
   /** accessOrder = true: iteration order is least-recently-USED first. */
   private val lru =
@@ -54,28 +62,55 @@ object ServingCache {
 
   def contains(key: String): Boolean = synchronized(lru.containsKey(key))
 
+  /** One lock object per key, so concurrent builds of the SAME key
+    * serialize (the loser of the old optimistic race would unpersist its
+    * own DataFrame — but Spark's CacheManager keys cached data by logical
+    * plan, so for plan-identical builds that unpersist also dropped the
+    * winner's just-registered cache, defeating the memo). Distinct keys
+    * still build fully concurrently. The map grows by one plain Object
+    * per key ever requested — bytes, not a leak.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
   /** Memoized build: returns the cached value (refreshing its LRU
     * position) or builds, registers, and enforces the budget. `build`
     * returns (value, pinnedBytes, evictThunk). The build runs OUTSIDE the
-    * lock (it launches Spark jobs); a lost race evicts its own result.
+    * registry lock (it launches Spark jobs); same-key builds are
+    * serialized by a per-key lock so exactly one build runs and everyone
+    * else waits for its result.
     */
   def getOrBuild[T <: AnyRef](key: String)(build: => (T, Long, () => Unit)): T = {
-    synchronized {
-      val hit = lru.get(key)
-      if (hit != null) return hit.value.asInstanceOf[T]
-    }
-    val (v, bytes, evictFn) = build
-    synchronized {
-      val raced = lru.get(key)
-      if (raced != null) {
-        try evictFn() catch { case _: Throwable => }
-        raced.value.asInstanceOf[T]
-      } else {
+    val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      synchronized {
+        val hit = lru.get(key)
+        if (hit != null) return hit.value.asInstanceOf[T]
+      }
+      val (v, bytes, evictFn) = build
+      synchronized {
         lru.put(key, new Entry(bytes, v, evictFn))
         enforce(Some(key))
-        v
       }
+      v
     }
+  }
+
+  /** ACTUAL pinned bytes of a materialized `.cache()`d DataFrame, read
+    * from the InMemoryRelation's size accumulator (populated once an
+    * action has run — call after `df.count()`). Schema-heuristic
+    * estimates undercount badly when the cached plan carries payload
+    * columns the caller didn't think about (a `df.withColumn(code)`
+    * caches ALL source columns, document text included); the accumulator
+    * is what storage memory really holds. Falls back to the caller's
+    * estimate when no materialized relation is found.
+    */
+  def cachedBytes(df: org.apache.spark.sql.DataFrame, fallback: Long): Long = {
+    val actual = df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.stats.sizeInBytes.toLong
+    }.sum
+    if (actual > 0) actual else fallback
   }
 
   /** Evict one key (no-op if absent). */

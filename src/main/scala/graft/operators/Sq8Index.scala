@@ -20,14 +20,24 @@ object Sq8Index {
     * [[PqIndex.encodedCached]]); registered with [[ServingCache]] so the
     * LRU byte budget governs residency (evict = unpersist + rebuild).
     */
+  /** Content identity of a trained model: two callers reusing a cacheKey
+    * string with different bounds (or a different column) must not alias
+    * a stale encoded table — same contract as [[PqIndex.encodedCached]].
+    */
+  private def modelId(model: Model): String =
+    ((java.util.Arrays.hashCode(model.mins).toLong << 32) ^
+      (java.util.Arrays.hashCode(model.scales).toLong & 0xffffffffL)).toHexString
+
   def encodedCached(df: DataFrame, cacheKey: String, model: Model,
       embCol: String): (DataFrame, Long) =
-    ServingCache.getOrBuild(s"sq8#$cacheKey") {
+    ServingCache.getOrBuild(s"sq8#$cacheKey#$embCol#${modelId(model)}") {
       val enc = df.withColumn("__sq", encode(model, col(embCol))).cache()
       val n = enc.count()
       val dim = model.mins.length.toLong
-      // cached row ≈ source floats + dim code bytes + row overhead
-      ((enc, n), n * (dim * 5 + 64), () => { enc.unpersist(); () })
+      // actual pinned size from the materialized InMemoryRelation (the
+      // cached plan carries ALL source columns); heuristic = fallback
+      val bytes = ServingCache.cachedBytes(enc, n * (dim * 5 + 64))
+      ((enc, n), bytes, () => { enc.unpersist(); () })
     }
 
   /** Per-dimension bounds: posexplode + hash agg keyed by dim — partial
