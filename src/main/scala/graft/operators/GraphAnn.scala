@@ -60,14 +60,33 @@ final class GraphAnn private (
 
   /** Beam-search top-k. Returns ((id, dist) ascending, nodes visited). */
   def topK(q: Array[Float], k: Int, ef: Int): (Array[(Long, Double)], Long) = {
-    val qnorm = math.sqrt(VectorKernels.norm2(q))
+    val (res, visited) = topKBatch(Array(q), k, ef)
+    (res.head, visited)
+  }
+
+  /** BATCHED beam search: Q queries in ONE scatter-gather job (see
+    * [[PackedScan.topKBatch]] for why batching is the serving fix — one
+    * job amortizes scheduling overhead across the batch; the graphs stay
+    * pinned and each query runs its own beam). Per query, identical
+    * results to [[topK]].
+    */
+  def topKBatch(qs: Array[Array[Float]], k: Int, ef: Int)
+      : (Array[Array[(Long, Double)]], Long) = {
+    if (qs.isEmpty) return (Array.empty, 0L)
+    val nq = qs.length
+    val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
+    val width = math.max(k, ef)
     val perPart = blocks.mapPartitions { it =>
-      it.map(g => GraphAnn.searchOne(g, q, qnorm, math.max(k, ef)))
+      it.map { g =>
+        Array.tabulate(nq)(qi => GraphAnn.searchOne(g, qs(qi), qnorms(qi), width))
+      }
     }.collect()
-    val visited = perPart.map(_._2).sum
-    val merged = perPart.iterator.flatMap(_._1)
-      .toArray.sortBy { case (id, d) => (d, id) }.take(k)
-    (merged, visited)
+    val visited = perPart.iterator.flatMap(_.iterator.map(_._2)).sum
+    val out = Array.tabulate(nq) { qi =>
+      perPart.iterator.flatMap(_(qi)._1)
+        .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+    }
+    (out, visited)
   }
 
   /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
@@ -295,18 +314,36 @@ final class IvfGraph private (
     */
   def topK(q: Array[Float], k: Int, nprobe: Int, ef: Int)
       : (Array[(Long, Double)], Long) = {
-    val probed = model.nearest(q, nprobe).toSet
-    val qnorm = math.sqrt(VectorKernels.norm2(q))
+    val (res, visited) = topKBatch(Array(q), k, nprobe, ef)
+    (res.head, visited)
+  }
+
+  /** BATCHED routed search: Q queries in ONE job. Each query still
+    * touches only its own nprobe routed clusters — a cluster graph is
+    * searched once per query that routed to it, so batch work is
+    * sum(per-query routed work), with the per-job scheduling cost paid
+    * once for the whole batch (see [[PackedScan.topKBatch]]).
+    */
+  def topKBatch(qs: Array[Array[Float]], k: Int, nprobe: Int, ef: Int)
+      : (Array[Array[(Long, Double)]], Long) = {
+    if (qs.isEmpty) return (Array.empty, 0L)
+    val nq = qs.length
+    val probed: Array[Set[Int]] = qs.map(q => model.nearest(q, nprobe).toSet)
+    val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
     val width = math.max(k, ef)
     val perPart = blocks.mapPartitions { it =>
-      it.collect { case (cid, g) if probed.contains(cid) =>
-        GraphAnn.searchOne(g, q, qnorm, width)
+      it.flatMap { case (cid, g) =>
+        (0 until nq).iterator.filter(qi => probed(qi).contains(cid)).map { qi =>
+          (qi, GraphAnn.searchOne(g, qs(qi), qnorms(qi), width))
+        }
       }
     }.collect()
-    val visited = perPart.map(_._2).sum
-    val merged = perPart.iterator.flatMap(_._1)
-      .toArray.sortBy { case (id, d) => (d, id) }.take(k)
-    (merged, visited)
+    val visited = perPart.iterator.map(_._2._2).sum
+    val out = Array.tabulate(nq) { qi =>
+      perPart.iterator.filter(_._1 == qi).flatMap(_._2._1)
+        .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+    }
+    (out, visited)
   }
 
   /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
@@ -337,8 +374,9 @@ object IvfGraph {
 
   /** One NSW graph per cluster_id, clusters hash-spread over k
     * partitions via an explicit HashPartitioner (the partitioner is
-    * RETAINED on the block RDD, so the incremental-append join below is
-    * narrow on the already-built side), pinned MEMORY_ONLY.
+    * RETAINED on the block RDD, so [[append]]'s cogroup is narrow on the
+    * already-built side — only the small new batch shuffles), pinned
+    * MEMORY_ONLY.
     */
   def build(indexed: DataFrame, model: AnnIndex.Model, idCol: String,
       embCol: String, m: Int = 12, efC: Int = 64): IvfGraph = {
@@ -366,5 +404,65 @@ object IvfGraph {
       .map { case (_, g) => (g.ids.length.toLong, GraphAnn.graphBytes(g)) }
       .fold((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) }
     new IvfGraph(model, blocks, rows, bytes)
+  }
+
+  /** INCREMENTAL APPEND — the continuous-ingest path (the reference
+    * inserts into indexed tables while serving: `docs/self-query.md:88-99`,
+    * `app/backend/chat_bot/private_knowledge_base.py:85-89`).
+    *
+    * New vectors are routed to clusters through the FROZEN centroids
+    * (same frozen-centroid assignment IVF appends use — the routing
+    * structure does not move, so existing assignments stay valid), and
+    * ONLY the touched cluster graphs are rebuilt from their members plus
+    * the new rows; untouched clusters pass their already-built Graph
+    * through untouched. Because the built side retains its
+    * HashPartitioner, the cogroup is narrow there — the shuffle is the
+    * new batch only, which is what makes per-batch maintenance viable at
+    * 100 TB (batch cost ~ touched clusters, not corpus size).
+    *
+    * Rebuilding a touched cluster from scratch (members + additions,
+    * id-sorted by packAndBuild) keeps the determinism contract: the
+    * appended index is exactly the index a full rebuild over the union
+    * would produce for that cluster, so the q115 exactness gate holds
+    * unchanged on the appended structure (spec-gated).
+    *
+    * Returns (appended index, number of cluster graphs rebuilt). The old
+    * index is left registered/persisted — callers owning the lifecycle
+    * (e.g. [[ServingCache]] users) evict the stale key themselves.
+    */
+  def append(g: IvfGraph, newRows: DataFrame, idCol: String, embCol: String,
+      m: Int = 12, efC: Int = 64): (IvfGraph, Long) = {
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val model = g.model
+    val k = model.centroids.length
+    val rebuilt = spark.sparkContext.longAccumulator("ivfgraph-clusters-rebuilt")
+    val assigned = newRows
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .rdd.map { case (id, v) => (model.nearest(v, 1).head, (id, v)) }
+    val part = g.blocks.partitioner
+      .getOrElse(new org.apache.spark.HashPartitioner(k))
+    val blocks = g.blocks.cogroup(assigned, part).mapPartitions({ it =>
+      it.flatMap { case (cid, (graphs, added)) =>
+        if (added.isEmpty) graphs.iterator.map(gr => (cid, gr))
+        else {
+          rebuilt.add(1)
+          val existing = graphs.headOption.toArray.flatMap { gr =>
+            Array.tabulate(gr.ids.length) { i =>
+              val v = new Array[Float](gr.dim)
+              System.arraycopy(gr.vecs, i * gr.dim, v, 0, gr.dim)
+              (gr.ids(i), v)
+            }
+          }
+          Iterator.single(
+            (cid, GraphAnn.packAndBuild(existing ++ added, m, efC)))
+        }
+      }
+    }, preservesPartitioning = true)
+    // fromBlocks materializes (persist + sizing fold), so the accumulator
+    // is populated by the time it is read
+    val appended = fromBlocks(model, blocks)
+    (appended, rebuilt.value)
   }
 }

@@ -175,7 +175,11 @@ object PqIndex {
       val enc = indexed.withColumn("__code",
         encode(model, residualCol(ann, col(embCol), col("cluster_id")))).cache()
       val n = enc.count()
-      (enc, n * (model.m.toLong * model.dsub * 4 + model.m + 64), () => { enc.unpersist(); () })
+      // same actual-pinned-bytes accounting as encodedCached: the cached
+      // plan pins ALL source columns, so the schema heuristic undercounts
+      val bytes = ServingCache.cachedBytes(
+        enc, n * (model.m.toLong * model.dsub * 4 + model.m + 64))
+      (enc, bytes, () => { enc.unpersist(); () })
     }
 
   /** Column of per-row residuals (v - centroid[cluster_id]). */

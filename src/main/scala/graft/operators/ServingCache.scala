@@ -73,16 +73,40 @@ object ServingCache {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
 
+  /** Keys whose per-key build lock the current thread holds — re-entry
+    * detection. A build closure that transitively calls getOrBuild for
+    * ANOTHER key while holding one lock can deadlock against a thread
+    * acquiring the same two locks in the opposite order; failing fast
+    * with a clear message beats a frozen executor.
+    */
+  private val building = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]
+  }
+
   /** Memoized build: returns the cached value (refreshing its LRU
     * position) or builds, registers, and enforces the budget. `build`
     * returns (value, pinnedBytes, evictThunk). The build runs OUTSIDE the
     * registry lock (it launches Spark jobs); same-key builds are
     * serialized by a per-key lock so exactly one build runs and everyone
     * else waits for its result.
+    *
+    * CONSTRAINT: a build closure must not call getOrBuild (lock-ordering
+    * deadlock between two nesting builds) — compose the structures
+    * OUTSIDE and register the composite, or register the parts under
+    * their own keys first. Violations throw IllegalStateException
+    * immediately instead of deadlocking.
     */
   def getOrBuild[T <: AnyRef](key: String)(build: => (T, Long, () => Unit)): T = {
+    val held = building.get()
+    if (!held.isEmpty)
+      throw new IllegalStateException(
+        s"nested ServingCache.getOrBuild('$key') inside build of '${held.iterator.next()}' — " +
+          "build closures must not call getOrBuild (deadlock risk); " +
+          "build the parts under their own keys first")
     val lock = buildLocks.computeIfAbsent(key, _ => new Object)
-    lock.synchronized {
+    held.add(key)
+    try lock.synchronized {
       synchronized {
         val hit = lru.get(key)
         if (hit != null) return hit.value.asInstanceOf[T]
@@ -93,7 +117,7 @@ object ServingCache {
         enforce(Some(key))
       }
       v
-    }
+    } finally held.remove(key)
   }
 
   /** ACTUAL pinned bytes of a materialized `.cache()`d DataFrame, read
@@ -104,13 +128,21 @@ object ServingCache {
     * caches ALL source columns, document text included); the accumulator
     * is what storage memory really holds. Falls back to the caller's
     * estimate when no materialized relation is found.
+    *
+    * Only accumulator-backed values are trusted: `r.stats.sizeInBytes`
+    * silently substitutes the PRE-materialization plan estimate when the
+    * accumulator is 0 (empty table, or a relation whose buffers never
+    * loaded), and that estimate can be wildly inflated (join/default
+    * sizeInBytes) — large enough to evict every other resident structure.
+    * An empty-but-loaded cache correctly reports 0 bytes here.
     */
   def cachedBytes(df: org.apache.spark.sql.DataFrame, fallback: Long): Long = {
-    val actual = df.queryExecution.withCachedData.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        r.stats.sizeInBytes.toLong
-    }.sum
-    if (actual > 0) actual else fallback
+    val loaded = df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if r.cacheBuilder.isCachedColumnBuffersLoaded =>
+        r.cacheBuilder.sizeInBytesStats.value.longValue
+    }
+    if (loaded.nonEmpty) loaded.sum else fallback
   }
 
   /** Evict one key (no-op if absent). */

@@ -16,10 +16,6 @@ object Sq8Index {
 
   private val models = new scala.collection.concurrent.TrieMap[String, Model]
 
-  /** Memoized encoded table + its row count (the offline index build, as
-    * [[PqIndex.encodedCached]]); registered with [[ServingCache]] so the
-    * LRU byte budget governs residency (evict = unpersist + rebuild).
-    */
   /** Content identity of a trained model: two callers reusing a cacheKey
     * string with different bounds (or a different column) must not alias
     * a stale encoded table — same contract as [[PqIndex.encodedCached]].
@@ -28,6 +24,10 @@ object Sq8Index {
     ((java.util.Arrays.hashCode(model.mins).toLong << 32) ^
       (java.util.Arrays.hashCode(model.scales).toLong & 0xffffffffL)).toHexString
 
+  /** Memoized encoded table + its row count (the offline index build, as
+    * [[PqIndex.encodedCached]]); registered with [[ServingCache]] so the
+    * LRU byte budget governs residency (evict = unpersist + rebuild).
+    */
   def encodedCached(df: DataFrame, cacheKey: String, model: Model,
       embCol: String): (DataFrame, Long) =
     ServingCache.getOrBuild(s"sq8#$cacheKey#$embCol#${modelId(model)}") {

@@ -93,6 +93,48 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == exactTop10On(corpus2, q))
   }
 
+  test("incremental append: only touched clusters rebuilt, appended index exact on the union") {
+    import org.apache.spark.sql.functions.col
+    // a batch that lands in a FEW clusters: re-ingest cluster-0/1/2 members
+    // under fresh disjoint ids (frozen centroids route them straight back)
+    val batch = ivfIndexed.filter(col("cluster_id") < 3)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      .cache()
+    val bn = batch.count()
+    assert(bn > 0)
+    // expected touched clusters = exactly the routing append will compute
+    val expectedTouched = batch.select("embedding").collect()
+      .map(r => ivfModel.nearest(r.getSeq[Float](0).toArray, 1).head).toSet
+    val (appended, rebuilt) =
+      IvfGraph.append(ivfGraph, batch, "vec_id", "embedding", m = 8, efC = 48)
+    assert(appended.rows == N2 + bn)
+    assert(rebuilt == expectedTouched.size,
+      s"rebuilt $rebuilt cluster graphs, expected ${expectedTouched.size}")
+    assert(rebuilt < C, "untouched clusters must not be rebuilt")
+    // exactness contract holds on the appended structure: full probe +
+    // full ef equals the exhaustive scan over the UNION corpus
+    val union = corpus2.select("vec_id", "embedding")
+      .union(batch.select("vec_id", "embedding")).cache()
+    val q = ClusteredCorpus.query(1)
+    val (got, visited) = appended.topK(q, 10, nprobe = C, ef = (N2 + bn).toInt)
+    assert(visited == N2 + bn, s"must visit all ${N2 + bn} nodes, got $visited")
+    assert(got.map(_._1).toSet == exactTop10On(union, q))
+    appended.unpersist(); union.unpersist(); batch.unpersist()
+  }
+
+  test("topKBatch: per-query results identical to topK; visits add up") {
+    val qs = Array.tabulate(4)(t => ClusteredCorpus.query(t))
+    val (batch, bVisited) = graph.topKBatch(qs, 10, ef = 64)
+    val singles = qs.map(q => graph.topK(q, 10, ef = 64))
+    qs.indices.foreach(i => assert(batch(i).toSeq == singles(i)._1.toSeq))
+    assert(bVisited == singles.map(_._2).sum)
+
+    val (ibatch, iVisited) = ivfGraph.topKBatch(qs, 10, nprobe = 3, ef = 16)
+    val isingles = qs.map(q => ivfGraph.topK(q, 10, nprobe = 3, ef = 16))
+    qs.indices.foreach(i => assert(ibatch(i).toSeq == isingles(i)._1.toSeq))
+    assert(iVisited == isingles.map(_._2).sum)
+  }
+
   test("IvfGraph: routing and beam reductions compose (recall >= 0.95, <= 5% visited)") {
     val results = (0 until 5).map { t =>
       val q = ClusteredCorpus.query(t)

@@ -42,6 +42,19 @@ class PackedScanSpec extends AnyFunSuite {
     assert(all.toSeq == all.toSeq.sortBy { case (id, d) => (d, id) })
   }
 
+  test("topKBatch: one job, per-query results identical to topK") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val scan = PackedScan.buildCached(e, "spec#" + TestSpark.sf, "vec_id", "embedding")
+    val qs = Array.tabulate(7)(i => HashEmbedder.embed(s"batch probe $i"))
+    val batch = scan.topKBatch(qs, 10)
+    assert(batch.length == qs.length)
+    qs.indices.foreach { i =>
+      assert(batch(i).toSeq == scan.topK(qs(i), 10).toSeq,
+        s"batch result $i diverged from single-query path")
+    }
+    assert(scan.topKBatch(Array.empty[Array[Float]], 10).isEmpty)
+  }
+
   test("empty source -> empty relation, empty topK") {
     val empty = Tables.embeddings(spark, TestSpark.sf).filter(col("vec_id") < 0)
     val scan = PackedScan.build(empty, "vec_id", "embedding")
