@@ -38,17 +38,20 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       maxRounds: Int = 50): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    val tE = System.nanoTime()
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint(true)
+    if (dbg) System.err.println(f"[cc] edges materialized ${(System.nanoTime()-tE)/1e9}%.3fs")
 
+    val tl = System.nanoTime()
     var labels = nodes.select(col("id"), col("id").as("canonical"))
       .localCheckpoint(true)
+    if (dbg) System.err.println(f"[cc] labels init ${(System.nanoTime()-tl)/1e9}%.3fs")
 
     var round = 0
     var converged = false
-    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
-    if (dbg) { val t0 = System.nanoTime(); edges.count(); System.err.println(f"[cc] edges materialized ${(System.nanoTime()-t0)/1e9}%.3fs") }
     while (!converged && round < maxRounds) {
       val tr = System.nanoTime()
       // one round = min over {own label} ∪ {neighbors' labels}: the union
@@ -71,8 +74,15 @@ object Dedup {
         // changed until it has a real previous-round label.
         .agg(min(col("lbl")).as("canonical"),
           coalesce(min(col("prev")), lit(Long.MaxValue)).as("prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("canonical") < col("prev")).limit(1).count() == 0
+        .localCheckpoint(false)
+      // ONE job per round: the UN-limited count computes every partition
+      // of the lazily-checkpointed `next` (completing the checkpoint —
+      // lineage truncates only after a full materialization; a limit(1)
+      // would short-circuit and leave it partial) and its result IS the
+      // convergence test. The old shape paid two jobs per round (eager
+      // checkpoint count + separate convergence probe), and per-round job
+      // overhead × diameter was most of q109's wall time.
+      converged = next.filter(col("canonical") < col("prev")).count() == 0
       labels = next.drop("prev")
       round += 1
       if (dbg) System.err.println(f"[cc] round $round ${(System.nanoTime()-tr)/1e9}%.3fs converged=$converged")

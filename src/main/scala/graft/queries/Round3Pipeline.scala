@@ -53,11 +53,18 @@ object Round3Pipeline {
     // min-label propagation -> (doc, canonical, keep) manifest. The DuckDB
     // twin recomputes the same graph and closes it with a recursive CTE.
     QueryDef("q109_dedup_clusters", (s, dir) => {
+      // materialize the keyed token sets ONCE: both sides of the blocked
+      // self-join read the checkpointed 15k-row table instead of each
+      // re-running the parquet-read + 3-way-union + tokenize pipeline
+      // (profiled: the duplicated upstream was ~1.1 s of q109's wall
+      // time; the 21k candidate verifications are microseconds)
       val keyed = chainedCorpus(s, dir)
+        .withColumn("t", tok(col("text")))
         .select(col("doc_id"),
-          concat_ws(" ", slice(tok(col("text")), lit(1), lit(3))).as("k"),
-          array_distinct(tok(col("text"))).as("st"))
+          concat_ws(" ", slice(col("t"), lit(1), lit(3))).as("k"),
+          array_distinct(col("t")).as("st"))
         .withColumn("n", size(col("st")))
+        .localCheckpoint(true)
       val a = keyed.select(col("doc_id").as("i"), col("k"),
         col("st").as("sa"), col("n").as("na"))
       val b = keyed.select(col("doc_id").as("j"), col("k").as("kb"),
