@@ -3,6 +3,7 @@ package graft
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.HashEmbedder
@@ -153,6 +154,53 @@ class ServingCacheSpec extends AnyFunSuite {
     assert(evicted == Set("sc-all-a", "sc-all-b"))
     assert(ServingCache.size == 0)
     assert(ServingCache.totalBytes == 0)
+  }
+
+  test("multi-table soak: resident bytes track the budget and answers stay exact across evictions") {
+    // The reference's serving workload is several tables resident at once
+    // (Wikipedia + ArXiv + per-user KBs); this drives N REAL packed tables
+    // through a budget that fits only ~2 of them, twice, and asserts the
+    // governor's whole contract: budget held after every admission,
+    // evictions actually fire, and an evicted-then-rebuilt table answers
+    // bit-identically on every pass.
+    val nTables = 5
+    val rowsPer = 400L
+    val tables = (0 until nTables).map { t =>
+      // distinct vec_id range => distinct noise tokens => distinct vectors
+      ClusteredCorpus.df(spark, rowsPer, 4)
+        .withColumn("vec_id", col("vec_id") + t * 1000000L)
+        .select("vec_id", "embedding")
+    }
+    val keys = (0 until nTables).map(t => s"packed#sc-soak-$t#vec_id#embedding")
+    val q = HashEmbedder.embed("soak probe")
+    def pass(): IndexedSeq[Seq[(Long, Double)]] =
+      (0 until nTables).map { t =>
+        val ps = PackedScan.buildCached(tables(t), s"sc-soak-$t", "vec_id", "embedding")
+        val res = ps.topK(q, 10).toSeq
+        assert(ServingCache.totalBytes <= ServingCache.maxBytes,
+          s"over budget after table $t: ${ServingCache.totalBytes}")
+        res
+      }
+    // size one entry, then set the budget to ~2.4 entries
+    val probe = PackedScan.build(tables(0), "vec_id", "embedding")
+    val entryBytes = probe.bytes
+    probe.unpersist()
+    withBudget(entryBytes * 12 / 5) {
+      ServingCache.evictAll() // start the soak from an empty resident set
+      val first = pass()
+      val residentAfter = keys.count(ServingCache.contains)
+      assert(residentAfter < nTables && residentAfter >= 1,
+        s"expected a partial resident set, got $residentAfter of $nTables")
+      // table 0 was necessarily evicted to admit later tables => pass 2
+      // exercises rebuild-after-eviction on real structures
+      assert(!ServingCache.contains(keys.head))
+      val second = pass()
+      assert(second == first, "rebuilt tables must answer bit-identically")
+      first.zip(first.drop(1)).foreach { case (a, b) =>
+        assert(a != b, "distinct tables must have distinct answers")
+      }
+    }
+    keys.foreach(ServingCache.evict)
   }
 
   test("cachedBytes: materialized accumulator beats the fallback; unmaterialized and empty caches never inflate") {
