@@ -97,11 +97,19 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
         data.join(broadcast(t), keyEq && (data("__v") <= t("__tv")), "left_anti")
       case None => data
     }
-    val w = Window.partitionBy(key.map(col): _*).orderBy(desc("__v"))
+    // last-writer-wins per key as ONE hash aggregate (max_by on __v),
+    // not a row_number window: the window plan is exchange + SORT within
+    // every partition of the full table, while max_by is a partial
+    // (map-side) aggregate carrying one struct per key per partition into
+    // the exchange — less shuffle volume and no sort, the plan that holds
+    // at 100 TB. Tie behavior on duplicate keys WITHIN a version is
+    // unspecified in both forms (the commit contract makes keys unique
+    // per version).
+    val nonKey = afterDeletes.columns.filterNot(key.contains)
     afterDeletes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(key.map(col): _*)
+      .agg(max_by(struct(nonKey.map(col): _*), col("__v")).as("__r"))
+      .select(key.map(col) ++ nonKey.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Current committed version (max over data + tombstones); 0 if empty.
