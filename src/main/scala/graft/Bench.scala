@@ -120,10 +120,11 @@ object Bench {
       // repeated-query configuration (BASELINE.md's >= 1M vectors/s/core
       // budget is a serving number; the parquet re-scan above is bounded
       // by decode + row materialization, not the kernel). Two measured
-      // points: single-query LATENCY (one Spark job per query — bounded
-      // by ~5 ms scheduling, the honest interactive number) and batched
-      // THROUGHPUT (Q queries per job via topKBatch — the concurrent-
-      // users configuration; rate = rows x Q / batch seconds).
+      // points: single-query LATENCY (one Spark job per query: ~5 ms of
+      // scheduling + one kernel pass over the pinned blocks — the honest
+      // interactive number) and batched THROUGHPUT (Q queries per job via
+      // topKBatch — the concurrent-users configuration; rate =
+      // rows x Q / batch seconds).
       val served = graft.operators.PackedScan.buildCached(
         big.select((col("vec_id") * 1000000L + col("__c")).as("id"),
           vec_unpack(col("emb")).as("embedding")),
