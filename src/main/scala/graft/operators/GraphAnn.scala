@@ -406,6 +406,75 @@ object IvfGraph {
     new IvfGraph(model, blocks, rows, bytes)
   }
 
+  /** DURABLE FORM — persist the built graphs so a new session (or a
+    * restarted cluster) serves without re-running NSW construction, the
+    * expensive part of the build (IVF gets this for free because its
+    * index IS a parquet layout, q93; graphs need their adjacency saved).
+    *
+    * Layout mirrors the IVF index: `nodes/` parquet PARTITIONED BY
+    * cluster_id — one row per node carrying its partition-local position,
+    * external id, vector, and neighbor INDICES (edges never cross
+    * clusters, so partition-local indices stay valid across save/load) —
+    * plus `centroids/` for the frozen routing model. At 100 TB each
+    * cluster directory is the unit a serving executor loads.
+    */
+  def save(spark: SparkSession, g: IvfGraph, path: String): Unit = {
+    import spark.implicits._
+    g.blocks.flatMap { case (cid, gr) =>
+      Iterator.tabulate(gr.ids.length) { i =>
+        val v = new Array[Float](gr.dim)
+        System.arraycopy(gr.vecs, i * gr.dim, v, 0, gr.dim)
+        (cid, i, gr.ids(i), v, gr.nbrs(i))
+      }
+    }.toDF("cluster_id", "pos", "id", "vec", "nbrs")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/nodes")
+    g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a [[save]]d index: reassembles each cluster's Graph from its
+    * stored rows — NO graph construction runs (packAndBuild is never
+    * called), and the loaded index is bit-identical to the saved one
+    * (spec-gated: blocks compare equal, queries return identical rows and
+    * visit counts).
+    */
+  def load(spark: SparkSession, path: String): IvfGraph = {
+    import spark.implicits._
+    val model = AnnIndex.Model(
+      spark.read.parquet(s"$path/centroids").orderBy("centroid_id")
+        .select("centroid").as[Array[Double]].collect())
+    val k = model.centroids.length
+    val keyed = spark.read.parquet(s"$path/nodes")
+      .select(col("cluster_id").cast("int"), col("pos").cast("int"),
+        col("id").cast("long"), col("vec"), col("nbrs"))
+      .as[(Int, Int, Long, Array[Float], Array[Int])]
+      .rdd.map { case (cid, pos, id, v, nb) => (cid, (pos, id, v, nb)) }
+      .partitionBy(new org.apache.spark.HashPartitioner(k))
+    val blocks = keyed.mapPartitions({ it =>
+      it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
+        val sorted = rows.map(_._2).sortBy(_._1)
+        val n = sorted.length
+        val dim = sorted(0)._3.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Float](n * dim)
+        val nbrs = new Array[Array[Int]](n)
+        var i = 0
+        while (i < n) {
+          val (pos, id, v, nb) = sorted(i)
+          require(pos == i, s"hole at node $i of cluster $cid")
+          require(v.length == dim, "ragged vector")
+          ids(i) = id
+          System.arraycopy(v, 0, vecs, i * dim, dim)
+          nbrs(i) = nb
+          i += 1
+        }
+        (cid, GraphAnn.Graph(ids, vecs, dim, nbrs))
+      }
+    }, preservesPartitioning = true)
+    fromBlocks(model, blocks)
+  }
+
   /** INCREMENTAL APPEND — the continuous-ingest path (the reference
     * inserts into indexed tables while serving: `docs/self-query.md:88-99`,
     * `app/backend/chat_bot/private_knowledge_base.py:85-89`).

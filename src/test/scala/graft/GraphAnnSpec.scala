@@ -122,6 +122,35 @@ class GraphAnnSpec extends AnyFunSuite {
     appended.unpersist(); union.unpersist(); batch.unpersist()
   }
 
+  test("save/load round-trip: loaded index is bit-identical, no construction on load") {
+    val path = "/root/repo/target/tmp/ivfgraph_saveload_spec"
+    IvfGraph.save(spark, ivfGraph, path)
+    val loaded = IvfGraph.load(spark, path)
+    try {
+      // the routing model survives exactly
+      assert(graft.operators.TestAccess.model(loaded).centroids.map(_.toSeq).toSeq ==
+        graft.operators.TestAccess.model(ivfGraph).centroids.map(_.toSeq).toSeq)
+      // every cluster graph compares equal field-by-field: ids, packed
+      // vectors, and the ADJACENCY (the part whose reconstruction would
+      // mean construction ran — load stores it, never recomputes it)
+      def mat(g: IvfGraph) = graft.operators.TestAccess.blocks(g).collect().map {
+        case (cid, gr) =>
+          cid -> ((gr.ids.toSeq, gr.vecs.toSeq, gr.dim, gr.nbrs.map(_.toSeq).toSeq))
+      }.toMap
+      val (orig, back) = (mat(ivfGraph), mat(loaded))
+      assert(back.keySet == orig.keySet)
+      orig.foreach { case (cid, g) => assert(back(cid) == g, s"cluster $cid differs") }
+      assert(loaded.rows == ivfGraph.rows && loaded.bytes == ivfGraph.bytes)
+      // identical graphs => identical answers and identical visit counts
+      (0 until 3).foreach { t =>
+        val q = ClusteredCorpus.query(t)
+        val (lr, lv) = loaded.topK(q, 10, nprobe = 3, ef = 16)
+        val (or, ov) = ivfGraph.topK(q, 10, nprobe = 3, ef = 16)
+        assert(lr.toSeq == or.toSeq && lv == ov)
+      }
+    } finally loaded.unpersist()
+  }
+
   test("topKBatch: per-query results identical to topK; visits add up") {
     val qs = Array.tabulate(4)(t => ClusteredCorpus.query(t))
     val (batch, bVisited) = graph.topKBatch(qs, 10, ef = 64)
