@@ -97,6 +97,39 @@ object Round6Queries {
       ORDER BY rrf DESC, id
       LIMIT 20""")),
 
+    // ---- durable graph index, gated END-TO-END --------------------------
+    // q115 gates the in-session IvfGraph; this saves it (node-level
+    // parquet partitioned by cluster + frozen centroids), LOADS it in
+    // place of the built one, and queries at full probe + full ef — the
+    // exactness contract says that equals the exhaustive scan, so the
+    // same oracle gates the whole save/load/serve path. GraphAnnSpec
+    // additionally asserts the loaded blocks are bit-identical and that
+    // load never runs graph construction.
+    QueryDef("q119_graph_saveload", (s, dir) => {
+      import graft.operators.{AnnIndex, IvfGraph}
+      val e = Tables.embeddings(s, dir)
+      val (model, indexed) = AnnIndex.fitCached(
+        e, dir, "embedding", "vec_id", k = 16, iters = 3)
+      val g = IvfGraph.buildCached(indexed, model, dir, "vec_id", "embedding")
+      val path = AnnIndex.tmpRoot + "/ivfgraph_durable_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      IvfGraph.save(s, g, path)
+      val loaded = IvfGraph.load(s, path)
+      try {
+        loaded.topKDF(s, qVec, 10, nprobe = 16, ef = loaded.rows.toInt)
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .orderBy(col("dist"), col("vec_id"))
+          .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+      } finally loaded.unpersist()
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
     // ---- BM25 scoring (k1 = 1.2, b = 0.75) ------------------------------
     // Corpus stats (N, Σdl, df per term) reduce to ONE row and broadcast;
     // per-doc scoring is map-only over that single-row join — the plan is
