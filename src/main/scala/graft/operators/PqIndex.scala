@@ -224,6 +224,43 @@ object PqIndex {
     * and the shortlist must grow with N to contain the true top-k with
     * certainty.
     */
+  /** DURABLE FORM — the `disk_mode=3` analog of the reference's MSTG DDL
+    * (`app/backend/constants/myscale_tables.py:35,63`: a disk-resident
+    * index): codebooks + encoded table persisted as parquet, so a new
+    * session serves without re-training OR re-encoding. Together with the
+    * persisted IVF layout (q93) and the durable cluster graphs (q119),
+    * every serving structure in the quantization ladder now survives a
+    * restart.
+    */
+  def save(model: Model, encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, mm) =>
+      cb.zipWithIndex.map { case (c, kk) => (mm, kk, c) }
+    }.toSeq.toDF("m", "k", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a [[save]]d index: (model, encoded table). Codebook content
+    * round-trips exactly (floats stored as-is), and the codes table is
+    * the one that was saved — [[search]] over the loaded pair returns
+    * exactly what the in-session pair returns (q120 hash-gates the whole
+    * save/load/serve path at C = N/4, where the shortlist + exact re-rank
+    * equals brute force).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): (Model, DataFrame) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("m").cast("int"), col("k").cast("int"), col("centroid"))
+      .as[(Int, Int, Array[Float])].collect()
+    val nm = rows.map(_._1).max + 1
+    val nk = rows.map(_._2).max + 1
+    val cbs = Array.ofDim[Array[Float]](nm, nk)
+    rows.foreach { case (mm, kk, c) => cbs(mm)(kk) = c }
+    (Model(cbs), spark.read.parquet(s"$path/codes"))
+  }
+
   def search(model: Model, encoded: DataFrame, embCol: String, idCol: String,
       query: Array[Float], k: Int, candidates: Int): DataFrame = {
     import org.apache.spark.sql.graft.VectorFunctions.cosine_distance

@@ -130,6 +130,33 @@ object Round6Queries {
                                             CAST($qLit AS DOUBLE[])), vec_id
       LIMIT 10""")),
 
+    // ---- durable PQ index, gated END-TO-END ------------------------------
+    // q99 gates the in-session PQ path; this saves codebooks + codes to
+    // parquet (the disk_mode=3 analog of the reference's MSTG DDL), loads
+    // them back, and searches at C = N/4 where shortlist + exact re-rank
+    // equals brute force — so the same oracle hash-gates training,
+    // encoding, persistence, reload, and serving in one pass.
+    QueryDef("q120_pq_saveload", (s, dir) => {
+      import graft.operators.{AnnIndex, PqIndex}
+      val e = Tables.embeddings(s, dir)
+      val model = PqIndex.fitCached(e, dir, "embedding", "vec_id")
+      val enc = PqIndex.encodedCached(e, dir, model, "embedding")
+      val path = AnnIndex.tmpRoot + "/pq_durable_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      PqIndex.save(model, enc, path)
+      val (lModel, lEnc) = PqIndex.load(s, path)
+      val cand = math.max(200L, lEnc.count() / 4).toInt
+      PqIndex.search(lModel, lEnc, "embedding", "vec_id", qVec, k = 10, candidates = cand)
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
     // ---- BM25 scoring (k1 = 1.2, b = 0.75) ------------------------------
     // Corpus stats (N, Σdl, df per term) reduce to ONE row and broadcast;
     // per-doc scoring is map-only over that single-row join — the plan is

@@ -33,6 +33,23 @@ class PqSpec extends AnyFunSuite {
     assert(viaDf.toSeq == interp.toSeq)
   }
 
+  test("save/load round-trip: codebooks bit-identical, codes table equal, search identical") {
+    val enc = PqIndex.encodedCached(e, TestSpark.sf, model, "embedding")
+    val path = "/root/repo/target/tmp/pq_saveload_spec"
+    PqIndex.save(model, enc, path)
+    val (lModel, lEnc) = PqIndex.load(spark, path)
+    assert(lModel.flat.toSeq == model.flat.toSeq, "codebooks must round-trip exactly")
+    assert(lModel.m == model.m && lModel.k == model.k && lModel.dsub == model.dsub)
+    assert(lEnc.select("vec_id", "__code").except(enc.select("vec_id", "__code")).isEmpty
+      && enc.select("vec_id", "__code").except(lEnc.select("vec_id", "__code")).isEmpty)
+    val q = HashEmbedder.embed("pq durability probe")
+    val a = PqIndex.search(model, enc, "embedding", "vec_id", q, 10, 200)
+      .collect().map(_.toSeq).toSeq
+    val b = PqIndex.search(lModel, lEnc, "embedding", "vec_id", q, 10, 200)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("ADC distance == explicit LUT sum for sampled vectors") {
     val q = HashEmbedder.embed("adc check")
     val enc = PqIndex.encodedCached(e, TestSpark.sf, model, "embedding")
