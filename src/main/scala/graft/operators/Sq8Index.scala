@@ -58,6 +58,32 @@ object Sq8Index {
       Model(mins, scales)
     })
 
+  /** DURABLE FORM (see [[PqIndex.save]] — same `disk_mode=3` analog):
+    * per-dim bounds + the encoded table persisted as parquet; a new
+    * session serves without re-fitting or re-encoding. Bounds round-trip
+    * bit-exactly (floats stored as-is), so the loaded model's codegen
+    * constants — and therefore every distance — are identical
+    * (spec-gated round trip in PqSpec).
+    */
+  def save(model: Model, encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    model.mins.indices.map(i => (i, model.mins(i), model.scales(i))).toDF(
+      "dim", "mn", "scale").write.mode("overwrite").parquet(s"$path/bounds")
+    encoded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a [[save]]d index: (model, encoded table, row count). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Model, DataFrame, Long) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/bounds")
+      .select(col("dim").cast("int"), col("mn"), col("scale"))
+      .as[(Int, Float, Float)].collect().sortBy(_._1)
+    val enc = spark.read.parquet(s"$path/codes")
+    (Model(rows.map(_._2), rows.map(_._3)), enc, enc.count())
+  }
+
   def encode(model: Model, vec: Column): Column = {
     import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
     toColumn(org.apache.spark.sql.graft.Sq8Encode(toExpr(vec), model.mins, model.scales))

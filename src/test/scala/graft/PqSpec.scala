@@ -162,6 +162,31 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 save/load round-trip: bounds bit-identical, codes equal, serve identical") {
+    import graft.operators.Sq8Index
+    val sq = Sq8Index.fitCached(e, TestSpark.sf, "embedding")
+    val (enc, n) = Sq8Index.encodedCached(e, TestSpark.sf, sq, "embedding")
+    val path = "/root/repo/target/tmp/sq8_saveload_spec"
+    Sq8Index.save(sq, enc, path)
+    val (lsq, lEnc, lN) = Sq8Index.load(spark, path)
+    assert(lsq.mins.toSeq == sq.mins.toSeq && lsq.scales.toSeq == sq.scales.toSeq)
+    assert(lN == n)
+    assert(lEnc.select("vec_id", "__sq").except(enc.select("vec_id", "__sq")).isEmpty
+      && enc.select("vec_id", "__sq").except(lEnc.select("vec_id", "__sq")).isEmpty)
+    val q = HashEmbedder.embed("sq8 durability probe")
+    def serve(m: Sq8Index.Model, table: org.apache.spark.sql.DataFrame) = table
+      .withColumn("__d", Sq8Index.distance(m, col("__sq"), typedlit(q.toIndexedSeq)))
+      .orderBy(col("__d"), col("vec_id")).limit(100)
+      .withColumn("dist", org.apache.spark.sql.graft.VectorFunctions
+        .cosine_distance(col("embedding"), typedlit(q.toIndexedSeq)))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      // compare by value columns: Row.toSeq would compare the __sq
+      // BinaryType field by array reference and always differ
+      .select("vec_id", "__d", "dist").as[(Long, Double, Double)]
+      .collect().toSeq
+    assert(serve(lsq, lEnc) == serve(sq, enc))
+  }
+
   test("quantization error: mean ADC error vs true distance is bounded") {
     // ADC approximates squared L2; on unit-ish vectors the mean absolute
     // error of the approximation should be well under the distance scale
