@@ -325,8 +325,13 @@ object Bench {
       n / sec
     } catch { case _: Throwable => -1.0 }
 
+    // Key semantics: knn_vectors_per_sec changed meaning in round 6 from
+    // single-query serving rate to Q-batched throughput; knn_batch_vps is
+    // the explicit self-describing alias (same value), knn_batch_q the
+    // batch size, and knn_single_query_ms the single-query latency —
+    // artifacts from round 7 on are self-describing.
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

@@ -505,18 +505,21 @@ object IvfGraph {
     import spark.implicits._
     val model = g.model
     val k = model.centroids.length
-    val rebuilt = spark.sparkContext.longAccumulator("ivfgraph-clusters-rebuilt")
     val assigned = newRows
       .select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]
       .rdd.map { case (id, v) => (model.nearest(v, 1).head, (id, v)) }
+      .persist(StorageLevel.MEMORY_ONLY)
+    // deterministic rebuilt-cluster count: accumulators incremented inside
+    // a transformation are not exactly-once under retries/recompute, and
+    // GraphAnnSpec asserts exact equality on this value
+    val rebuilt = assigned.keys.distinct().count()
     val part = g.blocks.partitioner
       .getOrElse(new org.apache.spark.HashPartitioner(k))
     val blocks = g.blocks.cogroup(assigned, part).mapPartitions({ it =>
       it.flatMap { case (cid, (graphs, added)) =>
         if (added.isEmpty) graphs.iterator.map(gr => (cid, gr))
         else {
-          rebuilt.add(1)
           val existing = graphs.headOption.toArray.flatMap { gr =>
             Array.tabulate(gr.ids.length) { i =>
               val v = new Array[Float](gr.dim)
@@ -529,9 +532,8 @@ object IvfGraph {
         }
       }
     }, preservesPartitioning = true)
-    // fromBlocks materializes (persist + sizing fold), so the accumulator
-    // is populated by the time it is read
     val appended = fromBlocks(model, blocks)
-    (appended, rebuilt.value)
+    assigned.unpersist()
+    (appended, rebuilt)
   }
 }
