@@ -536,4 +536,55 @@ object IvfGraph {
     assigned.unpersist()
     (appended, rebuilt)
   }
+
+  /** INCREMENTAL REMOVE — [[append]]'s delete twin (the reference deletes
+    * from indexed tables while serving:
+    * `app/backend/chat_bot/private_knowledge_base.py:93-99,136-138`).
+    *
+    * Unlike [[PackedScan.delete]]'s serve-time tombstones, this REBUILDS
+    * the affected structure: clusters containing a removed id are rebuilt
+    * from their remaining members (packAndBuild, id-sorted — exactly the
+    * graph a full rebuild over the remaining corpus would produce for
+    * that cluster, so the q115 exactness gate holds on the removed
+    * index); untouched clusters pass their built Graph through. Cost is
+    * one cheap membership pass over the pinned index ids plus rebuild
+    * work proportional to TOUCHED cluster size — never the corpus.
+    *
+    * Returns (new index, clusters rebuilt). A cluster losing all members
+    * drops its block. The old index stays registered — callers owning
+    * the lifecycle evict the stale [[ServingCache]] key.
+    */
+  def remove(g: IvfGraph, ids: Iterable[Long], m: Int = 12, efC: Int = 64)
+      : (IvfGraph, Long) = {
+    val rm = ids.toArray.distinct.sorted
+    def hits(gr: GraphAnn.Graph): Boolean = {
+      var i = 0
+      var found = false
+      while (!found && i < gr.ids.length) {
+        found = java.util.Arrays.binarySearch(rm, gr.ids(i)) >= 0
+        i += 1
+      }
+      found
+    }
+    // deterministic touched count: one pass over pinned ids (index-sized,
+    // not corpus-sized; the blocks are already MEMORY_ONLY)
+    val touched = g.blocks.filter { case (_, gr) => hits(gr) }.count()
+    val blocks = g.blocks.mapPartitions({ it =>
+      it.flatMap { case (cid, gr) =>
+        if (!hits(gr)) Iterator.single((cid, gr))
+        else {
+          val remaining = Array.tabulate(gr.ids.length) { i =>
+            val v = new Array[Float](gr.dim)
+            System.arraycopy(gr.vecs, i * gr.dim, v, 0, gr.dim)
+            (gr.ids(i), v)
+          }.filter { case (id, _) =>
+            java.util.Arrays.binarySearch(rm, id) < 0
+          }
+          if (remaining.isEmpty) Iterator.empty
+          else Iterator.single((cid, GraphAnn.packAndBuild(remaining, m, efC)))
+        }
+      }
+    }, preservesPartitioning = true)
+    (fromBlocks(model = g.model, blocks = blocks), touched)
+  }
 }

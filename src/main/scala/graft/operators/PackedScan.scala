@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import org.apache.spark.sql.graft.VectorKernels
@@ -27,18 +28,55 @@ import org.apache.spark.sql.graft.VectorKernels
   * queries have; the reference delegates it wholesale,
   * `app/backend/vector_store/myscale_without_metadata.py:28-36`).
   *
+  * FILTERED serving (round 7): metadata columns can be pinned beside the
+  * vectors ([[MetaPredicate.Col]] primitive arrays parallel to `ids`),
+  * and [[topKBatch]] takes an optional [[SelfQueryFilter]] AST compiled
+  * once per block into a row gate — the reference's dominant query shape
+  * (`PREWHERE where_str ORDER BY distance(...) LIMIT k`,
+  * `myscale_without_metadata.py:20-36`) on the pinned path: filter
+  * first, distance only on survivors, exact k results.
+  *
+  * TOMBSTONE deletes (round 7): [[delete]] registers ids that must stop
+  * being served immediately — the reference deletes from indexed tables
+  * while serving (`private_knowledge_base.py:93-99,136-138`). The
+  * tombstone set is driver-held, snapshotted into each query batch, and
+  * consulted per row (binary search over a sorted long[]); the workload
+  * contract is BOUNDED deletes between rebuilds (a KB removes files, not
+  * corpus fractions), so the set rides the task closure. Compaction =
+  * rebuild without the tombstoned rows (evict the [[ServingCache]] key).
+  *
   * Results are BIT-identical to the DataFrame scans: cosineStrided
   * reduces in the canonical VectorKernels order, and ties break by id
   * exactly like `.orderBy(dist, id)` — so the whole path is oracle-gated
-  * (q108) against the same DuckDB SQL as q20.
+  * (q108, and q121/q122 for the filtered/tombstoned forms) against the
+  * same DuckDB SQL as q20.
   */
 final class PackedScan private (
     blocks: RDD[PackedScan.Block], val dim: Int, val rows: Long,
     val bytes: Long) {
 
+  /** Sorted tombstoned ids; volatile so a query batch snapshots one
+    * consistent array. Mutated only under `this` lock in [[delete]].
+    */
+  @volatile private var tombstones: Array[Long] = Array.emptyLongArray
+
+  /** Register ids to stop serving NOW (no rebuild). Idempotent; ids not
+    * present in the corpus are harmless. Returns the tombstone count.
+    */
+  def delete(ids: Iterable[Long]): Int = synchronized {
+    tombstones = (tombstones ++ ids).distinct.sorted
+    tombstones.length
+  }
+
+  def deletedCount: Int = tombstones.length
+
+  /** Drop all tombstones (e.g. after the backing table was rebuilt). */
+  def clearDeletes(): Unit = synchronized { tombstones = Array.emptyLongArray }
+
   /** Exact top-k (id, cosine distance), ascending by (dist, id). */
-  def topK(q: Array[Float], k: Int): Array[(Long, Double)] =
-    topKBatch(Array(q), k).head
+  def topK(q: Array[Float], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None): Array[(Long, Double)] =
+    topKBatch(Array(q), k, filter).head
 
   /** BATCHED exact top-k: Q queries answered in ONE Spark job.
     *
@@ -53,43 +91,59 @@ final class PackedScan private (
     * inner loop), so memory traffic is rows×dim×4 B per BATCH instead of
     * per query.
     *
+    * With a `filter`, the AST binds once per block ([[MetaPredicate.bind]]
+    * resolves attributes and literal types outside the loop) and gates
+    * each row BEFORE the Q-way distance loop — the whole batch shares one
+    * predicate, the PREWHERE shape. Tombstoned rows are skipped the same
+    * way. The unfiltered path pays only two loop-invariant branch tests
+    * per row.
+    *
     * Per query the result is the identical bounded insertion + (dist, id)
     * merge as the single-query path — `topK` IS `topKBatch` of one, so
     * q108's oracle gate covers both.
     */
-  def topKBatch(qs: Array[Array[Float]], k: Int): Array[Array[(Long, Double)]] = {
+  def topKBatch(qs: Array[Array[Float]], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None): Array[Array[(Long, Double)]] = {
     if (qs.isEmpty) return Array.empty
     val nq = qs.length
     val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
+    val tomb = tombstones // one consistent snapshot for the whole batch
     val perPart = blocks.mapPartitions { it =>
       // bounded insertion top-k per (partition, query): k is tiny (10ish),
       // so the branch-predictable insertion beats a heap
       val bestD = Array.fill(nq)(Array.fill(k)(Double.PositiveInfinity))
       val bestId = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
       val found = new Array[Int](nq)
+      val hasTomb = tomb.length > 0
       it.foreach { b =>
+        val pred: Int => Boolean =
+          filter.map(MetaPredicate.bind(_, b.meta)).orNull
+        val hasPred = pred ne null
         val n = b.ids.length
         val dim = b.dim
         var r = 0
         while (r < n) {
-          val off = r * dim
           val id = b.ids(r)
-          var qi = 0
-          while (qi < nq) {
-            val d = VectorKernels.cosineStrided(b.vecs, off, dim, qs(qi), qnorms(qi))
-            val bd = bestD(qi)
-            val bi = bestId(qi)
-            val worst = bd(k - 1)
-            if (d < worst || (d == worst && id < bi(k - 1))) {
-              var p = k - 1
-              while (p > 0 && (d < bd(p - 1) ||
-                  (d == bd(p - 1) && id < bi(p - 1)))) {
-                bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+          if ((!hasPred || pred(r)) &&
+              (!hasTomb || java.util.Arrays.binarySearch(tomb, id) < 0)) {
+            val off = r * dim
+            var qi = 0
+            while (qi < nq) {
+              val d = VectorKernels.cosineStrided(b.vecs, off, dim, qs(qi), qnorms(qi))
+              val bd = bestD(qi)
+              val bi = bestId(qi)
+              val worst = bd(k - 1)
+              if (d < worst || (d == worst && id < bi(k - 1))) {
+                var p = k - 1
+                while (p > 0 && (d < bd(p - 1) ||
+                    (d == bd(p - 1) && id < bi(p - 1)))) {
+                  bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+                }
+                bd(p) = d; bi(p) = id
+                if (found(qi) < k) found(qi) += 1
               }
-              bd(p) = d; bi(p) = id
-              if (found(qi) < k) found(qi) += 1
+              qi += 1
             }
-            qi += 1
           }
           r += 1
         }
@@ -104,9 +158,10 @@ final class PackedScan private (
   }
 
   /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
-  def topKDF(spark: SparkSession, q: Array[Float], k: Int): DataFrame = {
+  def topKDF(spark: SparkSession, q: Array[Float], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None): DataFrame = {
     import spark.implicits._
-    topK(q, k).toSeq.toDF("vec_id", "dist")
+    topK(q, k, filter).toSeq.toDF("vec_id", "dist")
   }
 
   def unpersist(): Unit = blocks.unpersist()
@@ -114,57 +169,161 @@ final class PackedScan private (
 
 object PackedScan {
 
-  /** One partition's pinned data: ids[i] owns vecs[i*dim, (i+1)*dim). */
-  final case class Block(ids: Array[Long], vecs: Array[Float], dim: Int)
+  /** One partition's pinned data: ids[i] owns vecs[i*dim, (i+1)*dim);
+    * meta columns are primitive arrays parallel to ids.
+    */
+  final case class Block(ids: Array[Long], vecs: Array[Float], dim: Int,
+      meta: Map[String, MetaPredicate.Col] = Map.empty)
 
   /** Memoized through [[ServingCache]]: resident until the LRU byte
     * budget evicts it (keyed by caller key + columns so nothing aliases);
     * a rebuilt instance after eviction returns identical results.
+    * NB tombstones live on the INSTANCE: eviction drops them with the
+    * blocks, and the rebuild re-reads the (post-delete) source of truth.
     */
   def buildCached(df: DataFrame, cacheKey: String, idCol: String,
-      embCol: String): PackedScan =
-    ServingCache.getOrBuild(s"packed#$cacheKey#$idCol#$embCol") {
-      val ps = build(df, idCol, embCol)
+      embCol: String, metaCols: Seq[String] = Nil): PackedScan = {
+    // meta-less keys keep the historical format so existing callers
+    // (and byte-budget tests) address the same entries
+    val metaKey = if (metaCols.isEmpty) "" else metaCols.mkString("#", ",", "")
+    ServingCache.getOrBuild(s"packed#$cacheKey#$idCol#$embCol$metaKey") {
+      val ps = build(df, idCol, embCol, metaCols)
       (ps, ps.bytes, () => ps.unpersist())
     }
+  }
 
-  /** Pack (one pass over the source) and pin MEMORY_ONLY. */
-  def build(df: DataFrame, idCol: String, embCol: String): PackedScan = {
+  // canonical pinned kinds: 0 = Long, 1 = Double, 2 = String, 3 = Boolean
+  private def kindOf(t: DataType, name: String): Int = t match {
+    case ByteType | ShortType | IntegerType | LongType => 0
+    case FloatType | DoubleType                        => 1
+    case StringType                                    => 2
+    case BooleanType                                   => 3
+    case other => throw new IllegalArgumentException(
+      s"metadata column '$name' has unsupported pinned type $other " +
+        "(supported: integral, floating, string, boolean)")
+  }
+
+  /** Pack (one pass over the source) and pin MEMORY_ONLY. `metaCols`
+    * are pinned as typed primitive arrays for [[MetaPredicate]] filtering;
+    * integral → Long, floating → Double, plus String and Boolean. Pinned
+    * metadata must be non-null (see [[MetaPredicate]] null contract).
+    */
+  def build(df: DataFrame, idCol: String, embCol: String,
+      metaCols: Seq[String] = Nil): PackedScan = {
     val spark = df.sparkSession
     import spark.implicits._
-    val src = df.select(col(idCol).cast("long"), col(embCol))
-      .as[(Long, Array[Float])]
-    val blocks = src.rdd.mapPartitions { it =>
-      val ids = Array.newBuilder[Long]
-      var vecs = new Array[Float](0)
-      var used = 0
-      var dim = -1
-      it.foreach { case (id, v) =>
-        if (dim < 0) dim = v.length
-        require(v.length == dim, s"ragged vector: ${v.length} != $dim")
-        if (used + dim > vecs.length) {
-          val grown = new Array[Float](math.max(dim * 1024, vecs.length * 2))
-          System.arraycopy(vecs, 0, grown, 0, used)
-          vecs = grown
+    if (metaCols.isEmpty) {
+      // fast path: typed encoder, no Row boxing
+      val src = df.select(col(idCol).cast("long"), col(embCol))
+        .as[(Long, Array[Float])]
+      val empty = Array.empty[Any]
+      fromBlocks(src.rdd.mapPartitions { it =>
+        packPartition(it.map { case (id, v) => (id, v, empty) },
+          Array.empty, Array.empty)
+      })
+    } else {
+      val projected = df.select(
+        (col(idCol).cast("long") +: col(embCol) +: metaCols.map(col)): _*)
+      val names = metaCols.toArray
+      val kinds = projected.schema.fields.drop(2).map(_.dataType)
+        .zip(names).map { case (t, n) => kindOf(t, n) }
+      fromBlocks(projected.rdd.mapPartitions { it =>
+        val rows = it.map { row =>
+          val m = new Array[Any](names.length)
+          var j = 0
+          while (j < names.length) {
+            require(!row.isNullAt(2 + j),
+              s"null in pinned metadata column '${names(j)}' (id=${row.getLong(0)})")
+            m(j) = kinds(j) match {
+              case 0 => row.get(2 + j).asInstanceOf[Number].longValue()
+              case 1 => row.get(2 + j).asInstanceOf[Number].doubleValue()
+              case 2 => row.getString(2 + j)
+              case 3 => row.getBoolean(2 + j)
+            }
+            j += 1
+          }
+          (row.getLong(0), row.getSeq[Float](1).toArray, m)
         }
-        System.arraycopy(v, 0, vecs, used, dim)
-        used += dim
-        ids += id
+        packPartition(rows, names, kinds)
+      })
+    }
+  }
+
+  /** Pack one partition's rows into a single Block (empty iterator →
+    * no block). `names`/`kinds` empty means no metadata; meta values
+    * arrive pre-widened to their canonical kind.
+    */
+  private def packPartition(it: Iterator[(Long, Array[Float], Array[Any])],
+      names: Array[String], kinds: Array[Int]): Iterator[Block] = {
+    val ids = Array.newBuilder[Long]
+    var vecs = new Array[Float](0)
+    var used = 0
+    var dim = -1
+    val longB = Array.tabulate(kinds.length)(j =>
+      if (kinds(j) == 0) Array.newBuilder[Long] else null)
+    val dblB = Array.tabulate(kinds.length)(j =>
+      if (kinds(j) == 1) Array.newBuilder[Double] else null)
+    val strB = Array.tabulate(kinds.length)(j =>
+      if (kinds(j) == 2) Array.newBuilder[String] else null)
+    val boolB = Array.tabulate(kinds.length)(j =>
+      if (kinds(j) == 3) Array.newBuilder[Boolean] else null)
+    it.foreach { case (id, v, m) =>
+      if (dim < 0) dim = v.length
+      require(v.length == dim, s"ragged vector: ${v.length} != $dim")
+      if (used + dim > vecs.length) {
+        val grown = new Array[Float](math.max(dim * 1024, vecs.length * 2))
+        System.arraycopy(vecs, 0, grown, 0, used)
+        vecs = grown
       }
-      val idArr = ids.result()
-      if (idArr.isEmpty) Iterator.empty
-      else {
-        val tight = new Array[Float](used)
-        System.arraycopy(vecs, 0, tight, 0, used)
-        Iterator.single(Block(idArr, tight, dim))
+      System.arraycopy(v, 0, vecs, used, dim)
+      used += dim
+      ids += id
+      var j = 0
+      while (j < kinds.length) {
+        kinds(j) match {
+          case 0 => longB(j) += m(j).asInstanceOf[Long]
+          case 1 => dblB(j) += m(j).asInstanceOf[Double]
+          case 2 => strB(j) += m(j).asInstanceOf[String]
+          case 3 => boolB(j) += m(j).asInstanceOf[Boolean]
+        }
+        j += 1
       }
     }
+    val idArr = ids.result()
+    if (idArr.isEmpty) Iterator.empty
+    else {
+      val tight = new Array[Float](used)
+      System.arraycopy(vecs, 0, tight, 0, used)
+      val meta = names.indices.map { j =>
+        names(j) -> (kinds(j) match {
+          case 0 => MetaPredicate.LongCol(longB(j).result())
+          case 1 => MetaPredicate.DoubleCol(dblB(j).result())
+          case 2 => MetaPredicate.StringCol(strB(j).result())
+          case 3 => MetaPredicate.BoolCol(boolB(j).result())
+        })
+      }.toMap
+      Iterator.single(Block(idArr, tight, dim, meta))
+    }
+  }
+
+  private def fromBlocks(blocks: RDD[Block]): PackedScan = {
     blocks.persist(StorageLevel.MEMORY_ONLY)
     // rows + pinned bytes in ONE materializing job (ids: 8 B, floats: 4 B)
     val (rows, bytes) = blocks
-      .map(b => (b.ids.length.toLong, b.ids.length.toLong * 8 + b.vecs.length.toLong * 4))
+      .map(b => (b.ids.length.toLong, blockBytes(b)))
       .fold((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) }
     val dim = blocks.take(1).headOption.map(_.dim).getOrElse(0)
     new PackedScan(blocks, dim, rows, bytes)
+  }
+
+  private def blockBytes(b: Block): Long = {
+    val metaBytes = b.meta.valuesIterator.map {
+      case MetaPredicate.LongCol(v)   => v.length.toLong * 8
+      case MetaPredicate.DoubleCol(v) => v.length.toLong * 8
+      case MetaPredicate.BoolCol(v)   => v.length.toLong
+      case MetaPredicate.StringCol(v) =>
+        v.iterator.map(s => 40L + 2L * s.length).sum // object + UTF-16 est.
+    }.sum
+    b.ids.length.toLong * 8 + b.vecs.length.toLong * 4 + metaBytes
   }
 }

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashEmbedder
+import graft.operators.{PackedScan, SelfQueryFilter, SelfQueryParser}
+
+/** Round-7 battery: the SERVING-capability gap queries — the query shapes
+  * the reference's users actually send against the pinned serving
+  * structures.
+  *
+  * q121: FILTERED ANN serving. The reference's dominant query is a
+  * structured predicate composed with a vector top-k — self-query emits
+  * `PREWHERE where_str ORDER BY distance(...) LIMIT k`
+  * (`app/backend/vector_store/myscale_without_metadata.py:20-36`) and
+  * per-user KB retrievals filter `user_id = ... AND file_name IN (...)`
+  * (`app/backend/chat_bot/private_knowledge_base.py:161`). The DataFrame
+  * path answers this exactly (q21); this gates the PINNED path: raw
+  * self-query wire text → [[SelfQueryParser]] → [[MetaPredicate]] row
+  * gate inside [[PackedScan.topKBatch]]. The SAME AST renders the oracle
+  * WHERE via [[SelfQueryFilter.toSql]], so Spark and DuckDB compile one
+  * source of truth.
+  *
+  * q122: TOMBSTONE-aware serving. The reference deletes from indexed
+  * tables while serving (`private_knowledge_base.py:93-99,136-138`);
+  * deleted rows must stop being served WITHOUT a rebuild. Gate: build the
+  * pinned relation, tombstone every third id, and the served top-k must
+  * equal DuckDB's brute force over the remaining rows.
+  *
+  * Exactness recipe as q108: the packed kernel reduces in canonical
+  * VectorKernels order (bit-identical to the DataFrame scan), order by
+  * unrounded distance then id, round(6) only in the projection.
+  */
+object Round7Queries {
+
+  private val qText = "distributed vector search engine"
+  private val qVec = HashEmbedder.embed(qText)
+  private val qLit = HashEmbedder.sqlArrayLiteral(qVec)
+
+  /** The raw self-query LLM wire payload for q121 — parsing this envelope
+    * is part of the path under test.
+    */
+  private val wire =
+    s"""```json
+       |{
+       |    "query": "$qText",
+       |    "filter": "and(eq(\\"lang\\", \\"en\\"), gt(\\"n_chars\\", 250), in(\\"source\\", [\\"src1\\", \\"src3\\", \\"src5\\", \\"src7\\"]))"
+       |}
+       |```""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- filtered ANN on the pinned serving path -----------------------
+    QueryDef("q121_filtered_knn_served", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val d = Tables.documents(s, dir)
+      val corpus = e.join(d, e("vec_id") === d("doc_id"))
+        .select(e("vec_id"), e("embedding"), d("lang"), d("source"), d("n_chars"))
+      val req = SelfQueryParser.parseRequest(wire)
+      val scan = PackedScan.buildCached(corpus, dir + "#meta", "vec_id",
+        "embedding", Seq("lang", "source", "n_chars"))
+      val qv = HashEmbedder.embed(req.query)
+      scan.topKDF(s, qv, 10, req.filter)
+        .join(corpus.select(col("vec_id"), col("lang"), col("n_chars")), Seq("vec_id"))
+        .orderBy(col("dist"), col("vec_id"))
+        .select(col("vec_id"), col("lang"), col("n_chars"),
+          round(col("dist"), 6).as("dist"))
+    }, Some {
+      val where = SelfQueryFilter.toSql(
+        SelfQueryParser.parseRequest(wire).filter.get)
+      s"""
+      SELECT e.vec_id, d.lang, d.n_chars,
+        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE $where
+      ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), e.vec_id
+      LIMIT 10"""
+    }),
+
+    // ---- tombstone-aware serving (delete without rebuild) --------------
+    // Uncached build on purpose: deletes mutate the instance, and the
+    // shared q108 cache key must never serve a tombstoned view. (A real
+    // lifecycle keys the cached instance per table version and applies
+    // MVCC tombstones — see MvccCatalog; this gate isolates the scan-side
+    // mechanism.)
+    QueryDef("q122_knn_tombstone_served", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val scan = PackedScan.build(e, "vec_id", "embedding")
+      try {
+        scan.delete(0L until scan.rows by 3L)
+        scan.topKDF(s, qVec, 10)
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .orderBy(col("dist"), col("vec_id"))
+          .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+      } finally scan.unpersist()
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      WHERE vec_id % 3 <> 0
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
+    // ---- index delete on the graph serving structure -------------------
+    // Where q122 tombstones at serve time, this REBUILDS: IvfGraph.remove
+    // rebuilds only the clusters containing removed ids (append's delete
+    // twin); full probe + full ef then equals the exhaustive scan over
+    // the remaining rows, so the removed index is hash-gated end-to-end
+    // by the same brute-force oracle.
+    QueryDef("q123_graph_remove_served", (s, dir) => {
+      import graft.operators.{AnnIndex, IvfGraph}
+      val e = Tables.embeddings(s, dir)
+      val (model, indexed) = AnnIndex.fitCached(
+        e, dir, "embedding", "vec_id", k = 16, iters = 3)
+      val g = IvfGraph.buildCached(indexed, model, dir, "vec_id", "embedding")
+      val (removed, _) = IvfGraph.remove(g, 0L until g.rows by 3L)
+      try {
+        removed.topKDF(s, qVec, 10, nprobe = 16, ef = removed.rows.toInt)
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .orderBy(col("dist"), col("vec_id"))
+          .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+      } finally removed.unpersist()
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      WHERE vec_id % 3 <> 0
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10"""))
+  )
+}

@@ -122,6 +122,37 @@ class GraphAnnSpec extends AnyFunSuite {
     appended.unpersist(); union.unpersist(); batch.unpersist()
   }
 
+  test("incremental remove: only touched clusters rebuilt, removed index exact on the remainder") {
+    import org.apache.spark.sql.functions.col
+    // remove the members of a couple of clusters' worth of ids (plus ids
+    // that do not exist — they must be harmless and count nothing)
+    val victims = ivfIndexed.filter(col("cluster_id") < 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    val expectedTouched = ivfIndexed
+      .filter(col("vec_id").isin(victims: _*))
+      .select("cluster_id").distinct().count()
+    val (removed, touched) =
+      IvfGraph.remove(ivfGraph, victims ++ Seq(-5L, Long.MaxValue - 3),
+        m = 8, efC = 48)
+    assert(touched == expectedTouched,
+      s"rebuilt $touched cluster graphs, expected $expectedTouched")
+    assert(removed.rows == N2 - victims.length)
+    // exactness contract holds on the removed structure: full probe +
+    // full ef equals the exhaustive scan over the REMAINING corpus
+    val remaining = corpus2.filter(!col("vec_id").isin(victims: _*)).cache()
+    val q = ClusteredCorpus.query(2)
+    val (got, visited) = removed.topK(q, 10, nprobe = C, ef = removed.rows.toInt)
+    assert(visited == removed.rows,
+      s"must visit all ${removed.rows} remaining nodes, got $visited")
+    assert(got.map(_._1).toSet == exactTop10On(remaining, q))
+    assert(got.map(_._1).toSet.intersect(victims.toSet).isEmpty)
+    // removing nothing that exists touches nothing
+    val (same, zero) = IvfGraph.remove(ivfGraph, Seq(-1L), m = 8, efC = 48)
+    assert(zero == 0L && same.rows == N2)
+    same.unpersist(); removed.unpersist(); remaining.unpersist()
+  }
+
   test("save/load round-trip: loaded index is bit-identical, no construction on load") {
     val path = "/root/repo/target/tmp/ivfgraph_saveload_spec"
     IvfGraph.save(spark, ivfGraph, path)

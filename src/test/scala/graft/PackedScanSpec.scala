@@ -61,4 +61,163 @@ class PackedScanSpec extends AnyFunSuite {
     assert(scan.rows == 0L)
     assert(scan.topK(HashEmbedder.embed("x"), 5).isEmpty)
   }
+
+  // ---- filtered serving (round 7) -------------------------------------
+
+  import graft.operators.{SelfQueryFilter => F}
+
+  /** embeddings ⋈ documents with lang/source/n_chars pinned as metadata. */
+  private def metaCorpus = {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val d = Tables.documents(spark, TestSpark.sf)
+    e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"), d("lang"), d("source"), d("n_chars"))
+  }
+
+  private def metaScan = PackedScan.buildCached(metaCorpus,
+    "spec-meta#" + TestSpark.sf, "vec_id", "embedding",
+    Seq("lang", "source", "n_chars"))
+
+  /** Brute-force reference: the DataFrame path with the SAME AST compiled
+    * by SelfQueryFilter.compile — the two compilers must agree exactly.
+    */
+  private def refTopK(node: F.Node, q: Array[Float], k: Int): Seq[(Long, Double)] =
+    VectorStore(metaCorpus.filter(F.compile(node)), "embedding", Seq("vec_id"))
+      .searchByVector(q, k)
+      .select(col("vec_id"), col("dist"))
+      .as[(Long, Double)].collect().toSeq
+
+  test("filtered topK: selectivity sweep 0.9 / 0.5 / 0.01, exact vs DataFrame path") {
+    val scan = metaScan
+    val n = scan.rows
+    val q = HashEmbedder.embed("filtered serving probe")
+    val cases: Seq[(F.Node, Double, Double)] = Seq(
+      (F.Gte("n_chars", F.I(100)), 0.80, 1.00),             // ~0.90
+      (F.Gte("n_chars", F.I(300)), 0.35, 0.65),             // ~0.51
+      (F.And.of(F.Eq("lang", F.S("en")), F.Eq("source", F.S("src1"))),
+        0.001, 0.05)                                        // ~0.016 (< k rows)
+    )
+    for ((node, lo, hi) <- cases) {
+      val survivors = metaCorpus.filter(F.compile(node)).count()
+      val sel = survivors.toDouble / n
+      assert(sel >= lo && sel <= hi, s"selectivity $sel outside [$lo,$hi] for $node")
+      val got = scan.topK(q, 10, Some(node)).toSeq
+      assert(got == refTopK(node, q, 10),
+        s"filtered serving diverged from DataFrame path for $node")
+      // exact-k contract: k results when enough survivors, ALL survivors when not
+      assert(got.length == math.min(10L, survivors),
+        s"expected min(10, $survivors) results for $node, got ${got.length}")
+    }
+  }
+
+  test("filtered topK: every supported comparator matches the DataFrame path") {
+    val scan = metaScan
+    val q = HashEmbedder.embed("comparator probe")
+    val nodes = Seq[F.Node](
+      F.Ne("lang", F.S("zh")),
+      F.Lt("n_chars", F.I(300)),
+      F.Lte("n_chars", F.I(306)),
+      F.Gt("n_chars", F.I(250)),
+      F.Like("source", "src1%"),          // src1, src10..src19
+      F.In("source", Seq(F.S("src2"), F.S("src4"), F.S("src6"))),
+      F.In("n_chars", (100L to 400L).map(F.I).toSeq),
+      F.Or.of(F.Eq("lang", F.S("de")), F.Eq("lang", F.S("fr"))),
+      F.Not(F.Gte("n_chars", F.I(200))),
+      F.And.of(F.Not(F.Eq("lang", F.S("en"))),
+        F.Or.of(F.Lt("n_chars", F.I(150)), F.Gt("n_chars", F.I(450)))),
+      F.Gt("lang", F.S("en")),            // ordered string comparator
+      F.Gte("n_chars", F.D(299.5))        // double literal vs integral column
+    )
+    for (node <- nodes) {
+      assert(scan.topK(q, 10, Some(node)).toSeq == refTopK(node, q, 10),
+        s"comparator mismatch for $node")
+    }
+  }
+
+  test("filtered topKBatch: shared predicate, per-query parity with topK") {
+    val scan = metaScan
+    val node: F.Node = F.And.of(F.Eq("lang", F.S("en")), F.Gt("n_chars", F.I(250)))
+    val qs = Array.tabulate(5)(i => HashEmbedder.embed(s"filtered batch $i"))
+    val batch = scan.topKBatch(qs, 10, Some(node))
+    qs.indices.foreach { i =>
+      assert(batch(i).toSeq == scan.topK(qs(i), 10, Some(node)).toSeq)
+    }
+  }
+
+  test("filter binding errors: unknown column, type mismatch, contain") {
+    val scan = metaScan
+    val q = HashEmbedder.embed("error probe")
+    for (bad <- Seq[F.Node](
+      F.Eq("no_such_col", F.S("x")),
+      F.Gt("lang", F.I(3)),
+      F.Contain("source", F.S("src1")),
+      F.Like("n_chars", "3%")
+    )) {
+      val ex = intercept[Exception](scan.topK(q, 5, Some(bad)))
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.isInstanceOf[IllegalArgumentException]),
+        s"expected IllegalArgumentException for $bad, got $ex")
+    }
+  }
+
+  test("null pinned metadata is rejected at build") {
+    val df = Seq(
+      (1L, Array.fill(4)(0.5f), "en"),
+      (2L, Array.fill(4)(0.25f), null.asInstanceOf[String])
+    ).toDF("vec_id", "embedding", "lang")
+    val ex = intercept[Exception] {
+      PackedScan.build(df, "vec_id", "embedding", Seq("lang"))
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // ---- tombstone deletes (round 7) ------------------------------------
+
+  test("tombstoned rows stop being served; equals brute force over remaining") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val scan = PackedScan.build(e, "vec_id", "embedding")
+    try {
+      val q = HashEmbedder.embed("tombstone probe")
+      val before = scan.topK(q, 10).toSeq
+      val deleted = before.take(3).map(_._1)
+      scan.delete(deleted)
+      assert(scan.deletedCount == 3)
+      val after = scan.topK(q, 10).toSeq
+      assert(after.map(_._1).toSet.intersect(deleted.toSet).isEmpty)
+      val ref = VectorStore(e.filter(!col("vec_id").isin(deleted: _*)),
+          "embedding", Seq("vec_id"))
+        .searchByVector(q, 10)
+        .select(col("vec_id"), col("dist")).as[(Long, Double)].collect().toSeq
+      assert(after == ref, "tombstoned serving diverged from brute force over remaining")
+      // incremental delete: drop the whole current top-10 too
+      scan.delete(after.map(_._1))
+      val third = scan.topK(q, 10).toSeq
+      assert(third.map(_._1).toSet
+        .intersect((deleted ++ after.map(_._1)).toSet).isEmpty)
+      // unknown ids are harmless; clearDeletes restores the original view
+      scan.delete(Seq(-1L, Long.MaxValue - 1))
+      scan.clearDeletes()
+      assert(scan.topK(q, 10).toSeq == before)
+    } finally scan.unpersist()
+  }
+
+  test("tombstones compose with filters and the batch path") {
+    val scan = metaScan
+    try {
+      val node: F.Node = F.Gte("n_chars", F.I(100))
+      val q = HashEmbedder.embed("tombstone+filter probe")
+      val base = scan.topK(q, 10, Some(node)).toSeq
+      val dead = base.take(2).map(_._1)
+      scan.delete(dead)
+      val got = scan.topKBatch(Array(q), 10, Some(node)).head.toSeq
+      val ref = VectorStore(
+          metaCorpus.filter(F.compile(node))
+            .filter(!col("vec_id").isin(dead: _*)),
+          "embedding", Seq("vec_id"))
+        .searchByVector(q, 10)
+        .select(col("vec_id"), col("dist")).as[(Long, Double)].collect().toSeq
+      assert(got == ref)
+    } finally scan.clearDeletes() // shared cached instance: leave it clean
+  }
 }
