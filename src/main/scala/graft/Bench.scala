@@ -85,7 +85,7 @@ object Bench {
     // same bits, same distances, but the scan decodes a single binary value
     // and the codegen loop walks it in place via Platform.getFloat.
     val knnBatchQ = 64
-    val (knnScanVps, knnServedVps, knnSingleMs) = try {
+    val (knnScanVps, knnServedVps, knnSingleMs, knnFilteredVps) = try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.graft.PackedVectorFunctions.{cosine_distance_packed, vec_pack, vec_unpack}
       val e = graft.Tables.embeddings(spark, sfDir)
@@ -148,9 +148,56 @@ object Bench {
       }
       runBatch()
       val secBatch = (1 to 5).map(_ => runBatch()).min
+      // FILTERED serving rate: the reference's dominant query shape
+      // (PREWHERE predicate + top-k) on the pinned path — a 50%-
+      // selectivity label filter gates each row BEFORE the Q-way distance
+      // loop. Rate counts corpus rows x Q (the filtered batch still walks
+      // every pinned row; survivors get distances), so the ratio to the
+      // unfiltered rate shows the predicate's net cost/benefit.
+      val servedMeta = graft.operators.PackedScan.buildCached(
+        big.select((col("vec_id") * 1000000L + col("__c")).as("id"),
+          vec_unpack(col("emb")).as("embedding"),
+          (col("vec_id") % 10).cast("long").as("lbl")),
+        "bench-served-meta#" + sfDir, "id", "embedding", Seq("lbl"))
+      val fnode: graft.operators.SelfQueryFilter.Node =
+        graft.operators.SelfQueryFilter.Lte("lbl",
+          graft.operators.SelfQueryFilter.I(4L))
+      val runFiltered = () => {
+        val t0 = System.nanoTime()
+        servedMeta.topKBatch(batch, 10, Some(fnode))
+        (System.nanoTime() - t0) / 1e9
+      }
+      runFiltered()
+      val secFiltered = (1 to 5).map(_ => runFiltered()).min
       (total / sec, served.rows.toDouble * knnBatchQ / secBatch,
-        secServed * 1000)
-    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+        secServed * 1000,
+        servedMeta.rows.toDouble * knnBatchQ / secFiltered)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+
+    // Lexical serving: posting-index BM25 qps on a ~200k-doc replicated
+    // corpus (sf0.1 alone is 5k docs — too small for a serving number).
+    // Build is one-off (a serving lifecycle cost, uncounted); the
+    // measured number is per-query latency of Bm25Index.topK, which walks
+    // only the probe terms' postings.
+    val bm25Qps = try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(spark, sfDir)
+      val nd = docs.count()
+      val copies = math.max(1L, 200000L / math.max(1L, nd)).toInt
+      val bigDocs = docs
+        .withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"), col("text"))
+      val ix = graft.operators.Bm25Index.buildCached(
+        bigDocs, "bench#" + sfDir, "doc_id", "text")
+      val run = () => {
+        val t0 = System.nanoTime()
+        ix.topK(Seq("query", "scan", "data"), 20)
+        (System.nanoTime() - t0) / 1e9
+      }
+      run()
+      val sec = (1 to 5).map(_ => run()).min
+      1.0 / sec
+    } catch { case _: Throwable => -1.0 }
 
     // IVF quality at this SF: recall@10 averaged over 5 queries, k scaled
     // ~sqrt(N) (128 at sf0.1), nprobe = k/4 -> 25% of the data probed = 4x
@@ -331,7 +378,7 @@ object Bench {
     // batch size, and knn_single_query_ms the single-query latency —
     // artifacts from round 7 on are self-describing.
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

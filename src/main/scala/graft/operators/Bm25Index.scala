@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** SERVABLE INVERTED INDEX — the lexical leg's analog of [[PackedScan]].
+  *
+  * q118's full-scan BM25 is the right plan for a one-off query, but the
+  * reference's hybrid workload (vector + lexical legs fused per request,
+  * the standard RAG recipe the repo gates as q117) re-scores the same
+  * corpus per query. This builds the classic posting-list structure ONCE
+  * and serves top-k from postings: per-query work is O(Σ df(term)) over
+  * the docs containing a query term, never a corpus scan.
+  *
+  * Sharding is BY DOCUMENT (the Elasticsearch/Lucene distributed layout),
+  * not by term: every (term, doc) posting for a document lives in that
+  * document's shard, so each shard computes COMPLETE scores for its own
+  * docs and ships only its local top-k — the driver merge is P×k rows
+  * regardless of term frequency. (A term-sharded layout was measured
+  * first: common query terms made the driver merge carry Σ df postings —
+  * 3.3 s/query on a 200k-doc corpus. Doc-sharding bounds the transfer.)
+  * The price is denormalizing the GLOBAL df of each term into every
+  * shard that holds it (8 B per distinct (shard, term)), computed once
+  * at build.
+  *
+  * Layout per shard: one [[Bm25Index.PostingBlock]] — sorted unique
+  * terms with their global df and offset ranges into parallel
+  * (docId, tf, dl) arrays. Doc length is denormalized into each posting
+  * so scoring needs only the broadcast (N, avgdl) scalars. BM25 per
+  * Robertson & Zaragoza 2009, k1 = 1.2, b = 0.75 — identical constants
+  * and operand order as q118.
+  *
+  * Tokenizer (the real one the r6 verdict asked for, replacing q118's
+  * substring counts): lowercase, split on non-alphanumerics, drop
+  * empties — expressed identically in the Spark build
+  * (`filter(split(lower(text), "[^a-z0-9]+"), length > 0)`) and the
+  * DuckDB oracle (`list_filter(string_split_regex(lower(text),
+  * '[^a-z0-9]+'), x -> x <> '')`), so tf/dl/df agree exactly.
+  *
+  * Exactness: per-doc contributions accumulate in QUERY-TERM ORDER
+  * (absent terms contribute exactly 0.0, and x + 0.0 == x for the
+  * non-negative BM25 terms, so skipping them is IEEE-identical to the
+  * oracle's `t0 + t1 + t2`), and ranking — shard-local AND at the merge
+  * — uses the 6-dp HALF_UP-rounded score with doc_id ties, matching the
+  * oracle's `ORDER BY bm25 DESC, doc_id` on the rounded alias, so a
+  * last-ulp `ln` divergence can never flip the cutoff. Gated hash-exact
+  * against the tokenized full scan (q124).
+  */
+final class Bm25Index private (
+    blocks: RDD[Bm25Index.PostingBlock],
+    val docCount: Long, val avgDl: Double, val bytes: Long) {
+
+  /** Top-k (docId, dl, bm25 score) for the OR-semantics query `terms`:
+    * every doc containing at least one term is scored. Terms are
+    * lowercased and deduplicated preserving first occurrence (duplicate
+    * query terms don't double-score — q118 semantics). One Spark job:
+    * each shard scores its own documents completely and returns its
+    * local top-k; the driver merges P×k candidates.
+    */
+  def topK(terms: Seq[String], k: Int): Array[(Long, Long, Double)] = {
+    val qTerms = terms.map(_.toLowerCase).distinct.toArray
+    if (qTerms.isEmpty || docCount == 0) return Array.empty
+    val n = docCount
+    val avg = avgDl
+    val perShard: Array[Array[(Long, Long, Double)]] =
+      blocks.mapPartitions { it =>
+        val acc = collection.mutable.LongMap.empty[(Double, Long)]
+        it.foreach { b =>
+          var ti = 0
+          while (ti < qTerms.length) {
+            val t = java.util.Arrays.binarySearch(
+              b.terms.asInstanceOf[Array[AnyRef]], qTerms(ti))
+            if (t >= 0) {
+              val df = b.dfs(t) // GLOBAL df, denormalized at build
+              // identical operand order as the q118 / q124 oracle expression
+              val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+              var j = b.starts(t)
+              val until = b.starts(t + 1)
+              while (j < until) {
+                val doc = b.docIds(j)
+                val tf = b.tfs(j)
+                val dl = b.dls(j)
+                val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+                // ti ascends, so each doc's additions happen in term order
+                acc(doc) = acc.get(doc) match {
+                  case Some((s, _)) => (s + c, dl)
+                  case None         => (c, dl)
+                }
+                j += 1
+              }
+            }
+            ti += 1
+          }
+        }
+        if (acc.isEmpty) Iterator.empty
+        else {
+          val scored = acc.iterator.map { case (doc, (s, dl)) =>
+            (doc, dl, s, Bm25Index.round6(s))
+          }.toArray
+          Iterator.single(
+            scored.sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
+              .map { case (doc, dl, s, _) => (doc, dl, s) })
+        }
+      }.collect()
+    perShard.iterator.flatten.toArray
+      .map { case (doc, dl, s) => (doc, dl, s, Bm25Index.round6(s)) }
+      .sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
+      .map { case (doc, dl, s, _) => (doc, dl, s) }
+  }
+
+  /** Top-k as a DataFrame (doc_id, dl, bm25 rounded to 6 dp). */
+  def topKDF(spark: SparkSession, terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    topK(terms, k).toSeq.toDF("doc_id", "dl", "bm25")
+      .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
+  }
+
+  def unpersist(): Unit = blocks.unpersist()
+}
+
+object Bm25Index {
+
+  /** One document shard's inverted index: terms sorted with their GLOBAL
+    * df; term i's postings are docIds/tfs/dls[starts(i) until
+    * starts(i+1)], docId-ascending.
+    */
+  final case class PostingBlock(terms: Array[String], dfs: Array[Long],
+      starts: Array[Int], docIds: Array[Long], tfs: Array[Int],
+      dls: Array[Long])
+
+  /** 6-dp HALF_UP — BigDecimal, exactly Spark's `round(col, 6)`. */
+  private[graft] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Spark-side tokenizer — the single source of truth the build uses;
+    * the oracle mirrors it in DuckDB (see class doc).
+    */
+  def tokens(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), t => length(t) > lit(0))
+
+  /** Memoized through [[ServingCache]] (same lifecycle as PackedScan). */
+  def buildCached(docs: DataFrame, cacheKey: String, idCol: String,
+      textCol: String, shards: Int = 0): Bm25Index =
+    ServingCache.getOrBuild(s"bm25#$cacheKey#$idCol#$textCol#$shards") {
+      val ix = build(docs, idCol, textCol, shards)
+      (ix, ix.bytes, () => ix.unpersist())
+    }
+
+  /** Tokenize, count (term, doc) tf, attach each term's global df, shard
+    * BY DOCUMENT hash, pack each shard as one PostingBlock, pin
+    * MEMORY_ONLY. `shards` <= 0 means the session default parallelism.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int = 0): Bm25Index = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (shards > 0) shards else spark.sparkContext.defaultParallelism
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    // global stats over ALL docs (dl = 0 docs count toward N and avgdl,
+    // exactly like the oracle's stats CTE)
+    val (nDocs, sumDl) = toks.agg(count(lit(1)), sum(col("dl")))
+      .as[(Long, Option[Long])].head() match {
+      case (c, s) => (c, s.getOrElse(0L))
+    }
+    val postings = toks
+      .select(explode(col("toks")).as("term"), col("doc_id"), col("dl"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    // global df per term, then denormalized onto every posting — the
+    // partial_count is map-side combined and the join key (term) is the
+    // same as the groupBy key, so no extra wide shuffle of the postings
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val keyed = postings.join(dfs, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"))
+      .as[(Long, String, Int, Long, Long)]
+      .rdd.map { case (doc, term, tf, dl, df) => (doc, (term, tf, dl, df)) }
+      .partitionBy(new HashPartitioner(p))
+    val blocks = keyed.mapPartitions({ it =>
+      val byTerm = it.toArray.groupBy(_._2._1)
+      if (byTerm.isEmpty) Iterator.empty
+      else {
+        val terms = byTerm.keys.toArray.sorted
+        val dfArr = new Array[Long](terms.length)
+        val starts = new Array[Int](terms.length + 1)
+        val nPost = byTerm.valuesIterator.map(_.length).sum
+        val docIds = new Array[Long](nPost)
+        val tfs = new Array[Int](nPost)
+        val dls = new Array[Long](nPost)
+        var off = 0
+        var i = 0
+        while (i < terms.length) {
+          starts(i) = off
+          val ps = byTerm(terms(i)).sortBy(_._1)
+          dfArr(i) = ps.head._2._4
+          ps.foreach { case (doc, (_, tf, dl, _)) =>
+            docIds(off) = doc; tfs(off) = tf; dls(off) = dl; off += 1
+          }
+          i += 1
+        }
+        starts(terms.length) = off
+        Iterator.single(PostingBlock(terms, dfArr, starts, docIds, tfs, dls))
+      }
+    }, preservesPartitioning = true)
+    blocks.persist(StorageLevel.MEMORY_ONLY)
+    val bytes = blocks.map { b =>
+      b.terms.iterator.map(t => 40L + 2L * t.length).sum +
+        8L * b.dfs.length + 4L * b.starts.length + 20L * b.docIds.length
+    }.fold(0L)(_ + _)
+    new Bm25Index(blocks, nDocs,
+      if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs, bytes)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.HashEmbedder
-import graft.operators.{PackedScan, SelfQueryFilter, SelfQueryParser}
+import graft.operators.{Bm25Index, PackedScan, SelfQueryFilter, SelfQueryParser}
 
 /** Round-7 battery: the SERVING-capability gap queries — the query shapes
   * the reference's users actually send against the pinned serving
@@ -133,6 +133,113 @@ object Round7Queries {
       WHERE vec_id % 3 <> 0
       ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST($qLit AS DOUBLE[])), vec_id
-      LIMIT 10"""))
+      LIMIT 10""")),
+
+    // ---- servable inverted index: BM25 from postings -------------------
+    // q118's full scan is the oracle shape; this serves the same ranking
+    // from a term-partitioned posting structure (Bm25Index) with a REAL
+    // tokenizer on both engines (split on non-alphanumerics — the r6
+    // verdict's fix for the substring-tf compromise). Per-query work is
+    // O(Σ df) over matching postings, not a corpus scan.
+    QueryDef("q124_bm25_inverted", (s, dir) => {
+      val ix = Bm25Index.buildCached(Tables.documents(s, dir), dir, "doc_id", "text")
+      ix.topKDF(s, bmTerms, 20)
+    }, Some(s"""
+      $bmWith
+      SELECT doc_id, dl, round($bmScore, 6) AS bm25
+      FROM base CROSS JOIN stats
+      WHERE tf0 + tf1 + tf2 > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20""")),
+
+    // ---- hybrid RRF fused from the two SERVED legs ---------------------
+    // q117 fuses DataFrame legs; this is the serving configuration: the
+    // vector leg from the pinned PackedScan (q108's structure) and the
+    // lexical leg from the posting index (q124's), RRF-fused exactly as
+    // Cormack et al. — ranks are leg-local, the fusion join touches
+    // <= 100 rows, and the whole request is two scatter-gather jobs.
+    QueryDef("q125_hybrid_served", (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val scan = PackedScan.buildCached(e, dir, "vec_id", "embedding")
+      val vleg = scan.topK(qVec, 50).zipWithIndex
+        .map { case ((id, _), i) => (id, (i + 1).toLong) }
+        .toSeq.toDF("id", "r_v")
+      val ix = Bm25Index.buildCached(Tables.documents(s, dir), dir, "doc_id", "text")
+      val kleg = ix.topK(bmTerms, 50).zipWithIndex
+        .map { case ((doc, _, _), i) => (doc, (i + 1).toLong) }
+        .toSeq.toDF("id", "r_k")
+      vleg.join(kleg, Seq("id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_v")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_k")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
+        .select(col("id"), col("r_v"), col("r_k"), col("rrf"))
+    }, Some(s"""
+      $bmWith,
+      k AS (
+        SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_k
+        FROM (
+          SELECT doc_id AS id, round($bmScore, 6) AS bm25
+          FROM base CROSS JOIN stats
+          WHERE tf0 + tf1 + tf2 > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 50)
+      ), v AS (
+        SELECT vec_id AS id,
+               row_number() OVER (ORDER BY dist, vec_id) AS r_v
+        FROM (
+          SELECT vec_id,
+                 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              CAST($qLit AS DOUBLE[])) AS dist
+          FROM embeddings
+          ORDER BY dist, vec_id LIMIT 50)
+      )
+      SELECT COALESCE(v.id, k.id) AS id, r_v, r_k,
+             round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_v), CAST(0.0 AS DOUBLE)) +
+                   COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_k), CAST(0.0 AS DOUBLE)), 6) AS rrf
+      FROM v FULL OUTER JOIN k ON v.id = k.id
+      ORDER BY rrf DESC, id
+      LIMIT 20"""))
   )
+
+  /** Shared lexical probe terms (q124/q125). */
+  private lazy val bmTerms = Seq("query", "scan", "data")
+
+  /** Tokenized tf for term `t` — the DuckDB mirror of
+    * [[Bm25Index.tokens]]: lowercase, split on non-alphanumerics, count
+    * exact token matches.
+    */
+  private def tokTfSql(t: String): String =
+    s"CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x = '$t')) AS BIGINT)"
+
+  /** base + stats CTEs shared by q124/q125 (q118's shape with the real
+    * tokenizer; every literal CAST to DOUBLE per the cross-engine
+    * exactness rules in Round6Queries).
+    */
+  private lazy val bmWith: String = {
+    val tfCols = bmTerms.zipWithIndex
+      .map { case (t, i) => s"${tokTfSql(t)} AS tf$i" }.mkString(", ")
+    val dfCols = bmTerms.indices
+      .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS BIGINT) AS dl,
+               $tfCols
+        FROM documents
+      ), stats AS (
+        SELECT count(*) AS n, sum(dl) AS sdl, $dfCols,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM base
+      )"""
+  }
+
+  private lazy val bmScore: String = bmTerms.indices.map { i =>
+    s"""ln((n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+       * (tf$i * CAST(2.2 AS DOUBLE))
+       / (tf$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"""
+  }.mkString(" + ")
 }
+

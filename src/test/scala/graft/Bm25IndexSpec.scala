@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bm25Index
+
+/** Gates for the servable inverted index ([[graft.operators.Bm25Index]]).
+  *
+  * q124 hash-gates the whole path against DuckDB's tokenized full scan;
+  * this spec pins the contracts the oracle's single query shape can't
+  * sweep: parity with an independent full-scan scorer across term sets,
+  * shard-count invariance, duplicate/unknown-term semantics, and the
+  * zero-length-document stats contract.
+  */
+class Bm25IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.sf)
+  private lazy val index =
+    Bm25Index.buildCached(docs, "spec#" + TestSpark.sf, "doc_id", "text")
+
+  /** Independent reference: full-scan scoring via DataFrame tokenization
+    * + driver-side arithmetic in the SAME operand order, rank by
+    * (rounded score desc, id) — the oracle's shape, none of the index's
+    * code paths.
+    */
+  private def fullScan(df: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k: Int): Seq[(Long, Long, Double)] = {
+    val toks = Bm25Index.tokens(col("text"))
+    val base = df.select(
+      col("doc_id").cast("long") +:
+        size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*).collect()
+    val n = base.length.toLong
+    val sdl = base.map(_.getLong(1)).sum
+    val avg = sdl.toDouble / n
+    val dfs = terms.indices.map(i => base.count(_.getLong(2 + i) > 0).toLong)
+    base.iterator.map { r =>
+      val dl = r.getLong(1)
+      var score = 0.0
+      terms.indices.foreach { i =>
+        val tf = r.getLong(2 + i)
+        val df = dfs(i)
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+      }
+      (r.getLong(0), dl, score)
+    }.filter(_._3 > 0.0).toSeq
+      .sortBy { case (id, _, s) => (-Bm25Index.round6(s), id) }.take(k)
+  }
+
+  private def close(a: Seq[(Long, Long, Double)], b: Seq[(Long, Long, Double)]): Unit = {
+    assert(a.map(x => (x._1, x._2)) == b.map(x => (x._1, x._2)),
+      s"ids/dls diverged:\n  got $a\n  want $b")
+    a.zip(b).foreach { case ((_, _, s1), (_, _, s2)) =>
+      assert(s1 == s2, s"score drift: $s1 vs $s2") // same arithmetic => bit-equal
+    }
+  }
+
+  test("index topK equals the full-scan scorer across term sets") {
+    for (terms <- Seq(
+      Seq("query", "scan", "data"),
+      Seq("the"),
+      Seq("vector", "database"),
+      Seq("a", "of", "engine", "distributed"))) {
+      close(index.topK(terms, 20).toSeq, fullScan(docs, terms, 20))
+    }
+  }
+
+  test("shard-count invariance: 1, 2 and 7 shards answer identically") {
+    val one = Bm25Index.build(docs, "doc_id", "text", shards = 1)
+    val seven = Bm25Index.build(docs, "doc_id", "text", shards = 7)
+    try {
+      val terms = Seq("query", "data")
+      val want = index.topK(terms, 15).toSeq
+      assert(one.topK(terms, 15).toSeq == want)
+      assert(seven.topK(terms, 15).toSeq == want)
+    } finally { one.unpersist(); seven.unpersist() }
+  }
+
+  test("duplicate query terms don't double-score; case-folds; unknown terms empty") {
+    val t = Seq("query", "data")
+    assert(index.topK(t ++ t, 10).toSeq == index.topK(t, 10).toSeq)
+    assert(index.topK(Seq("QuErY", "DATA"), 10).toSeq == index.topK(t, 10).toSeq)
+    assert(index.topK(Seq("zzzznotaterm"), 10).isEmpty)
+    // unknown terms beside known ones contribute exactly 0.0
+    assert(index.topK(Seq("query", "zzzznotaterm", "data"), 10).toSeq ==
+      index.topK(t, 10).toSeq)
+    assert(index.topK(Nil, 10).isEmpty)
+  }
+
+  test("zero-length docs count toward N and avgdl but never match") {
+    val aug = docs.select(col("doc_id"), col("text"))
+      .union(Seq((900001L, ""), (900002L, "!!! ???")).toDF("doc_id", "text"))
+    val ix = Bm25Index.build(aug, "doc_id", "text")
+    try {
+      assert(ix.docCount == docs.count() + 2)
+      val got = ix.topK(Seq("query", "scan", "data"), 20).toSeq
+      close(got, fullScan(aug, Seq("query", "scan", "data"), 20))
+      assert(!got.exists(r => r._1 == 900001L || r._1 == 900002L))
+    } finally ix.unpersist()
+  }
+
+  test("posting structure is index-shaped: df, N, avgdl agree with the corpus") {
+    val n = docs.count()
+    assert(index.docCount == n)
+    val dlSum = docs.select(sum(size(Bm25Index.tokens(col("text"))).cast("long")))
+      .as[Long].head()
+    assert(index.avgDl == dlSum.toDouble / n)
+  }
+}
