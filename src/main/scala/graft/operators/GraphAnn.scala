@@ -200,6 +200,100 @@ object GraphAnn {
     Graph(ids, vecs, dim, adj.map(_.distinct.sorted.toArray))
   }
 
+  /** TRUE INCREMENTAL INSERT — append `added` into an EXISTING graph, one
+    * beam-search per new node, without rebuilding the cluster (the r6
+    * verdict's refinement of [[IvfGraph.append]]'s rebuild-per-touched-
+    * cluster: per-batch cost is now the BATCH's beam searches, not the
+    * touched cluster's size).
+    *
+    * NSW construction is already incremental by nature (buildGraph IS a
+    * sequence of these inserts), so insertion is the native operation:
+    * each new node (id-sorted within the batch, for determinism)
+    * beam-searches the current graph for its efC nearest and links
+    * bidirectionally to the closest m. Two deliberate deviations from the
+    * from-scratch build, both safe for the exactness contract:
+    *
+    *   - EXISTING nodes' lists are NOT pruned on reverse-edge overflow:
+    *     pruning needs the parent-anchor bookkeeping that only exists
+    *     during a from-scratch build (the stored adjacency is the
+    *     symmetric closure; anchors are indistinguishable), and removing
+    *     edges could disconnect nodes anchored through them. The cost is
+    *     bounded degree growth — a batch of b nodes adds ≤ b×m reverse
+    *     edges spread over the cluster — and the compaction path is the
+    *     rebuild-based [[IvfGraph.append]]/[[packAndBuild]], which
+    *     restores the 2m degree bound. Fast inserts, periodic compaction:
+    *     the classic LSM shape.
+    *   - the inserted graph equals the full rebuild only when new ids
+    *     sort after existing ones (same insertion order); otherwise it is
+    *     a DIFFERENT valid NSW. Exactness at full ef needs only
+    *     connectivity (every new node links bidirectionally to ≥1
+    *     existing node; no edges are ever removed), so the q115-style
+    *     gate holds on the inserted graph regardless.
+    *
+    * ids/vecs are reallocated (one memcpy of the cluster — bandwidth,
+    * not beam work); UNTOUCHED adjacency arrays are shared by reference
+    * with the old graph. Returns (new graph, nodes visited by the
+    * construction beams — the work measure GraphAnnSpec asserts is
+    * sublinear in cluster size).
+    */
+  private[operators] def insert(g: Graph,
+      added: Array[(Long, Array[Float])], m: Int, efC: Int): (Graph, Long) = {
+    if (added.isEmpty) return (g, 0L)
+    if (g.ids.isEmpty) return (packAndBuild(added, m, efC), 0L)
+    val batch = added.sortBy(_._1)
+    val n0 = g.ids.length
+    val n = n0 + batch.length
+    val dim = g.dim
+    val ids = java.util.Arrays.copyOf(g.ids, n)
+    val vecs = java.util.Arrays.copyOf(g.vecs, n * dim)
+    var i = 0
+    while (i < batch.length) {
+      require(batch(i)._2.length == dim, "ragged vector")
+      ids(n0 + i) = batch(i)._1
+      System.arraycopy(batch(i)._2, 0, vecs, (n0 + i) * dim, dim)
+      i += 1
+    }
+    // copy-on-write adjacency: only touched nodes get a mutable list
+    val extra = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]()
+    def listOf(j: Int): scala.collection.mutable.ArrayBuffer[Int] = {
+      var b = extra.get(j)
+      if (b == null) {
+        b = new scala.collection.mutable.ArrayBuffer[Int]
+        if (j < n0) b ++= g.nbrs(j)
+        extra.put(j, b)
+      }
+      b
+    }
+    def view(j: Int): scala.collection.IndexedSeq[Int] = {
+      val b = extra.get(j)
+      if (b != null) b
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(g.nbrs(j))
+    }
+    var visitedTotal = 0L
+    i = n0
+    while (i < n) {
+      val qv = new Array[Float](dim)
+      System.arraycopy(vecs, i * dim, qv, 0, dim)
+      val (found, vis) = beam(vecs, dim, view, upTo = i,
+        qv = qv, qnorm = math.sqrt(VectorKernels.norm2(qv)), ef = efC)
+      visitedTotal += vis
+      found.take(m).foreach { case (j, _) =>
+        listOf(i) += j
+        listOf(j) += i
+      }
+      i += 1
+    }
+    val nbrs = new Array[Array[Int]](n)
+    var a = 0
+    while (a < n) {
+      val b = extra.get(a)
+      nbrs(a) = if (b != null) b.distinct.sorted.toArray
+                else g.nbrs(a) // untouched: share the array
+      a += 1
+    }
+    (Graph(ids, vecs, dim, nbrs), visitedTotal)
+  }
+
   /** Keep node j's parent link (buf's first-ever entry — the connectivity
     * anchor) plus the (mmax - 1) nearest of the rest, deterministic by
     * (dist, idx).
@@ -535,6 +629,48 @@ object IvfGraph {
     val appended = fromBlocks(model, blocks)
     assigned.unpersist()
     (appended, rebuilt)
+  }
+
+  /** TRUE INCREMENTAL INSERT — [[append]]'s fast path. Routes the batch
+    * through the FROZEN centroids like append, but touched clusters take
+    * new nodes via [[GraphAnn.insert]] (one beam search per new node)
+    * instead of a from-scratch rebuild: per-batch cost is the batch's
+    * beam work, not touched-cluster size. Degrees grow slowly across
+    * insert batches (see GraphAnn.insert); [[append]] remains the
+    * compaction path that restores the 2m bound and the
+    * rebuild-deterministic adjacency. Exactness at full probe + full ef
+    * holds on the inserted index (connectivity is preserved; spec-gated).
+    *
+    * Returns (new index, clusters touched).
+    */
+  def insertInto(g: IvfGraph, newRows: DataFrame, idCol: String,
+      embCol: String, m: Int = 12, efC: Int = 64): (IvfGraph, Long) = {
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val model = g.model
+    val k = model.centroids.length
+    val assigned = newRows
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .rdd.map { case (id, v) => (model.nearest(v, 1).head, (id, v)) }
+      .persist(StorageLevel.MEMORY_ONLY)
+    val touched = assigned.keys.distinct().count()
+    val part = g.blocks.partitioner
+      .getOrElse(new org.apache.spark.HashPartitioner(k))
+    val blocks = g.blocks.cogroup(assigned, part).mapPartitions({ it =>
+      it.flatMap { case (cid, (graphs, added)) =>
+        if (added.isEmpty) graphs.iterator.map(gr => (cid, gr))
+        else graphs.headOption match {
+          case Some(gr) =>
+            Iterator.single((cid, GraphAnn.insert(gr, added.toArray, m, efC)._1))
+          case None => // first members of a previously-empty cluster
+            Iterator.single((cid, GraphAnn.packAndBuild(added.toArray, m, efC)))
+        }
+      }
+    }, preservesPartitioning = true)
+    val inserted = fromBlocks(model, blocks)
+    assigned.unpersist()
+    (inserted, touched)
   }
 
   /** INCREMENTAL REMOVE — [[append]]'s delete twin (the reference deletes

@@ -135,6 +135,42 @@ object Round7Queries {
                                             CAST($qLit AS DOUBLE[])), vec_id
       LIMIT 10""")),
 
+    // ---- true incremental graph insert, gated end-to-end ---------------
+    // q123's twin on the INSERT side: IvfGraph.insertInto routes a batch
+    // through the frozen centroids and inserts each new node with ONE
+    // beam search (GraphAnn.insert) — no cluster rebuild; per-batch cost
+    // is the batch's beam work (spec measures it flat in cluster size).
+    // Full probe + full ef on the inserted index = brute force over the
+    // union corpus, which DuckDB expresses as UNION ALL — so the whole
+    // route-insert-serve path is hash-gated.
+    QueryDef("q126_graph_insert_served", (s, dir) => {
+      import graft.operators.{AnnIndex, IvfGraph}
+      val e = Tables.embeddings(s, dir)
+      val (model, indexed) = AnnIndex.fitCached(
+        e, dir, "embedding", "vec_id", k = 16, iters = 3)
+      val g = IvfGraph.buildCached(indexed, model, dir, "vec_id", "embedding")
+      val batch = e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val (ins, _) = IvfGraph.insertInto(g, batch, "vec_id", "embedding")
+      try {
+        ins.topKDF(s, qVec, 10, nprobe = 16, ef = ins.rows.toInt)
+          .orderBy(col("dist"), col("vec_id"))
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      } finally ins.unpersist()
+    }, Some(s"""
+      WITH u AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 7 = 0
+      )
+      SELECT vec_id,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM u
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
     // ---- servable inverted index: BM25 from postings -------------------
     // q118's full scan is the oracle shape; this serves the same ranking
     // from a term-partitioned posting structure (Bm25Index) with a REAL

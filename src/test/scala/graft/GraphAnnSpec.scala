@@ -122,6 +122,75 @@ class GraphAnnSpec extends AnyFunSuite {
     appended.unpersist(); union.unpersist(); batch.unpersist()
   }
 
+  test("true incremental insert: exact on the union, cost sublinear in cluster size") {
+    import org.apache.spark.sql.functions.col
+    // same batch shape as the append test, but through the insert path
+    val batch = ivfIndexed.filter(col("cluster_id") < 3)
+      .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
+      .cache()
+    val bn = batch.count()
+    val (inserted, touched) =
+      IvfGraph.insertInto(ivfGraph, batch, "vec_id", "embedding", m = 8, efC = 48)
+    val expectedTouched = batch.select("embedding").collect()
+      .map(r => ivfModel.nearest(r.getSeq[Float](0).toArray, 1).head).toSet.size
+    assert(touched == expectedTouched)
+    assert(inserted.rows == N2 + bn)
+    val union = corpus2.select("vec_id", "embedding")
+      .union(batch.select("vec_id", "embedding")).cache()
+    val q = ClusteredCorpus.query(3)
+    val (got, visited) = inserted.topK(q, 10, nprobe = C, ef = (N2 + bn).toInt)
+    assert(visited == N2 + bn, s"must visit all ${N2 + bn} nodes, got $visited")
+    assert(got.map(_._1).toSet == exactTop10On(union, q))
+    inserted.unpersist(); union.unpersist(); batch.unpersist()
+
+    // SUBLINEARITY: the construction-beam work of inserting the same
+    // batch must grow far slower than cluster size (a rebuild grows
+    // linearly). Build one-cluster graphs at 1x and 4x the size from the
+    // same distribution and insert an identical 32-node batch into each.
+    import graft.operators.TestAccess
+    val small = TestAccess.packAndBuild(flatCorpus(1500, 1), m = 8, efC = 48)
+    val big = TestAccess.packAndBuild(flatCorpus(6000, 2), m = 8, efC = 48)
+    val add = flatCorpus(32, 9)
+    val (_, visSmall) = TestAccess.insert(small, add, m = 8, efC = 48)
+    val (_, visBig) = TestAccess.insert(big, add, m = 8, efC = 48)
+    info(f"insert beam visits: ${visSmall} @1500 nodes, ${visBig} @6000 nodes " +
+      f"(x${visBig.toDouble / visSmall}%.2f for 4x size)")
+    assert(visBig < 2L * visSmall,
+      s"insert cost grew ~linearly with cluster size: $visSmall -> $visBig")
+  }
+
+  /** One-cluster synthetic rows: deterministic, near-unique vectors. */
+  private def flatCorpus(n: Int, seed: Int): Array[(Long, Array[Float])] =
+    Array.tabulate(n) { i =>
+      (seed * 1000000L + i.toLong,
+        ClusteredCorpus.query(i % 7).map(x => x + i * 1e-4f))
+    }
+
+  test("incremental insert is deterministic, shares untouched adjacency, matches rebuild at full ef") {
+    import graft.operators.TestAccess
+    val baseRows = flatCorpus(1000, 3)
+    val base = TestAccess.packAndBuild(baseRows, m = 8, efC = 48)
+    val add = flatCorpus(25, 7) // ids 7000000+ sort after every base id
+    assert(add.forall(_._1 > base.ids.max))
+    val (g1, v1) = TestAccess.insert(base, add, m = 8, efC = 48)
+    val (g2, v2) = TestAccess.insert(base, add, m = 8, efC = 48)
+    assert(v1 == v2)
+    assert(g1.ids.toSeq == g2.ids.toSeq)
+    assert(g1.nbrs.map(_.toSeq).toSeq == g2.nbrs.map(_.toSeq).toSeq)
+    // untouched nodes SHARE adjacency arrays with the base graph (COW)
+    val shared = (0 until 1000).count(i => g1.nbrs(i) eq base.nbrs(i))
+    assert(shared > 0, "expected copy-on-write adjacency sharing")
+    // rebuild prunes where insert doesn't, so adjacency may differ in
+    // over-full lists — the contract is RESULT equality at full ef
+    val rebuilt = TestAccess.packAndBuild(baseRows ++ add, m = 8, efC = 48)
+    val q = ClusteredCorpus.query(1)
+    val qn = math.sqrt(org.apache.spark.sql.graft.VectorKernels.norm2(q))
+    val a = TestAccess.searchOne(g1, q, qn, ef = 1025)
+    val b = TestAccess.searchOne(rebuilt, q, qn, ef = 1025)
+    assert(a._2 == 1025 && b._2 == 1025, "full ef must visit every node in both graphs")
+    assert(a._1.toSeq == b._1.toSeq, "full-ef results must agree with the rebuilt graph")
+  }
+
   test("incremental remove: only touched clusters rebuilt, removed index exact on the remainder") {
     import org.apache.spark.sql.functions.col
     // remove the members of a couple of clusters' worth of ids (plus ids

@@ -9,4 +9,10 @@ import org.apache.spark.rdd.RDD
 object TestAccess {
   def blocks(g: IvfGraph): RDD[(Int, GraphAnn.Graph)] = g.blocks
   def model(g: IvfGraph): AnnIndex.Model = g.model
+  def packAndBuild(rows: Array[(Long, Array[Float])], m: Int,
+      efC: Int): GraphAnn.Graph = GraphAnn.packAndBuild(rows, m, efC)
+  def insert(g: GraphAnn.Graph, added: Array[(Long, Array[Float])], m: Int,
+      efC: Int): (GraphAnn.Graph, Long) = GraphAnn.insert(g, added, m, efC)
+  def searchOne(g: GraphAnn.Graph, q: Array[Float], qnorm: Double,
+      ef: Int): (Array[(Long, Double)], Long) = GraphAnn.searchOne(g, q, qnorm, ef)
 }
