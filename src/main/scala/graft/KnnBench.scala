@@ -62,6 +62,35 @@ object KnnBench {
     time("packed-fp32/cached", cached, _.withColumn("d", cosine_distance_packed(col("emb"), qc)))
     cached.unpersist()
 
+    // SERVED single-query latency vs pinned-partition count (r6 verdict
+    // optional item 7: is a low-partition layout a straggler hedge?).
+    // Same corpus, same query, only the block count changes.
+    for (parts <- Seq(32, 16, 8, 4)) {
+      val src = p32u.coalesce(parts)
+        .select((col("vec_id") * 1000000L + col("__c")).as("id"),
+          vec_unpack(col("emb")).as("embedding"))
+      val scan = graft.operators.PackedScan.build(src, "id", "embedding")
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        scan.topK(q, 10)
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(); run()
+      val s = (1 to 5).map(_ => run()).min
+      val qs64 = Array.tabulate(64)(i =>
+        graft.functions.HashEmbedder.embed(s"throughput probe $i"))
+      def runB(): Double = {
+        val t0 = System.nanoTime()
+        scan.topKBatch(qs64, 10)
+        (System.nanoTime() - t0) / 1e9
+      }
+      runB()
+      val sb = (1 to 3).map(_ => runB()).min
+      println(f"[knnbench] served parts=$parts%-3d single_ms=${s * 1000}%.1f " +
+        f"batch64_vps=${scan.rows.toDouble * 64 / sb}%.3g")
+      scan.unpersist()
+    }
+
     spark.stop()
   }
 }

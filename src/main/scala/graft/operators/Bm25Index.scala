@@ -56,59 +56,79 @@ final class Bm25Index private (
   /** Top-k (docId, dl, bm25 score) for the OR-semantics query `terms`:
     * every doc containing at least one term is scored. Terms are
     * lowercased and deduplicated preserving first occurrence (duplicate
-    * query terms don't double-score — q118 semantics). One Spark job:
-    * each shard scores its own documents completely and returns its
-    * local top-k; the driver merges P×k candidates.
+    * query terms don't double-score — q118 semantics). `topK` IS
+    * `topKBatch` of one, so q124's oracle gate covers both.
     */
-  def topK(terms: Seq[String], k: Int): Array[(Long, Long, Double)] = {
-    val qTerms = terms.map(_.toLowerCase).distinct.toArray
-    if (qTerms.isEmpty || docCount == 0) return Array.empty
+  def topK(terms: Seq[String], k: Int): Array[(Long, Long, Double)] =
+    topKBatch(Seq(terms), k).head
+
+  /** BATCHED lexical serving: Q term-queries answered in ONE Spark job
+    * (the same economics as [[PackedScan.topKBatch]] — one job amortizes
+    * scheduling across the batch, and a shard's posting walk for a term
+    * shared by several queries stays hot in cache). Each shard scores
+    * its own documents completely per query and returns Q local top-k
+    * lists; the driver merge is Q × P × k rows.
+    */
+  def topKBatch(queries: Seq[Seq[String]], k: Int)
+      : Array[Array[(Long, Long, Double)]] = {
+    if (queries.isEmpty) return Array.empty
+    val nq = queries.length
+    val qTerms: Array[Array[String]] =
+      queries.map(_.map(_.toLowerCase).distinct.toArray).toArray
+    if (docCount == 0) return Array.fill(nq)(Array.empty)
     val n = docCount
     val avg = avgDl
-    val perShard: Array[Array[(Long, Long, Double)]] =
+    val perShard: Array[Array[Array[(Long, Long, Double)]]] =
       blocks.mapPartitions { it =>
-        val acc = collection.mutable.LongMap.empty[(Double, Long)]
+        val accs = Array.fill(nq)(collection.mutable.LongMap.empty[(Double, Long)])
         it.foreach { b =>
-          var ti = 0
-          while (ti < qTerms.length) {
-            val t = java.util.Arrays.binarySearch(
-              b.terms.asInstanceOf[Array[AnyRef]], qTerms(ti))
-            if (t >= 0) {
-              val df = b.dfs(t) // GLOBAL df, denormalized at build
-              // identical operand order as the q118 / q124 oracle expression
-              val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
-              var j = b.starts(t)
-              val until = b.starts(t + 1)
-              while (j < until) {
-                val doc = b.docIds(j)
-                val tf = b.tfs(j)
-                val dl = b.dls(j)
-                val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
-                // ti ascends, so each doc's additions happen in term order
-                acc(doc) = acc.get(doc) match {
-                  case Some((s, _)) => (s + c, dl)
-                  case None         => (c, dl)
+          var qi = 0
+          while (qi < nq) {
+            val terms = qTerms(qi)
+            val acc = accs(qi)
+            var ti = 0
+            while (ti < terms.length) {
+              val t = java.util.Arrays.binarySearch(
+                b.terms.asInstanceOf[Array[AnyRef]], terms(ti))
+              if (t >= 0) {
+                val df = b.dfs(t) // GLOBAL df, denormalized at build
+                // identical operand order as the q118 / q124 oracle expression
+                val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                var j = b.starts(t)
+                val until = b.starts(t + 1)
+                while (j < until) {
+                  val doc = b.docIds(j)
+                  val tf = b.tfs(j)
+                  val dl = b.dls(j)
+                  val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+                  // ti ascends, so each doc's additions happen in term order
+                  acc(doc) = acc.get(doc) match {
+                    case Some((s, _)) => (s + c, dl)
+                    case None         => (c, dl)
+                  }
+                  j += 1
                 }
-                j += 1
               }
+              ti += 1
             }
-            ti += 1
+            qi += 1
           }
         }
-        if (acc.isEmpty) Iterator.empty
-        else {
-          val scored = acc.iterator.map { case (doc, (s, dl)) =>
+        if (accs.forall(_.isEmpty)) Iterator.empty
+        else Iterator.single(Array.tabulate(nq) { qi =>
+          val scored = accs(qi).iterator.map { case (doc, (s, dl)) =>
             (doc, dl, s, Bm25Index.round6(s))
           }.toArray
-          Iterator.single(
-            scored.sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
-              .map { case (doc, dl, s, _) => (doc, dl, s) })
-        }
+          scored.sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
+            .map { case (doc, dl, s, _) => (doc, dl, s) }
+        })
       }.collect()
-    perShard.iterator.flatten.toArray
-      .map { case (doc, dl, s) => (doc, dl, s, Bm25Index.round6(s)) }
-      .sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
-      .map { case (doc, dl, s, _) => (doc, dl, s) }
+    Array.tabulate(nq) { qi =>
+      perShard.iterator.flatMap(_(qi)).toArray
+        .map { case (doc, dl, s) => (doc, dl, s, Bm25Index.round6(s)) }
+        .sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
+        .map { case (doc, dl, s, _) => (doc, dl, s) }
+    }
   }
 
   /** Top-k as a DataFrame (doc_id, dl, bm25 rounded to 6 dp). */

@@ -105,6 +105,24 @@ class Bm25IndexSpec extends AnyFunSuite {
     } finally ix.unpersist()
   }
 
+  test("topKBatch: per-query results identical to the single-query path") {
+    val batch = Seq(
+      Seq("query", "scan", "data"),
+      Seq("the"),
+      Seq("vector", "database"),
+      Seq("zzzznotaterm"),
+      Seq.empty[String])
+    val got = index.topKBatch(batch, 15)
+    assert(got.length == batch.length)
+    batch.zipWithIndex.foreach { case (terms, i) =>
+      assert(got(i).toSeq == index.topKBatch(Seq(terms), 15).head.toSeq,
+        s"batched query $i diverged from its solo run")
+    }
+    // and the flagship set still equals the independent full-scan scorer
+    close(got.head.toSeq, fullScan(docs, Seq("query", "scan", "data"), 15))
+    assert(got(3).isEmpty && got(4).isEmpty)
+  }
+
   test("posting structure is index-shaped: df, N, avgdl agree with the corpus") {
     val n = docs.count()
     assert(index.docCount == n)
