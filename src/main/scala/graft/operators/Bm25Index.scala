@@ -59,8 +59,9 @@ final class Bm25Index private (
     * query terms don't double-score — q118 semantics). `topK` IS
     * `topKBatch` of one, so q124's oracle gate covers both.
     */
-  def topK(terms: Seq[String], k: Int): Array[(Long, Long, Double)] =
-    topKBatch(Seq(terms), k).head
+  def topK(terms: Seq[String], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None): Array[(Long, Long, Double)] =
+    topKBatch(Seq(terms), k, filter).head
 
   /** BATCHED lexical serving: Q term-queries answered in ONE Spark job
     * (the same economics as [[PackedScan.topKBatch]] — one job amortizes
@@ -69,7 +70,8 @@ final class Bm25Index private (
     * its own documents completely per query and returns Q local top-k
     * lists; the driver merge is Q × P × k rows.
     */
-  def topKBatch(queries: Seq[Seq[String]], k: Int)
+  def topKBatch(queries: Seq[Seq[String]], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
       : Array[Array[(Long, Long, Double)]] = {
     if (queries.isEmpty) return Array.empty
     val nq = queries.length
@@ -81,7 +83,18 @@ final class Bm25Index private (
     val perShard: Array[Array[Array[(Long, Long, Double)]]] =
       blocks.mapPartitions { it =>
         val accs = Array.fill(nq)(collection.mutable.LongMap.empty[(Double, Long)])
+        // the predicate gates which docs RETURN; corpus statistics (df,
+        // N, avgdl) stay corpus-level, like an engine whose index stats
+        // are global — the oracle mirrors this with WHERE on the scored
+        // rows only. Bound once per shard; gate per candidate doc (one
+        // binary search), not per posting.
+        var pred: Int => Boolean = null
+        var predDocs: Array[Long] = null
         it.foreach { b =>
+          filter.foreach { f =>
+            pred = MetaPredicate.bind(f, b.meta)
+            predDocs = b.metaDocs
+          }
           var qi = 0
           while (qi < nq) {
             val terms = qTerms(qi)
@@ -116,7 +129,12 @@ final class Bm25Index private (
         }
         if (accs.forall(_.isEmpty)) Iterator.empty
         else Iterator.single(Array.tabulate(nq) { qi =>
-          val scored = accs(qi).iterator.map { case (doc, (s, dl)) =>
+          val scored = accs(qi).iterator.filter { case (doc, _) =>
+            (pred eq null) || {
+              val idx = java.util.Arrays.binarySearch(predDocs, doc)
+              idx >= 0 && pred(idx)
+            }
+          }.map { case (doc, (s, dl)) =>
             (doc, dl, s, Bm25Index.round6(s))
           }.toArray
           scored.sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
@@ -132,9 +150,10 @@ final class Bm25Index private (
   }
 
   /** Top-k as a DataFrame (doc_id, dl, bm25 rounded to 6 dp). */
-  def topKDF(spark: SparkSession, terms: Seq[String], k: Int): DataFrame = {
+  def topKDF(spark: SparkSession, terms: Seq[String], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None): DataFrame = {
     import spark.implicits._
-    topK(terms, k).toSeq.toDF("doc_id", "dl", "bm25")
+    topK(terms, k, filter).toSeq.toDF("doc_id", "dl", "bm25")
       .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
   }
 
@@ -149,7 +168,9 @@ object Bm25Index {
     */
   final case class PostingBlock(terms: Array[String], dfs: Array[Long],
       starts: Array[Int], docIds: Array[Long], tfs: Array[Int],
-      dls: Array[Long])
+      dls: Array[Long],
+      metaDocs: Array[Long] = Array.emptyLongArray,
+      meta: Map[String, MetaPredicate.Col] = Map.empty)
 
   /** 6-dp HALF_UP — BigDecimal, exactly Spark's `round(col, 6)`. */
   private[graft] def round6(x: Double): Double =
@@ -163,47 +184,74 @@ object Bm25Index {
 
   /** Memoized through [[ServingCache]] (same lifecycle as PackedScan). */
   def buildCached(docs: DataFrame, cacheKey: String, idCol: String,
-      textCol: String, shards: Int = 0): Bm25Index =
-    ServingCache.getOrBuild(s"bm25#$cacheKey#$idCol#$textCol#$shards") {
-      val ix = build(docs, idCol, textCol, shards)
+      textCol: String, shards: Int = 0,
+      metaCols: Seq[String] = Nil): Bm25Index = {
+    val mk = if (metaCols.isEmpty) "" else metaCols.mkString("#", ",", "")
+    ServingCache.getOrBuild(s"bm25#$cacheKey#$idCol#$textCol#$shards$mk") {
+      val ix = build(docs, idCol, textCol, shards, metaCols)
       (ix, ix.bytes, () => ix.unpersist())
     }
+  }
 
   /** Tokenize, count (term, doc) tf, attach each term's global df, shard
     * BY DOCUMENT hash, pack each shard as one PostingBlock, pin
     * MEMORY_ONLY. `shards` <= 0 means the session default parallelism.
+    * `metaCols` are pinned per DOC in each shard (sorted-doc parallel
+    * [[MetaPredicate.Col]] arrays) for filtered serving — the per-user
+    * KB shape (`private_knowledge_base.py:161`) on the lexical leg.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
-      shards: Int = 0): Bm25Index = {
+      shards: Int = 0, metaCols: Seq[String] = Nil): Bm25Index = {
     val spark = docs.sparkSession
     import spark.implicits._
     val p = if (shards > 0) shards else spark.sparkContext.defaultParallelism
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("dl"))
+    val names = metaCols.toArray
+    val toks = docs.select(
+      (col(idCol).cast("long").as("doc_id") +:
+        tokens(col(textCol)).as("toks") +: names.map(col).toSeq): _*)
+      .select(
+        (col("doc_id") +: col("toks") +:
+          size(col("toks")).cast("long").as("dl") +: names.map(col).toSeq): _*)
     // global stats over ALL docs (dl = 0 docs count toward N and avgdl,
     // exactly like the oracle's stats CTE)
     val (nDocs, sumDl) = toks.agg(count(lit(1)), sum(col("dl")))
       .as[(Long, Option[Long])].head() match {
       case (c, s) => (c, s.getOrElse(0L))
     }
+    // meta rides the postings groupBy (functionally dependent on doc_id)
     val postings = toks
-      .select(explode(col("toks")).as("term"), col("doc_id"), col("dl"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .select(
+        (explode(col("toks")).as("term") +: col("doc_id") +: col("dl") +:
+          names.map(col).toSeq): _*)
+      .groupBy(col("term") +: col("doc_id") +: col("dl") +:
+        names.map(col).toSeq: _*)
       .agg(count(lit(1)).cast("int").as("tf"))
     // global df per term, then denormalized onto every posting — the
     // partial_count is map-side combined and the join key (term) is the
     // same as the groupBy key, so no extra wide shuffle of the postings
     val dfs = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
-    val keyed = postings.join(dfs, "term")
-      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"))
-      .as[(Long, String, Int, Long, Long)]
-      .rdd.map { case (doc, term, tf, dl, df) => (doc, (term, tf, dl, df)) }
-      .partitionBy(new HashPartitioner(p))
+    val projected = postings.join(dfs, "term")
+      .select(
+        (col("doc_id") +: col("term") +: col("tf") +: col("dl") +: col("df") +:
+          names.map(col).toSeq): _*)
+    val kinds = projected.schema.fields.drop(5).map(_.dataType)
+      .zip(names).map { case (t, n) => MetaPredicate.kindOf(t, n) }
+    val keyed = projected.rdd.map { row =>
+      val m = new Array[Any](names.length)
+      var j = 0
+      while (j < names.length) {
+        require(!row.isNullAt(5 + j),
+          s"null in pinned metadata column '${names(j)}' (doc=${row.getLong(0)})")
+        m(j) = MetaPredicate.widen(row, 5 + j, kinds(j))
+        j += 1
+      }
+      (row.getLong(0),
+        (row.getString(1), row.getInt(2), row.getLong(3), row.getLong(4), m))
+    }.partitionBy(new HashPartitioner(p))
     val blocks = keyed.mapPartitions({ it =>
-      val byTerm = it.toArray.groupBy(_._2._1)
+      val rows = it.toArray
+      val byTerm = rows.groupBy(_._2._1)
       if (byTerm.isEmpty) Iterator.empty
       else {
         val terms = byTerm.keys.toArray.sorted
@@ -219,13 +267,26 @@ object Bm25Index {
           starts(i) = off
           val ps = byTerm(terms(i)).sortBy(_._1)
           dfArr(i) = ps.head._2._4
-          ps.foreach { case (doc, (_, tf, dl, _)) =>
+          ps.foreach { case (doc, (_, tf, dl, _, _)) =>
             docIds(off) = doc; tfs(off) = tf; dls(off) = dl; off += 1
           }
           i += 1
         }
         starts(terms.length) = off
-        Iterator.single(PostingBlock(terms, dfArr, starts, docIds, tfs, dls))
+        val (metaDocs, meta) =
+          if (names.isEmpty)
+            (Array.emptyLongArray, Map.empty[String, MetaPredicate.Col])
+          else {
+            val perDoc = rows.map { case (doc, (_, _, _, _, m)) => (doc, m) }
+              .groupBy(_._1).map { case (doc, vs) => (doc, vs.head._2) }
+              .toArray.sortBy(_._1)
+            val cols = names.indices.map { j =>
+              names(j) -> MetaPredicate.packCol(kinds(j), perDoc.map(_._2(j)))
+            }.toMap
+            (perDoc.map(_._1), cols)
+          }
+        Iterator.single(
+          PostingBlock(terms, dfArr, starts, docIds, tfs, dls, metaDocs, meta))
       }
     }, preservesPartitioning = true)
     blocks.persist(StorageLevel.MEMORY_ONLY)

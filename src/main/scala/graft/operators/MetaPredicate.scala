@@ -125,6 +125,40 @@ object MetaPredicate {
     }
   }
 
+  // canonical pinned kinds: 0 = Long, 1 = Double, 2 = String, 3 = Boolean
+  // (shared by every operator that pins metadata — PackedScan, Bm25Index)
+  private[operators] def kindOf(t: org.apache.spark.sql.types.DataType,
+      name: String): Int = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType => 0
+      case FloatType | DoubleType                        => 1
+      case StringType                                    => 2
+      case BooleanType                                   => 3
+      case other => throw new IllegalArgumentException(
+        s"metadata column '$name' has unsupported pinned type $other " +
+          "(supported: integral, floating, string, boolean)")
+    }
+  }
+
+  /** Widen a Row value to its canonical kind (build-side boxing only). */
+  private[operators] def widen(row: org.apache.spark.sql.Row, idx: Int,
+      kind: Int): Any = kind match {
+    case 0 => row.get(idx).asInstanceOf[Number].longValue()
+    case 1 => row.get(idx).asInstanceOf[Number].doubleValue()
+    case 2 => row.getString(idx)
+    case 3 => row.getBoolean(idx)
+  }
+
+  /** Pack canonically-widened values into a typed [[Col]]. */
+  private[operators] def packCol(kind: Int, values: Array[Any]): Col =
+    kind match {
+      case 0 => LongCol(values.map(_.asInstanceOf[Long]))
+      case 1 => DoubleCol(values.map(_.asInstanceOf[Double]))
+      case 2 => StringCol(values.map(_.asInstanceOf[String]))
+      case 3 => BoolCol(values.map(_.asInstanceOf[Boolean]))
+    }
+
   /** SQL LIKE → anchored regex: `%` → `.*`, `_` → `.`, everything else
     * literal (no escape-char support — document-store metadata patterns
     * don't use it; the DataFrame path has full LIKE).

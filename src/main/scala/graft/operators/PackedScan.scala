@@ -193,15 +193,8 @@ object PackedScan {
   }
 
   // canonical pinned kinds: 0 = Long, 1 = Double, 2 = String, 3 = Boolean
-  private def kindOf(t: DataType, name: String): Int = t match {
-    case ByteType | ShortType | IntegerType | LongType => 0
-    case FloatType | DoubleType                        => 1
-    case StringType                                    => 2
-    case BooleanType                                   => 3
-    case other => throw new IllegalArgumentException(
-      s"metadata column '$name' has unsupported pinned type $other " +
-        "(supported: integral, floating, string, boolean)")
-  }
+  private def kindOf(t: DataType, name: String): Int =
+    MetaPredicate.kindOf(t, name)
 
   /** Pack (one pass over the source) and pin MEMORY_ONLY. `metaCols`
     * are pinned as typed primitive arrays for [[MetaPredicate]] filtering;
@@ -234,12 +227,7 @@ object PackedScan {
           while (j < names.length) {
             require(!row.isNullAt(2 + j),
               s"null in pinned metadata column '${names(j)}' (id=${row.getLong(0)})")
-            m(j) = kinds(j) match {
-              case 0 => row.get(2 + j).asInstanceOf[Number].longValue()
-              case 1 => row.get(2 + j).asInstanceOf[Number].doubleValue()
-              case 2 => row.getString(2 + j)
-              case 3 => row.getBoolean(2 + j)
-            }
+            m(j) = MetaPredicate.widen(row, 2 + j, kinds(j))
             j += 1
           }
           (row.getLong(0), row.getSeq[Float](1).toArray, m)

@@ -237,7 +237,69 @@ object Round7Queries {
       FROM v FULL OUTER JOIN k ON v.id = k.id
       ORDER BY rrf DESC, id
       LIMIT 20"""))
-  )
+  ) :+ filteredHybrid
+
+  /** The reference's PRIVATE-KB request shape, end-to-end on the served
+    * structures: a structured predicate (per-user / per-language scoping,
+    * `private_knowledge_base.py:161`) composed with BOTH retrieval legs —
+    * the vector leg filters through the pinned metadata row gate (q121's
+    * machinery), the lexical leg through per-doc metadata pinned in the
+    * posting shards. Corpus statistics (df/N/avgdl) stay corpus-level —
+    * the filter gates which docs RETURN, matching an engine whose index
+    * stats are global; the oracle mirrors that with WHERE on the scored
+    * rows only. RRF-fused as q125.
+    */
+  private def filteredHybrid = QueryDef("q127_filtered_hybrid_served", (s, dir) => {
+    import s.implicits._
+    val node: SelfQueryFilter.Node = SelfQueryFilter.Eq("lang", SelfQueryFilter.S("en"))
+    val e = Tables.embeddings(s, dir)
+    val d = Tables.documents(s, dir)
+    val corpus = e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"), d("lang"), d("source"), d("n_chars"))
+    val scan = PackedScan.buildCached(corpus, dir + "#meta", "vec_id",
+      "embedding", Seq("lang", "source", "n_chars"))
+    val vleg = scan.topK(qVec, 50, Some(node)).zipWithIndex
+      .map { case ((id, _), i) => (id, (i + 1).toLong) }
+      .toSeq.toDF("id", "r_v")
+    val ix = Bm25Index.buildCached(Tables.documents(s, dir), dir + "#meta",
+      "doc_id", "text", metaCols = Seq("lang"))
+    val kleg = ix.topK(bmTerms, 50, Some(node)).zipWithIndex
+      .map { case ((doc, _, _), i) => (doc, (i + 1).toLong) }
+      .toSeq.toDF("id", "r_k")
+    vleg.join(kleg, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_v")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_k")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(20)
+      .select(col("id"), col("r_v"), col("r_k"), col("rrf"))
+  }, Some(s"""
+      $bmWith,
+      k AS (
+        SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_k
+        FROM (
+          SELECT b.doc_id AS id, round($bmScore, 6) AS bm25
+          FROM base b CROSS JOIN stats
+          JOIN documents dd ON b.doc_id = dd.doc_id
+          WHERE tf0 + tf1 + tf2 > 0 AND (dd.lang = 'en')
+          ORDER BY bm25 DESC, b.doc_id LIMIT 50)
+      ), v AS (
+        SELECT e.vec_id AS id,
+               row_number() OVER (ORDER BY dist, e.vec_id) AS r_v
+        FROM (
+          SELECT ee.vec_id,
+                 1.0 - list_cosine_similarity(CAST(ee.embedding AS DOUBLE[]),
+                                              CAST($qLit AS DOUBLE[])) AS dist
+          FROM embeddings ee JOIN documents d2 ON ee.vec_id = d2.doc_id
+          WHERE (d2.lang = 'en')
+          ORDER BY dist, ee.vec_id LIMIT 50) e
+      )
+      SELECT COALESCE(v.id, k.id) AS id, r_v, r_k,
+             round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_v), CAST(0.0 AS DOUBLE)) +
+                   COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_k), CAST(0.0 AS DOUBLE)), 6) AS rrf
+      FROM v FULL OUTER JOIN k ON v.id = k.id
+      ORDER BY rrf DESC, id
+      LIMIT 20"""))
 
   /** Shared lexical probe terms (q124/q125). */
   private lazy val bmTerms = Seq("query", "scan", "data")

@@ -123,6 +123,33 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got(3).isEmpty && got(4).isEmpty)
   }
 
+  test("filtered topK: corpus-level stats, gated docs, matches the filtered reference") {
+    import graft.operators.{SelfQueryFilter => F}
+    val ixm = Bm25Index.buildCached(docs, "spec-meta#" + TestSpark.sf,
+      "doc_id", "text", metaCols = Seq("lang", "n_chars"))
+    val terms = Seq("query", "scan", "data")
+    for (node <- Seq[F.Node](
+      F.Eq("lang", F.S("en")),
+      F.And.of(F.Ne("lang", F.S("zh")), F.Gt("n_chars", F.I(250))),
+      F.In("lang", Seq(F.S("de"), F.S("fr"))))) {
+      val allowed = docs.filter(F.compile(node))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = ixm.topK(terms, 15, Some(node)).toSeq
+      // reference semantics: score EVERY doc with corpus-level stats,
+      // THEN gate which docs return — the filter must not change df/avgdl
+      val ref = fullScan(docs, terms, Int.MaxValue)
+        .filter(r => allowed(r._1)).take(15)
+      close(got, ref)
+      assert(got.forall(r => allowed(r._1)))
+    }
+    // a filter against an index built WITHOUT metadata must fail loudly
+    val ex = intercept[Exception](
+      index.topK(terms, 5, Some(F.Eq("lang", F.S("en")))))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[IllegalArgumentException]))
+  }
+
   test("posting structure is index-shaped: df, N, avgdl agree with the corpus") {
     val n = docs.count()
     assert(index.docCount == n)
