@@ -69,6 +69,17 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
   private def tombstones(table: String): Option[DataFrame] =
     Try(spark.read.parquet(tombPath(table))).toOption
 
+  /** The deleted keys (with their deleting version `__tv`) — the SERVING
+    * integration hook: a pinned structure built from an older snapshot
+    * applies exactly these keys as serve-time tombstones
+    * ([[PackedScan.delete]]) to agree with the current snapshot WITHOUT a
+    * rebuild; after a rebuild from the current snapshot (e.g. on
+    * [[ServingCache]] eviction) no tombstones are needed. Empty if the
+    * table has no deletes. Gated end-to-end by q128.
+    */
+  def deletedKeys(table: String, asOf: Option[Long] = None): Option[DataFrame] =
+    tombstones(table).map(t => asOf.fold(t)(v => t.filter(col("__tv") <= v)))
+
   /** DELETE WHERE cond, committed at `version`: materializes only the
     * matched keys (evaluated against the pre-delete snapshot). Same
     * replace-on-replay contract as append: tombstones are partitioned by

@@ -237,7 +237,7 @@ object Round7Queries {
       FROM v FULL OUTER JOIN k ON v.id = k.id
       ORDER BY rrf DESC, id
       LIMIT 20"""))
-  ) :+ filteredHybrid
+  ) :+ filteredHybrid :+ mvccServed
 
   /** The reference's PRIVATE-KB request shape, end-to-end on the served
     * structures: a structured predicate (per-user / per-language scoping,
@@ -300,6 +300,48 @@ object Round7Queries {
       FROM v FULL OUTER JOIN k ON v.id = k.id
       ORDER BY rrf DESC, id
       LIMIT 20"""))
+
+  /** MVCC → SERVING lifecycle, gated end-to-end (closing the loop the r6
+    * verdict asked to document: how a pinned structure tracks table
+    * deletes). v1: create the table and pin it. v2: `DELETE WHERE` via
+    * [[graft.operators.MvccCatalog.deleteWhere]] — the served structure
+    * picks up EXACTLY the catalog's tombstone keys
+    * ([[graft.operators.MvccCatalog.deletedKeys]] →
+    * [[PackedScan.delete]]), no rebuild, and must then agree with
+    * DuckDB's brute force over the remaining rows. (The rebuild path —
+    * ServingCache eviction → rebuild from the current snapshot, zero
+    * tombstones — is spec-gated in MvccCatalogSpec.)
+    */
+  private def mvccServed = QueryDef("q128_mvcc_served_lifecycle", (s, dir) => {
+    import graft.operators.{AnnIndex, MvccCatalog}
+    import s.implicits._
+    val root = AnnIndex.tmpRoot + "/mvcc_served_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val cat = MvccCatalog(s, root)
+    val e = Tables.embeddings(s, dir)
+    cat.create("vecs", e.select(col("vec_id"), col("embedding"), col("label")), version = 1L)
+    val scan = PackedScan.build(
+      cat.read("vecs", Seq("vec_id")).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    try {
+      cat.deleteWhere("vecs", col("vec_id") % 5 === 0, Seq("vec_id"), version = 2L)
+      val ids = cat.deletedKeys("vecs").get.select(col("vec_id"))
+        .as[Long].collect() // bounded: the delete batch, not the corpus
+      scan.delete(ids)
+      scan.topKDF(s, qVec, 10)
+        .join(cat.read("vecs", Seq("vec_id")).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .orderBy(col("dist"), col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    } finally scan.unpersist()
+  }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      WHERE vec_id % 5 <> 0
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10"""))
 
   /** Shared lexical probe terms (q124/q125). */
   private lazy val bmTerms = Seq("query", "scan", "data")

@@ -61,4 +61,40 @@ class MvccCatalogSpec extends AnyFunSuite {
     // history is gone after compact: asOf(1) now sees the compacted state
     assert(cat.read("t", Seq("id"), asOf = Some(1)).count() === 0)
   }
+
+  test("MVCC -> serving lifecycle: online tombstones, then rebuild-from-snapshot needs none") {
+    import graft.operators.{PackedScan, ServingCache}
+    import graft.functions.HashEmbedder
+    val cat = freshCat("serve")
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    cat.create("vecs", e.select(col("vec_id"), col("embedding")), version = 1)
+    assert(cat.deletedKeys("vecs").isEmpty) // no deletes yet
+    val key = "mvcc-life#" + TestSpark.sf
+    val s1 = PackedScan.buildCached(cat.read("vecs", Seq("vec_id")),
+      key, "vec_id", "embedding")
+    val q = HashEmbedder.embed("lifecycle probe")
+    val before = s1.topK(q, 10).toSeq
+    // ONLINE path: DELETE WHERE at v2; the served structure applies
+    // exactly the catalog's tombstone keys — no rebuild
+    cat.deleteWhere("vecs", col("vec_id") % 4 === 1, Seq("vec_id"), version = 2)
+    val ids = cat.deletedKeys("vecs").get.select("vec_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(_ % 4 == 1))
+    s1.delete(ids)
+    val after = s1.topK(q, 10).toSeq
+    assert(after != before)
+    val ref = graft.operators.VectorStore(
+        cat.read("vecs", Seq("vec_id")), "embedding", Seq("vec_id"))
+      .searchByVector(q, 10)
+      .select(col("vec_id"), col("dist")).as[(Long, Double)].collect().toSeq
+    assert(after == ref, "online tombstoned serving diverged from the current snapshot")
+    // REBUILD path: evict the cache key, rebuild from the CURRENT
+    // snapshot — the deleted rows are gone at the source, so the rebuilt
+    // structure needs zero tombstones and answers identically
+    ServingCache.evict(s"packed#$key#vec_id#embedding")
+    val s2 = PackedScan.buildCached(cat.read("vecs", Seq("vec_id")),
+      key, "vec_id", "embedding")
+    assert(s2.deletedCount == 0)
+    assert(s2.topK(q, 10).toSeq == after)
+    ServingCache.evict(s"packed#$key#vec_id#embedding")
+  }
 }
