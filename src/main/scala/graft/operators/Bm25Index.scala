@@ -74,6 +74,7 @@ final class Bm25Index private (
       filter: Option[SelfQueryFilter.Node] = None)
       : Array[Array[(Long, Long, Double)]] = {
     if (queries.isEmpty) return Array.empty
+    if (k <= 0) return Array.fill(queries.length)(Array.empty)
     val nq = queries.length
     val qTerms: Array[Array[String]] =
       queries.map(_.map(_.toLowerCase).distinct.toArray).toArray

@@ -73,6 +73,7 @@ final class GraphAnn private (
   def topKBatch(qs: Array[Array[Float]], k: Int, ef: Int)
       : (Array[Array[(Long, Double)]], Long) = {
     if (qs.isEmpty) return (Array.empty, 0L)
+    if (k <= 0) return (Array.fill(qs.length)(Array.empty), 0L)
     val nq = qs.length
     val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
     val width = math.max(k, ef)
@@ -421,6 +422,7 @@ final class IvfGraph private (
   def topKBatch(qs: Array[Array[Float]], k: Int, nprobe: Int, ef: Int)
       : (Array[Array[(Long, Double)]], Long) = {
     if (qs.isEmpty) return (Array.empty, 0L)
+    if (k <= 0) return (Array.fill(qs.length)(Array.empty), 0L)
     val nq = qs.length
     val probed: Array[Set[Int]] = qs.map(q => model.nearest(q, nprobe).toSet)
     val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))

@@ -105,6 +105,7 @@ final class PackedScan private (
   def topKBatch(qs: Array[Array[Float]], k: Int,
       filter: Option[SelfQueryFilter.Node] = None): Array[Array[(Long, Double)]] = {
     if (qs.isEmpty) return Array.empty
+    if (k <= 0) return Array.fill(qs.length)(Array.empty)
     val nq = qs.length
     val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
     val tomb = tombstones // one consistent snapshot for the whole batch

@@ -138,4 +138,22 @@ class EdgeCaseSpec extends AnyFunSuite {
       """and(and(and(eq("a", 1), eq("b", 2)), or(eq("c", 3), eq("d", 4))), not(eq("e", "naïve")))""")
     assert(F.toSql(ast).contains("naïve"))
   }
+
+  test("serving paths: k <= 0 returns empty per query, never crashes") {
+    import graft.functions.HashEmbedder
+    import graft.operators.{Bm25Index, PackedScan}
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val scan = PackedScan.buildCached(e, "edge#" + TestSpark.sf, "vec_id", "embedding")
+    val q = HashEmbedder.embed("edge probe")
+    assert(scan.topK(q, 0).isEmpty)
+    assert(scan.topKBatch(Array(q, q), -3).forall(_.isEmpty))
+    val ix = Bm25Index.buildCached(Tables.documents(spark, TestSpark.sf),
+      "edge#" + TestSpark.sf, "doc_id", "text")
+    assert(ix.topK(Seq("query"), 0).isEmpty)
+    assert(ix.topKBatch(Seq(Seq("query"), Seq("data")), -1).forall(_.isEmpty))
+    val g = graft.operators.GraphAnn.buildCached(e, "edge#" + TestSpark.sf,
+      "vec_id", "embedding")
+    val (res, visited) = g.topKBatch(Array(q), 0, ef = 16)
+    assert(res.forall(_.isEmpty) && visited == 0L)
+  }
 }
