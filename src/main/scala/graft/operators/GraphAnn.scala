@@ -58,9 +58,31 @@ final class GraphAnn private (
     private[operators] val blocks: RDD[GraphAnn.Graph], val dim: Int,
     val rows: Long, val bytes: Long) {
 
-  /** Beam-search top-k. Returns ((id, dist) ascending, nodes visited). */
-  def topK(q: Array[Float], k: Int, ef: Int): (Array[(Long, Double)], Long) = {
-    val (res, visited) = topKBatch(Array(q), k, ef)
+  /** Sorted tombstoned EXTERNAL ids — [[PackedScan]]'s delete-without-
+    * rebuild contract on the graph structure: bounded deletes between
+    * rebuilds, snapshotted per query batch, compaction = rebuild.
+    */
+  @volatile private var tombstones: Array[Long] = Array.emptyLongArray
+
+  /** Register ids to stop serving NOW (no rebuild). Idempotent. */
+  def delete(ids: Iterable[Long]): Int = synchronized {
+    tombstones = (tombstones ++ ids).distinct.sorted
+    tombstones.length
+  }
+
+  def deletedCount: Int = tombstones.length
+
+  def clearDeletes(): Unit = synchronized { tombstones = Array.emptyLongArray }
+
+  /** Beam-search top-k. Returns ((id, dist) ascending, nodes visited).
+    * `filter` gates RESULT admission against metadata pinned at build
+    * (metaCols) — traversal is unaffected, so connectivity (and the full-
+    * ef exactness contract, now over the predicate's survivors) holds.
+    */
+  def topK(q: Array[Float], k: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
+      : (Array[(Long, Double)], Long) = {
+    val (res, visited) = topKBatch(Array(q), k, ef, filter)
     (res.head, visited)
   }
 
@@ -68,18 +90,24 @@ final class GraphAnn private (
     * [[PackedScan.topKBatch]] for why batching is the serving fix — one
     * job amortizes scheduling overhead across the batch; the graphs stay
     * pinned and each query runs its own beam). Per query, identical
-    * results to [[topK]].
+    * results to [[topK]]. With a `filter`, the AST binds once per block
+    * and the whole batch shares the gate; tombstoned ids are excluded the
+    * same way.
     */
-  def topKBatch(qs: Array[Array[Float]], k: Int, ef: Int)
+  def topKBatch(qs: Array[Array[Float]], k: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
       : (Array[Array[(Long, Double)]], Long) = {
     if (qs.isEmpty) return (Array.empty, 0L)
     if (k <= 0) return (Array.fill(qs.length)(Array.empty), 0L)
     val nq = qs.length
     val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
     val width = math.max(k, ef)
+    val tomb = tombstones // one consistent snapshot for the whole batch
     val perPart = blocks.mapPartitions { it =>
       it.map { g =>
-        Array.tabulate(nq)(qi => GraphAnn.searchOne(g, qs(qi), qnorms(qi), width))
+        val gate = GraphAnn.resultGate(g, filter, tomb)
+        Array.tabulate(nq)(qi =>
+          GraphAnn.searchOne(g, qs(qi), qnorms(qi), width, gate))
       }
     }.collect()
     val visited = perPart.iterator.flatMap(_.iterator.map(_._2)).sum
@@ -91,9 +119,10 @@ final class GraphAnn private (
   }
 
   /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
-  def topKDF(spark: SparkSession, q: Array[Float], k: Int, ef: Int): DataFrame = {
+  def topKDF(spark: SparkSession, q: Array[Float], k: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None): DataFrame = {
     import spark.implicits._
-    topK(q, k, ef)._1.toSeq.toDF("vec_id", "dist")
+    topK(q, k, ef, filter)._1.toSeq.toDF("vec_id", "dist")
   }
 
   def unpersist(): Unit = blocks.unpersist()
@@ -103,19 +132,27 @@ object GraphAnn {
 
   /** One partition's graph: ids[i] owns vecs[i*dim,(i+1)*dim); nbrs[i] are
     * node INDICES (partition-local, edges never cross partitions).
+    * `meta` (optional) pins metadata columns parallel to `ids` for
+    * FILTERED beam search — the [[PackedScan.Block]] layout on the graph
+    * structure. ids are ID-SORTED (packAndBuild's contract), which is
+    * what lets tombstone checks binary-search `ids` directly.
     */
   final case class Graph(ids: Array[Long], vecs: Array[Float], dim: Int,
-      nbrs: Array[Array[Int]])
+      nbrs: Array[Array[Int]],
+      meta: Map[String, MetaPredicate.Col] = Map.empty)
 
   /** Memoized through [[ServingCache]] (LRU byte budget governs
     * residency; rebuilt instances are deterministic).
     */
   def buildCached(df: DataFrame, cacheKey: String, idCol: String,
-      embCol: String, m: Int = 12, efC: Int = 64): GraphAnn =
-    ServingCache.getOrBuild(s"graph#$cacheKey#$idCol#$embCol#$m#$efC") {
-      val g = build(df, idCol, embCol, m, efC)
+      embCol: String, m: Int = 12, efC: Int = 64,
+      metaCols: Seq[String] = Nil): GraphAnn = {
+    val metaKey = if (metaCols.isEmpty) "" else metaCols.mkString("#", ",", "")
+    ServingCache.getOrBuild(s"graph#$cacheKey#$idCol#$embCol#$m#$efC$metaKey") {
+      val g = build(df, idCol, embCol, m, efC, metaCols)
       (g, g.bytes, () => g.unpersist())
     }
+  }
 
   /** Pinned footprint of one graph block: ids (8 B), floats (4 B),
     * adjacency ints (4 B) + a per-node array-header overhead.
@@ -124,19 +161,46 @@ object GraphAnn {
     g.ids.length.toLong * 8 + g.vecs.length.toLong * 4 +
       g.nbrs.iterator.map(n => 16L + n.length.toLong * 4).sum
 
-  /** Build per-partition NSW graphs and pin MEMORY_ONLY. */
+  /** Build per-partition NSW graphs and pin MEMORY_ONLY. `metaCols` pins
+    * metadata beside the nodes for filtered beam search (same canonical
+    * kinds and non-null contract as [[PackedScan.build]]).
+    */
   def build(df: DataFrame, idCol: String, embCol: String,
-      m: Int = 12, efC: Int = 64): GraphAnn = {
+      m: Int = 12, efC: Int = 64, metaCols: Seq[String] = Nil): GraphAnn = {
     val spark = df.sparkSession
     import spark.implicits._
-    val src = df.select(col(idCol).cast("long"), col(embCol))
-      .as[(Long, Array[Float])]
-    val blocks = src.rdd.mapPartitions { it =>
-      val all = it.toArray
-      if (all.isEmpty) Iterator.empty
-      else Iterator.single(packAndBuild(all, m, efC))
+    if (metaCols.isEmpty) {
+      val src = df.select(col(idCol).cast("long"), col(embCol))
+        .as[(Long, Array[Float])]
+      val blocks = src.rdd.mapPartitions { it =>
+        val all = it.toArray
+        if (all.isEmpty) Iterator.empty
+        else Iterator.single(packAndBuild(all, m, efC))
+      }
+      fromBlocks(blocks)
+    } else {
+      val projected = df.select(
+        (col(idCol).cast("long") +: col(embCol) +: metaCols.map(col)): _*)
+      val names = metaCols.toArray
+      val kinds = projected.schema.fields.drop(2).map(_.dataType)
+        .zip(names).map { case (t, n) => MetaPredicate.kindOf(t, n) }
+      val blocks = projected.rdd.mapPartitions { it =>
+        val all = it.map { row =>
+          val mv = new Array[Any](names.length)
+          var j = 0
+          while (j < names.length) {
+            require(!row.isNullAt(2 + j),
+              s"null in pinned metadata column '${names(j)}' (id=${row.getLong(0)})")
+            mv(j) = MetaPredicate.widen(row, 2 + j, kinds(j))
+            j += 1
+          }
+          (row.getLong(0), row.getSeq[Float](1).toArray, mv)
+        }.toArray
+        if (all.isEmpty) Iterator.empty
+        else Iterator.single(packAndBuildMeta(all, names, kinds, m, efC))
+      }
+      fromBlocks(blocks)
     }
-    fromBlocks(blocks)
   }
 
   /** Persist a block RDD and size it (rows + bytes in one job). */
@@ -167,6 +231,22 @@ object GraphAnn {
       i += 1
     }
     buildGraph(ids, vecs, dim, m, efC)
+  }
+
+  /** [[packAndBuild]] plus metadata: rows id-sorted ONCE, the graph built
+    * over (id, vec) in that order, and the meta values packed into typed
+    * [[MetaPredicate.Col]] arrays in the SAME order — node index i always
+    * addresses meta slot i.
+    */
+  private[operators] def packAndBuildMeta(
+      rows: Array[(Long, Array[Float], Array[Any])],
+      names: Array[String], kinds: Array[Int], m: Int, efC: Int): Graph = {
+    val sorted = rows.sortBy(_._1)
+    val g = packAndBuild(sorted.map(r => (r._1, r._2)), m, efC)
+    val meta = names.indices.map { j =>
+      names(j) -> MetaPredicate.packCol(kinds(j), sorted.map(_._3(j)))
+    }.toMap
+    g.copy(meta = meta)
   }
 
   /** NSW incremental construction over one partition's packed vectors. */
@@ -239,6 +319,10 @@ object GraphAnn {
     */
   private[operators] def insert(g: Graph,
       added: Array[(Long, Array[Float])], m: Int, efC: Int): (Graph, Long) = {
+    require(g.meta.isEmpty,
+      "insert into a metadata-pinned graph is not supported (meta slots " +
+        "would misalign); serve deletes via tombstones and rebuild the " +
+        "filtered structure to ingest (ServingCache eviction path)")
     if (added.isEmpty) return (g, 0L)
     if (g.ids.isEmpty) return (packAndBuild(added, m, efC), 0L)
     val batch = added.sortBy(_._1)
@@ -324,13 +408,19 @@ object GraphAnn {
   private def beam(vecs: Array[Float], dim: Int,
       nbrsOf: Int => scala.collection.IndexedSeq[Int], upTo: Int,
       qv: Array[Float], qnorm: Double,
-      ef: Int): (Array[(Int, Double)], Long) = {
+      ef: Int, pass: Int => Boolean = null): (Array[(Int, Double)], Long) = {
 
     def dist(node: Int): Double =
       VectorKernels.cosineStrided(vecs, node * dim, dim, qv, qnorm)
 
     val visited = new java.util.BitSet(upTo)
-    // candidates: min-heap by (dist, idx); results: max-heap by (dist, idx)
+    // candidates: min-heap by (dist, idx); results: max-heap by (dist, idx).
+    // FILTERED search (pass != null): traversal ignores the predicate —
+    // connectivity must not depend on it — but only passing nodes enter
+    // `res` (the hnswlib filtered-search shape). With scarce survivors the
+    // res heap fills slowly, the admission gate below stays open, and the
+    // beam degrades toward full traversal — correct, and exactly why very
+    // low selectivity belongs on the brute-force path (PackedScan+filter).
     implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
     val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
     val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
@@ -338,7 +428,8 @@ object GraphAnn {
 
     val d0 = dist(0)
     visited.set(0); nVisited += 1
-    cand.enqueue((d0, 0)); res.enqueue((d0, 0))
+    cand.enqueue((d0, 0))
+    if (pass == null || pass(0)) res.enqueue((d0, 0))
 
     while (cand.nonEmpty) {
       val (cd, c) = cand.dequeue()
@@ -354,8 +445,10 @@ object GraphAnn {
             val d = dist(nb)
             if (res.size < ef || ord.lt((d, nb), res.head)) {
               cand.enqueue((d, nb))
-              res.enqueue((d, nb))
-              if (res.size > ef) res.dequeue()
+              if (pass == null || pass(nb)) {
+                res.enqueue((d, nb))
+                if (res.size > ef) res.dequeue()
+              }
             }
           }
           x += 1
@@ -368,12 +461,33 @@ object GraphAnn {
     (out, nVisited)
   }
 
-  /** External-query search over one graph block: (ids mapped, visited). */
+  /** External-query search over one graph block: (ids mapped, visited).
+    * `pass` (nullable) gates RESULT admission by node index — traversal
+    * still crosses non-passing nodes (see [[beam]]).
+    */
   private[operators] def searchOne(g: Graph, q: Array[Float], qnorm: Double,
-      ef: Int): (Array[(Long, Double)], Long) = {
+      ef: Int, pass: Int => Boolean = null): (Array[(Long, Double)], Long) = {
     val (found, visited) = beam(g.vecs, g.dim, j => g.nbrs(j),
-      upTo = g.ids.length, qv = q, qnorm = qnorm, ef = ef)
+      upTo = g.ids.length, qv = q, qnorm = qnorm, ef = ef, pass = pass)
     (found.map { case (idx, d) => (g.ids(idx), d) }, visited)
+  }
+
+  /** Compose the serve-time result gate for one graph block: the bound
+    * [[MetaPredicate]] (if a filter is set) AND not-tombstoned (if any).
+    * Returns null when neither applies — the unfiltered fast path.
+    * Tombstones hold EXTERNAL ids; `g.ids` is id-sorted, but the
+    * tombstone array is the (small) sorted side, so we search it.
+    */
+  private[operators] def resultGate(g: Graph,
+      filter: Option[SelfQueryFilter.Node],
+      tomb: Array[Long]): Int => Boolean = {
+    val pred: Int => Boolean = filter.map(MetaPredicate.bind(_, g.meta)).orNull
+    if (tomb.length == 0) pred
+    else {
+      val notDeleted: Int => Boolean =
+        i => java.util.Arrays.binarySearch(tomb, g.ids(i)) < 0
+      if (pred == null) notDeleted else i => pred(i) && notDeleted(i)
+    }
   }
 }
 
@@ -404,12 +518,31 @@ final class IvfGraph private (
     private[operators] val blocks: RDD[(Int, GraphAnn.Graph)],
     val rows: Long, val bytes: Long) {
 
-  /** Beam-search the nprobe routed clusters. Returns ((id, dist)
-    * ascending, nodes visited across probed graphs).
+  /** Sorted tombstoned EXTERNAL ids ([[PackedScan]]'s delete contract on
+    * the routed structure; [[IvfGraph.remove]] is the compaction twin).
     */
-  def topK(q: Array[Float], k: Int, nprobe: Int, ef: Int)
+  @volatile private var tombstones: Array[Long] = Array.emptyLongArray
+
+  /** Register ids to stop serving NOW (no rebuild). Idempotent. */
+  def delete(ids: Iterable[Long]): Int = synchronized {
+    tombstones = (tombstones ++ ids).distinct.sorted
+    tombstones.length
+  }
+
+  def deletedCount: Int = tombstones.length
+
+  def clearDeletes(): Unit = synchronized { tombstones = Array.emptyLongArray }
+
+  /** Beam-search the nprobe routed clusters. Returns ((id, dist)
+    * ascending, nodes visited across probed graphs). `filter` gates
+    * result admission against metadata pinned at build (metaCols);
+    * routing is metadata-blind — the predicate's survivors still live in
+    * the clusters their vectors routed to.
+    */
+  def topK(q: Array[Float], k: Int, nprobe: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
       : (Array[(Long, Double)], Long) = {
-    val (res, visited) = topKBatch(Array(q), k, nprobe, ef)
+    val (res, visited) = topKBatch(Array(q), k, nprobe, ef, filter)
     (res.head, visited)
   }
 
@@ -417,9 +550,12 @@ final class IvfGraph private (
     * touches only its own nprobe routed clusters — a cluster graph is
     * searched once per query that routed to it, so batch work is
     * sum(per-query routed work), with the per-job scheduling cost paid
-    * once for the whole batch (see [[PackedScan.topKBatch]]).
+    * once for the whole batch (see [[PackedScan.topKBatch]]). With a
+    * `filter`, the AST binds once per cluster graph and the whole batch
+    * shares the gate; tombstoned ids are excluded the same way.
     */
-  def topKBatch(qs: Array[Array[Float]], k: Int, nprobe: Int, ef: Int)
+  def topKBatch(qs: Array[Array[Float]], k: Int, nprobe: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
       : (Array[Array[(Long, Double)]], Long) = {
     if (qs.isEmpty) return (Array.empty, 0L)
     if (k <= 0) return (Array.fill(qs.length)(Array.empty), 0L)
@@ -427,10 +563,12 @@ final class IvfGraph private (
     val probed: Array[Set[Int]] = qs.map(q => model.nearest(q, nprobe).toSet)
     val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
     val width = math.max(k, ef)
+    val tomb = tombstones // one consistent snapshot for the whole batch
     val perPart = blocks.mapPartitions { it =>
       it.flatMap { case (cid, g) =>
+        lazy val gate = GraphAnn.resultGate(g, filter, tomb)
         (0 until nq).iterator.filter(qi => probed(qi).contains(cid)).map { qi =>
-          (qi, GraphAnn.searchOne(g, qs(qi), qnorms(qi), width))
+          (qi, GraphAnn.searchOne(g, qs(qi), qnorms(qi), width, gate))
         }
       }
     }.collect()
@@ -444,9 +582,9 @@ final class IvfGraph private (
 
   /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
   def topKDF(spark: SparkSession, q: Array[Float], k: Int, nprobe: Int,
-      ef: Int): DataFrame = {
+      ef: Int, filter: Option[SelfQueryFilter.Node] = None): DataFrame = {
     import spark.implicits._
-    topK(q, k, nprobe, ef)._1.toSeq.toDF("vec_id", "dist")
+    topK(q, k, nprobe, ef, filter)._1.toSeq.toDF("vec_id", "dist")
   }
 
   def nClusters: Int = model.centroids.length
@@ -461,12 +599,15 @@ object IvfGraph {
     * residency, and cacheKey still folds in every identity input).
     */
   def buildCached(indexed: DataFrame, model: AnnIndex.Model, cacheKey: String,
-      idCol: String, embCol: String, m: Int = 12, efC: Int = 64): IvfGraph =
+      idCol: String, embCol: String, m: Int = 12, efC: Int = 64,
+      metaCols: Seq[String] = Nil): IvfGraph = {
+    val metaKey = if (metaCols.isEmpty) "" else metaCols.mkString("#", ",", "")
     ServingCache.getOrBuild(
-      s"ivfgraph#$cacheKey#$idCol#$embCol#$m#$efC#${model.centroids.length}") {
-      val g = build(indexed, model, idCol, embCol, m, efC)
+      s"ivfgraph#$cacheKey#$idCol#$embCol#$m#$efC#${model.centroids.length}$metaKey") {
+      val g = build(indexed, model, idCol, embCol, m, efC, metaCols)
       (g, g.bytes, () => g.unpersist())
     }
+  }
 
   /** One NSW graph per cluster_id, clusters hash-spread over k
     * partitions via an explicit HashPartitioner (the partitioner is
@@ -475,22 +616,49 @@ object IvfGraph {
     * MEMORY_ONLY.
     */
   def build(indexed: DataFrame, model: AnnIndex.Model, idCol: String,
-      embCol: String, m: Int = 12, efC: Int = 64): IvfGraph = {
+      embCol: String, m: Int = 12, efC: Int = 64,
+      metaCols: Seq[String] = Nil): IvfGraph = {
     val spark = indexed.sparkSession
     import spark.implicits._
     val k = model.centroids.length
-    val src = indexed
-      .select(col("cluster_id").cast("int"), col(idCol).cast("long"),
-        col(embCol))
-      .as[(Int, Long, Array[Float])]
-    val keyed = src.rdd.map { case (cid, id, v) => (cid, (id, v)) }
-      .partitionBy(new org.apache.spark.HashPartitioner(k))
-    val blocks = keyed.mapPartitions({ it =>
-      it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
-        (cid, GraphAnn.packAndBuild(rows.map(_._2), m, efC))
-      }
-    }, preservesPartitioning = true)
-    fromBlocks(model, blocks)
+    if (metaCols.isEmpty) {
+      val src = indexed
+        .select(col("cluster_id").cast("int"), col(idCol).cast("long"),
+          col(embCol))
+        .as[(Int, Long, Array[Float])]
+      val keyed = src.rdd.map { case (cid, id, v) => (cid, (id, v)) }
+        .partitionBy(new org.apache.spark.HashPartitioner(k))
+      val blocks = keyed.mapPartitions({ it =>
+        it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
+          (cid, GraphAnn.packAndBuild(rows.map(_._2), m, efC))
+        }
+      }, preservesPartitioning = true)
+      fromBlocks(model, blocks)
+    } else {
+      val projected = indexed.select(
+        (col("cluster_id").cast("int") +: col(idCol).cast("long") +:
+          col(embCol) +: metaCols.map(col)): _*)
+      val names = metaCols.toArray
+      val kinds = projected.schema.fields.drop(3).map(_.dataType)
+        .zip(names).map { case (t, n) => MetaPredicate.kindOf(t, n) }
+      val keyed = projected.rdd.map { row =>
+        val mv = new Array[Any](names.length)
+        var j = 0
+        while (j < names.length) {
+          require(!row.isNullAt(3 + j),
+            s"null in pinned metadata column '${names(j)}' (id=${row.getLong(1)})")
+          mv(j) = MetaPredicate.widen(row, 3 + j, kinds(j))
+          j += 1
+        }
+        (row.getInt(0), (row.getLong(1), row.getSeq[Float](2).toArray, mv))
+      }.partitionBy(new org.apache.spark.HashPartitioner(k))
+      val blocks = keyed.mapPartitions({ it =>
+        it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
+          (cid, GraphAnn.packAndBuildMeta(rows.map(_._2), names, kinds, m, efC))
+        }
+      }, preservesPartitioning = true)
+      fromBlocks(model, blocks)
+    }
   }
 
   private[operators] def fromBlocks(model: AnnIndex.Model,
@@ -517,6 +685,9 @@ object IvfGraph {
   def save(spark: SparkSession, g: IvfGraph, path: String): Unit = {
     import spark.implicits._
     g.blocks.flatMap { case (cid, gr) =>
+      require(gr.meta.isEmpty,
+        "save of a metadata-pinned index is not supported; durable serving " +
+          "rebuilds the filtered structure from the source table (metaCols)")
       Iterator.tabulate(gr.ids.length) { i =>
         val v = new Array[Float](gr.dim)
         System.arraycopy(gr.vecs, i * gr.dim, v, 0, gr.dim)
@@ -616,6 +787,9 @@ object IvfGraph {
       it.flatMap { case (cid, (graphs, added)) =>
         if (added.isEmpty) graphs.iterator.map(gr => (cid, gr))
         else {
+          graphs.foreach(gr => require(gr.meta.isEmpty,
+            "append to a metadata-pinned index is not supported; rebuild " +
+              "the filtered structure from the source table"))
           val existing = graphs.headOption.toArray.flatMap { gr =>
             Array.tabulate(gr.ids.length) { i =>
               val v = new Array[Float](gr.dim)
@@ -711,6 +885,9 @@ object IvfGraph {
       it.flatMap { case (cid, gr) =>
         if (!hits(gr)) Iterator.single((cid, gr))
         else {
+          require(gr.meta.isEmpty,
+            "remove from a metadata-pinned index is not supported; serve " +
+              "deletes via tombstones ([[IvfGraph.delete]]) and rebuild")
           val remaining = Array.tabulate(gr.ids.length) { i =>
             val v = new Array[Float](gr.dim)
             System.arraycopy(gr.vecs, i * gr.dim, v, 0, gr.dim)

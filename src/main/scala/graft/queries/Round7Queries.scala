@@ -237,7 +237,7 @@ object Round7Queries {
       FROM v FULL OUTER JOIN k ON v.id = k.id
       ORDER BY rrf DESC, id
       LIMIT 20"""))
-  ) :+ filteredHybrid :+ mvccServed
+  ) :+ filteredHybrid :+ mvccServed :+ graphFiltered :+ graphFilteredTomb
 
   /** The reference's PRIVATE-KB request shape, end-to-end on the served
     * structures: a structured predicate (per-user / per-language scoping,
@@ -341,6 +341,83 @@ object Round7Queries {
       WHERE vec_id % 5 <> 0
       ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10"""))
+
+  /** FILTERED GRAPH serving — q121's request shape (self-query wire →
+    * predicate + vector top-k) answered by the GRAPH structure instead of
+    * the packed scan: metadata is pinned beside the nodes at build
+    * ([[graft.operators.GraphAnn]] metaCols) and the beam admits only
+    * predicate survivors into the result heap while traversing the full
+    * graph (the hnswlib filtered-search shape — connectivity never
+    * depends on the predicate). Exactness: full ef ⇒ every (connected)
+    * node is visited ⇒ equals the filtered brute force, so the SAME
+    * oracle SQL that gates q121 gates this path; the serving operating
+    * point (small ef) is spec-gated on measured recall in GraphAnnSpec.
+    */
+  private def graphFiltered = QueryDef("q129_graph_filtered_served", (s, dir) => {
+    import graft.operators.GraphAnn
+    val e = Tables.embeddings(s, dir)
+    val d = Tables.documents(s, dir)
+    val corpus = e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"), d("lang"), d("source"), d("n_chars"))
+    val req = SelfQueryParser.parseRequest(wire)
+    val g = GraphAnn.buildCached(corpus, dir + "#meta", "vec_id", "embedding",
+      metaCols = Seq("lang", "source", "n_chars"))
+    val qv = HashEmbedder.embed(req.query)
+    g.topKDF(s, qv, 10, ef = g.rows.toInt, filter = req.filter)
+      .join(corpus.select(col("vec_id"), col("lang"), col("n_chars")), Seq("vec_id"))
+      .orderBy(col("dist"), col("vec_id"))
+      .select(col("vec_id"), col("lang"), col("n_chars"),
+        round(col("dist"), 6).as("dist"))
+  }, Some {
+    val where = SelfQueryFilter.toSql(
+      SelfQueryParser.parseRequest(wire).filter.get)
+    s"""
+      SELECT e.vec_id, d.lang, d.n_chars,
+        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE $where
+      ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), e.vec_id
+      LIMIT 10"""
+  })
+
+  /** FILTERED + TOMBSTONED routed-graph serving — the full private-KB
+    * lifecycle on the MSTG-shape structure: per-cluster graphs built with
+    * pinned metadata, a predicate gating results, AND serve-time deletes
+    * ([[graft.operators.IvfGraph.delete]] — maintenance ops on filtered
+    * structures are tombstone + rebuild, never in-place). Full probe +
+    * full ef ⇒ equals DuckDB's brute force over the remaining predicate
+    * survivors. Uncached build on purpose: deletes mutate the instance
+    * (q122's reasoning).
+    */
+  private def graphFilteredTomb = QueryDef("q130_graph_filtered_tombstone", (s, dir) => {
+    import graft.operators.{AnnIndex, IvfGraph, SelfQueryFilter => F}
+    val e = Tables.embeddings(s, dir)
+    val d = Tables.documents(s, dir)
+    val (model, indexed) = AnnIndex.fitCached(
+      e, dir, "embedding", "vec_id", k = 16, iters = 3)
+    val withMeta = indexed.join(d, indexed("vec_id") === d("doc_id"))
+      .select(indexed("cluster_id"), indexed("vec_id"), indexed("embedding"),
+        d("lang"))
+    val g = IvfGraph.build(withMeta, model, "vec_id", "embedding",
+      metaCols = Seq("lang"))
+    try {
+      g.delete(0L until g.rows by 3L)
+      val node: F.Node = F.Eq("lang", F.S("en"))
+      g.topKDF(s, qVec, 10, nprobe = 16, ef = g.rows.toInt, filter = Some(node))
+        .orderBy(col("dist"), col("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    } finally g.unpersist()
+  }, Some(s"""
+      SELECT e.vec_id,
+        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = 'en' AND e.vec_id % 3 <> 0
+      ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), e.vec_id
       LIMIT 10"""))
 
   /** Shared lexical probe terms (q124/q125). */

@@ -280,4 +280,106 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall@10 $recall below 0.95")
     assert(maxFrac <= 0.05, s"visited fraction $maxFrac above 0.05")
   }
+
+  // ---- filtered + tombstone-aware graph serving (round 7) --------------
+
+  import graft.operators.{SelfQueryFilter => F}
+
+  // same 8000-point corpus with the planted label pinned as metadata (a
+  // "tenant" column): predicate selectivity 1/C = 2.5%
+  private lazy val metaGraph = GraphAnn.build(
+    corpus, "vec_id", "embedding", metaCols = Seq("true_cluster"))
+
+  test("filtered beam: full ef equals the filtered brute force (Eq and Not)") {
+    val t = 3
+    val q = ClusteredCorpus.query(t)
+    val eq: F.Node = F.Eq("true_cluster", F.I(t))
+    val (gotEq, _) = metaGraph.topK(q, 10, ef = N.toInt, Some(eq))
+    val exactEq = exactTop10On(
+      corpus.filter(org.apache.spark.sql.functions.col("true_cluster") === t), q)
+    assert(gotEq.map(_._1).toSet == exactEq)
+
+    // adversarial direction: EXCLUDE the query's own cluster — every
+    // near neighbor fails the predicate, the beam must push past them
+    val ne: F.Node = F.Not(F.Eq("true_cluster", F.I(t)))
+    val (gotNe, _) = metaGraph.topK(q, 10, ef = N.toInt, Some(ne))
+    val exactNe = exactTop10On(
+      corpus.filter(org.apache.spark.sql.functions.col("true_cluster") =!= t), q)
+    assert(gotNe.map(_._1).toSet == exactNe)
+  }
+
+  test("filtered serving point: 2.5%-selectivity predicate, recall measured at small ef") {
+    val results = (0 until 5).map { t =>
+      val q = ClusteredCorpus.query(t)
+      val node: F.Node = F.Eq("true_cluster", F.I(t))
+      val exact = exactTop10On(
+        corpus.filter(org.apache.spark.sql.functions.col("true_cluster") === t), q)
+      val (got, visited) = metaGraph.topK(q, 10, ef = 64, Some(node))
+      (got.map(_._1).toSet.intersect(exact).size / 10.0, visited.toDouble / N)
+    }
+    val recall = results.map(_._1).sum / results.size
+    val maxFrac = results.map(_._2).max
+    info(f"filtered recall@10 = $recall%.3f, worst visited fraction = $maxFrac%.3f")
+    assert(recall >= 0.90, s"filtered recall@10 $recall below 0.90")
+    assert(maxFrac < 1.0, "filtered beam degenerated to a full scan")
+  }
+
+  test("graph tombstones: deleted ids stop serving, clearDeletes restores") {
+    val q = ClusteredCorpus.query(1)
+    val g2 = GraphAnn.build(corpus, "vec_id", "embedding")
+    try {
+      val (before, _) = g2.topK(q, 10, ef = N.toInt)
+      val dead = before.take(3).map(_._1)
+      assert(g2.delete(dead) == 3 && g2.deletedCount == 3)
+      val (after, _) = g2.topK(q, 10, ef = N.toInt)
+      assert(after.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+      val exact = exactTop10On(
+        corpus.filter(!org.apache.spark.sql.functions.col("vec_id").isin(dead: _*)), q)
+      assert(after.map(_._1).toSet == exact)
+      // small-ef serving must also never surface a tombstoned id
+      val (served, _) = g2.topK(q, 10, ef = 64)
+      assert(served.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+      g2.clearDeletes()
+      assert(g2.deletedCount == 0)
+      val (restored, _) = g2.topK(q, 10, ef = N.toInt)
+      assert(restored.toSeq == before.toSeq)
+    } finally g2.unpersist()
+  }
+
+  test("IvfGraph: filter + tombstones compose on the routed structure; maintenance refuses meta") {
+    val spark0 = spark
+    import spark0.implicits._
+    val small = ClusteredCorpus.df(spark0, 600, 6).repartition(2).cache()
+    small.count()
+    val (m6, ix6) = AnnIndex.fit(small, "embedding", "vec_id", k = 6, iters = 2)
+    val g = IvfGraph.build(ix6, m6, "vec_id", "embedding",
+      metaCols = Seq("true_cluster"))
+    try {
+      val t = 2
+      val q = ClusteredCorpus.query(t)
+      val node: F.Node = F.Eq("true_cluster", F.I(t))
+      g.delete(0L until 600L by 5L)
+      val (got, _) = g.topK(q, 10, nprobe = 6, ef = 600, Some(node))
+      val exact = exactTop10On(small.filter(
+        org.apache.spark.sql.functions.col("true_cluster") === t &&
+          org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0), q)
+      assert(got.map(_._1).toSet == exact)
+
+      // maintenance ops refuse metadata-pinned structures loudly (meta
+      // slots would silently misalign or drop): tombstone + rebuild is
+      // the documented lifecycle for filtered structures
+      def messageChain(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      val batch = small.limit(5)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+      val eIns = intercept[Exception](IvfGraph.insertInto(g, batch, "vec_id", "embedding"))
+      assert(messageChain(eIns).contains("not supported"))
+      val eRem = intercept[Exception](IvfGraph.remove(g, Seq(1L)))
+      assert(messageChain(eRem).contains("not supported"))
+      val eSave = intercept[Exception](
+        IvfGraph.save(spark0, g, AnnIndex.tmpRoot + "/meta_refuse"))
+      assert(messageChain(eSave).contains("not supported"))
+    } finally g.unpersist()
+  }
 }
