@@ -237,7 +237,8 @@ object Round7Queries {
       FROM v FULL OUTER JOIN k ON v.id = k.id
       ORDER BY rrf DESC, id
       LIMIT 20"""))
-  ) :+ filteredHybrid :+ mvccServed :+ graphFiltered :+ graphFilteredTomb
+  ) :+ filteredHybrid :+ mvccServed :+ graphFiltered :+ graphFilteredTomb :+
+    pqFiltered
 
   /** The reference's PRIVATE-KB request shape, end-to-end on the served
     * structures: a structured predicate (per-user / per-language scoping,
@@ -419,6 +420,44 @@ object Round7Queries {
       ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                             CAST($qLit AS DOUBLE[])), e.vec_id
       LIMIT 10"""))
+
+  /** FILTERED QUANTIZED serving — the predicate shape on the PQ path,
+    * which needs NO new machinery: the encoded relation is a DataFrame,
+    * so the [[SelfQueryFilter.compile]]d predicate filters it BEFORE the
+    * ADC shortlist (Catalyst pushes it to the scan) and the shortlist is
+    * sized on SURVIVORS (q99's 25% operating point, floor 200) — k
+    * results are all survivors, never post-filtered. One AST renders
+    * both engines' predicate (compile → Spark, toSql → oracle WHERE).
+    * With this, every serving structure answers the reference's filtered
+    * query: PackedScan q121, Bm25Index q127, GraphAnn q129, IvfGraph
+    * q130, PQ here.
+    */
+  private def pqFiltered = QueryDef("q131_pq_filtered", (s, dir) => {
+    import graft.operators.{PqIndex, SelfQueryFilter => F}
+    val e = Tables.embeddings(s, dir)
+    val d = Tables.documents(s, dir)
+    val corpus = e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"), e("label"), d("lang"))
+    val node: F.Node = F.Eq("lang", F.S("en"))
+    val model = PqIndex.fitCached(e, dir, "embedding", "vec_id")
+    val enc = PqIndex.encodedCached(corpus, dir + "#meta", model, "embedding")
+    val survivors = enc.filter(F.compile(node))
+    val cand = math.max(200L, survivors.count() / 4).toInt
+    PqIndex.search(model, survivors, "embedding", "vec_id", qVec,
+      k = 10, candidates = cand)
+      .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+  }, Some {
+    val where = SelfQueryFilter.toSql(SelfQueryFilter.Eq("lang", SelfQueryFilter.S("en")))
+    s"""
+      SELECT e.vec_id, e.label,
+        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE $where
+      ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), e.vec_id
+      LIMIT 10"""
+  })
 
   /** Shared lexical probe terms (q124/q125). */
   private lazy val bmTerms = Seq("query", "scan", "data")

@@ -277,6 +277,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming graph maintenance: micro-batches insert into the served IvfGraph, replay-guarded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{AnnIndex, IvfGraph, VectorStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the reference's "upload, then query immediately" workload on the
+    // PINNED serving structure: arriving vectors route through the frozen
+    // centroids into the live graph (IvfGraph.insertInto — one beam per
+    // node, no rebuild). foreachBatch is at-least-once, so the sink
+    // guards with committed batch ids (same upgrade the MVCC sink makes).
+    val base = ClusteredCorpus.df(spark, 600, 6).repartition(2).cache()
+    base.count()
+    val (model, indexed) = AnnIndex.fit(base, "embedding", "vec_id", k = 6, iters = 2)
+    @volatile var served = IvfGraph.build(indexed, model, "vec_id", "embedding")
+    val committed = scala.collection.mutable.Set[Long]()
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      committed.synchronized {
+        if (committed.add(id)) {
+          served = IvfGraph.insertInto(served, batch, "vec_id", "embedding")._1
+        }
+      }
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-graph-ckpt").toString)
+      .foreachBatch(sink _)
+      .start()
+    try {
+      val newVecs = (0 until 24).map(i =>
+        (100000L + i, HashEmbedder.embed(s"graph streamed $i").toSeq))
+      ms.addData(newVecs.take(12): _*)
+      q.processAllAvailable()
+      ms.addData(newVecs.drop(12): _*)
+      q.processAllAvailable()
+      assert(served.rows === 600 + 24)
+      // full probe + full ef on the live structure = brute force over the
+      // union — the q126 exactness contract held ACROSS micro-batches
+      val union = base.select($"vec_id", $"embedding")
+        .union(newVecs.toDF("vec_id", "embedding")
+          .select($"vec_id", $"embedding".cast("array<float>")))
+      val probe = ClusteredCorpus.query(2)
+      val (got, _) = served.topK(probe, 10, nprobe = 6, ef = served.rows.toInt)
+      val exact = VectorStore(union, "embedding", Seq("vec_id"))
+        .searchByVector(probe, 10).select("vec_id").as[Long].collect().toSet
+      assert(got.map(_._1).toSet === exact)
+      // a streamed vector is immediately servable
+      val probe7 = HashEmbedder.embed("graph streamed 7")
+      val (hit, _) = served.topK(probe7, 1, nprobe = 6, ef = served.rows.toInt)
+      assert(hit.head._1 === 100007L)
+      // at-least-once replay: re-delivering an already-committed batch id
+      // must not double-insert
+      val before = served.rows
+      sink(newVecs.take(12).toDF("vec_id", "embedding"), 0L)
+      assert(served.rows === before)
+    } finally q.stop()
+  }
+
   test("watermarked append-mode query runs and emits closed windows") {
     val dir = stageDir()
     val stream = EventsStream.readStream(spark, dir)
