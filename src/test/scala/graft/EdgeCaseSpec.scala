@@ -139,6 +139,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(F.toSql(ast).contains("naïve"))
   }
 
+  test("filtered serving: zero-survivor predicate returns empty, never crashes") {
+    import graft.functions.HashEmbedder
+    import graft.operators.{GraphAnn, PackedScan, SelfQueryFilter => F}
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"), d("lang"))
+    val nobody: F.Node = F.Eq("lang", F.S("tlh")) // no Klingon docs
+    val q = HashEmbedder.embed("edge probe")
+    val scan = PackedScan.buildCached(corpus, "edge0#" + TestSpark.sf,
+      "vec_id", "embedding", Seq("lang"))
+    assert(scan.topK(q, 10, Some(nobody)).isEmpty)
+    val g = GraphAnn.buildCached(corpus, "edge0#" + TestSpark.sf,
+      "vec_id", "embedding", metaCols = Seq("lang"))
+    val (res, _) = g.topK(q, 10, ef = 64, Some(nobody))
+    assert(res.isEmpty)
+    // unknown column fails loudly at bind time, not silently empty
+    intercept[Exception] {
+      g.topK(q, 10, ef = 64, Some(F.Eq("no_such_col", F.S("x"))))
+    }
+  }
+
   test("serving paths: k <= 0 returns empty per query, never crashes") {
     import graft.functions.HashEmbedder
     import graft.operators.{Bm25Index, PackedScan}
