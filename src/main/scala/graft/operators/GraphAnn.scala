@@ -134,8 +134,10 @@ object GraphAnn {
     * node INDICES (partition-local, edges never cross partitions).
     * `meta` (optional) pins metadata columns parallel to `ids` for
     * FILTERED beam search — the [[PackedScan.Block]] layout on the graph
-    * structure. ids are ID-SORTED (packAndBuild's contract), which is
-    * what lets tombstone checks binary-search `ids` directly.
+    * structure. Tombstone checks binary-search the (small, sorted)
+    * TOMBSTONE array with `ids(i)` as the key — `ids` itself is id-sorted
+    * out of packAndBuild but NOT after [[insert]] (batches append at the
+    * tail), so nothing may binary-search `ids`.
     */
   final case class Graph(ids: Array[Long], vecs: Array[Float], dim: Int,
       nbrs: Array[Array[Int]],
@@ -186,15 +188,8 @@ object GraphAnn {
         .zip(names).map { case (t, n) => MetaPredicate.kindOf(t, n) }
       val blocks = projected.rdd.mapPartitions { it =>
         val all = it.map { row =>
-          val mv = new Array[Any](names.length)
-          var j = 0
-          while (j < names.length) {
-            require(!row.isNullAt(2 + j),
-              s"null in pinned metadata column '${names(j)}' (id=${row.getLong(0)})")
-            mv(j) = MetaPredicate.widen(row, 2 + j, kinds(j))
-            j += 1
-          }
-          (row.getLong(0), row.getSeq[Float](1).toArray, mv)
+          (row.getLong(0), row.getSeq[Float](1).toArray,
+            MetaPredicate.widenRow(row, base = 2, idIdx = 0, names, kinds))
         }.toArray
         if (all.isEmpty) Iterator.empty
         else Iterator.single(packAndBuildMeta(all, names, kinds, m, efC))
@@ -516,7 +511,14 @@ object GraphAnn {
 final class IvfGraph private (
     private[operators] val model: AnnIndex.Model,
     private[operators] val blocks: RDD[(Int, GraphAnn.Graph)],
-    val rows: Long, val bytes: Long) {
+    val rows: Long, val bytes: Long,
+    /** True when any cluster graph pins metadata — maintenance ops check
+      * this INSTANCE-level flag (computed in the sizing job, no extra
+      * pass) so the refusal holds even when a routed cluster happens to
+      * be empty (a per-graph check could miss it and silently build a
+      * meta-less graph inside a meta-pinned index).
+      */
+    private[operators] val hasMeta: Boolean) {
 
   /** Sorted tombstoned EXTERNAL ids ([[PackedScan]]'s delete contract on
     * the routed structure; [[IvfGraph.remove]] is the compaction twin).
@@ -532,6 +534,8 @@ final class IvfGraph private (
   def deletedCount: Int = tombstones.length
 
   def clearDeletes(): Unit = synchronized { tombstones = Array.emptyLongArray }
+
+  private[operators] def tombstoneSnapshot: Array[Long] = tombstones
 
   /** Beam-search the nprobe routed clusters. Returns ((id, dist)
     * ascending, nodes visited across probed graphs). `filter` gates
@@ -642,15 +646,8 @@ object IvfGraph {
       val kinds = projected.schema.fields.drop(3).map(_.dataType)
         .zip(names).map { case (t, n) => MetaPredicate.kindOf(t, n) }
       val keyed = projected.rdd.map { row =>
-        val mv = new Array[Any](names.length)
-        var j = 0
-        while (j < names.length) {
-          require(!row.isNullAt(3 + j),
-            s"null in pinned metadata column '${names(j)}' (id=${row.getLong(1)})")
-          mv(j) = MetaPredicate.widen(row, 3 + j, kinds(j))
-          j += 1
-        }
-        (row.getInt(0), (row.getLong(1), row.getSeq[Float](2).toArray, mv))
+        (row.getInt(0), (row.getLong(1), row.getSeq[Float](2).toArray,
+          MetaPredicate.widenRow(row, base = 3, idIdx = 1, names, kinds)))
       }.partitionBy(new org.apache.spark.HashPartitioner(k))
       val blocks = keyed.mapPartitions({ it =>
         it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
@@ -664,10 +661,15 @@ object IvfGraph {
   private[operators] def fromBlocks(model: AnnIndex.Model,
       blocks: RDD[(Int, GraphAnn.Graph)]): IvfGraph = {
     blocks.persist(StorageLevel.MEMORY_ONLY)
-    val (rows, bytes) = blocks
-      .map { case (_, g) => (g.ids.length.toLong, GraphAnn.graphBytes(g)) }
-      .fold((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) }
-    new IvfGraph(model, blocks, rows, bytes)
+    // rows + bytes + meta-pinned flag in the ONE materializing job
+    val (rows, bytes, meta) = blocks
+      .map { case (_, g) =>
+        (g.ids.length.toLong, GraphAnn.graphBytes(g), g.meta.nonEmpty)
+      }
+      .fold((0L, 0L, false)) { case ((r1, s1, m1), (r2, s2, m2)) =>
+        (r1 + r2, s1 + s2, m1 || m2)
+      }
+    new IvfGraph(model, blocks, rows, bytes, meta)
   }
 
   /** DURABLE FORM — persist the built graphs so a new session (or a
@@ -683,6 +685,9 @@ object IvfGraph {
     * cluster directory is the unit a serving executor loads.
     */
   def save(spark: SparkSession, g: IvfGraph, path: String): Unit = {
+    require(!g.hasMeta,
+      "save of a metadata-pinned index is not supported; durable serving " +
+        "rebuilds the filtered structure from the source table (metaCols)")
     import spark.implicits._
     g.blocks.flatMap { case (cid, gr) =>
       require(gr.meta.isEmpty,
@@ -698,6 +703,11 @@ object IvfGraph {
     g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("centroid_id", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // pending serve-time tombstones are part of the serving state: a
+    // reload without them would resurrect deleted ids (written even when
+    // empty so load never guesses)
+    g.tombstoneSnapshot.toSeq.toDF("id")
+      .write.mode("overwrite").parquet(s"$path/tombstones")
   }
 
   /** Reload a [[save]]d index: reassembles each cluster's Graph from its
@@ -739,7 +749,14 @@ object IvfGraph {
         (cid, GraphAnn.Graph(ids, vecs, dim, nbrs))
       }
     }, preservesPartitioning = true)
-    fromBlocks(model, blocks)
+    val loaded = fromBlocks(model, blocks)
+    // tombstones/ absent on pre-r7 layouts: nothing pending by definition
+    try {
+      val tomb = spark.read.parquet(s"$path/tombstones")
+        .select(col("id").cast("long")).as[Long].collect()
+      if (tomb.nonEmpty) loaded.delete(tomb)
+    } catch { case _: org.apache.spark.sql.AnalysisException => }
+    loaded
   }
 
   /** INCREMENTAL APPEND — the continuous-ingest path (the reference
@@ -768,6 +785,9 @@ object IvfGraph {
     */
   def append(g: IvfGraph, newRows: DataFrame, idCol: String, embCol: String,
       m: Int = 12, efC: Int = 64): (IvfGraph, Long) = {
+    require(!g.hasMeta,
+      "append to a metadata-pinned index is not supported; rebuild the " +
+        "filtered structure from the source table")
     val spark = newRows.sparkSession
     import spark.implicits._
     val model = g.model
@@ -803,6 +823,10 @@ object IvfGraph {
       }
     }, preservesPartitioning = true)
     val appended = fromBlocks(model, blocks)
+    // serve-time tombstones ride maintenance: the rebuilt clusters still
+    // hold the tombstoned ROWS (tombstones are a serve-time overlay), so
+    // dropping them here would resurrect deleted ids on the new instance
+    if (g.deletedCount > 0) appended.delete(g.tombstoneSnapshot)
     assigned.unpersist()
     (appended, rebuilt)
   }
@@ -821,6 +845,10 @@ object IvfGraph {
     */
   def insertInto(g: IvfGraph, newRows: DataFrame, idCol: String,
       embCol: String, m: Int = 12, efC: Int = 64): (IvfGraph, Long) = {
+    require(!g.hasMeta,
+      "insert into a metadata-pinned index is not supported (meta slots " +
+        "would misalign); rebuild the filtered structure from the source " +
+        "table (ServingCache eviction path)")
     val spark = newRows.sparkSession
     import spark.implicits._
     val model = g.model
@@ -845,6 +873,7 @@ object IvfGraph {
       }
     }, preservesPartitioning = true)
     val inserted = fromBlocks(model, blocks)
+    if (g.deletedCount > 0) inserted.delete(g.tombstoneSnapshot)
     assigned.unpersist()
     (inserted, touched)
   }
@@ -868,6 +897,9 @@ object IvfGraph {
     */
   def remove(g: IvfGraph, ids: Iterable[Long], m: Int = 12, efC: Int = 64)
       : (IvfGraph, Long) = {
+    require(!g.hasMeta,
+      "remove from a metadata-pinned index is not supported; serve " +
+        "deletes via tombstones ([[IvfGraph.delete]]) and rebuild")
     val rm = ids.toArray.distinct.sorted
     def hits(gr: GraphAnn.Graph): Boolean = {
       var i = 0
@@ -900,6 +932,12 @@ object IvfGraph {
         }
       }
     }, preservesPartitioning = true)
-    (fromBlocks(model = g.model, blocks = blocks), touched)
+    val out = fromBlocks(model = g.model, blocks = blocks)
+    // removed ids are physically gone; any OTHER pending tombstones still
+    // overlay the new instance
+    val carried = g.tombstoneSnapshot
+      .filter(id => java.util.Arrays.binarySearch(rm, id) < 0)
+    if (carried.nonEmpty) out.delete(carried)
+    (out, touched)
   }
 }

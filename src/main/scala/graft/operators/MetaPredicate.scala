@@ -150,6 +150,25 @@ object MetaPredicate {
     case 3 => row.getBoolean(idx)
   }
 
+  /** Widen one row's metadata columns (slots `base until base+names.length`)
+    * enforcing the non-null contract — the ONE row-ingest loop shared by
+    * every structure that pins metadata (PackedScan, GraphAnn, IvfGraph),
+    * so the null/widening rules cannot drift between build paths.
+    * `idIdx` names the row's id slot for the error message.
+    */
+  private[operators] def widenRow(row: org.apache.spark.sql.Row, base: Int,
+      idIdx: Int, names: Array[String], kinds: Array[Int]): Array[Any] = {
+    val m = new Array[Any](names.length)
+    var j = 0
+    while (j < names.length) {
+      require(!row.isNullAt(base + j),
+        s"null in pinned metadata column '${names(j)}' (id=${row.getLong(idIdx)})")
+      m(j) = widen(row, base + j, kinds(j))
+      j += 1
+    }
+    m
+  }
+
   /** Pack canonically-widened values into a typed [[Col]]. */
   private[operators] def packCol(kind: Int, values: Array[Any]): Col =
     kind match {

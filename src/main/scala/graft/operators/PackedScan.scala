@@ -223,15 +223,8 @@ object PackedScan {
         .zip(names).map { case (t, n) => kindOf(t, n) }
       fromBlocks(projected.rdd.mapPartitions { it =>
         val rows = it.map { row =>
-          val m = new Array[Any](names.length)
-          var j = 0
-          while (j < names.length) {
-            require(!row.isNullAt(2 + j),
-              s"null in pinned metadata column '${names(j)}' (id=${row.getLong(0)})")
-            m(j) = MetaPredicate.widen(row, 2 + j, kinds(j))
-            j += 1
-          }
-          (row.getLong(0), row.getSeq[Float](1).toArray, m)
+          (row.getLong(0), row.getSeq[Float](1).toArray,
+            MetaPredicate.widenRow(row, base = 2, idIdx = 0, names, kinds))
         }
         packPartition(rows, names, kinds)
       })

@@ -405,7 +405,11 @@ object Round7Queries {
     val g = IvfGraph.build(withMeta, model, "vec_id", "embedding",
       metaCols = Seq("lang"))
     try {
-      g.delete(0L until g.rows by 3L)
+      // deleted ids DERIVED from the data (q128's pattern), not assumed
+      // from an id-domain layout; bounded: a third of the corpus keys
+      import s.implicits._
+      g.delete(withMeta.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id")).as[Long].collect())
       val node: F.Node = F.Eq("lang", F.S("en"))
       g.topKDF(s, qVec, 10, nprobe = 16, ef = g.rows.toInt, filter = Some(node))
         .orderBy(col("dist"), col("vec_id"))
@@ -442,6 +446,10 @@ object Round7Queries {
     val model = PqIndex.fitCached(e, dir, "embedding", "vec_id")
     val enc = PqIndex.encodedCached(corpus, dir + "#meta", model, "embedding")
     val survivors = enc.filter(F.compile(node))
+    // one count job sizes the shortlist on SURVIVORS (q99's 25% operating
+    // point relative to what the predicate keeps, floor 200) — survivor-
+    // relative sizing is the semantics a filtered serving tier needs; the
+    // count is a cached-relation scan, the deliberate price
     val cand = math.max(200L, survivors.count() / 4).toInt
     PqIndex.search(model, survivors, "embedding", "vec_id", qVec,
       k = 10, candidates = cand)

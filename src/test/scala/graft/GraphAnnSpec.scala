@@ -382,4 +382,43 @@ class GraphAnnSpec extends AnyFunSuite {
       assert(messageChain(eSave).contains("not supported"))
     } finally g.unpersist()
   }
+
+  test("tombstones survive maintenance: insertInto/append/remove carry them; save/load persists them") {
+    val spark0 = spark
+    import spark0.implicits._
+    val small = ClusteredCorpus.df(spark0, 600, 6).repartition(2).cache()
+    small.count()
+    val (m6, ix6) = AnnIndex.fit(small, "embedding", "vec_id", k = 6, iters = 2)
+    val g0 = IvfGraph.build(ix6, m6, "vec_id", "embedding")
+    val q = ClusteredCorpus.query(1)
+    val (top, _) = g0.topK(q, 10, nprobe = 6, ef = 600)
+    val dead = top.take(3).map(_._1)
+    g0.delete(dead)
+    // insertInto must not resurrect deleted ids on the new instance
+    val batch = small.limit(8)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+    val (g1, _) = IvfGraph.insertInto(g0, batch, "vec_id", "embedding")
+    assert(g1.deletedCount == 3)
+    val (afterIns, _) = g1.topK(q, 10, nprobe = 6, ef = g1.rows.toInt)
+    assert(afterIns.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+    // append (the compaction rebuild) carries them too
+    val (g2, _) = IvfGraph.append(g1, batch
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding"), "vec_id", "embedding")
+    assert(g2.deletedCount == 3)
+    // remove drops the physically-removed ids from the carried set
+    val (g3, _) = IvfGraph.remove(g2, Seq(dead.head))
+    assert(g3.deletedCount == 2)
+    val (afterRm, _) = g3.topK(q, 10, nprobe = 6, ef = g3.rows.toInt)
+    assert(afterRm.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+    // durable form: pending tombstones are serving state and must reload
+    val path = AnnIndex.tmpRoot + "/tomb_save"
+    IvfGraph.save(spark0, g1, path)
+    val loaded = IvfGraph.load(spark0, path)
+    try {
+      assert(loaded.deletedCount == 3)
+      val (afterLoad, _) = loaded.topK(q, 10, nprobe = 6, ef = loaded.rows.toInt)
+      assert(afterLoad.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+      assert(afterLoad.toSeq == afterIns.toSeq)
+    } finally { loaded.unpersist(); g0.unpersist(); g1.unpersist(); g2.unpersist(); g3.unpersist() }
+  }
 }
