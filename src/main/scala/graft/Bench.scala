@@ -185,7 +185,7 @@ object Bench {
     // Build is one-off (a serving lifecycle cost, uncounted); the
     // measured number is per-query latency of Bm25Index.topK, which walks
     // only the probe terms' postings.
-    val (bm25Qps, bm25BatchQps) = try {
+    val (bm25Qps, bm25BatchQps, bm25InsertDps) = try {
       import org.apache.spark.sql.functions._
       val docs = graft.Tables.documents(spark, sfDir)
       val nd = docs.count()
@@ -215,8 +215,21 @@ object Bench {
       }
       runB()
       val secB = (1 to 5).map(_ => runB()).min
-      (1.0 / sec, qs.length / secB)
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      // incremental lexical maintenance: docs/s through Bm25Index.insert
+      // (segment pack + COW df patch + exact stats advance) into the
+      // ~200k-doc live index — the lexical "upload, then query
+      // immediately" economics (q137's path)
+      val batch = docs
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .limit(2000).cache()
+      val nb = batch.count()
+      val t0 = System.nanoTime()
+      val ix2 = ix.insert(batch, "doc_id", "text")
+      val insSec = (System.nanoTime() - t0) / 1e9
+      ix2.unpersist()
+      batch.unpersist()
+      (1.0 / sec, qs.length / secB, nb / insSec)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
     // IVF quality at this SF: recall@10 averaged over 5 queries, k scaled
     // ~sqrt(N) (128 at sf0.1), nprobe = k/4 -> 25% of the data probed = 4x
@@ -397,7 +410,7 @@ object Bench {
     // batch size, and knn_single_query_ms the single-query latency —
     // artifacts from round 7 on are self-describing.
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

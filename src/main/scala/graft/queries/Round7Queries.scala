@@ -238,7 +238,51 @@ object Round7Queries {
       ORDER BY rrf DESC, id
       LIMIT 20"""))
   ) :+ filteredHybrid :+ mvccServed :+ graphFiltered :+ graphFilteredTomb :+
-    pqFiltered
+    pqFiltered :+ bm25Insert :+ bm25Delete
+
+  /** q137: INCREMENTAL lexical insert — the "upload, then query
+    * immediately" workload on the LEXICAL leg (the vector leg's q126).
+    * Build the posting index on 3/4 of the corpus, [[Bm25Index.insert]]
+    * the rest as a segment batch (COW df patch on existing segments,
+    * exact N/sumDl advance), and the served top-k must hash-equal the
+    * full-scan BM25 over the WHOLE corpus — q124's oracle verbatim, so
+    * the gate proves insert ≡ rebuild.
+    */
+  private def bm25Insert = QueryDef("q137_bm25_insert_served", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ix = Bm25Index.build(docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text")
+    val ix2 = ix.insert(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text")
+    try ix2.topKDF(s, bmTerms, 20)
+    finally { ix2.unpersist(); ix.unpersist() }
+  }, Some(s"""
+      $bmWith
+      SELECT doc_id, dl, round($bmScore, 6) AS bm25
+      FROM base CROSS JOIN stats
+      WHERE tf0 + tf1 + tf2 > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""))
+
+  /** q138: TOMBSTONE-aware lexical serving — DELETE reaches the posting
+    * index without a rebuild (q122's contract on the lexical leg; the
+    * reference deletes from serving tables at
+    * `private_knowledge_base.py:93-99,136-138`). Corpus statistics stay
+    * index-level until compaction (the Lucene deleted-docs semantics),
+    * so the oracle scores with FULL-corpus stats and excludes tombstoned
+    * docs from the results only.
+    */
+  private def bm25Delete = QueryDef("q138_bm25_delete_served", (s, dir) => {
+    val ix = Bm25Index.build(Tables.documents(s, dir), "doc_id", "text")
+    try {
+      ix.delete(0L until ix.docCount by 7L)
+      ix.topKDF(s, bmTerms, 20)
+    } finally ix.unpersist()
+  }, Some(s"""
+      $bmWith
+      SELECT doc_id, dl, round($bmScore, 6) AS bm25
+      FROM base CROSS JOIN stats
+      WHERE tf0 + tf1 + tf2 > 0 AND doc_id % 7 <> 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""))
 
   /** The reference's PRIVATE-KB request shape, end-to-end on the served
     * structures: a structured predicate (per-user / per-language scoping,

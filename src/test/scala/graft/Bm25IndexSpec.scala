@@ -157,4 +157,78 @@ class Bm25IndexSpec extends AnyFunSuite {
       .as[Long].head()
     assert(index.avgDl == dlSum.toDouble / n)
   }
+
+  // ---- incremental insert (LSM segments) -------------------------------
+
+  test("insert equals rebuild: segments + COW df patch give bit-exact full-scan scores") {
+    val a = docs.filter(col("doc_id") % 4 =!= 3)
+    val b = docs.filter(col("doc_id") % 4 === 3)
+    val ix = Bm25Index.build(a, "doc_id", "text", shards = 4)
+    val ix2 = ix.insert(b, "doc_id", "text")
+    try {
+      assert(ix2.docCount == docs.count())
+      for (terms <- Seq(Seq("query"), Seq("query", "scan", "data"),
+          Seq("vector", "merge"), Seq("nosuchterm")))
+        close(ix2.topK(terms, 25).toSeq, fullScan(docs, terms, 25))
+      // the df patch reaches EVERY segment — including shards that got no
+      // batch postings: the stored global df for a probe term must equal
+      // the union-corpus df everywhere it appears
+      val expected = docs.filter(
+        size(filter(Bm25Index.tokens(col("text")), x => x === lit("query"))) > 0)
+        .count()
+      val stored = ix2.blocksRdd.flatMap { blk =>
+        blk.terms.iterator.zipWithIndex.collect {
+          case (t, i) if t == "query" => blk.dfs(i)
+        }
+      }.collect()
+      assert(stored.nonEmpty && stored.forall(_ == expected),
+        s"stale df after insert: ${stored.toSeq} != $expected")
+      // (the %4 split anti-correlates with the doc-hash sharding: the
+      // whole batch lands in the shard the base build left EMPTY, so the
+      // patch above exercised shards with zero batch postings; the
+      // beside-old-segments LSM shape is asserted in the tombstone test,
+      // whose contiguous split spreads the batch across occupied shards)
+      // the old instance is untouched (stats and results)
+      close(ix.topK(Seq("query"), 10).toSeq,
+        fullScan(docs.filter(col("doc_id") % 4 =!= 3), Seq("query"), 10))
+    } finally { ix2.unpersist(); ix.unpersist() }
+  }
+
+  test("filtered serving across segments: meta pinned in inserted segments too") {
+    import graft.operators.{SelfQueryFilter => F}
+    val node: F.Node = F.And(Seq(F.Eq("lang", F.S("en")), F.Gt("n_chars", F.I(250))))
+    val meta = Seq("lang", "n_chars")
+    val ix = Bm25Index.build(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", shards = 3, metaCols = meta)
+    val ix2 = ix.insert(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val full = Bm25Index.build(docs, "doc_id", "text", shards = 3, metaCols = meta)
+    try close(ix2.topK(Seq("query", "data"), 20, Some(node)).toSeq,
+      full.topK(Seq("query", "data"), 20, Some(node)).toSeq)
+    finally { ix2.unpersist(); ix.unpersist(); full.unpersist() }
+  }
+
+  test("tombstones hide docs, survive insert, and clear back to exact union serving") {
+    val ix = Bm25Index.build(docs.filter(col("doc_id") < 400), "doc_id", "text", 4)
+    val terms = Seq("query", "data")
+    val victim = ix.topK(terms, 1).head._1
+    ix.delete(Seq(victim))
+    assert(!ix.topK(terms, 10).exists(_._1 == victim))
+    val ix2 = ix.insert(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 450), "doc_id", "text")
+    try {
+      // LSM shape: the batch landed as NEW segments beside old ones
+      assert(ix2.segmentCounts.exists(_ >= 2))
+      // a maintenance batch must not resurrect deleted ids
+      assert(ix2.deletedCount == 1)
+      assert(!ix2.topK(terms, 10).exists(_._1 == victim))
+      // compacting the tombstones away restores exact union serving
+      ix2.clearDeletes()
+      close(ix2.topK(terms, 25).toSeq,
+        fullScan(docs.filter(col("doc_id") < 450), terms, 25))
+    } finally { ix2.unpersist(); ix.unpersist() }
+  }
+
+  test("empty insert batch is a no-op returning the same instance") {
+    assert(index.insert(docs.filter(lit(false)), "doc_id", "text") eq index)
+  }
 }

@@ -335,6 +335,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lexical maintenance: micro-batches insert into the served Bm25Index, replay-guarded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Bm25Index
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the reference's "upload, then query immediately" workload on the
+    // LEXICAL leg: arriving docs append as posting segments into the live
+    // index (Bm25Index.insert — COW df patch, exact stats advance, no
+    // rebuild). foreachBatch is at-least-once, so the sink guards with
+    // committed batch ids (the same upgrade the MVCC + graph sinks make).
+    val base = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text")).cache()
+    base.count()
+    @volatile var served = Bm25Index.build(base, "doc_id", "text", 4)
+    val committed = scala.collection.mutable.Set[Long]()
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      committed.synchronized {
+        if (committed.add(id)) served = served.insert(batch, "doc_id", "text")
+      }
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bm25-ckpt").toString)
+      .foreachBatch(sink _)
+      .start()
+    try {
+      val newDocs = (0 until 20).map(i => (100000L + i, s"streamed query data doc $i"))
+      ms.addData(newDocs.take(10): _*)
+      q.processAllAvailable()
+      ms.addData(newDocs.drop(10): _*)
+      q.processAllAvailable()
+      assert(served.docCount === 300 + 20)
+      // streamed docs are immediately servable with EXACT union stats:
+      // the live index equals a full rebuild over base ∪ streamed
+      // (bit-equal scores — the q137 contract held across micro-batches)
+      val union = base.union(newDocs.toDF("doc_id", "text"))
+      val rebuilt = Bm25Index.build(union, "doc_id", "text", 4)
+      try {
+        val got = served.topK(Seq("query", "streamed"), 15).toSeq
+        val want = rebuilt.topK(Seq("query", "streamed"), 15).toSeq
+        assert(got == want)
+        assert(got.exists(_._1 >= 100000L)) // a streamed doc actually ranks
+      } finally rebuilt.unpersist()
+      // at-least-once replay: re-delivering a committed batch id must not
+      // double-insert (df/N would drift and break exactness)
+      val before = served.docCount
+      sink(newDocs.take(10).toDF("doc_id", "text"), 0L)
+      assert(served.docCount === before)
+    } finally q.stop()
+  }
+
   test("watermarked append-mode query runs and emits closed windows") {
     val dir = stageDir()
     val stream = EventsStream.readStream(spark, dir)
