@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.HashEmbedder
-import org.apache.spark.sql.graft.VectorFunctions.cosine_distance
+import org.apache.spark.sql.graft.VectorFunctions.{cosine_distance, inner_product}
 
 /** Round-7 curation battery: the text-CLEANING layer of a training-data
   * pipeline (the C4 / CCNet / RefinedWeb stage that sits in front of the
@@ -238,6 +238,98 @@ object CurationQueries {
       WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 < rate
       GROUP BY source, t_total, rate
       ORDER BY source""")),
+
+    // ---- SemDeDup-style cluster-scoped semantic dedup ------------------
+    // Abbas et al. 2023 (arXiv:2303.09540): dedup in EMBEDDING space, but
+    // only WITHIN a cluster — the cluster key bounds the quadratic
+    // verify, the same blocking discipline as q44-q46. Here the label
+    // column plays the cluster id (at 100 TB the IVF assignment from
+    // AnnIndex.fit is the cluster key, persisted PARTITION BY cluster_id,
+    // so the pair join is partition-local — no corpus-wide shuffle).
+    // Greedy keep-lowest-id: a doc is dropped iff a LOWER-id doc in its
+    // cluster is near-identical (sim >= 0.40); same unrounded-compare
+    // contract as q47.
+    QueryDef("q139_semantic_dedup", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          sqrt(inner_product(col("embedding"), col("embedding"))).as("nrm"))
+      val a = e.select(col("vec_id").as("i"), col("label").as("la"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("j"), col("label").as("lb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dropped = a.join(b, col("la") === col("lb") && col("i") < col("j"))
+        .filter(inner_product(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.40)
+        .select(col("j")).distinct()
+      val base = e.select(col("vec_id"), col("label"))
+      base.join(dropped, base("vec_id") === dropped("j"), "left")
+        .select(col("vec_id"), col("label"),
+          col("j").isNull.cast("long").as("keep"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH dropped AS (
+        SELECT DISTINCT b.vec_id AS j
+        FROM embeddings a, embeddings b
+        WHERE a.label = b.label AND a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.40)
+      SELECT e.vec_id, e.label,
+        CAST(CASE WHEN d.j IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.j
+      ORDER BY e.vec_id""")),
+
+    // ---- DSIR-style importance weighting (domain adaptation) -----------
+    // Xie et al. 2023 (arXiv:2302.03169): weight each doc by how much
+    // more likely a TARGET-domain LM finds it than the SOURCE (whole
+    // corpus) LM — here hashed-unigram LMs with add-one smoothing, the
+    // target being the src1/src3 slice. Same exactness recipe as q133:
+    // the per-word log-ratio is rounded to integer micro-nats once per
+    // vocab entry (both LMs broadcast), per-doc totals are order-free
+    // BIGINT sums, and the keep decision compares integers. Map-only
+    // over the corpus after two small vocab aggs.
+    QueryDef("q140_dsir_weights", (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(tok(col("text"))).as("w"))
+      val srcCnt = words.groupBy("w").agg(count(lit(1)).as("cs"))
+      val tgtCnt = words.filter(col("source").isin("src1", "src3"))
+        .groupBy("w").agg(count(lit(1)).as("ct"))
+      val totS = words.agg(count(lit(1)).as("ts"))
+      val totT = words.filter(col("source").isin("src1", "src3"))
+        .agg(count(lit(1)).as("tt"))
+      val vocabN = srcCnt.agg(count(lit(1)).as("v"))
+      val lm = srcCnt.join(tgtCnt, Seq("w"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totS)).crossJoin(broadcast(totT))
+        .crossJoin(broadcast(vocabN))
+        .select(col("w"), round(
+          (log((col("ct") + 1).cast("double") / (col("tt") + col("v"))) -
+            log((col("cs") + 1).cast("double") / (col("ts") + col("v")))) * 1e6)
+          .cast("long").as("lrm"))
+      words.join(broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("lrm")).as("logratio_micro"))
+        .select(col("doc_id"), col("n_words"), col("logratio_micro"),
+          (col("logratio_micro") > 0L).cast("long").as("keep"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH words AS (
+        SELECT doc_id, source, unnest($tokSql) AS w FROM documents),
+      src AS (SELECT w, count(*) AS cs FROM words GROUP BY w),
+      tgt AS (SELECT w, count(*) AS ct FROM words
+              WHERE source IN ('src1', 'src3') GROUP BY w),
+      tots AS (SELECT count(*) AS ts FROM words),
+      tott AS (SELECT count(*) AS tt FROM words WHERE source IN ('src1', 'src3')),
+      vocab AS (SELECT count(*) AS v FROM src),
+      lm AS (
+        SELECT s.w, CAST(round(
+          (ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (tt + v)) -
+           ln(CAST(s.cs + 1 AS DOUBLE) / (ts + v))) * 1000000) AS BIGINT) AS lrm
+        FROM src s LEFT JOIN tgt t ON s.w = t.w, tots, tott, vocab)
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(lrm) AS BIGINT) AS logratio_micro,
+        CAST(CASE WHEN CAST(sum(lrm) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM words JOIN lm USING (w)
+      GROUP BY doc_id
+      ORDER BY doc_id""")),
 
     // ---- filtered SQ8 serving (closes the filtered-serving matrix) -----
     // Same zero-new-machinery shape as q131: the SQ8-encoded relation is
