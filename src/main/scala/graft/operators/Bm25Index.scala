@@ -308,6 +308,8 @@ final class Bm25Index private (
     blocks.mapPartitions(it => Iterator.single(it.size)).collect()
 
   private[graft] def blocksRdd: RDD[Bm25Index.PostingBlock] = blocks
+
+  private[graft] def tombstoneSnapshot: Array[Long] = tombstones
 }
 
 object Bm25Index {
@@ -404,6 +406,83 @@ object Bm25Index {
         }
       Some(PostingBlock(terms, dfArr, starts, docIds, tfs, dls, metaDocs, meta))
     }
+  }
+
+  /** DURABLE lexical index — the q119/q120 story for the lexical leg.
+    * One parquet table of posting rows PARTITIONED BY shard (the
+    * `disk_mode` analog: each shard's postings are one directory), plus
+    * single-row stats and the pending tombstones (serving state — a
+    * reload without them would resurrect deleted ids; written even when
+    * empty so load never guesses). Save COMPACTS the LSM chain: the
+    * saved artifact is one segment per shard (global df is already
+    * consistent across segments, and per-doc postings never span
+    * segments, so the merge is a pure concatenation re-pack).
+    *
+    * Metadata-pinned indexes refuse to save, like IvfGraph: durable
+    * filtered serving rebuilds the pinned structure from the source
+    * table (metaCols), which is also what keeps the artifact schema
+    * closed.
+    */
+  def save(spark: SparkSession, ix: Bm25Index, path: String): Unit = {
+    require(ix.metaNames.isEmpty,
+      "save of a metadata-pinned index is not supported; durable serving " +
+        "rebuilds the filtered structure from the source table (metaCols)")
+    import spark.implicits._
+    val p = ix.blocksRdd.getNumPartitions
+    ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
+      it.flatMap { b =>
+        (0 until b.terms.length).iterator.flatMap { ti =>
+          (b.starts(ti) until b.starts(ti + 1)).iterator.map { j =>
+            (shard, b.terms(ti), b.dfs(ti), b.docIds(j), b.tfs(j), b.dls(j))
+          }
+        }
+      }
+    }.toDF("shard", "term", "df", "doc_id", "tf", "dl")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
+    Seq((ix.docCount, ix.sumDl, p.toLong))
+      .toDF("doc_count", "sum_dl", "shards")
+      .write.mode("overwrite").parquet(s"$path/stats")
+    ix.tombstoneSnapshot.toSeq.toDF("id")
+      .write.mode("overwrite").parquet(s"$path/tombstones")
+  }
+
+  /** Reload a saved index WITHOUT re-tokenizing (load never reads the
+    * corpus text): posting rows re-pack into one segment per shard via
+    * the same [[packRows]] the build uses, stats come from the artifact,
+    * and the restored HashPartitioner(p) keyed by the saved shard ids
+    * reproduces the build's doc→shard placement — so [[Bm25Index.insert]]
+    * into a LOADED index routes exactly like insert into the original
+    * (spec-gated bit-equal).
+    */
+  def load(spark: SparkSession, path: String): Bm25Index = {
+    import spark.implicits._
+    val (nDocs, sumDl, p) = spark.read.parquet(s"$path/stats")
+      .select(col("doc_count").cast("long"), col("sum_dl").cast("long"),
+        col("shards").cast("int"))
+      .as[(Long, Long, Int)].head()
+    val keyed = spark.read.parquet(s"$path/postings")
+      .select(col("shard").cast("int"), col("term"), col("df").cast("long"),
+        col("doc_id").cast("long"), col("tf").cast("int"), col("dl").cast("long"))
+      .as[(Int, String, Long, Long, Int, Long)]
+      .rdd.map { case (sh, t, df, doc, tf, dl) =>
+        // shard ids are 0..p-1, and HashPartitioner sends Int key i to
+        // partition i % p — placement round-trips exactly
+        (sh, (doc, (t, tf, dl, df, Array.empty[Any])))
+      }.partitionBy(new HashPartitioner(p))
+    val blocks = keyed.mapPartitions({ it =>
+      packRows(it.map(_._2).toArray, Array.empty, Array.empty,
+        (_, embedded) => embedded).iterator
+    }, preservesPartitioning = true)
+    blocks.persist(StorageLevel.MEMORY_ONLY)
+    val bytes = blockBytes(blocks)
+    val ix = new Bm25Index(blocks, nDocs, sumDl, Array.empty, bytes)
+    // tombstones/ absent on foreign layouts: nothing pending by definition
+    try {
+      val tomb = spark.read.parquet(s"$path/tombstones")
+        .select(col("id").cast("long")).as[Long].collect()
+      if (tomb.nonEmpty) ix.delete(tomb)
+    } catch { case _: org.apache.spark.sql.AnalysisException => }
+    ix
   }
 
   /** Pinned-size accounting job (narrow scan of the cached segments). */

@@ -238,7 +238,7 @@ object Round7Queries {
       ORDER BY rrf DESC, id
       LIMIT 20"""))
   ) :+ filteredHybrid :+ mvccServed :+ graphFiltered :+ graphFilteredTomb :+
-    pqFiltered :+ bm25Insert :+ bm25Delete
+    pqFiltered :+ bm25Insert :+ bm25Delete :+ bm25SaveLoad
 
   /** q137: INCREMENTAL lexical insert — the "upload, then query
     * immediately" workload on the LEXICAL leg (the vector leg's q126).
@@ -254,6 +254,31 @@ object Round7Queries {
     val ix2 = ix.insert(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text")
     try ix2.topKDF(s, bmTerms, 20)
     finally { ix2.unpersist(); ix.unpersist() }
+  }, Some(s"""
+      $bmWith
+      SELECT doc_id, dl, round($bmScore, 6) AS bm25
+      FROM base CROSS JOIN stats
+      WHERE tf0 + tf1 + tf2 > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""))
+
+  /** q141: DURABLE lexical index — the q119/q120 save/load story on the
+    * lexical leg: build → save (one posting table PARTITIONED BY shard +
+    * stats + tombstones) → load (re-pack, never re-tokenize) → serve,
+    * hash-exact against q124's full-corpus oracle verbatim. Round-trip
+    * internals (bit-equal scores, tombstone persistence, insert-into-
+    * loaded routing) are spec-gated in Bm25IndexSpec.
+    */
+  private def bm25SaveLoad = QueryDef("q141_bm25_saveload", (s, dir) => {
+    import graft.operators.AnnIndex
+    val ix = Bm25Index.build(Tables.documents(s, dir), "doc_id", "text")
+    val path = AnnIndex.tmpRoot + "/bm25_durable_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Bm25Index.save(s, ix, path)
+    ix.unpersist()
+    val loaded = Bm25Index.load(s, path)
+    try loaded.topKDF(s, bmTerms, 20)
+    finally loaded.unpersist()
   }, Some(s"""
       $bmWith
       SELECT doc_id, dl, round($bmScore, 6) AS bm25

@@ -231,4 +231,55 @@ class Bm25IndexSpec extends AnyFunSuite {
   test("empty insert batch is a no-op returning the same instance") {
     assert(index.insert(docs.filter(lit(false)), "doc_id", "text") eq index)
   }
+
+  // ---- durability (save/load) ------------------------------------------
+
+  test("save/load round trip: bit-equal serving, compacted segments, stats verbatim") {
+    import graft.operators.AnnIndex
+    val a = docs.filter(col("doc_id") < 400)
+    val b = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val ix = Bm25Index.build(a, "doc_id", "text", shards = 4)
+      .insert(b, "doc_id", "text") // durable artifact of an LSM chain
+    val path = AnnIndex.tmpRoot + "/bm25_spec_rt"
+    Bm25Index.save(spark, ix, path)
+    val loaded = Bm25Index.load(spark, path)
+    try {
+      assert(loaded.docCount == ix.docCount && loaded.sumDl == ix.sumDl)
+      // save compacts: one segment per non-empty shard after reload
+      assert(loaded.segmentCounts.forall(_ <= 1))
+      for (terms <- Seq(Seq("query"), Seq("query", "scan", "data")))
+        close(loaded.topK(terms, 25).toSeq, ix.topK(terms, 25).toSeq)
+      // insert into LOADED routes like insert into the original: the
+      // restored partitioner reproduces the build's doc→shard placement
+      val c = docs.filter(col("doc_id") >= 450 && col("doc_id") < 500)
+      val g1 = ix.insert(c, "doc_id", "text")
+      val g2 = loaded.insert(c, "doc_id", "text")
+      try close(g2.topK(Seq("query", "data"), 25).toSeq,
+        g1.topK(Seq("query", "data"), 25).toSeq)
+      finally { g1.unpersist(); g2.unpersist() }
+    } finally { loaded.unpersist(); ix.unpersist() }
+  }
+
+  test("tombstones persist through save/load; meta-pinned indexes refuse to save") {
+    import graft.operators.AnnIndex
+    val ix = Bm25Index.build(docs.filter(col("doc_id") < 300), "doc_id", "text", 4)
+    val victim = ix.topK(Seq("query"), 1).head._1
+    ix.delete(Seq(victim))
+    val path = AnnIndex.tmpRoot + "/bm25_spec_tomb"
+    Bm25Index.save(spark, ix, path)
+    val loaded = Bm25Index.load(spark, path)
+    try {
+      assert(loaded.deletedCount == 1)
+      assert(!loaded.topK(Seq("query"), 10).exists(_._1 == victim))
+      loaded.clearDeletes()
+      assert(loaded.topK(Seq("query"), 10).exists(_._1 == victim))
+    } finally { loaded.unpersist(); ix.unpersist() }
+    val pinned = Bm25Index.build(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", 2, metaCols = Seq("lang"))
+    try {
+      val ex = intercept[IllegalArgumentException](
+        Bm25Index.save(spark, pinned, AnnIndex.tmpRoot + "/bm25_spec_refuse"))
+      assert(ex.getMessage.contains("metadata-pinned"))
+    } finally pinned.unpersist()
+  }
 }
