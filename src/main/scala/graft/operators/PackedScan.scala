@@ -53,7 +53,9 @@ import org.apache.spark.sql.graft.VectorKernels
   */
 final class PackedScan private (
     blocks: RDD[PackedScan.Block], val dim: Int, val rows: Long,
-    val bytes: Long) {
+    val bytes: Long,
+    metaNames: Array[String], metaKinds: Array[Int],
+    persisted: Seq[RDD[PackedScan.Block]]) {
 
   /** Sorted tombstoned ids; volatile so a query batch snapshots one
     * consistent array. Mutated only under `this` lock in [[delete]].
@@ -165,7 +167,44 @@ final class PackedScan private (
     topK(q, k, filter).toSeq.toDF("vec_id", "dist")
   }
 
-  def unpersist(): Unit = blocks.unpersist()
+  /** TRUE incremental insert — the batch packs into NEW blocks and the
+    * serving relation becomes the UNION of the pinned base and the
+    * pinned batch (the LSM segment shape shared with [[Bm25Index.insert]]
+    * and [[GraphAnn.insert]]): existing blocks are untouched, per-batch
+    * cost ∝ batch size. The scan kernel already folds every block of
+    * every partition into one bounded top-k and the driver merge is
+    * global by (dist, id), so served results equal a rebuild over the
+    * union EXACTLY (q142 reuses q108's full-corpus oracle).
+    *
+    * Contract: new ids only (upserts are the MVCC layer's job — the
+    * IvfGraph.insertInto contract); a metadata-pinned instance requires
+    * the batch to carry the SAME pinned columns at the same types
+    * (checked loudly). Tombstones carry to the new instance. Compaction
+    * (one block per partition again) = rebuild via ServingCache
+    * eviction.
+    */
+  def insert(batch: DataFrame, idCol: String, embCol: String): PackedScan = {
+    val nb = PackedScan.packSource(batch, idCol, embCol, metaNames, metaKinds)
+    nb.persist(StorageLevel.MEMORY_ONLY)
+    val (bRows, bBytes) = nb
+      .map(b => (b.ids.length.toLong, PackedScan.blockBytes(b)))
+      .fold((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) }
+    if (bRows == 0) { nb.unpersist(); return this }
+    val bDim = nb.filter(_.ids.nonEmpty).take(1).head.dim
+    require(rows == 0 || bDim == dim,
+      s"batch vector dim $bDim != pinned dim $dim")
+    val merged = new PackedScan(blocks.union(nb),
+      if (rows == 0) bDim else dim, rows + bRows, bytes + bBytes,
+      metaNames, metaKinds, persisted :+ nb)
+    merged.tombstones = this.tombstones
+    merged
+  }
+
+  /** Blocks per partition (diagnostics; spec asserts the LSM shape). */
+  private[graft] def blockCounts: Array[Int] =
+    blocks.mapPartitions(it => Iterator.single(it.size)).collect()
+
+  def unpersist(): Unit = persisted.foreach(_.unpersist())
 }
 
 object PackedScan {
@@ -204,30 +243,44 @@ object PackedScan {
     */
   def build(df: DataFrame, idCol: String, embCol: String,
       metaCols: Seq[String] = Nil): PackedScan = {
+    val names = metaCols.toArray
+    val kinds = if (metaCols.isEmpty) Array.empty[Int]
+      else df.select(metaCols.map(col): _*).schema.fields.map(_.dataType)
+        .zip(names).map { case (t, n) => kindOf(t, n) }
+    fromBlocks(packSource(df, idCol, embCol, names, kinds), names, kinds)
+  }
+
+  /** Pack a source DataFrame into per-partition Blocks — shared by build
+    * (whole corpus) and [[PackedScan.insert]] (a batch, which must match
+    * the instance's pinned metadata schema; checked here loudly).
+    */
+  private def packSource(df: DataFrame, idCol: String, embCol: String,
+      names: Array[String], kinds: Array[Int]): RDD[Block] = {
     val spark = df.sparkSession
     import spark.implicits._
-    if (metaCols.isEmpty) {
+    if (names.isEmpty) {
       // fast path: typed encoder, no Row boxing
       val src = df.select(col(idCol).cast("long"), col(embCol))
         .as[(Long, Array[Float])]
       val empty = Array.empty[Any]
-      fromBlocks(src.rdd.mapPartitions { it =>
+      src.rdd.mapPartitions { it =>
         packPartition(it.map { case (id, v) => (id, v, empty) },
           Array.empty, Array.empty)
-      })
+      }
     } else {
       val projected = df.select(
-        (col(idCol).cast("long") +: col(embCol) +: metaCols.map(col)): _*)
-      val names = metaCols.toArray
-      val kinds = projected.schema.fields.drop(2).map(_.dataType)
+        (col(idCol).cast("long") +: col(embCol) +: names.map(col).toSeq): _*)
+      val got = projected.schema.fields.drop(2).map(_.dataType)
         .zip(names).map { case (t, n) => kindOf(t, n) }
-      fromBlocks(projected.rdd.mapPartitions { it =>
+      require(got.sameElements(kinds),
+        s"pinned metadata kinds mismatch: ${got.toSeq} != ${kinds.toSeq}")
+      projected.rdd.mapPartitions { it =>
         val rows = it.map { row =>
           (row.getLong(0), row.getSeq[Float](1).toArray,
             MetaPredicate.widenRow(row, base = 2, idIdx = 0, names, kinds))
         }
         packPartition(rows, names, kinds)
-      })
+      }
     }
   }
 
@@ -288,17 +341,18 @@ object PackedScan {
     }
   }
 
-  private def fromBlocks(blocks: RDD[Block]): PackedScan = {
+  private def fromBlocks(blocks: RDD[Block], names: Array[String],
+      kinds: Array[Int]): PackedScan = {
     blocks.persist(StorageLevel.MEMORY_ONLY)
     // rows + pinned bytes in ONE materializing job (ids: 8 B, floats: 4 B)
     val (rows, bytes) = blocks
       .map(b => (b.ids.length.toLong, blockBytes(b)))
       .fold((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) }
     val dim = blocks.take(1).headOption.map(_.dim).getOrElse(0)
-    new PackedScan(blocks, dim, rows, bytes)
+    new PackedScan(blocks, dim, rows, bytes, names, kinds, Seq(blocks))
   }
 
-  private def blockBytes(b: Block): Long = {
+  private[operators] def blockBytes(b: Block): Long = {
     val metaBytes = b.meta.valuesIterator.map {
       case MetaPredicate.LongCol(v)   => v.length.toLong * 8
       case MetaPredicate.DoubleCol(v) => v.length.toLong * 8

@@ -238,7 +238,35 @@ object Round7Queries {
       ORDER BY rrf DESC, id
       LIMIT 20"""))
   ) :+ filteredHybrid :+ mvccServed :+ graphFiltered :+ graphFilteredTomb :+
-    pqFiltered :+ bm25Insert :+ bm25Delete :+ bm25SaveLoad
+    pqFiltered :+ bm25Insert :+ bm25Delete :+ bm25SaveLoad :+ packedInsert
+
+  /** q142: INCREMENTAL insert on the brute-force serving tier —
+    * [[PackedScan.insert]] packs the batch into NEW pinned blocks and
+    * serves the union (the LSM shape on the packed relation; existing
+    * blocks untouched, per-batch cost ∝ batch). With this every pinned
+    * serving structure supports live insert: IvfGraph q126, Bm25Index
+    * q137, PackedScan here. Gate: build on 4/5 of the corpus, insert the
+    * rest, served top-k must hash-equal brute force over ALL rows —
+    * q108's oracle shape verbatim.
+    */
+  private def packedInsert = QueryDef("q142_knn_insert_served", (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val scan = PackedScan.build(e.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding")
+    val scan2 = scan.insert(e.filter(col("vec_id") % 5 === 2), "vec_id", "embedding")
+    try {
+      scan2.topKDF(s, qVec, 10)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .orderBy(col("dist"), col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    } finally { scan2.unpersist(); scan.unpersist() }
+  }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10"""))
 
   /** q137: INCREMENTAL lexical insert — the "upload, then query
     * immediately" workload on the LEXICAL leg (the vector leg's q126).

@@ -174,6 +174,43 @@ class PackedScanSpec extends AnyFunSuite {
 
   // ---- tombstone deletes (round 7) ------------------------------------
 
+  test("insert equals rebuild: union blocks serve bit-identically, with meta and filters") {
+    import graft.operators.{SelfQueryFilter => F}
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"), d("lang"), d("n_chars"))
+    val base = corpus.filter(col("vec_id") % 5 =!= 2)
+    val batch = corpus.filter(col("vec_id") % 5 === 2)
+    val meta = Seq("lang", "n_chars")
+    val scan = PackedScan.build(base, "vec_id", "embedding", meta)
+    val scan2 = scan.insert(batch, "vec_id", "embedding")
+    val full = PackedScan.build(corpus, "vec_id", "embedding", meta)
+    try {
+      assert(scan2.rows == full.rows)
+      val node: F.Node = F.And(Seq(F.Eq("lang", F.S("en")), F.Gt("n_chars", F.I(250))))
+      for (text <- Seq("insert parity probe", "second probe")) {
+        val q = HashEmbedder.embed(text)
+        assert(scan2.topK(q, 15).toSeq == full.topK(q, 15).toSeq)
+        assert(scan2.topK(q, 15, Some(node)).toSeq ==
+          full.topK(q, 15, Some(node)).toSeq)
+      }
+      // LSM shape: the batch landed as new pinned blocks
+      assert(scan2.blockCounts.sum > scan.blockCounts.sum)
+      // tombstones carry through a real insert; empty batch is a no-op
+      scan.delete(Seq(full.topK(HashEmbedder.embed("x"), 1).head._1))
+      val s4 = scan.insert(batch, "vec_id", "embedding")
+      try assert(s4.deletedCount == 1) finally s4.unpersist()
+      val scan3 = scan2.insert(batch.filter(lit(false)), "vec_id", "embedding")
+      assert(scan3 eq scan2)
+      val bad = batch.withColumn("embedding", slice(col("embedding"), 1, 4))
+      val ex = intercept[Exception](scan2.insert(bad, "vec_id", "embedding"))
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.isInstanceOf[IllegalArgumentException]))
+    } finally { scan2.unpersist(); scan.unpersist(); full.unpersist() }
+  }
+
   test("tombstoned rows stop being served; equals brute force over remaining") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val scan = PackedScan.build(e, "vec_id", "embedding")
