@@ -238,7 +238,74 @@ object Round7Queries {
       ORDER BY rrf DESC, id
       LIMIT 20"""))
   ) :+ filteredHybrid :+ mvccServed :+ graphFiltered :+ graphFilteredTomb :+
-    pqFiltered :+ bm25Insert :+ bm25Delete :+ bm25SaveLoad :+ packedInsert
+    pqFiltered :+ bm25Insert :+ bm25Delete :+ bm25SaveLoad :+ packedInsert :+
+    kbDeleteHybrid
+
+  /** q143: the private-KB DELETE propagated to BOTH served legs and
+    * fused — the reference's "remove a file from my knowledge base"
+    * action (`private_knowledge_base.py:93-99,136-138`) as one request:
+    * every doc of one source ("file") is tombstoned on the vector tier
+    * (PackedScan) AND the lexical tier (Bm25Index), then a hybrid RRF
+    * query must rank only surviving docs. Oracle semantics per tier:
+    * the vector leg is brute force over REMAINING rows (a tombstone
+    * removes the row from distance candidacy); the lexical leg scores
+    * with FULL-corpus stats and excludes tombstoned docs from results
+    * only (the Lucene deleted-docs contract q138 gates).
+    */
+  private def kbDeleteHybrid = QueryDef("q143_kb_delete_hybrid", (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val d = Tables.documents(s, dir)
+    val corpus = e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"))
+    val scan = PackedScan.build(corpus, "vec_id", "embedding")
+    val ix = Bm25Index.build(Tables.documents(s, dir), "doc_id", "text")
+    try {
+      val victims = d.filter(col("source") === "src2")
+        .select(col("doc_id")).as[Long].collect() // one "file": bounded
+      scan.delete(victims)
+      ix.delete(victims)
+      val vleg = scan.topK(qVec, 50).zipWithIndex
+        .map { case ((id, _), i) => (id, (i + 1).toLong) }
+        .toSeq.toDF("id", "r_v")
+      val kleg = ix.topK(bmTerms, 50).zipWithIndex
+        .map { case ((doc, _, _), i) => (doc, (i + 1).toLong) }
+        .toSeq.toDF("id", "r_k")
+      vleg.join(kleg, Seq("id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_v")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_k")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
+        .select(col("id"), col("r_v"), col("r_k"), col("rrf"))
+    } finally { scan.unpersist(); ix.unpersist() }
+  }, Some(s"""
+      $bmWith,
+      k AS (
+        SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_k
+        FROM (
+          SELECT b.doc_id AS id, round($bmScore, 6) AS bm25
+          FROM base b CROSS JOIN stats
+          JOIN documents dd ON b.doc_id = dd.doc_id
+          WHERE tf0 + tf1 + tf2 > 0 AND dd.source <> 'src2'
+          ORDER BY bm25 DESC, b.doc_id LIMIT 50)
+      ), v AS (
+        SELECT e.vec_id AS id,
+               row_number() OVER (ORDER BY dist, e.vec_id) AS r_v
+        FROM (
+          SELECT ee.vec_id,
+                 1.0 - list_cosine_similarity(CAST(ee.embedding AS DOUBLE[]),
+                                              CAST($qLit AS DOUBLE[])) AS dist
+          FROM embeddings ee JOIN documents d2 ON ee.vec_id = d2.doc_id
+          WHERE d2.source <> 'src2'
+          ORDER BY dist, ee.vec_id LIMIT 50) e
+      )
+      SELECT COALESCE(v.id, k.id) AS id, r_v, r_k,
+             round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_v), CAST(0.0 AS DOUBLE)) +
+                   COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_k), CAST(0.0 AS DOUBLE)), 6) AS rrf
+      FROM v FULL OUTER JOIN k ON v.id = k.id
+      ORDER BY rrf DESC, id
+      LIMIT 20"""))
 
   /** q142: INCREMENTAL insert on the brute-force serving tier —
     * [[PackedScan.insert]] packs the batch into NEW pinned blocks and

@@ -387,6 +387,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming packed-tier maintenance: micro-batches insert into the served PackedScan, replay-guarded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.PackedScan
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // completes the streaming "upload, then query immediately" story
+    // across all three pinned structures (IvfGraph, Bm25Index, here the
+    // brute-force tier): arriving vectors pack into new pinned blocks
+    // (PackedScan.insert — serve-the-union, no rebuild).
+    val base = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).cache()
+    val nBase = base.count()
+    @volatile var served = PackedScan.build(base, "vec_id", "embedding")
+    val committed = scala.collection.mutable.Set[Long]()
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      committed.synchronized {
+        if (committed.add(id)) served = served.insert(batch, "vec_id", "embedding")
+      }
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-packed-ckpt").toString)
+      .foreachBatch(sink _)
+      .start()
+    try {
+      val newVecs = (0 until 16).map(i =>
+        (200000L + i, HashEmbedder.embed(s"packed streamed $i").toSeq))
+      ms.addData(newVecs.take(8): _*)
+      q.processAllAvailable()
+      ms.addData(newVecs.drop(8): _*)
+      q.processAllAvailable()
+      assert(served.rows === nBase + 16)
+      // a streamed vector is immediately servable and exact: its own
+      // embedding is its nearest neighbor
+      val probe = HashEmbedder.embed("packed streamed 5")
+      assert(served.topK(probe, 1).head._1 === 200005L)
+      // replay guard: re-delivered batch id must not double-insert
+      val before = served.rows
+      sink(newVecs.take(8).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), 0L)
+      assert(served.rows === before)
+    } finally q.stop()
+  }
+
   test("watermarked append-mode query runs and emits closed windows") {
     val dir = stageDir()
     val stream = EventsStream.readStream(spark, dir)
