@@ -72,6 +72,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MetaPredicate row gate == Catalyst filter for random ASTs (pinned serving path)") {
+    import graft.operators.PackedScan
+    val langs = Seq("en", "de", "fr", "es")
+    val rowGen = for {
+      lang <- Gen.oneOf(langs)
+      n <- Gen.chooseNum(-50L, 50L)
+      s <- Gen.chooseNum(-5.0, 5.0)
+      b <- Gen.oneOf(true, false)
+    } yield (lang, n, s, b)
+    val leafGen: Gen[F.Node] = Gen.oneOf[F.Node](
+      Gen.chooseNum(-40L, 40L).map(v => F.Gt("n", F.I(v))),
+      Gen.chooseNum(-40L, 40L).map(v => F.Lte("n", F.I(v))),
+      Gen.chooseNum(-4.0, 4.0).map(v => F.Gte("score", F.D(v))),
+      Gen.chooseNum(-4.0, 4.0).map(v => F.Lt("score", F.D(v))),
+      Gen.oneOf(langs).map(l => F.Eq("lang", F.S(l))),
+      Gen.oneOf(langs).map(l => F.Ne("lang", F.S(l))),
+      Gen.someOf(langs).map(ls => F.In("lang", ls.toSeq.map(F.S(_)))),
+      Gen.oneOf("e%", "%n", "%e%", "d_").map(p => F.Like("lang", p)),
+      Gen.oneOf(true, false).map(v => F.Eq("flag", F.B(v))))
+    val astGen: Gen[F.Node] = for {
+      a <- leafGen; b <- leafGen; c <- leafGen
+      pick <- Gen.chooseNum(0, 3)
+    } yield pick match {
+      case 0 => F.And(Seq(a, b))
+      case 1 => F.Or(Seq(a, F.Not(b)))
+      case 2 => F.Not(F.And(Seq(a, F.Or(Seq(b, c)))))
+      case _ => F.Or(Seq(F.And(Seq(a, b)), c))
+    }
+    // the two independent compilers of the same AST — MetaPredicate.bind
+    // on pinned primitive arrays (the serving row gate) and
+    // SelfQueryFilter.compile through Catalyst — must agree on every
+    // random (rows, ast) draw, including In([]) = false and LIKE
+    for (seed <- 1L to 30L) {
+      val rows = sample(Gen.listOfN(50, rowGen), seed)
+      val ast = sample(astGen, seed + 9000)
+      val df = rows.zipWithIndex.map { case ((l, n, s, b), i) =>
+        (i.toLong, Seq(i.toFloat, 1.0f), l, n, s, b)
+      }.toDF("vec_id", "embedding", "lang", "n", "score", "flag")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("lang"), col("n"), col("score"), col("flag"))
+      val scan = PackedScan.build(df, "vec_id", "embedding",
+        Seq("lang", "n", "score", "flag"))
+      try {
+        val got = scan.topK(Array(1.0f, 0.0f), rows.length + 5, Some(ast))
+          .map(_._1).toSet
+        val want = df.filter(F.compile(ast)).select("vec_id").as[Long]
+          .collect().toSet
+        assert(got == want, s"seed=$seed ast=$ast")
+      } finally scan.unpersist()
+    }
+  }
+
   test("exact dedup is idempotent") {
     for (seed <- 1L to 10L) {
       val xs = sample(Gen.listOfN(50, Gen.oneOf("a", "b", "c", "d", "e")), seed)
