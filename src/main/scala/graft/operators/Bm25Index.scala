@@ -232,17 +232,19 @@ final class Bm25Index private (
     val spark = batch.sparkSession
     import spark.implicits._
     val names = metaNames
+    // batch stats ride the postings job as an Observation (count/sum of
+    // the pre-explode rows) — no separate pass over the batch; the lazy
+    // localCheckpoint materializes on the bdf collect and is then read
+    // twice more (rows, terms) without recompute. Streaming cadence is
+    // job-overhead-bound (PLANS.md), so insert is 3 jobs, not 5.
+    val obs = new org.apache.spark.sql.Observation()
     val toks = batch.select(
       (col(idCol).cast("long").as("doc_id") +:
         Bm25Index.tokens(col(textCol)).as("toks") +: names.map(col).toSeq): _*)
       .select(
         (col("doc_id") +: col("toks") +:
           size(col("toks")).cast("long").as("dl") +: names.map(col).toSeq): _*)
-    val (bN, bSumDl) = toks.agg(count(lit(1)), sum(col("dl")))
-      .as[(Long, Option[Long])].head() match {
-      case (c, s) => (c, s.getOrElse(0L))
-    }
-    if (bN == 0) return this
+      .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val postings = toks
       .select(
         (explode(col("toks")).as("term") +: col("doc_id") +: col("dl") +:
@@ -250,10 +252,23 @@ final class Bm25Index private (
       .groupBy(col("term") +: col("doc_id") +: col("dl") +:
         names.map(col).toSeq: _*)
       .agg(count(lit(1)).cast("int").as("tf"))
-      .localCheckpoint(true) // small; read 3× below (bdf, rows, terms)
+      .localCheckpoint(false)
     val bdf = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("bdf"))
       .as[(String, Long)].collect().toMap // batch-vocab-bounded
+    // degenerate plans (e.g. an empty LocalRelation after optimizer
+    // pruning) can drop the CollectMetrics node — fall back to a direct
+    // agg there (one extra job on a trivial batch only)
+    val statsRow = obs.get
+    val (bN, bSumDl) =
+      if (statsRow.contains("n"))
+        (statsRow("n").asInstanceOf[Long],
+          Option(statsRow("sdl")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      else toks.agg(count(lit(1)), sum(col("dl")))
+        .as[(Long, Option[Long])].head() match {
+        case (c, s) => (c, s.getOrElse(0L))
+      }
+    if (bN == 0) return this
     val btB = spark.sparkContext.broadcast(bdf.keySet)
     // old GLOBAL df for the batch's terms: one narrow job over the pinned
     // segments; every segment agrees (each insert patches all of them),
