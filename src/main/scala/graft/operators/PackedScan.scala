@@ -200,6 +200,46 @@ final class PackedScan private (
     merged
   }
 
+  /** COMPACTION — the merge step of the LSM contract, in memory and
+    * WITHOUT re-reading the source: per partition, every segment block
+    * merges into one, tombstoned rows are dropped PHYSICALLY, and the
+    * returned instance starts with zero tombstones (they are applied,
+    * not carried). Equals a fresh build over the remaining rows
+    * (spec-gated bit-exact, including pinned metadata), which is the
+    * documented bounded-deletes contract ("compaction = rebuild") made
+    * cheaper: one narrow mapPartitions over the pinned arrays instead
+    * of a source-table scan.
+    */
+  def compact(): PackedScan = {
+    val tomb = tombstones
+    val names = metaNames
+    val kinds = metaKinds
+    val nb = blocks.mapPartitions({ it =>
+      val rows = it.flatMap { b =>
+        Iterator.tabulate(b.ids.length) { i =>
+          val v = new Array[Float](b.dim)
+          System.arraycopy(b.vecs, i * b.dim, v, 0, b.dim)
+          val m = if (names.isEmpty) Array.empty[Any]
+            else names.indices.map(j => b.meta(names(j)) match {
+              case MetaPredicate.LongCol(xs)   => xs(i): Any
+              case MetaPredicate.DoubleCol(xs) => xs(i): Any
+              case MetaPredicate.StringCol(xs) => xs(i): Any
+              case MetaPredicate.BoolCol(xs)   => xs(i): Any
+            }).toArray
+          (b.ids(i), v, m)
+        }
+      }.filter { case (id, _, _) =>
+        tomb.isEmpty || java.util.Arrays.binarySearch(tomb, id) < 0
+      }
+      PackedScan.packPartition(rows, names, kinds)
+    }, preservesPartitioning = true)
+    nb.persist(StorageLevel.MEMORY_ONLY)
+    val (cRows, cBytes) = nb
+      .map(b => (b.ids.length.toLong, PackedScan.blockBytes(b)))
+      .fold((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) }
+    new PackedScan(nb, dim, cRows, cBytes, names, kinds, Seq(nb))
+  }
+
   /** Blocks per partition (diagnostics; spec asserts the LSM shape). */
   private[graft] def blockCounts: Array[Int] =
     blocks.mapPartitions(it => Iterator.single(it.size)).collect()

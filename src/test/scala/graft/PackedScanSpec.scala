@@ -211,6 +211,35 @@ class PackedScanSpec extends AnyFunSuite {
     } finally { scan2.unpersist(); scan.unpersist(); full.unpersist() }
   }
 
+  test("compact applies tombstones physically and equals a fresh build over remaining") {
+    import graft.operators.{SelfQueryFilter => F}
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = e.join(d, e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), e("embedding"), d("lang"), d("n_chars"))
+    val meta = Seq("lang", "n_chars")
+    val scan = PackedScan.build(corpus.filter(col("vec_id") % 5 =!= 2),
+      "vec_id", "embedding", meta)
+      .insert(corpus.filter(col("vec_id") % 5 === 2), "vec_id", "embedding")
+    scan.delete(0L until 2000L by 7L)
+    val compacted = scan.compact()
+    val remaining = PackedScan.build(
+      corpus.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding", meta)
+    try {
+      // tombstones are APPLIED, not carried; segments merged to one
+      assert(compacted.deletedCount == 0)
+      assert(compacted.rows == remaining.rows)
+      assert(compacted.blockCounts.forall(_ <= 1))
+      val node: F.Node = F.Eq("lang", F.S("en"))
+      for (text <- Seq("compact parity probe", "another probe")) {
+        val q = HashEmbedder.embed(text)
+        assert(compacted.topK(q, 15).toSeq == remaining.topK(q, 15).toSeq)
+        assert(compacted.topK(q, 15, Some(node)).toSeq ==
+          remaining.topK(q, 15, Some(node)).toSeq)
+      }
+    } finally { compacted.unpersist(); remaining.unpersist(); scan.unpersist() }
+  }
+
   test("tombstoned rows stop being served; equals brute force over remaining") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val scan = PackedScan.build(e, "vec_id", "embedding")
