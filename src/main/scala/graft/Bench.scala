@@ -328,7 +328,7 @@ object Bench {
     // fraction on the same clustered corpus. Routing and beam reductions
     // multiply, and per-query work is O(nprobe x beam) independent of
     // corpus size.
-    val (graphRecall, graphFrac) = try {
+    val (graphRecall, graphFrac, graphQps, graphBatchQps) = try {
       val n = 20000L; val c = 64
       val corpus = graft.ClusteredCorpus.df(spark, n, c).cache()
       val (model, indexed) = graft.operators.AnnIndex.fitCached(
@@ -343,8 +343,26 @@ object Bench {
         val (got, visited) = g.topK(q, 10, nprobe = 5, ef = 16)
         (got.map(_._1).toSet.intersect(exact).size / 10.0, visited.toDouble / n)
       }
-      (rs.map(_._1).sum / rs.size, rs.map(_._2).max)
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      // serving RATE on the composed structure (the missing third leg of
+      // the serving-economics picture beside knn_batch_vps / bm25_qps):
+      // single query (one job, nprobe beams) and a Q=16 batch in ONE job
+      val run1 = () => {
+        val t0 = System.nanoTime()
+        g.topK(graft.ClusteredCorpus.query(7), 10, nprobe = 5, ef = 16)
+        (System.nanoTime() - t0) / 1e9
+      }
+      run1()
+      val s1 = (1 to 5).map(_ => run1()).min
+      val qs16 = Array.tabulate(16)(i => graft.ClusteredCorpus.query(100 + i))
+      val runB = () => {
+        val t0 = System.nanoTime()
+        g.topKBatch(qs16, 10, nprobe = 5, ef = 16)
+        (System.nanoTime() - t0) / 1e9
+      }
+      runB()
+      val sB = (1 to 5).map(_ => runB()).min
+      (rs.map(_._1).sum / rs.size, rs.map(_._2).max, 1.0 / s1, qs16.length / sB)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
 
     // PQ ADC scan throughput: 2M 8-byte codes, per-row cost = 8 LUT adds.
     val pqVps = try {
@@ -410,7 +428,7 @@ object Bench {
     // batch size, and knn_single_query_ms the single-query latency —
     // artifacts from round 7 on are self-describing.
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"graph_qps":${math.rint(graphQps * 10) / 10},"graph_batch_qps":${math.rint(graphBatchQps * 10) / 10},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }
