@@ -339,6 +339,38 @@ object CurationQueries {
     // point, floor 100). With this every serving structure answers the
     // reference's filtered query shape: PackedScan q121, Bm25Index q127,
     // GraphAnn q129, IvfGraph q130, PQ q131, SQ8 here.
+    // ---- durable SQ8 (completes the oracle-gated durability set) -------
+    // q119 (graph), q120 (PQ) and q141 (lexical) gate their save/load
+    // paths end-to-end; SQ8's round trip was spec-only. Serve from the
+    // LOADED bounds + codes (no re-fit, no re-encode): shortlist by SQ8
+    // ADC distance, exact cosine re-rank — q103's oracle verbatim, so
+    // hash-exact ⇒ the reloaded quantization constants are bit-identical.
+    QueryDef("q144_sq8_saveload", (s, dir) => {
+      import graft.operators.{AnnIndex, Sq8Index}
+      val e = Tables.embeddings(s, dir)
+      val model = Sq8Index.fitCached(e, dir, "embedding")
+      val (enc, _) = Sq8Index.encodedCached(e, dir, model, "embedding")
+      val path = AnnIndex.tmpRoot + "/sq8_durable_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Sq8Index.save(model, enc.select(col("vec_id"), col("label"),
+        col("embedding"), col("__sq")), path)
+      val (lModel, lEnc, lN) = Sq8Index.load(s, path)
+      val cand = math.max(100L, lN / 10).toInt
+      lEnc
+        .withColumn("__d", Sq8Index.distance(lModel, col("__sq"), typedlit(qVec.toIndexedSeq)))
+        .orderBy(col("__d"), col("vec_id")).limit(cand)
+        .withColumn("dist", cosine_distance(col("embedding"), typedlit(qVec.toIndexedSeq)))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }, Some(s"""
+      SELECT vec_id, label,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10""")),
+
     QueryDef("q136_sq8_filtered", (s, dir) => {
       import graft.operators.{Sq8Index, SelfQueryFilter => F}
       val e = Tables.embeddings(s, dir)
