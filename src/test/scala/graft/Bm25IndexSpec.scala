@@ -158,6 +158,25 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(index.avgDl == dlSum.toDouble / n)
   }
 
+  test("random term sets: index topK equals the full-scan scorer (20 seeded draws)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    // the corpus vocabulary plus unknowns and case variants — duplicates
+    // allowed (dedup-preserving-first-occurrence is part of the contract)
+    val vocab = docs.select(explode(Bm25Index.tokens(col("text"))).as("w"))
+      .distinct().as[String].collect().toSeq
+    val termGen = Gen.oneOf(vocab ++ Seq("zzznope", "QUERY", "Scan", "q"))
+    for (seed <- 1L to 20L) {
+      val nTerms = sample(Gen.chooseNum(1, 5), seed)
+      val terms = sample(Gen.listOfN(nTerms, termGen), seed + 100)
+      val k = sample(Gen.chooseNum(1, 40), seed + 200)
+      close(index.topK(terms, k).toSeq,
+        fullScan(docs, terms.map(_.toLowerCase).distinct, k))
+    }
+  }
+
   // ---- incremental insert (LSM segments) -------------------------------
 
   test("insert equals rebuild: segments + COW df patch give bit-exact full-scan scores") {
