@@ -33,12 +33,16 @@ object Round6Queries {
   /** Occurrence count of `t` in `text` — the replace-length trick, pure
     * integer arithmetic both engines fold identically.
     */
+  // REAL tokenizer (late r7, retiring the original substring-count tf —
+  // the r6 "cross-engine exactness choice" nit): exact token matches via
+  // the same lowercase/split/drop-empties pipeline Bm25Index and q124
+  // use, mirrored in DuckDB. tf/df/dl now mean what an engine means.
   private def tf(t: String) =
-    ((length(col("text")) - length(replace(col("text"), lit(t), lit("")))) / t.length)
-      .cast("long")
+    size(filter(graft.operators.Bm25Index.tokens(col("text")),
+      x => x === lit(t))).cast("long")
 
   private def tfSql(t: String) =
-    s"CAST((length(text) - length(replace(text, '$t', ''))) / ${t.length} AS BIGINT)"
+    s"CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x = '$t')) AS BIGINT)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -167,8 +171,8 @@ object Round6Queries {
       val terms = Seq("query", "scan", "data")
       val base = Tables.documents(s, dir).select(
         col("doc_id") +:
-          (((length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) + 1)
-            .cast("long").as("dl")) +:
+          size(graft.operators.Bm25Index.tokens(col("text")))
+            .cast("long").as("dl") +:
           terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
       val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
         terms.indices.map(i =>
@@ -199,7 +203,7 @@ object Round6Queries {
       s"""
       WITH base AS (
         SELECT doc_id,
-               CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS dl,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS dl,
                $tfCols
         FROM documents
       ), stats AS (
