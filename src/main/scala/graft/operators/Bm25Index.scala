@@ -318,6 +318,61 @@ final class Bm25Index private (
 
   def unpersist(): Unit = blocks.unpersist()
 
+  /** In-memory COMPACTION of the LSM segment chain (PackedScan.compact's
+    * lexical sibling): each shard's segments merge into ONE PostingBlock
+    * — term lists unioned, postings re-sorted doc-ascending, pinned
+    * metadata re-packed — with no corpus re-read and no change to
+    * semantics: global stats (N, sumDl, df) are already consistent
+    * across segments, and tombstones CARRY (unlike PackedScan, deleted
+    * lexical rows cannot be dropped physically without moving the
+    * corpus-level stats, the Lucene merge behavior q138's oracle pins —
+    * physical removal is the rebuild path). Serving results are
+    * bit-identical before and after (spec-gated); the win is one
+    * binary-search per term per shard again instead of one per segment.
+    */
+  def compact(): Bm25Index = {
+    import Bm25Index._
+    val names = metaNames
+    val nb = blocks.mapPartitions({ it =>
+      val segs = it.toArray
+      if (segs.length <= 1) segs.iterator
+      else {
+        val rows = segs.iterator.flatMap { b =>
+          (0 until b.terms.length).iterator.flatMap { ti =>
+            (b.starts(ti) until b.starts(ti + 1)).iterator.map { j =>
+              val doc = b.docIds(j)
+              val m = if (names.isEmpty) Array.empty[Any]
+                else {
+                  val di = java.util.Arrays.binarySearch(b.metaDocs, doc)
+                  names.indices.map(k => b.meta(names(k)) match {
+                    case MetaPredicate.LongCol(xs)   => xs(di): Any
+                    case MetaPredicate.DoubleCol(xs) => xs(di): Any
+                    case MetaPredicate.StringCol(xs) => xs(di): Any
+                    case MetaPredicate.BoolCol(xs)   => xs(di): Any
+                  }).toArray
+                }
+              (doc, (b.terms(ti), b.tfs(j), b.dls(j), b.dfs(ti), m))
+            }
+          }
+        }.toArray
+        val kinds = Array.tabulate(names.length) { k =>
+          segs.head.meta(names(k)) match {
+            case _: MetaPredicate.LongCol   => 0
+            case _: MetaPredicate.DoubleCol => 1
+            case _: MetaPredicate.StringCol => 2
+            case _: MetaPredicate.BoolCol   => 3
+          }
+        }
+        packRows(rows, names, kinds, (_, embedded) => embedded).iterator
+      }
+    }, preservesPartitioning = true)
+    nb.persist(StorageLevel.MEMORY_ONLY)
+    val bytes2 = Bm25Index.blockBytes(nb)
+    val out = new Bm25Index(nb, docCount, sumDl, names, bytes2)
+    out.tombstones = this.tombstones
+    out
+  }
+
   /** Segment count per shard (diagnostics; spec asserts the LSM shape). */
   private[graft] def segmentCounts: Array[Int] =
     blocks.mapPartitions(it => Iterator.single(it.size)).collect()

@@ -251,6 +251,29 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(index.insert(docs.filter(lit(false)), "doc_id", "text") eq index)
   }
 
+  test("compact merges segments in place: bit-equal serving, tombstones carried") {
+    import graft.operators.{SelfQueryFilter => F}
+    val node: F.Node = F.Eq("lang", F.S("en"))
+    val meta = Seq("lang", "n_chars")
+    val ix0 = Bm25Index.build(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", shards = 4, metaCols = meta)
+    val ix1 = ix0.insert(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+      "doc_id", "text")
+    val ix2 = ix1.insert(docs.filter(col("doc_id") >= 400 && col("doc_id") < 500),
+      "doc_id", "text")
+    ix2.delete(Seq(ix2.topK(Seq("query"), 1).head._1))
+    val c = ix2.compact()
+    try {
+      assert(ix2.segmentCounts.exists(_ >= 2) && c.segmentCounts.forall(_ <= 1))
+      assert(c.docCount == ix2.docCount && c.sumDl == ix2.sumDl)
+      assert(c.deletedCount == 1) // stats-preserving merge CARRIES deletes
+      for (terms <- Seq(Seq("query", "data"), Seq("scan", "vector", "merge")))
+        close(c.topK(terms, 25).toSeq, ix2.topK(terms, 25).toSeq)
+      close(c.topK(Seq("query", "data"), 20, Some(node)).toSeq,
+        ix2.topK(Seq("query", "data"), 20, Some(node)).toSeq)
+    } finally { c.unpersist(); ix2.unpersist(); ix1.unpersist(); ix0.unpersist() }
+  }
+
   // ---- durability (save/load) ------------------------------------------
 
   test("save/load round trip: bit-equal serving, compacted segments, stats verbatim") {
