@@ -72,7 +72,8 @@ import org.apache.spark.storage.StorageLevel
 final class Bm25Index private (
     blocks: RDD[Bm25Index.PostingBlock],
     val docCount: Long, val sumDl: Long,
-    val metaNames: Array[String], val bytes: Long) {
+    val metaNames: Array[String], val metaKinds: Array[Int], val bytes: Long,
+    tombstones0: Array[Long] = Array.emptyLongArray) {
 
   /** Corpus-mean doc length, derived from the exact integer pair the
     * instance carries so [[insert]] can advance it without float drift.
@@ -80,9 +81,11 @@ final class Bm25Index private (
   def avgDl: Double = if (docCount == 0) 0.0 else sumDl.toDouble / docCount
 
   /** Sorted tombstoned ids; volatile so a query batch snapshots one
-    * consistent array (PackedScan's bounded-deletes contract).
+    * consistent array (PackedScan's bounded-deletes contract). Seeded by
+    * the constructor — insert/compact carry the parent's set without
+    * mutating a not-yet-published sibling.
     */
-  @volatile private var tombstones: Array[Long] = Array.emptyLongArray
+  @volatile private var tombstones: Array[Long] = tombstones0
 
   /** Hide `ids` from every subsequent query batch. Ids not present in
     * the index are harmless. Returns the tombstone count.
@@ -257,9 +260,11 @@ final class Bm25Index private (
       .agg(count(lit(1)).cast("long").as("bdf"))
       .as[(String, Long)].collect().toMap // batch-vocab-bounded
     // degenerate plans (e.g. an empty LocalRelation after optimizer
-    // pruning) can drop the CollectMetrics node — fall back to a direct
-    // agg there (one extra job on a trivial batch only)
-    val statsRow = obs.get
+    // pruning) can drop the CollectMetrics node — getOrEmpty is the
+    // BOUNDED wait (get could block forever on a Spark that never fires
+    // for a pruned node), and the direct agg is the fallback (one extra
+    // job on a trivial batch only)
+    val statsRow = org.apache.spark.sql.graft.Bridge.observationGetOrEmpty(obs)
     val (bN, bSumDl) =
       if (statsRow.contains("n"))
         (statsRow("n").asInstanceOf[Long],
@@ -288,6 +293,11 @@ final class Bm25Index private (
         lit(0L).as("df") +: names.map(col).toSeq): _*)
     val kinds = projected.schema.fields.drop(5).map(_.dataType)
       .zip(names).map { case (t, nm) => MetaPredicate.kindOf(t, nm) }
+    // the batch must pin the SAME canonical kinds the index was built
+    // with — a type-drifted column would pack a segment that mis-filters
+    // only at query time (PackedScan.packSource's loud require, here)
+    require(kinds.sameElements(metaKinds),
+      s"pinned metadata kinds mismatch: batch ${kinds.toSeq} != index ${metaKinds.toSeq}")
     val keyed = projected.rdd.map(keyRow(_, names, kinds)).partitionBy(part)
     val newBlocks = blocks.zipPartitions(keyed, preservesPartitioning = true) {
       (bit, rit) =>
@@ -311,9 +321,8 @@ final class Bm25Index private (
     }
     newBlocks.persist(StorageLevel.MEMORY_ONLY)
     val bytes2 = blockBytes(newBlocks)
-    val nb = new Bm25Index(newBlocks, docCount + bN, sumDl + bSumDl, names, bytes2)
-    nb.tombstones = this.tombstones
-    nb
+    new Bm25Index(newBlocks, docCount + bN, sumDl + bSumDl, names, metaKinds,
+      bytes2, this.tombstones)
   }
 
   def unpersist(): Unit = blocks.unpersist()
@@ -333,6 +342,7 @@ final class Bm25Index private (
   def compact(): Bm25Index = {
     import Bm25Index._
     val names = metaNames
+    val kinds = metaKinds
     val nb = blocks.mapPartitions({ it =>
       val segs = it.toArray
       if (segs.length <= 1) segs.iterator
@@ -344,33 +354,19 @@ final class Bm25Index private (
               val m = if (names.isEmpty) Array.empty[Any]
                 else {
                   val di = java.util.Arrays.binarySearch(b.metaDocs, doc)
-                  names.indices.map(k => b.meta(names(k)) match {
-                    case MetaPredicate.LongCol(xs)   => xs(di): Any
-                    case MetaPredicate.DoubleCol(xs) => xs(di): Any
-                    case MetaPredicate.StringCol(xs) => xs(di): Any
-                    case MetaPredicate.BoolCol(xs)   => xs(di): Any
-                  }).toArray
+                  names.indices.map(k =>
+                    MetaPredicate.valueAt(b.meta(names(k)), di)).toArray
                 }
               (doc, (b.terms(ti), b.tfs(j), b.dls(j), b.dfs(ti), m))
             }
           }
         }.toArray
-        val kinds = Array.tabulate(names.length) { k =>
-          segs.head.meta(names(k)) match {
-            case _: MetaPredicate.LongCol   => 0
-            case _: MetaPredicate.DoubleCol => 1
-            case _: MetaPredicate.StringCol => 2
-            case _: MetaPredicate.BoolCol   => 3
-          }
-        }
         packRows(rows, names, kinds, (_, embedded) => embedded).iterator
       }
     }, preservesPartitioning = true)
     nb.persist(StorageLevel.MEMORY_ONLY)
     val bytes2 = Bm25Index.blockBytes(nb)
-    val out = new Bm25Index(nb, docCount, sumDl, names, bytes2)
-    out.tombstones = this.tombstones
-    out
+    new Bm25Index(nb, docCount, sumDl, names, metaKinds, bytes2, this.tombstones)
   }
 
   /** Segment count per shard (diagnostics; spec asserts the LSM shape). */
@@ -545,7 +541,7 @@ object Bm25Index {
     }, preservesPartitioning = true)
     blocks.persist(StorageLevel.MEMORY_ONLY)
     val bytes = blockBytes(blocks)
-    val ix = new Bm25Index(blocks, nDocs, sumDl, Array.empty, bytes)
+    val ix = new Bm25Index(blocks, nDocs, sumDl, Array.empty, Array.empty, bytes)
     // tombstones/ absent on foreign layouts: nothing pending by definition
     try {
       val tomb = spark.read.parquet(s"$path/tombstones")
@@ -613,6 +609,6 @@ object Bm25Index {
     }, preservesPartitioning = true)
     blocks.persist(StorageLevel.MEMORY_ONLY)
     val bytes = blockBytes(blocks)
-    new Bm25Index(blocks, nDocs, sumDl, names, bytes)
+    new Bm25Index(blocks, nDocs, sumDl, names, kinds, bytes)
   }
 }

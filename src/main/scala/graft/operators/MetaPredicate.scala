@@ -18,15 +18,31 @@ package graft.operators
   * PREWHERE contract.
   *
   * Supported pinned types: integral (as Long), floating (as Double),
-  * String, Boolean. `contain` (array columns) and timestamp literals stay
-  * on the DataFrame path — pinning variable-length arrays per row would
-  * wreck the packed layout for a comparator the serving workload doesn't
-  * use on hot metadata.
+  * String, Boolean, timestamps (as epoch-micro Long — both
+  * session-timezone TIMESTAMP and TIMESTAMP_NTZ), and
+  * list[string] / list[integral] for the `contain` comparator — the
+  * reference's two most realistic self-query attributes are a `pubdate`
+  * timestamp and an `authors` list (`docs/self-query.md:196,201`;
+  * comparator semantics incl. `contain` at `docs/self-query.md:161-178`),
+  * so both ride the pinned path. Arrays are pinned OFFSET-PACKED (one
+  * starts[] + one flat sorted values[] per column — no per-row object
+  * graph), with `contain` a per-row range binary search; element order is
+  * NOT preserved, so arrays support membership only (ordered comparators
+  * on an array column are a bind-time error).
+  *
+  * Timestamp literals bind through Spark's own string→timestamp parser
+  * (`DateTimeUtils`) in the JVM-default zone — the same zone
+  * `to_timestamp` uses under the default `spark.sql.session.timeZone`,
+  * so the pinned gate, the DataFrame path, and the oracle's
+  * `TIMESTAMP '...'` literal agree. (A deployment that overrides the
+  * session timezone away from the executor JVM zone must pin NTZ
+  * columns instead — the naive comparison is zone-free.)
   *
   * Null contract: pinned metadata must be NON-NULL (enforced at
-  * [[PackedScan.build]]). SQL three-valued logic makes `NOT(x > 5)` and
-  * `x <= 5` differ on nulls; requiring non-null metadata keeps the
-  * two-valued compiled gate exactly equal to the SQL oracle.
+  * [[PackedScan.build]]), including array ELEMENTS. SQL three-valued
+  * logic makes `NOT(x > 5)` and `x <= 5` differ on nulls; requiring
+  * non-null metadata keeps the two-valued compiled gate exactly equal to
+  * the SQL oracle.
   */
 object MetaPredicate {
 
@@ -38,6 +54,20 @@ object MetaPredicate {
   final case class DoubleCol(v: Array[Double]) extends Col { def length: Int = v.length }
   final case class StringCol(v: Array[String]) extends Col { def length: Int = v.length }
   final case class BoolCol(v: Array[Boolean]) extends Col { def length: Int = v.length }
+  /** Epoch-micro timestamps; `ntz` = naive (TIMESTAMP_NTZ) vs session-
+    * zone instant — decides how a `T` literal converts at bind.
+    */
+  final case class TimeCol(v: Array[Long], ntz: Boolean) extends Col { def length: Int = v.length }
+  /** Offset-packed string lists: row i's elements are
+    * values[starts(i) until starts(i+1)], SORTED for binary search.
+    */
+  final case class StringArrCol(starts: Array[Int], values: Array[String]) extends Col {
+    def length: Int = starts.length - 1
+  }
+  /** Offset-packed integral lists (same layout as [[StringArrCol]]). */
+  final case class LongArrCol(starts: Array[Int], values: Array[Long]) extends Col {
+    def length: Int = starts.length - 1
+  }
 
   import SelfQueryFilter._
 
@@ -64,6 +94,8 @@ object MetaPredicate {
       case (DoubleCol(xs), I(y)) => val d = y.toDouble; i => java.lang.Double.compare(xs(i), d)
       case (DoubleCol(xs), D(y)) => i => java.lang.Double.compare(xs(i), y)
       case (StringCol(xs), S(y)) => i => xs(i).compareTo(y)
+      case (TimeCol(xs, ntz), T(y)) =>
+        val m = tsMicros(y, ntz); i => java.lang.Long.compare(xs(i), m)
       case (c, v) => throw new IllegalArgumentException(
         s"cannot compare pinned ${c.getClass.getSimpleName} column '$a' with $v")
     }
@@ -117,16 +149,50 @@ object MetaPredicate {
             throw new IllegalArgumentException(s"in-list value $other for string column '$a'")
           }.toSet
           i => set.contains(xs(i))
+        case TimeCol(xs, ntz) =>
+          val set = vs.map { case T(y) => tsMicros(y, ntz); case other =>
+            throw new IllegalArgumentException(s"in-list value $other for timestamp column '$a'")
+          }.toSet
+          i => set.contains(xs(i))
         case c => throw new IllegalArgumentException(s"in on column '$a' ($c)")
       }
 
-      case Contain(_, _) => unsupported("contain (array membership)")
-      case _             => unsupported(s"comparator $node")
+      case Contain(a, v) => (resolve(a), v) match {
+        case (StringArrCol(starts, values), S(y)) =>
+          val vs = values.asInstanceOf[Array[AnyRef]]
+          val key = y.asInstanceOf[AnyRef]
+          i => java.util.Arrays.binarySearch(vs, starts(i), starts(i + 1), key) >= 0
+        case (LongArrCol(starts, values), I(y)) =>
+          i => java.util.Arrays.binarySearch(values, starts(i), starts(i + 1), y) >= 0
+        case (c, _) => throw new IllegalArgumentException(
+          s"contain needs an array-typed pinned column whose element type matches " +
+            s"the literal; column '$a' is ${c.getClass.getSimpleName}, literal $v")
+      }
+
+      case _ => unsupported(s"comparator $node")
     }
   }
 
-  // canonical pinned kinds: 0 = Long, 1 = Double, 2 = String, 3 = Boolean
-  // (shared by every operator that pins metadata — PackedScan, Bm25Index)
+  /** Spark's own string→timestamp parse, so a pinned `T` literal means
+    * exactly what `to_timestamp(lit(v))` means: naive micros for NTZ
+    * columns, JVM-default-zone instant micros otherwise (see class doc
+    * for the session-timezone contract).
+    */
+  private def tsMicros(s: String, ntz: Boolean): Long = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val parsed =
+      if (ntz) DateTimeUtils.stringToTimestampWithoutTimeZone(u)
+      else DateTimeUtils.stringToTimestamp(u, java.time.ZoneId.systemDefault())
+    parsed.getOrElse(throw new IllegalArgumentException(
+      s"cannot parse timestamp literal '$s'"))
+  }
+
+  // canonical pinned kinds: 0 = Long, 1 = Double, 2 = String, 3 = Boolean,
+  // 4 = Timestamp (session-zone), 5 = Timestamp NTZ, 6 = list[string],
+  // 7 = list[integral]
+  // (shared by every operator that pins metadata — PackedScan, Bm25Index,
+  // GraphAnn/IvfGraph)
   private[operators] def kindOf(t: org.apache.spark.sql.types.DataType,
       name: String): Int = {
     import org.apache.spark.sql.types._
@@ -135,19 +201,47 @@ object MetaPredicate {
       case FloatType | DoubleType                        => 1
       case StringType                                    => 2
       case BooleanType                                   => 3
+      case TimestampType                                 => 4
+      case TimestampNTZType                              => 5
+      case ArrayType(StringType, _)                      => 6
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => 7
       case other => throw new IllegalArgumentException(
         s"metadata column '$name' has unsupported pinned type $other " +
-          "(supported: integral, floating, string, boolean)")
+          "(supported: integral, floating, string, boolean, timestamp, " +
+          "list[string], list[integral])")
     }
   }
 
-  /** Widen a Row value to its canonical kind (build-side boxing only). */
+  /** Widen a Row value to its canonical kind (build-side boxing only).
+    * Timestamps widen to epoch micros via Spark's own converters; arrays
+    * widen to a SORTED copy (membership-only contract, see class doc).
+    */
   private[operators] def widen(row: org.apache.spark.sql.Row, idx: Int,
       kind: Int): Any = kind match {
     case 0 => row.get(idx).asInstanceOf[Number].longValue()
     case 1 => row.get(idx).asInstanceOf[Number].doubleValue()
     case 2 => row.getString(idx)
     case 3 => row.getBoolean(idx)
+    case 4 | 5 =>
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      row.get(idx) match {
+        case t: java.sql.Timestamp      => DateTimeUtils.fromJavaTimestamp(t)
+        case i: java.time.Instant       => DateTimeUtils.instantToMicros(i)
+        case l: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(l)
+        case other => throw new IllegalArgumentException(
+          s"unexpected timestamp representation ${other.getClass.getName}")
+      }
+    case 6 =>
+      val xs = row.getSeq[String](idx).toArray
+      require(!xs.contains(null), "null element in pinned list[string] metadata")
+      java.util.Arrays.sort(xs.asInstanceOf[Array[AnyRef]])
+      xs
+    case 7 =>
+      val raw = row.getSeq[Any](idx)
+      require(!raw.contains(null), "null element in pinned list[integral] metadata")
+      val xs = raw.iterator.map(_.asInstanceOf[Number].longValue()).toArray
+      java.util.Arrays.sort(xs)
+      xs
   }
 
   /** Widen one row's metadata columns (slots `base until base+names.length`)
@@ -176,7 +270,81 @@ object MetaPredicate {
       case 1 => DoubleCol(values.map(_.asInstanceOf[Double]))
       case 2 => StringCol(values.map(_.asInstanceOf[String]))
       case 3 => BoolCol(values.map(_.asInstanceOf[Boolean]))
+      case 4 => TimeCol(values.map(_.asInstanceOf[Long]), ntz = false)
+      case 5 => TimeCol(values.map(_.asInstanceOf[Long]), ntz = true)
+      case 6 =>
+        val starts = new Array[Int](values.length + 1)
+        var i = 0
+        while (i < values.length) {
+          starts(i + 1) = starts(i) + values(i).asInstanceOf[Array[String]].length
+          i += 1
+        }
+        val flat = new Array[String](starts(values.length))
+        i = 0
+        while (i < values.length) {
+          val a = values(i).asInstanceOf[Array[String]]
+          System.arraycopy(a, 0, flat, starts(i), a.length)
+          i += 1
+        }
+        StringArrCol(starts, flat)
+      case 7 =>
+        val starts = new Array[Int](values.length + 1)
+        var i = 0
+        while (i < values.length) {
+          starts(i + 1) = starts(i) + values(i).asInstanceOf[Array[Long]].length
+          i += 1
+        }
+        val flat = new Array[Long](starts(values.length))
+        i = 0
+        while (i < values.length) {
+          val a = values(i).asInstanceOf[Array[Long]]
+          System.arraycopy(a, 0, flat, starts(i), a.length)
+          i += 1
+        }
+        LongArrCol(starts, flat)
     }
+
+  /** Row i's widened value back out of a packed [[Col]] — the inverse of
+    * [[packCol]] (array slices stay sorted), shared by every compaction /
+    * re-pack path so the round-trip cannot drift per operator.
+    */
+  private[operators] def valueAt(c: Col, i: Int): Any = c match {
+    case LongCol(xs)    => xs(i)
+    case DoubleCol(xs)  => xs(i)
+    case StringCol(xs)  => xs(i)
+    case BoolCol(xs)    => xs(i)
+    case TimeCol(xs, _) => xs(i)
+    case StringArrCol(starts, values) =>
+      java.util.Arrays.copyOfRange(values.asInstanceOf[Array[AnyRef]],
+        starts(i), starts(i + 1)).asInstanceOf[Array[String]]
+    case LongArrCol(starts, values) =>
+      java.util.Arrays.copyOfRange(values, starts(i), starts(i + 1))
+  }
+
+  /** The canonical kind a packed [[Col]] was built with. */
+  private[operators] def kindOfCol(c: Col): Int = c match {
+    case _: LongCol          => 0
+    case _: DoubleCol        => 1
+    case _: StringCol        => 2
+    case _: BoolCol          => 3
+    case TimeCol(_, false)   => 4
+    case TimeCol(_, true)    => 5
+    case _: StringArrCol     => 6
+    case _: LongArrCol       => 7
+  }
+
+  /** Pinned-byte estimate for [[graft.operators.ServingCache]] budgets. */
+  private[operators] def colBytes(c: Col): Long = c match {
+    case LongCol(v)    => v.length.toLong * 8
+    case DoubleCol(v)  => v.length.toLong * 8
+    case BoolCol(v)    => v.length.toLong
+    case TimeCol(v, _) => v.length.toLong * 8
+    case StringCol(v)  => v.iterator.map(s => 40L + 2L * s.length).sum // object + UTF-16 est.
+    case StringArrCol(starts, values) =>
+      4L * starts.length + values.iterator.map(s => 40L + 2L * s.length).sum
+    case LongArrCol(starts, values) =>
+      4L * starts.length + 8L * values.length
+  }
 
   /** SQL LIKE → anchored regex: `%` → `.*`, `_` → `.`, everything else
     * literal (no escape-char support — document-store metadata patterns

@@ -193,9 +193,13 @@ final class PackedScan private (
     val bDim = nb.filter(_.ids.nonEmpty).take(1).head.dim
     require(rows == 0 || bDim == dim,
       s"batch vector dim $bDim != pinned dim $dim")
+    // the child OWNS only the segment it created: unpersisting it must
+    // not evict the base blocks an ancestor may still be serving (each
+    // instance in an insert chain is unpersisted by its own caller —
+    // compact() has the same owns-only-what-it-made contract)
     val merged = new PackedScan(blocks.union(nb),
       if (rows == 0) bDim else dim, rows + bRows, bytes + bBytes,
-      metaNames, metaKinds, persisted :+ nb)
+      metaNames, metaKinds, Seq(nb))
     merged.tombstones = this.tombstones
     merged
   }
@@ -220,12 +224,8 @@ final class PackedScan private (
           val v = new Array[Float](b.dim)
           System.arraycopy(b.vecs, i * b.dim, v, 0, b.dim)
           val m = if (names.isEmpty) Array.empty[Any]
-            else names.indices.map(j => b.meta(names(j)) match {
-              case MetaPredicate.LongCol(xs)   => xs(i): Any
-              case MetaPredicate.DoubleCol(xs) => xs(i): Any
-              case MetaPredicate.StringCol(xs) => xs(i): Any
-              case MetaPredicate.BoolCol(xs)   => xs(i): Any
-            }).toArray
+            else names.indices.map(j =>
+              MetaPredicate.valueAt(b.meta(names(j)), i)).toArray
           (b.ids(i), v, m)
         }
       }.filter { case (id, _, _) =>
@@ -244,6 +244,12 @@ final class PackedScan private (
   private[graft] def blockCounts: Array[Int] =
     blocks.mapPartitions(it => Iterator.single(it.size)).collect()
 
+  /** Unpersist the pinned segments THIS instance created (build: the base
+    * blocks; insert/compact children: only their own segments) — so
+    * tearing down a child never evicts blocks an ancestor still serves.
+    * Freeing a whole insert chain = unpersist every instance in it, which
+    * is what every lifecycle here does (q142's `finally`).
+    */
   def unpersist(): Unit = persisted.foreach(_.unpersist())
 }
 
@@ -334,14 +340,9 @@ object PackedScan {
     var vecs = new Array[Float](0)
     var used = 0
     var dim = -1
-    val longB = Array.tabulate(kinds.length)(j =>
-      if (kinds(j) == 0) Array.newBuilder[Long] else null)
-    val dblB = Array.tabulate(kinds.length)(j =>
-      if (kinds(j) == 1) Array.newBuilder[Double] else null)
-    val strB = Array.tabulate(kinds.length)(j =>
-      if (kinds(j) == 2) Array.newBuilder[String] else null)
-    val boolB = Array.tabulate(kinds.length)(j =>
-      if (kinds(j) == 3) Array.newBuilder[Boolean] else null)
+    // widened values are boxed already (widenRow), so per-column Any
+    // builders + MetaPredicate.packCol cover every canonical kind
+    val colB = Array.fill(kinds.length)(Array.newBuilder[Any])
     it.foreach { case (id, v, m) =>
       if (dim < 0) dim = v.length
       require(v.length == dim, s"ragged vector: ${v.length} != $dim")
@@ -354,15 +355,7 @@ object PackedScan {
       used += dim
       ids += id
       var j = 0
-      while (j < kinds.length) {
-        kinds(j) match {
-          case 0 => longB(j) += m(j).asInstanceOf[Long]
-          case 1 => dblB(j) += m(j).asInstanceOf[Double]
-          case 2 => strB(j) += m(j).asInstanceOf[String]
-          case 3 => boolB(j) += m(j).asInstanceOf[Boolean]
-        }
-        j += 1
-      }
+      while (j < kinds.length) { colB(j) += m(j); j += 1 }
     }
     val idArr = ids.result()
     if (idArr.isEmpty) Iterator.empty
@@ -370,12 +363,7 @@ object PackedScan {
       val tight = new Array[Float](used)
       System.arraycopy(vecs, 0, tight, 0, used)
       val meta = names.indices.map { j =>
-        names(j) -> (kinds(j) match {
-          case 0 => MetaPredicate.LongCol(longB(j).result())
-          case 1 => MetaPredicate.DoubleCol(dblB(j).result())
-          case 2 => MetaPredicate.StringCol(strB(j).result())
-          case 3 => MetaPredicate.BoolCol(boolB(j).result())
-        })
+        names(j) -> MetaPredicate.packCol(kinds(j), colB(j).result())
       }.toMap
       Iterator.single(Block(idArr, tight, dim, meta))
     }
@@ -393,13 +381,7 @@ object PackedScan {
   }
 
   private[operators] def blockBytes(b: Block): Long = {
-    val metaBytes = b.meta.valuesIterator.map {
-      case MetaPredicate.LongCol(v)   => v.length.toLong * 8
-      case MetaPredicate.DoubleCol(v) => v.length.toLong * 8
-      case MetaPredicate.BoolCol(v)   => v.length.toLong
-      case MetaPredicate.StringCol(v) =>
-        v.iterator.map(s => 40L + 2L * s.length).sum // object + UTF-16 est.
-    }.sum
+    val metaBytes = b.meta.valuesIterator.map(MetaPredicate.colBytes).sum
     b.ids.length.toLong * 8 + b.vecs.length.toLong * 4 + metaBytes
   }
 }

@@ -24,15 +24,17 @@ import graft.operators.{SelfQueryFilter => F}
   *
   * Round 1 exposed the filter AST programmatically ([[SelfQueryFilter]]);
   * this adds the missing deserialization step so a caller can hand the raw
-  * LLM text straight to the engine. Values matching `yyyy-MM-dd` become
-  * timestamp literals — mirroring the translator's
-  * `parseDateTimeBestEffort` rendering for timestamp-typed attributes.
+  * LLM text straight to the engine. Values matching `yyyy-MM-dd` (with an
+  * optional `HH:mm[:ss[.S]]` time part) become timestamp literals —
+  * mirroring the translator's `parseDateTimeBestEffort` rendering for
+  * timestamp-typed attributes.
   */
 object SelfQueryParser {
 
   final case class Request(query: String, filter: Option[F.Node])
 
-  private val DateRe = """\d{4}-\d{2}-\d{2}""".r
+  private val DateRe =
+    """\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?""".r
 
   /** Parse the full LLM response: optional markdown fences, JSON envelope,
     * filter expression. Throws IllegalArgumentException on malformed input.

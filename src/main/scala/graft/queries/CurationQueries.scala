@@ -81,7 +81,13 @@ object CurationQueries {
         .withColumn("red", red)
         .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
           length(col("red")).cast("long").as("red_len"),
-          substring_index(col("red"), " contact ", -1).as("tail"))
+          // tail after the FIRST ' contact ' — the same occurrence side as
+          // the oracle's strpos; substring_index(-1) would take the LAST
+          // and only agree while the corpus vocabulary excludes 'contact'
+          when(locate(" contact ", col("red")) > 0,
+            col("red").substr(locate(" contact ", col("red")) + lit(9),
+              length(col("red"))))
+            .otherwise(col("red")).as("tail"))
         .orderBy("doc_id")
     }, Some(s"""
       WITH ftxt AS (
@@ -247,8 +253,10 @@ object CurationQueries {
     // AnnIndex.fit is the cluster key, persisted PARTITION BY cluster_id,
     // so the pair join is partition-local — no corpus-wide shuffle).
     // Greedy keep-lowest-id: a doc is dropped iff a LOWER-id doc in its
-    // cluster is near-identical (sim >= 0.40); same unrounded-compare
-    // contract as q47.
+    // cluster is near-identical (sim >= 0.40). The similarity is rounded
+    // to 6 dp on BOTH engines before the threshold compare (the repo-wide
+    // round(,6) exposure contract) so a last-ulp divergence between the
+    // two float pipelines can never flip keep/drop on a boundary pair.
     QueryDef("q139_semantic_dedup", (s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), col("embedding"),
@@ -258,7 +266,7 @@ object CurationQueries {
       val b = e.select(col("vec_id").as("j"), col("label").as("lb"),
         col("embedding").as("eb"), col("nrm").as("nb"))
       val dropped = a.join(b, col("la") === col("lb") && col("i") < col("j"))
-        .filter(inner_product(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.40)
+        .filter(round(inner_product(col("ea"), col("eb")) / (col("na") * col("nb")), 6) >= 0.40)
         .select(col("j")).distinct()
       val base = e.select(col("vec_id"), col("label"))
       base.join(dropped, base("vec_id") === dropped("j"), "left")
@@ -270,8 +278,8 @@ object CurationQueries {
         SELECT DISTINCT b.vec_id AS j
         FROM embeddings a, embeddings b
         WHERE a.label = b.label AND a.vec_id < b.vec_id
-          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.40)
+          AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.40)
       SELECT e.vec_id, e.label,
         CAST(CASE WHEN d.j IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.j

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpr(c: Column): Expression   = ExpressionUtils.expression(c)
+
+  /** `Observation.getOrEmpty` is `private[sql]` — it is the BOUNDED wait
+    * (`get` blocks forever when the optimizer prunes the CollectMetrics
+    * node from a degenerate plan), which callers need to fall back to a
+    * direct aggregate instead of hanging. When the node IS pruned the
+    * fired row is schema-less and `getOrEmpty` itself NPEs on
+    * `row.schema.map` (Spark 4.1.2, Observation.scala:116) — that case
+    * means "no observed metrics", so it maps to the empty result the
+    * method name promises.
+    */
+  def observationGetOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    try obs.getOrEmpty catch { case _: NullPointerException => Map.empty }
 }
