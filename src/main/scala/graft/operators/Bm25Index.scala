@@ -115,6 +115,30 @@ final class Bm25Index private (
     * shared by several queries stays hot in cache). Each shard scores
     * its own documents completely per query and returns Q local top-k
     * lists; the driver merge is Q × P × k rows.
+    *
+    * Evaluation is document-at-a-time MAX-SCORE (Turtle & Flood 1995;
+    * the max-score/WAND family Lucene uses): query terms sort by their
+    * per-segment score UPPER BOUND (idf × 2.2 × maxTf / (maxTf +
+    * K(minDl)), dominating every posting — see [[Bm25Index.PostingBlock]]),
+    * and once the shard's top-k heap is full, the maximal suffix of terms
+    * whose bounds sum below the heap threshold becomes NON-ESSENTIAL:
+    * its posting lists are never walked — a doc can only become a
+    * candidate through an essential list, and candidates probe
+    * non-essential terms by binary search with early abandonment. Common
+    * terms (low idf ⇒ low bound) go non-essential first, which is
+    * exactly where exhaustive OR evaluation spent its O(Σ df) walk; the
+    * per-query accumulator is now the k-slot heap, not a LongMap over
+    * every matched doc.
+    *
+    * Pruning is EXACT, not approximate: ranking compares the 6-dp
+    * HALF_UP-rounded score (doc-id ties), so a candidate is skipped only
+    * when its upper bound sits a full rounding step (1e-6, dwarfing
+    * accumulated fp error in the bound sums) below the heap's k-th
+    * rounded score — it provably cannot enter or tie. Admitted survivors
+    * re-sum their term contributions in ORIGINAL query-term order, so
+    * emitted scores stay IEEE-identical to the exhaustive walk (the
+    * class-doc exactness contract; parity spec-gated against
+    * [[topKBatchExhaustive]], and q124/q125/q127 still gate vs DuckDB).
     */
   def topKBatch(queries: Seq[Seq[String]], k: Int,
       filter: Option[SelfQueryFilter.Node] = None)
@@ -130,14 +154,221 @@ final class Bm25Index private (
     val tomb = tombstones // snapshot: one consistent view per batch
     val perShard: Array[Array[Array[(Long, Long, Double)]]] =
       blocks.mapPartitions { it =>
-        // acc value = (score, dl, admitted). A doc's postings live
-        // entirely in its insertion segment, so its predicate/tombstone
-        // gate is decided ONCE, at first touch, against that segment's
-        // pinned metadata; the admission filter below just reads the
-        // flag. The predicate gates which docs RETURN; corpus statistics
-        // (df, N, avgdl) stay corpus-level, like an engine whose index
-        // stats are global — the oracle mirrors this with WHERE on the
-        // scored rows only.
+        // one k-slot heap per query, persistent ACROSS segments (a doc's
+        // postings live entirely in its insertion segment, so per-segment
+        // scoring is complete; later segments inherit the tightened
+        // threshold). The predicate gates which docs RETURN; corpus
+        // statistics (df, N, avgdl) stay corpus-level, like an engine
+        // whose index stats are global — the oracle mirrors this with
+        // WHERE on the scored rows only.
+        // Capacity clamps to the corpus size: a degenerate k (Int.MaxValue
+        // = "return everything") must not allocate k slots, and a heap
+        // that can hold every doc never drops one, so the clamp keeps
+        // return-all semantics while pruning stays exact.
+        val cap = math.min(k.toLong, n).toInt
+        val heaps = Array.tabulate(nq)(_ => new Bm25Index.TopKHeap(cap))
+        // per-query scratch, reused across segments: contribution +
+        // epoch-stamp per ORIGINAL term position (the re-sum order)
+        val contrib = qTerms.map(t => new Array[Double](t.length))
+        val stamps = qTerms.map(t => new Array[Int](t.length))
+        var epoch = 0
+        it.foreach { b =>
+          val pred: Int => Boolean =
+            filter.map(f => MetaPredicate.bind(f, b.meta)).orNull
+          def admit(doc: Long): Boolean =
+            (tomb.isEmpty || java.util.Arrays.binarySearch(tomb, doc) < 0) &&
+              ((pred eq null) || {
+                val idx = java.util.Arrays.binarySearch(b.metaDocs, doc)
+                idx >= 0 && pred(idx)
+              })
+          var qi = 0
+          while (qi < nq) {
+            val terms = qTerms(qi)
+            val heap = heaps(qi)
+            // resolve this query's terms in this segment
+            var m = 0
+            val orig = new Array[Int](terms.length)
+            val idf = new Array[Double](terms.length)
+            val ub = new Array[Double](terms.length)
+            val lo = new Array[Int](terms.length)
+            val hi = new Array[Int](terms.length)
+            var ti = 0
+            while (ti < terms.length) {
+              val t = java.util.Arrays.binarySearch(
+                b.terms.asInstanceOf[Array[AnyRef]], terms(ti))
+              if (t >= 0) {
+                val df = b.dfs(t) // GLOBAL df, denormalized at build/insert
+                // identical operand order as the q118 / q124 oracle expression
+                val f = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                val mTf = b.maxTfs(t).toDouble
+                val kMin = 1.2 * (0.25 + 0.75 * b.minDls(t) / avg)
+                orig(m) = ti; idf(m) = f
+                // ×(1+1e-9): absorb fp rounding in the bound itself — the
+                // prune guard is 1e-6 absolute, so this stays conservative
+                ub(m) = f * (mTf * 2.2) / (mTf + kMin) * (1.0 + 1e-9)
+                lo(m) = b.starts(t); hi(m) = b.starts(t + 1)
+                m += 1
+              }
+              ti += 1
+            }
+            if (m > 0) {
+              // sort resolved terms by bound DESCENDING (insertion sort —
+              // m is query-term count, single digits)
+              var a = 1
+              while (a < m) {
+                val (o1, f1, u1, l1, h1) = (orig(a), idf(a), ub(a), lo(a), hi(a))
+                var bi = a - 1
+                while (bi >= 0 && ub(bi) < u1) {
+                  orig(bi + 1) = orig(bi); idf(bi + 1) = idf(bi)
+                  ub(bi + 1) = ub(bi); lo(bi + 1) = lo(bi); hi(bi + 1) = hi(bi)
+                  bi -= 1
+                }
+                orig(bi + 1) = o1; idf(bi + 1) = f1; ub(bi + 1) = u1
+                lo(bi + 1) = l1; hi(bi + 1) = h1
+                a += 1
+              }
+              val suffix = new Array[Double](m + 1)
+              var j = m - 1
+              while (j >= 0) { suffix(j) = suffix(j + 1) + ub(j); j -= 1 }
+              val ptr = java.util.Arrays.copyOf(lo, m)
+              val con = contrib(qi)
+              val stamp = stamps(qi)
+              // essential split: smallest ess with suffix(ess) < T - 1e-6
+              // (T-inf while the heap is filling ⇒ everything essential)
+              def essFor(t: Double): Int = {
+                if (t == Double.NegativeInfinity) m
+                else {
+                  var e = 0
+                  while (e < m && suffix(e) >= t - 1e-6) e += 1
+                  e
+                }
+              }
+              var tHold =
+                if (heap.full) heap.threshold else Double.NegativeInfinity
+              var ess = essFor(tHold)
+              var done = ess == 0
+              while (!done) {
+                // next candidate: min doc across essential list frontiers
+                var doc = Long.MaxValue
+                j = 0
+                while (j < ess) {
+                  if (ptr(j) < hi(j) && b.docIds(ptr(j)) < doc)
+                    doc = b.docIds(ptr(j))
+                  j += 1
+                }
+                if (doc == Long.MaxValue) done = true
+                else {
+                  epoch += 1
+                  val ok = admit(doc)
+                  var partial = 0.0
+                  j = 0
+                  while (j < ess) {
+                    if (ptr(j) < hi(j) && b.docIds(ptr(j)) == doc) {
+                      if (ok) {
+                        val p = ptr(j)
+                        val tf = b.tfs(p)
+                        val dl = b.dls(p)
+                        val c = idf(j) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+                        con(orig(j)) = c; stamp(orig(j)) = epoch
+                        partial += c
+                      }
+                      ptr(j) += 1
+                    }
+                    j += 1
+                  }
+                  if (ok) {
+                    // non-essential probes, bound-descending, early abandon
+                    var alive = true
+                    j = ess
+                    while (alive && j < m) {
+                      if (partial + suffix(j) < tHold - 1e-6) alive = false
+                      else {
+                        val pos = java.util.Arrays.binarySearch(
+                          b.docIds, lo(j), hi(j), doc)
+                        if (pos >= 0) {
+                          val tf = b.tfs(pos)
+                          val dl = b.dls(pos)
+                          val c = idf(j) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+                          con(orig(j)) = c; stamp(orig(j)) = epoch
+                          partial += c
+                        }
+                        j += 1
+                      }
+                    }
+                    if (alive) {
+                      // IEEE-exact score: re-sum in original query-term
+                      // order (absent terms contribute exactly 0.0 — the
+                      // class-doc skip identity)
+                      var s = 0.0
+                      var dl = 0L
+                      var p = 0
+                      while (p < terms.length) {
+                        if (stamp(p) == epoch) s += con(p)
+                        p += 1
+                      }
+                      // dl: from any found posting (all of a doc's
+                      // postings carry the same dl); probe the essential
+                      // hit first, else the binary-searched one — cheapest
+                      // is to re-find one occurrence
+                      j = 0
+                      var found = false
+                      while (!found && j < m) {
+                        val pos = java.util.Arrays.binarySearch(
+                          b.docIds, lo(j), hi(j), doc)
+                        if (pos >= 0) { dl = b.dls(pos); found = true }
+                        j += 1
+                      }
+                      if (heap.offer(Bm25Index.round6(s), doc, dl, s)) {
+                        val t2 = if (heap.full) heap.threshold
+                          else Double.NegativeInfinity
+                        if (t2 != tHold) {
+                          tHold = t2
+                          ess = essFor(tHold)
+                          if (ess == 0) done = true
+                        }
+                      }
+                    }
+                  }
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        if (heaps.forall(_.size == 0)) Iterator.empty
+        else Iterator.single(Array.tabulate(nq)(qi => heaps(qi).toSortedArray))
+      }.collect()
+    Array.tabulate(nq) { qi =>
+      perShard.iterator.flatMap(_(qi)).toArray
+        .map { case (doc, dl, s) => (doc, dl, s, Bm25Index.round6(s)) }
+        .sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
+        .map { case (doc, dl, s, _) => (doc, dl, s) }
+    }
+  }
+
+  /** The pre-r8 exhaustive OR evaluation — every posting of every query
+    * term walked, LongMap accumulator over all matched docs. Kept as the
+    * PARITY BASELINE for the max-score path: Bm25WandSpec asserts
+    * [[topKBatch]] ≡ this on randomized corpora/term sets (with filters,
+    * tombstones, and multi-segment LSM chains), which is what makes the
+    * pruning provably exact rather than approximately right.
+    */
+  private[graft] def topKBatchExhaustive(queries: Seq[Seq[String]], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
+      : Array[Array[(Long, Long, Double)]] = {
+    if (queries.isEmpty) return Array.empty
+    if (k <= 0) return Array.fill(queries.length)(Array.empty)
+    val nq = queries.length
+    val qTerms: Array[Array[String]] =
+      queries.map(_.map(_.toLowerCase).distinct.toArray).toArray
+    if (docCount == 0) return Array.fill(nq)(Array.empty)
+    val n = docCount
+    val avg = avgDl
+    val tomb = tombstones // snapshot: one consistent view per batch
+    val perShard: Array[Array[Array[(Long, Long, Double)]]] =
+      blocks.mapPartitions { it =>
+        // acc value = (score, dl, admitted); admission decided ONCE, at
+        // first touch, against the doc's own segment
         val accs = Array.fill(nq)(collection.mutable.LongMap.empty[(Double, Long, Boolean)])
         it.foreach { b =>
           val pred: Int => Boolean =
@@ -157,8 +388,7 @@ final class Bm25Index private (
               val t = java.util.Arrays.binarySearch(
                 b.terms.asInstanceOf[Array[AnyRef]], terms(ti))
               if (t >= 0) {
-                val df = b.dfs(t) // GLOBAL df, denormalized at build/insert
-                // identical operand order as the q118 / q124 oracle expression
+                val df = b.dfs(t)
                 val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
                 var j = b.starts(t)
                 val until = b.starts(t + 1)
@@ -383,16 +613,104 @@ object Bm25Index {
   /** One document-shard segment of the inverted index: terms sorted with
     * their GLOBAL df; term i's postings are docIds/tfs/dls[starts(i)
     * until starts(i+1)], docId-ascending.
+    *
+    * `maxTfs`/`minDls` (parallel to `terms`) summarize each term's
+    * postings for the max-score bound: BM25's per-posting contribution is
+    * increasing in tf and decreasing in dl, so `idf × 2.2 × maxTf /
+    * (maxTf + K(minDl))` dominates every posting of the term. The pair is
+    * deliberately avgdl-INDEPENDENT — [[Bm25Index.insert]] advances
+    * (N, sumDl), so any bound folded with avgdl at pack time would go
+    * stale; these fold with the CURRENT avgdl at query time instead.
     */
   final case class PostingBlock(terms: Array[String], dfs: Array[Long],
       starts: Array[Int], docIds: Array[Long], tfs: Array[Int],
       dls: Array[Long],
       metaDocs: Array[Long] = Array.emptyLongArray,
-      meta: Map[String, MetaPredicate.Col] = Map.empty)
+      meta: Map[String, MetaPredicate.Col] = Map.empty,
+      maxTfs: Array[Int] = Array.emptyIntArray,
+      minDls: Array[Long] = Array.emptyLongArray)
 
   /** 6-dp HALF_UP — BigDecimal, exactly Spark's `round(col, 6)`. */
   private[graft] def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Fixed-k top-k accumulator for max-score evaluation: a 4-parallel-
+    * array binary min-heap ordered by the RANKING comparator — rounded
+    * score ascending, doc id descending — so the root is always the
+    * entry the next candidate must beat, and `threshold` (the k-th
+    * rounded score) is O(1). Replaces the exhaustive walk's LongMap-
+    * over-every-matched-doc accumulator.
+    */
+  private[graft] final class TopKHeap(k: Int) {
+    private val rs = new Array[Double](k)
+    private val docs = new Array[Long](k)
+    private val dls = new Array[Long](k)
+    private val ss = new Array[Double](k)
+    private var n = 0
+
+    def size: Int = n
+    def full: Boolean = n == k
+    /** k-th best ROUNDED score; only meaningful when [[full]]. */
+    def threshold: Double = rs(0)
+
+    // heap order: i precedes j when i is WORSE in the ranking
+    // (lower rounded score, or same score and larger doc id)
+    private def precedes(i: Int, j: Int): Boolean =
+      rs(i) < rs(j) || (rs(i) == rs(j) && docs(i) > docs(j))
+
+    private def swap(i: Int, j: Int): Unit = {
+      val r = rs(i); rs(i) = rs(j); rs(j) = r
+      val d = docs(i); docs(i) = docs(j); docs(j) = d
+      val l = dls(i); dls(i) = dls(j); dls(j) = l
+      val s = ss(i); ss(i) = ss(j); ss(j) = s
+    }
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && precedes(i, (i - 1) >> 1)) {
+        swap(i, (i - 1) >> 1)
+        i = (i - 1) >> 1
+      }
+    }
+
+    private def siftDown(): Unit = {
+      var i = 0
+      var go = true
+      while (go) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && precedes(l, m)) m = l
+        if (r < n && precedes(r, m)) m = r
+        if (m == i) go = false
+        else { swap(i, m); i = m }
+      }
+    }
+
+    /** Admit `(r, doc)` if it ranks above the current k-th entry (or the
+      * heap is not yet full). Returns whether the heap changed — i.e.
+      * whether the caller should re-read [[threshold]].
+      */
+    def offer(r: Double, doc: Long, dl: Long, s: Double): Boolean =
+      if (n < k) {
+        rs(n) = r; docs(n) = doc; dls(n) = dl; ss(n) = s
+        n += 1
+        siftUp(n - 1)
+        true
+      } else if (r > rs(0) || (r == rs(0) && doc < docs(0))) {
+        rs(0) = r; docs(0) = doc; dls(0) = dl; ss(0) = s
+        siftDown()
+        true
+      } else false
+
+    /** Contents as (doc, dl, rawScore), ranked best-first — the exact
+      * emission shape and order of the exhaustive walk's local top-k.
+      */
+    def toSortedArray: Array[(Long, Long, Double)] =
+      Array.tabulate(n)(i => (docs(i), dls(i), ss(i), rs(i)))
+        .sortBy { case (doc, _, _, r) => (-r, doc) }
+        .map { case (doc, dl, s, _) => (doc, dl, s) }
+  }
 
   /** Spark-side tokenizer — the single source of truth the build uses;
     * the oracle mirrors it in DuckDB (see class doc).
@@ -446,15 +764,23 @@ object Bm25Index {
       val docIds = new Array[Long](nPost)
       val tfs = new Array[Int](nPost)
       val dls = new Array[Long](nPost)
+      val maxTfs = new Array[Int](terms.length)
+      val minDls = new Array[Long](terms.length)
       var off = 0
       var i = 0
       while (i < terms.length) {
         starts(i) = off
         val ps = byTerm(terms(i)).sortBy(_._1)
         dfArr(i) = dfOf(terms(i), ps.head._2._4)
+        var mTf = 0
+        var mDl = Long.MaxValue
         ps.foreach { case (doc, (_, tf, dl, _, _)) =>
           docIds(off) = doc; tfs(off) = tf; dls(off) = dl; off += 1
+          if (tf > mTf) mTf = tf
+          if (dl < mDl) mDl = dl
         }
+        maxTfs(i) = mTf
+        minDls(i) = mDl
         i += 1
       }
       starts(terms.length) = off
@@ -470,7 +796,8 @@ object Bm25Index {
           }.toMap
           (perDoc.map(_._1), cols)
         }
-      Some(PostingBlock(terms, dfArr, starts, docIds, tfs, dls, metaDocs, meta))
+      Some(PostingBlock(terms, dfArr, starts, docIds, tfs, dls, metaDocs, meta,
+        maxTfs, minDls))
     }
   }
 
