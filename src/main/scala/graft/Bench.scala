@@ -84,8 +84,19 @@ object Bench {
     // Vectors staged fp32-PACKED (one BYTE_ARRAY per row, not LIST<FLOAT>):
     // same bits, same distances, but the scan decodes a single binary value
     // and the codegen loop walks it in place via Platform.getFloat.
+    // LOAD ROBUSTNESS (r7 verdict item 5): within-phase min-of-N reps
+    // cannot save a phase when a noisy neighbor sits on the box for the
+    // phase's whole duration (the r7 driver artifact recorded ingest at
+    // 39.7k and a 334.8 ms knn single-query purely from such a window,
+    // while all 15 builder runs cleared the budgets). So every RATE phase
+    // below is a def, measured in TWO temporally separated passes — the
+    // second in reverse order after all other phases, with every build
+    // already cached so it re-times only the serving/scan work — and the
+    // artifact reports the per-metric best (max for rates, min for
+    // latency). A neighbor now has to poison two windows minutes apart,
+    // on both sides of the battery, to move the gate number.
     val knnBatchQ = 64
-    val (knnScanVps, knnServedVps, knnSingleMs, knnFilteredVps) = try {
+    def knnPhase(): (Double, Double, Double, Double) = try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.graft.PackedVectorFunctions.{cosine_distance_packed, vec_pack, vec_unpack}
       val e = graft.Tables.embeddings(spark, sfDir)
@@ -179,13 +190,14 @@ object Bench {
         secServed * 1000,
         servedMeta.rows.toDouble * knnBatchQ / secFiltered)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+    val knn1 = knnPhase()
 
     // Lexical serving: posting-index BM25 qps on a ~200k-doc replicated
     // corpus (sf0.1 alone is 5k docs — too small for a serving number).
     // Build is one-off (a serving lifecycle cost, uncounted); the
     // measured number is per-query latency of Bm25Index.topK, which walks
     // only the probe terms' postings.
-    val (bm25Qps, bm25BatchQps, bm25InsertDps) = try {
+    def bm25Phase(): (Double, Double, Double) = try {
       import org.apache.spark.sql.functions._
       val docs = graft.Tables.documents(spark, sfDir)
       val nd = docs.count()
@@ -230,6 +242,7 @@ object Bench {
       batch.unpersist()
       (1.0 / sec, qs.length / secB, nb / insSec)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    val bm1 = bm25Phase()
 
     // IVF quality at this SF: recall@10 averaged over 5 queries, k scaled
     // ~sqrt(N) (128 at sf0.1), nprobe = k/4 -> 25% of the data probed = 4x
@@ -328,7 +341,7 @@ object Bench {
     // fraction on the same clustered corpus. Routing and beam reductions
     // multiply, and per-query work is O(nprobe x beam) independent of
     // corpus size.
-    val (graphRecall, graphFrac, graphQps, graphBatchQps) = try {
+    def graphPhase(): (Double, Double, Double, Double) = try {
       val n = 20000L; val c = 64
       val corpus = graft.ClusteredCorpus.df(spark, n, c).cache()
       val (model, indexed) = graft.operators.AnnIndex.fitCached(
@@ -363,9 +376,10 @@ object Bench {
       val sB = (1 to 5).map(_ => runB()).min
       (rs.map(_._1).sum / rs.size, rs.map(_._2).max, 1.0 / s1, qs16.length / sB)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+    val gr1 = graphPhase()
 
     // PQ ADC scan throughput: 2M 8-byte codes, per-row cost = 8 LUT adds.
-    val pqVps = try {
+    def pqPhase(): Double = try {
       import org.apache.spark.sql.functions._
       import graft.operators.PqIndex
       val e = graft.Tables.embeddings(spark, sfDir)
@@ -394,10 +408,11 @@ object Bench {
       val sec = (1 to 3).map(_ => run()).min
       total / sec
     } catch { case _: Throwable => -1.0 }
+    val pq1 = pqPhase()
 
     // BASELINE.md budget: parse->chunk->filter->id->embed >= 50 k chunks/s
     // (hash-embedder). Timed end-to-end including the embed stage.
-    val ingestCps = try {
+    def ingestPhase(): Double = try {
       import org.apache.spark.sql.functions._
       import graft.operators.Ingest
       // replicate the corpus to ~150 k chunks so per-chunk cost dominates
@@ -421,6 +436,36 @@ object Bench {
       }.min
       n / sec
     } catch { case _: Throwable => -1.0 }
+    val ing1 = ingestPhase()
+
+    // Second measurement pass, REVERSE order (see the load-robustness
+    // note above): every build/staging step is now cached, so each call
+    // re-times only the measured work. Reversing the order maximizes the
+    // temporal distance between a metric's two windows.
+    val ing2 = ingestPhase()
+    val pq2 = pqPhase()
+    val gr2 = graphPhase()
+    val bm2 = bm25Phase()
+    val knn2 = knnPhase()
+    def rate(a: Double, b: Double): Double = math.max(a, b)
+    def lat(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    val knnScanVps = rate(knn1._1, knn2._1)
+    val knnServedVps = rate(knn1._2, knn2._2)
+    val knnSingleMs = lat(knn1._3, knn2._3)
+    val knnFilteredVps = rate(knn1._4, knn2._4)
+    val bm25Qps = rate(bm1._1, bm2._1)
+    val bm25BatchQps = rate(bm1._2, bm2._2)
+    val bm25InsertDps = rate(bm1._3, bm2._3)
+    // recall/visited-fraction are quality numbers (identical both passes
+    // up to k-means seed reuse — the cached fit makes them equal); take
+    // the first non-error pass, and the serving rates like the others.
+    val (graphRecall, graphFrac) =
+      if (gr1._1 >= 0) (gr1._1, gr1._2) else (gr2._1, gr2._2)
+    val graphQps = rate(gr1._3, gr2._3)
+    val graphBatchQps = rate(gr1._4, gr2._4)
+    val pqVps = rate(pq1, pq2)
+    val ingestCps = rate(ing1, ing2)
 
     // Key semantics: knn_vectors_per_sec changed meaning in round 6 from
     // single-query serving rate to Q-batched throughput; knn_batch_vps is

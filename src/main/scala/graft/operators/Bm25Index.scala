@@ -811,15 +811,16 @@ object Bm25Index {
     * consistent across segments, and per-doc postings never span
     * segments, so the merge is a pure concatenation re-pack).
     *
-    * Metadata-pinned indexes refuse to save, like IvfGraph: durable
-    * filtered serving rebuilds the pinned structure from the source
-    * table (metaCols), which is also what keeps the artifact schema
-    * closed.
+    * Metadata-pinned indexes save their pinned columns too (r8; the r7
+    * refusal forced a restart of a filtered serving tier to re-tokenize
+    * the corpus): `meta/` holds one TYPED row per pinned doc, shard-
+    * partitioned like the postings, and `stats` carries the
+    * (name, kind) schema — timestamps as raw epoch-micro longs, lists
+    * as parquet arrays (see [[MetaPredicate.storageTypeOf]]) — so a
+    * reload re-packs the row gate columns without touching the source
+    * table.
     */
   def save(spark: SparkSession, ix: Bm25Index, path: String): Unit = {
-    require(ix.metaNames.isEmpty,
-      "save of a metadata-pinned index is not supported; durable serving " +
-        "rebuilds the filtered structure from the source table (metaCols)")
     import spark.implicits._
     val p = ix.blocksRdd.getNumPartitions
     ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
@@ -832,9 +833,33 @@ object Bm25Index {
       }
     }.toDF("shard", "term", "df", "doc_id", "tf", "dl")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
-    Seq((ix.docCount, ix.sumDl, p.toLong))
-      .toDF("doc_count", "sum_dl", "shards")
+    Seq((ix.docCount, ix.sumDl, p.toLong, ix.metaNames.toSeq, ix.metaKinds.toSeq))
+      .toDF("doc_count", "sum_dl", "shards", "meta_names", "meta_kinds")
       .write.mode("overwrite").parquet(s"$path/stats")
+    if (ix.metaNames.nonEmpty) {
+      val names = ix.metaNames
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false) +:
+          names.zip(ix.metaKinds).map { case (n, kd) =>
+            org.apache.spark.sql.types.StructField(
+              n, MetaPredicate.storageTypeOf(kd), nullable = false)
+          }.toSeq)
+      val rows = ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
+        it.flatMap { b =>
+          val cols = names.map(b.meta(_))
+          Iterator.tabulate(b.metaDocs.length) { i =>
+            org.apache.spark.sql.Row.fromSeq(
+              shard +: b.metaDocs(i) +:
+                cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
+          }
+        }
+      }
+      spark.createDataFrame(rows, schema)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/meta")
+    }
     ix.tombstoneSnapshot.toSeq.toDF("id")
       .write.mode("overwrite").parquet(s"$path/tombstones")
   }
@@ -849,7 +874,16 @@ object Bm25Index {
     */
   def load(spark: SparkSession, path: String): Bm25Index = {
     import spark.implicits._
-    val (nDocs, sumDl, p) = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.parquet(s"$path/stats")
+    // meta_names/meta_kinds absent on pre-r8 artifacts: meta-less layout
+    val (names, kinds) =
+      if (stats.schema.fieldNames.contains("meta_names"))
+        stats.select(col("meta_names"), col("meta_kinds"))
+          .as[(Seq[String], Seq[Int])].head() match {
+          case (n, k) => (n.toArray, k.toArray)
+        }
+      else (Array.empty[String], Array.empty[Int])
+    val (nDocs, sumDl, p) = stats
       .select(col("doc_count").cast("long"), col("sum_dl").cast("long"),
         col("shards").cast("int"))
       .as[(Long, Long, Int)].head()
@@ -862,13 +896,43 @@ object Bm25Index {
         // partition i % p — placement round-trips exactly
         (sh, (doc, (t, tf, dl, df, Array.empty[Any])))
       }.partitionBy(new HashPartitioner(p))
-    val blocks = keyed.mapPartitions({ it =>
-      packRows(it.map(_._2).toArray, Array.empty, Array.empty,
-        (_, embedded) => embedded).iterator
-    }, preservesPartitioning = true)
+    val blocks =
+      if (names.isEmpty)
+        keyed.mapPartitions({ it =>
+          packRows(it.map(_._2).toArray, Array.empty, Array.empty,
+            (_, embedded) => embedded).iterator
+        }, preservesPartitioning = true)
+      else {
+        // re-pack the pinned row-gate columns from the artifact — load
+        // still never touches the corpus: the meta rows ride the same
+        // shard keys, so this is a co-partitioned zip, no shuffle of the
+        // postings
+        val kindsB = kinds
+        val metaKeyed = spark.read.parquet(s"$path/meta")
+          .select((col("shard").cast("int") +: col("doc_id").cast("long") +:
+            names.map(col).toSeq): _*)
+          .rdd.map { row =>
+            val m = new Array[Any](kindsB.length)
+            var j = 0
+            while (j < kindsB.length) {
+              m(j) = MetaPredicate.readStored(row, 2 + j, kindsB(j))
+              j += 1
+            }
+            (row.getInt(0), (row.getLong(1), m))
+          }.partitionBy(new HashPartitioner(p))
+        val namesB = names
+        keyed.zipPartitions(metaKeyed, preservesPartitioning = true) { (pit, mit) =>
+          val byDoc = collection.mutable.LongMap.empty[Array[Any]]
+          mit.foreach { case (_, (doc, m)) => byDoc(doc) = m }
+          val rows = pit.map { case (_, (doc, (t, tf, dl, df, _))) =>
+            (doc, (t, tf, dl, df, byDoc(doc)))
+          }.toArray
+          packRows(rows, namesB, kindsB, (_, embedded) => embedded).iterator
+        }
+      }
     blocks.persist(StorageLevel.MEMORY_ONLY)
     val bytes = blockBytes(blocks)
-    val ix = new Bm25Index(blocks, nDocs, sumDl, Array.empty, Array.empty, bytes)
+    val ix = new Bm25Index(blocks, nDocs, sumDl, names, kinds, bytes)
     // tombstones/ absent on foreign layouts: nothing pending by definition
     try {
       val tomb = spark.read.parquet(s"$path/tombstones")

@@ -685,21 +685,55 @@ object IvfGraph {
     * cluster directory is the unit a serving executor loads.
     */
   def save(spark: SparkSession, g: IvfGraph, path: String): Unit = {
-    require(!g.hasMeta,
-      "save of a metadata-pinned index is not supported; durable serving " +
-        "rebuilds the filtered structure from the source table (metaCols)")
     import spark.implicits._
-    g.blocks.flatMap { case (cid, gr) =>
-      require(gr.meta.isEmpty,
-        "save of a metadata-pinned index is not supported; durable serving " +
-          "rebuilds the filtered structure from the source table (metaCols)")
+    // pinned metadata saves WITH the nodes (r8; the r7 refusal forced a
+    // restarted filtered tier to re-read the corpus): node rows carry the
+    // typed meta cells beside the adjacency, and `meta_schema/` records
+    // (ord, name, kind) so load re-packs the row-gate columns from the
+    // artifact alone. Names sort deterministically — the meta map is
+    // name-keyed, so bind order never depended on build order.
+    val nk: Array[(String, Int)] =
+      if (!g.hasMeta) Array.empty
+      else g.blocks.map { case (_, gr) =>
+        gr.meta.toArray.sortBy(_._1)
+          .map { case (n, c) => (n, MetaPredicate.kindOfCol(c)) }
+      }.first()
+    val names = nk.map(_._1)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("nbrs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false),
+          nullable = false)) ++
+        nk.map { case (n, kd) =>
+          org.apache.spark.sql.types.StructField(
+            n, MetaPredicate.storageTypeOf(kd), nullable = false)
+        })
+    val nodeRows = g.blocks.flatMap { case (cid, gr) =>
+      val cols = names.map(gr.meta(_))
       Iterator.tabulate(gr.ids.length) { i =>
         val v = new Array[Float](gr.dim)
         System.arraycopy(gr.vecs, i * gr.dim, v, 0, gr.dim)
-        (cid, i, gr.ids(i), v, gr.nbrs(i))
+        org.apache.spark.sql.Row.fromSeq(
+          cid +: i +: gr.ids(i) +: v.toSeq +: gr.nbrs(i).toSeq +:
+            cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
       }
-    }.toDF("cluster_id", "pos", "id", "vec", "nbrs")
+    }
+    spark.createDataFrame(nodeRows, schema)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/nodes")
+    nk.zipWithIndex.map { case ((n, kd), ord) => (ord, n, kd) }.toSeq
+      .toDF("ord", "name", "kind")
+      .write.mode("overwrite").parquet(s"$path/meta_schema")
     g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("centroid_id", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -722,11 +756,28 @@ object IvfGraph {
       spark.read.parquet(s"$path/centroids").orderBy("centroid_id")
         .select("centroid").as[Array[Double]].collect())
     val k = model.centroids.length
+    // meta_schema/ absent on pre-r8 layouts: meta-less by definition
+    val nk: Array[(String, Int)] =
+      try spark.read.parquet(s"$path/meta_schema").orderBy("ord")
+        .select(col("name"), col("kind").cast("int"))
+        .as[(String, Int)].collect()
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
+    val names = nk.map(_._1)
+    val kinds = nk.map(_._2)
     val keyed = spark.read.parquet(s"$path/nodes")
-      .select(col("cluster_id").cast("int"), col("pos").cast("int"),
-        col("id").cast("long"), col("vec"), col("nbrs"))
-      .as[(Int, Int, Long, Array[Float], Array[Int])]
-      .rdd.map { case (cid, pos, id, v, nb) => (cid, (pos, id, v, nb)) }
+      .select((col("cluster_id").cast("int") +: col("pos").cast("int") +:
+        col("id").cast("long") +: col("vec") +: col("nbrs") +:
+        names.map(col).toSeq): _*)
+      .rdd.map { row =>
+        val m = new Array[Any](kinds.length)
+        var j = 0
+        while (j < kinds.length) {
+          m(j) = MetaPredicate.readStored(row, 5 + j, kinds(j))
+          j += 1
+        }
+        (row.getInt(0), (row.getInt(1), row.getLong(2),
+          row.getSeq[Float](3).toArray, row.getSeq[Int](4).toArray, m))
+      }
       .partitionBy(new org.apache.spark.HashPartitioner(k))
     val blocks = keyed.mapPartitions({ it =>
       it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
@@ -738,7 +789,7 @@ object IvfGraph {
         val nbrs = new Array[Array[Int]](n)
         var i = 0
         while (i < n) {
-          val (pos, id, v, nb) = sorted(i)
+          val (pos, id, v, nb, _) = sorted(i)
           require(pos == i, s"hole at node $i of cluster $cid")
           require(v.length == dim, "ragged vector")
           ids(i) = id
@@ -746,7 +797,12 @@ object IvfGraph {
           nbrs(i) = nb
           i += 1
         }
-        (cid, GraphAnn.Graph(ids, vecs, dim, nbrs))
+        val meta =
+          if (names.isEmpty) Map.empty[String, MetaPredicate.Col]
+          else names.indices.map { j =>
+            names(j) -> MetaPredicate.packCol(kinds(j), sorted.map(_._5(j)))
+          }.toMap
+        (cid, GraphAnn.Graph(ids, vecs, dim, nbrs, meta))
       }
     }, preservesPartitioning = true)
     val loaded = fromBlocks(model, blocks)

@@ -346,6 +346,49 @@ object MetaPredicate {
       4L * starts.length + 8L * values.length
   }
 
+  /** Parquet storage type for a pinned kind in a DURABLE artifact.
+    * Timestamps persist as their raw epoch-micro longs — the kind,
+    * saved beside the data, restores the [[TimeCol]] flavor (incl. the
+    * ntz flag) at load, so the artifact itself is zone-free: no
+    * session-timezone conversion happens on either side of the disk.
+    */
+  private[operators] def storageTypeOf(kind: Int): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    kind match {
+      case 0 | 4 | 5 => LongType
+      case 1         => DoubleType
+      case 2         => StringType
+      case 3         => BooleanType
+      case 6         => ArrayType(StringType, containsNull = false)
+      case 7         => ArrayType(LongType, containsNull = false)
+    }
+  }
+
+  /** Row i of a packed [[Col]] as its storage representation ([[valueAt]]
+    * with arrays re-shaped to the Seq a Row cell wants; slices come out
+    * sorted, so the artifact round-trips the binary-searchable layout).
+    */
+  private[operators] def storedValueAt(c: Col, i: Int): Any = valueAt(c, i) match {
+    case a: Array[String] => a.toSeq
+    case a: Array[Long]   => a.toSeq
+    case v                => v
+  }
+
+  /** Inverse of [[storedValueAt]]: a stored artifact cell back to the
+    * widened in-memory value [[packCol]] expects. No re-sort — the saved
+    * slices were sorted (see [[storedValueAt]]) and parquet preserves
+    * element order.
+    */
+  private[operators] def readStored(row: org.apache.spark.sql.Row, idx: Int,
+      kind: Int): Any = kind match {
+    case 0 | 4 | 5 => row.get(idx).asInstanceOf[Number].longValue()
+    case 1 => row.get(idx).asInstanceOf[Number].doubleValue()
+    case 2 => row.getString(idx)
+    case 3 => row.getBoolean(idx)
+    case 6 => row.getSeq[String](idx).toArray
+    case 7 => row.getSeq[Any](idx).iterator.map(_.asInstanceOf[Number].longValue()).toArray
+  }
+
   /** SQL LIKE → anchored regex: `%` → `.*`, `_` → `.`, everything else
     * literal (no escape-char support — document-store metadata patterns
     * don't use it; the DataFrame path has full LIKE).

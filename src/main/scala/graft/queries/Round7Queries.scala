@@ -632,20 +632,20 @@ object Round7Queries {
   })
 
   /** Shared lexical probe terms (q124/q125). */
-  private lazy val bmTerms = Seq("query", "scan", "data")
+  private[queries] lazy val bmTerms = Seq("query", "scan", "data")
 
   /** Tokenized tf for term `t` — the DuckDB mirror of
     * [[Bm25Index.tokens]]: lowercase, split on non-alphanumerics, count
     * exact token matches.
     */
-  private def tokTfSql(t: String): String =
+  private[queries] def tokTfSql(t: String): String =
     s"CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x = '$t')) AS BIGINT)"
 
   /** base + stats CTEs shared by q124/q125 (q118's shape with the real
     * tokenizer; every literal CAST to DOUBLE per the cross-engine
     * exactness rules in Round6Queries).
     */
-  private lazy val bmWith: String = {
+  private[queries] lazy val bmWith: String = {
     val tfCols = bmTerms.zipWithIndex
       .map { case (t, i) => s"${tokTfSql(t)} AS tf$i" }.mkString(", ")
     val dfCols = bmTerms.indices
@@ -664,7 +664,7 @@ object Round7Queries {
       )"""
   }
 
-  private lazy val bmScore: String = bmTerms.indices.map { i =>
+  private[queries] lazy val bmScore: String = bmTerms.indices.map { i =>
     s"""ln((n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
        * (tf$i * CAST(2.2 AS DOUBLE))
        / (tf$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"""

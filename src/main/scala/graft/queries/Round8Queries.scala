@@ -131,6 +131,68 @@ object Round8Queries {
         .orderBy(col("dist"), col("vec_id"))
         .select(col("vec_id"), col("pub"), col("lang"),
           round(col("dist"), 6).as("dist"))
+    }, Some(timeMetaOracle)),
+
+    // ---- DURABLE filtered serving, lexical leg (r7 verdict item 3) ----
+    // A metadata-pinned Bm25Index saves its row-gate columns with the
+    // postings (typed parquet under meta/), and the reload — which takes
+    // ONLY the artifact path, so it cannot re-tokenize or re-pack meta
+    // from the corpus — serves the same filtered query hash-exact. The
+    // r7 behavior (refuse to save when pinned, forcing a restarted
+    // filtered tier to re-read the source table) is retired.
+    QueryDef("q147_bm25_durable_filtered", (s, dir) => {
+      import graft.operators.{AnnIndex, Bm25Index}
+      val node: SelfQueryFilter.Node = SelfQueryFilter.And.of(
+        SelfQueryFilter.Eq("lang", SelfQueryFilter.S("en")),
+        SelfQueryFilter.Gt("n_chars", SelfQueryFilter.I(150)))
+      val ix = Bm25Index.build(Tables.documents(s, dir), "doc_id", "text",
+        metaCols = Seq("lang", "n_chars"))
+      val path = AnnIndex.tmpRoot + "/bm25_durable_meta_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Bm25Index.save(s, ix, path)
+      ix.unpersist()
+      val loaded = Bm25Index.load(s, path)
+      try loaded.topKDF(s, Round7Queries.bmTerms, 20, Some(node))
+      finally loaded.unpersist()
+    }, Some(s"""
+      ${Round7Queries.bmWith}
+      SELECT b.doc_id, dl, round(${Round7Queries.bmScore}, 6) AS bm25
+      FROM base b CROSS JOIN stats
+      JOIN documents dd ON b.doc_id = dd.doc_id
+      WHERE tf0 + tf1 + tf2 > 0 AND (dd.lang = 'en' AND dd.n_chars > 150)
+      ORDER BY bm25 DESC, b.doc_id
+      LIMIT 20""")),
+
+    // ---- DURABLE filtered serving, graph leg ----
+    // The routed structure (IVF routing × per-cluster NSW) with pubdate +
+    // authors pinned: save persists the typed meta cells beside each
+    // node's adjacency plus a (name, kind) schema, load re-packs the row
+    // gate from the artifact alone, and the reloaded index serves the
+    // realistic self-query predicate hash-exact (nprobe = all clusters +
+    // full ef ⇒ exhaustive within the filter, q115's exactness recipe).
+    QueryDef("q148_graph_durable_filtered", (s, dir) => {
+      import graft.operators.{AnnIndex, IvfGraph}
+      val c = corpus(s, dir)
+      val req = SelfQueryParser.parseRequest(wire)
+      val (model, indexed) = AnnIndex.fit(c, "embedding", "vec_id", k = 8, iters = 2)
+      val g = IvfGraph.build(indexed, model, "vec_id", "embedding",
+        metaCols = Seq("pubdate", "authors"))
+      val path = AnnIndex.tmpRoot + "/graph_durable_meta_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      IvfGraph.save(s, g, path)
+      g.unpersist()
+      val loaded = IvfGraph.load(s, path)
+      try {
+        val qv = HashEmbedder.embed(req.query)
+        loaded.topKDF(s, qv, 10, nprobe = loaded.nClusters,
+          ef = loaded.rows.toInt, filter = req.filter)
+          .join(c.select(col("vec_id"),
+            date_format(col("pubdate"), "yyyy-MM-dd").as("pub"), col("lang")),
+            Seq("vec_id"))
+          .orderBy(col("dist"), col("vec_id"))
+          .select(col("vec_id"), col("pub"), col("lang"),
+            round(col("dist"), 6).as("dist"))
+      } finally loaded.unpersist()
     }, Some(timeMetaOracle))
   )
 }

@@ -302,7 +302,7 @@ class Bm25IndexSpec extends AnyFunSuite {
     } finally { loaded.unpersist(); ix.unpersist() }
   }
 
-  test("tombstones persist through save/load; meta-pinned indexes refuse to save") {
+  test("tombstones persist through save/load; pinned meta round-trips durably") {
     import graft.operators.AnnIndex
     val ix = Bm25Index.build(docs.filter(col("doc_id") < 300), "doc_id", "text", 4)
     val victim = ix.topK(Seq("query"), 1).head._1
@@ -316,12 +316,30 @@ class Bm25IndexSpec extends AnyFunSuite {
       loaded.clearDeletes()
       assert(loaded.topK(Seq("query"), 10).exists(_._1 == victim))
     } finally { loaded.unpersist(); ix.unpersist() }
+    // durable FILTERED serving (r8): a pinned index saves its meta
+    // columns and a reload serves the same filtered results without ever
+    // seeing the corpus — load takes only the artifact path, so "no
+    // re-tokenize / no meta re-pack from source" holds by construction;
+    // this asserts the serving equivalence and the restored schema
+    import graft.operators.{SelfQueryFilter => F}
     val pinned = Bm25Index.build(docs.filter(col("doc_id") < 100),
-      "doc_id", "text", 2, metaCols = Seq("lang"))
+      "doc_id", "text", 2, metaCols = Seq("lang", "n_chars"))
     try {
-      val ex = intercept[IllegalArgumentException](
-        Bm25Index.save(spark, pinned, AnnIndex.tmpRoot + "/bm25_spec_refuse"))
-      assert(ex.getMessage.contains("metadata-pinned"))
+      val path2 = AnnIndex.tmpRoot + "/bm25_spec_pinned"
+      Bm25Index.save(spark, pinned, path2)
+      val lp = Bm25Index.load(spark, path2)
+      try {
+        assert(lp.metaNames.toSeq == pinned.metaNames.toSeq)
+        assert(lp.metaKinds.toSeq == pinned.metaKinds.toSeq)
+        val node: F.Node =
+          F.And.of(F.Eq("lang", F.S("en")), F.Gt("n_chars", F.I(150)))
+        close(lp.topK(Seq("query", "data"), 15, Some(node)).toSeq,
+          pinned.topK(Seq("query", "data"), 15, Some(node)).toSeq)
+        // and the filtered loaded index still honors fresh tombstones
+        val hit = lp.topK(Seq("query", "data"), 1, Some(node)).head._1
+        lp.delete(Seq(hit))
+        assert(!lp.topK(Seq("query", "data"), 15, Some(node)).exists(_._1 == hit))
+      } finally lp.unpersist()
     } finally pinned.unpersist()
   }
 }

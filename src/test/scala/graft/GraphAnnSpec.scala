@@ -377,9 +377,25 @@ class GraphAnnSpec extends AnyFunSuite {
       assert(messageChain(eIns).contains("not supported"))
       val eRem = intercept[Exception](IvfGraph.remove(g, Seq(1L)))
       assert(messageChain(eRem).contains("not supported"))
-      val eSave = intercept[Exception](
-        IvfGraph.save(spark0, g, AnnIndex.tmpRoot + "/meta_refuse"))
-      assert(messageChain(eSave).contains("not supported"))
+
+      // save no longer refuses pinned meta (r8): the artifact carries the
+      // typed meta cells + schema, and a reload — which takes only the
+      // path, so it cannot re-read the corpus — serves the same filtered
+      // results THROUGH the carried tombstones, with the meta schema and
+      // per-node values restored bit-equal
+      val path = AnnIndex.tmpRoot + "/meta_durable"
+      IvfGraph.save(spark0, g, path)
+      val loaded = IvfGraph.load(spark0, path)
+      try {
+        assert(loaded.deletedCount == g.deletedCount)
+        val (gotL, _) = loaded.topK(q, 10, nprobe = 6, ef = 600, Some(node))
+        assert(gotL.toSeq == got.toSeq)
+        // a different predicate binds against the restored columns too
+        val node2: F.Node = F.Ne("true_cluster", F.I(t))
+        val (a, _) = g.topK(q, 10, nprobe = 6, ef = 600, Some(node2))
+        val (b, _) = loaded.topK(q, 10, nprobe = 6, ef = 600, Some(node2))
+        assert(a.toSeq == b.toSeq)
+      } finally loaded.unpersist()
     } finally g.unpersist()
   }
 
