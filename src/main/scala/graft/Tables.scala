@@ -27,22 +27,46 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects outright; read nanos as long and floor-div to microseconds.
-    * DuckDB truncates ns→µs at read time the same way, so oracle parity
-    * holds (ties included).
+  /** `events.parquet` has shipped with two `ts` encodings across testdata
+    * generations: TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    * unless read as a raw long (`nanosAsLong`), and native TIMESTAMP
+    * micros without a zone, which Spark reads as TIMESTAMP_NTZ. The repo's
+    * contract is session-timezone TimestampType under a pinned UTC session
+    * ([[GraftSession]]), so both encodings normalize to the same
+    * epoch-microsecond values, and DuckDB — which truncates ns→µs on the
+    * legacy file and reads the native file as naive TIMESTAMP — agrees on
+    * either, ties included. [[normalizeTs]] dispatches on the LOADED
+    * schema so the reader survives either generation of the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Align an events frame's `ts` to session-timezone TimestampType
+    * regardless of parquet encoding: legacy nanos-as-long gets the
+    * floor-div to micros; TIMESTAMP_NTZ is cast (identity on the stored
+    * micros under the pinned UTC session); TimestampType passes through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all tables as temp views so `spark.sql` text queries (the
     * Vector-SQL surface, SURVEY.md §3 EP1) can reference them by name.
+    * `events` goes through its typed loader so the view carries the
+    * normalized session-timezone `ts`.
     */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, sfDir).createOrReplaceTempView("events")
+      case n        => load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
 }

@@ -18,19 +18,10 @@ import graft.queries.QueryDef.dec
   */
 object EventsStream {
 
-  /** Schema of events.parquet with ts pre-converted from nanos (see
-    * [[graft.Tables.events]]) — streaming readers need it declared.
+  /** Normalize a raw events frame (either `ts` encoding — see
+    * [[graft.Tables.normalizeTs]]) to the session-timezone contract.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def fromRaw(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def fromRaw(df: DataFrame): DataFrame = graft.Tables.normalizeTs(df)
 
   /** Tumbling 1 h windows: count + exact decimal sum per (window, type). */
   def tumbling(events: DataFrame): DataFrame =
@@ -196,10 +187,14 @@ object EventsStream {
 
   /** Open a file-based stream over a directory containing events parquet
     * (maxFilesPerTrigger=1 so multiple files arrive as micro-batches).
+    * Streaming readers need a declared schema; probe it with a one-off
+    * batch read of the same directory (footer-only, no data scan) so the
+    * stream survives either `ts` encoding the testdata has shipped with.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fromRaw(spark.readStream.schema(rawSchema)
+    val probed: StructType = spark.read.parquet(dir).schema
+    fromRaw(spark.readStream.schema(probed)
       .option("maxFilesPerTrigger", "1").parquet(dir))
   }
 }
