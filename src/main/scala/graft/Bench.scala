@@ -54,21 +54,27 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    // Pass 2, MEASURED: steady-state per-query latency.
+    // Pass 2, MEASURED: steady-state per-query latency. A query that
+    // THROWS records an error marker, not its time-to-failure: BENCH_r08
+    // recorded ~60 ms analysis-bail walls for 8 broken events queries that
+    // read as 4-8x speedups until cross-checked against CORRECTNESS (r8
+    // verdict "wrong" #2). Errors are reported as "err" in the per-query
+    // map and excluded from `total`, with an `errors` count beside it.
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     Thread.sleep(500) // let the async listener bus drain the last tasks
     spark.sparkContext.removeSparkListener(listener)
     // Key by the short "qNN" prefix and round to ms: the driver captures only
     // a bounded tail of stdout, and round 1's full-name/full-precision line
     // (~2.9 KB) was truncated past its buffer → BENCH_r01 "parsed": null.
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok) (math.rint(v * 1000) / 1000).toString else "\"err\"")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v, true) => v }.sum
+    val errCount = results.count(!_._3)
 
     // Between-batteries reset: the query pass above built whatever indexes
     // its queries cache; the throughput batteries below must measure
@@ -473,7 +479,7 @@ object Bench {
     // batch size, and knn_single_query_ms the single-query latency —
     // artifacts from round 7 on are self-describing.
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"graph_qps":${math.rint(graphQps * 10) / 10},"graph_batch_qps":${math.rint(graphBatchQps * 10) / 10},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errCount,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"graph_qps":${math.rint(graphQps * 10) / 10},"graph_batch_qps":${math.rint(graphBatchQps * 10) / 10},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

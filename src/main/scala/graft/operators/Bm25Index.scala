@@ -211,7 +211,35 @@ final class Bm25Index private (
               }
               ti += 1
             }
-            if (m > 0) {
+            if (m == 1) {
+              // SINGLE-TERM fast path: one posting list, one contribution
+              // per doc, s == the contribution exactly (re-summing one
+              // term is the term), so neither the frontier/epoch
+              // machinery nor the max-score split buys anything — and a
+              // single COMMON term is precisely where the DAAT loop's
+              // per-candidate constant lost to the plain walk (LexBench
+              // r9: common1 5.2 qps pruned vs 33.1 exhaustive). The
+              // threshold gate keeps the same 1e-6-rounding-step
+              // exactness argument; scores/ties are IEEE-identical to
+              // both other paths.
+              var p = lo(0)
+              val until = hi(0)
+              var tHold1 =
+                if (heap.full) heap.threshold else Double.NegativeInfinity
+              while (p < until) {
+                val doc = b.docIds(p)
+                val tf = b.tfs(p)
+                val dl = b.dls(p)
+                val c = idf(0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+                if ((tHold1 == Double.NegativeInfinity || c >= tHold1 - 1e-6)
+                    && admit(doc)) {
+                  if (heap.offer(Bm25Index.round6(c), doc, dl, c))
+                    tHold1 =
+                      if (heap.full) heap.threshold else Double.NegativeInfinity
+                }
+                p += 1
+              }
+            } else if (m > 0) {
               // sort resolved terms by bound DESCENDING (insertion sort —
               // m is query-term count, single digits)
               var a = 1
@@ -261,6 +289,7 @@ final class Bm25Index private (
                   epoch += 1
                   val ok = admit(doc)
                   var partial = 0.0
+                  var dlHit = 0L // any posting of `doc` carries the same dl
                   j = 0
                   while (j < ess) {
                     if (ptr(j) < hi(j) && b.docIds(ptr(j)) == doc) {
@@ -271,6 +300,7 @@ final class Bm25Index private (
                         val c = idf(j) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
                         con(orig(j)) = c; stamp(orig(j)) = epoch
                         partial += c
+                        dlHit = dl
                       }
                       ptr(j) += 1
                     }
@@ -291,34 +321,34 @@ final class Bm25Index private (
                           val c = idf(j) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
                           con(orig(j)) = c; stamp(orig(j)) = epoch
                           partial += c
+                          dlHit = dl
                         }
                         j += 1
                       }
                     }
+                    // FINAL competitiveness gate (same 1e-6-rounding-step
+                    // argument as the probe abandon above): a full heap
+                    // rejects any doc whose rounded score is below the
+                    // k-th — checking `partial` here (|s − partial| is
+                    // summation-order ulps, dwarfed by the 1e-6 margin)
+                    // skips the re-sum and heap work for every
+                    // non-competitive candidate. Without it, a common-term
+                    // query paid the whole emission path per posting
+                    // (LexBench r9: common1 5.2 qps pruned vs 33.1
+                    // exhaustive was exactly this).
+                    if (alive && heap.full && partial < tHold - 1e-6)
+                      alive = false
                     if (alive) {
                       // IEEE-exact score: re-sum in original query-term
                       // order (absent terms contribute exactly 0.0 — the
                       // class-doc skip identity)
                       var s = 0.0
-                      var dl = 0L
                       var p = 0
                       while (p < terms.length) {
                         if (stamp(p) == epoch) s += con(p)
                         p += 1
                       }
-                      // dl: from any found posting (all of a doc's
-                      // postings carry the same dl); probe the essential
-                      // hit first, else the binary-searched one — cheapest
-                      // is to re-find one occurrence
-                      j = 0
-                      var found = false
-                      while (!found && j < m) {
-                        val pos = java.util.Arrays.binarySearch(
-                          b.docIds, lo(j), hi(j), doc)
-                        if (pos >= 0) { dl = b.dls(pos); found = true }
-                        j += 1
-                      }
-                      if (heap.offer(Bm25Index.round6(s), doc, dl, s)) {
+                      if (heap.offer(Bm25Index.round6(s), doc, dlHit, s)) {
                         val t2 = if (heap.full) heap.threshold
                           else Double.NegativeInfinity
                         if (t2 != tHold) {
