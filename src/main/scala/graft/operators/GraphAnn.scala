@@ -125,6 +125,125 @@ final class GraphAnn private (
     topK(q, k, ef, filter)._1.toSeq.toDF("vec_id", "dist")
   }
 
+  /** Memoized selectivity estimates per (filter AST, tombstone count) —
+    * serving workloads repeat filters, so the one-task estimate job runs
+    * once per distinct predicate, not once per query. Bounded (64).
+    */
+  private val selCache =
+    new java.util.LinkedHashMap[(SelfQueryFilter.Node, Int), java.lang.Double](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SelfQueryFilter.Node, Int), java.lang.Double]): Boolean =
+        size() > 64
+    }
+
+  /** Survivor fraction of `filter` (AND not-tombstoned), measured EXACTLY
+    * on the FIRST block only — one task over pinned meta, no distance
+    * math, no full-corpus pass. Blocks are hash-partitioned so one block
+    * is an unbiased sample; an empty first block returns 1.0 (unknown →
+    * beam, the structure's native path).
+    */
+  def estimateSelectivity(filter: SelfQueryFilter.Node): Double = {
+    val tomb = tombstones
+    val key = (filter, tomb.length)
+    selCache.synchronized {
+      val hit = selCache.get(key)
+      if (hit != null) return hit.doubleValue
+    }
+    val fOpt = Some(filter)
+    val counts = blocks.sparkContext.runJob(blocks,
+      (it: Iterator[GraphAnn.Graph]) => {
+        var pass = 0L
+        var total = 0L
+        it.foreach { g =>
+          val gate = GraphAnn.resultGate(g, fOpt, tomb)
+          val n = g.ids.length
+          var i = 0
+          while (i < n) {
+            if (gate == null || gate(i)) pass += 1
+            i += 1
+          }
+          total += n
+        }
+        (pass, total)
+      }, Seq(0))
+    val (p, t) = counts.head
+    val sel = if (t == 0) 1.0 else p.toDouble / t
+    selCache.synchronized { selCache.put(key, java.lang.Double.valueOf(sel)) }
+    sel
+  }
+
+  /** EXACT filtered brute force over the graph's own pinned blocks —
+    * [[PackedScan]] semantics (filter-before-distance, survivors only
+    * pay the kernel) on the graph storage, no second pinned structure.
+    * Returned `visited` counts DISTANCES COMPUTED (= survivors), the
+    * comparable cost metric to the beam's nodes-visited.
+    */
+  def topKBatchBrute(qs: Array[Array[Float]], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
+      : (Array[Array[(Long, Double)]], Long) = {
+    if (qs.isEmpty) return (Array.empty, 0L)
+    if (k <= 0) return (Array.fill(qs.length)(Array.empty), 0L)
+    val nq = qs.length
+    val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
+    val tomb = tombstones
+    val perPart = blocks.mapPartitions { it =>
+      it.map { g =>
+        val gate = GraphAnn.resultGate(g, filter, tomb)
+        // survivor index set ONCE per block, shared by the whole batch
+        val sb = new scala.collection.mutable.ArrayBuilder.ofInt
+        val n = g.ids.length
+        var i = 0
+        while (i < n) {
+          if (gate == null || gate(i)) sb += i
+          i += 1
+        }
+        val surv = sb.result()
+        (surv.length.toLong,
+          Array.tabulate(nq)(qi =>
+            GraphAnn.bruteOverSurvivors(g, surv, qs(qi), qnorms(qi), k)))
+      }
+    }.collect()
+    val visited = perPart.iterator.map(_._1 * nq).sum
+    val out = Array.tabulate(nq) { qi =>
+      perPart.iterator.flatMap(_._2(qi))
+        .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+    }
+    (out, visited)
+  }
+
+  /** SELECTIVITY-DISPATCHED filtered search — the engine chooses (r7/r8
+    * verdict item): at very low selectivity the filtered beam degrades
+    * toward full traversal (the admission gate stays open, [[GraphAnn
+    * .beam]] doc) while the brute path touches survivors only, so below
+    * `bruteBelow` the brute force IS the right plan, and it is EXACT
+    * over survivors — strictly better than a degraded beam. Above it,
+    * the beam's sub-linear visit fraction wins. Returns (results,
+    * visited, usedBrute). Unfiltered queries always beam. The crossover
+    * default comes from AnnDispatchBench (PLANS.md §dispatch).
+    */
+  def topKBatchAuto(qs: Array[Array[Float]], k: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None,
+      bruteBelow: Double = GraphAnn.DefaultBruteBelow)
+      : (Array[Array[(Long, Double)]], Long, Boolean) = {
+    val brute = filter.isDefined && estimateSelectivity(filter.get) < bruteBelow
+    if (brute) {
+      val (r, v) = topKBatchBrute(qs, k, filter)
+      (r, v, true)
+    } else {
+      val (r, v) = topKBatch(qs, k, ef, filter)
+      (r, v, false)
+    }
+  }
+
+  /** Single-query [[topKBatchAuto]]. */
+  def topKAuto(q: Array[Float], k: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None,
+      bruteBelow: Double = GraphAnn.DefaultBruteBelow)
+      : (Array[(Long, Double)], Long, Boolean) = {
+    val (r, v, b) = topKBatchAuto(Array(q), k, ef, filter, bruteBelow)
+    (r.head, v, b)
+  }
+
   def unpersist(): Unit = blocks.unpersist()
 }
 
@@ -467,6 +586,44 @@ object GraphAnn {
     (found.map { case (idx, d) => (g.ids(idx), d) }, visited)
   }
 
+  /** Dispatch crossover: below this survivor fraction, filtered search
+    * brute-forces the survivors instead of beam-searching the graph.
+    * Measured by AnnDispatchBench (PLANS.md §dispatch, 100k vectors /
+    * 12.5k-node blocks): the beam degrades to visiting ~100% of nodes
+    * at 0.1-0.5% selectivity (0.16-0.17x brute) and only beats brute
+    * above ~50% on that corpus. The default is nonetheless 5%, the
+    * SCALE-robust choice: brute pays an O(block-rows) gate pass per
+    * query while the beam's visit count is threshold-limited and
+    * roughly block-size-independent, so the crossover selectivity
+    * FALLS as blocks grow — a small-corpus-tuned 25-50% threshold
+    * would brute-force mid-selectivity queries that a big block serves
+    * far cheaper by beam. Callers with known block sizing can pass
+    * their own `bruteBelow`.
+    */
+  val DefaultBruteBelow: Double = 0.05
+
+  /** Exact top-k over one block's pre-computed survivor indices — the
+    * per-(block, query) kernel of [[GraphAnn!.topKBatchBrute]]. Same
+    * [[VectorKernels.cosineStrided]] reduction and (dist, id) tie order
+    * as the beam, so full-ef beam ≡ brute, bit-identical.
+    */
+  private[operators] def bruteOverSurvivors(g: Graph, surv: Array[Int],
+      q: Array[Float], qnorm: Double, k: Int): Array[(Long, Double)] = {
+    implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    var s = 0
+    while (s < surv.length) {
+      val i = surv(s)
+      val d = VectorKernels.cosineStrided(g.vecs, i * g.dim, g.dim, q, qnorm)
+      val e = (d, g.ids(i))
+      if (heap.size < k) heap.enqueue(e)
+      else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+      s += 1
+    }
+    val drained: Seq[(Double, Long)] = heap.dequeueAll
+    drained.reverse.map { case (d, id) => (id, d) }.toArray
+  }
+
   /** Compose the serve-time result gate for one graph block: the bound
     * [[MetaPredicate]] (if a filter is set) AND not-tombstoned (if any).
     * Returns null when neither applies — the unfiltered fast path.
@@ -589,6 +746,117 @@ final class IvfGraph private (
       ef: Int, filter: Option[SelfQueryFilter.Node] = None): DataFrame = {
     import spark.implicits._
     topK(q, k, nprobe, ef, filter)._1.toSeq.toDF("vec_id", "dist")
+  }
+
+  /** Memoized selectivity per (filter AST, tombstone count) — see
+    * [[GraphAnn!.estimateSelectivity]]; one task over partition 0's
+    * cluster graphs (hash-spread clusters ⇒ unbiased sample).
+    */
+  private val selCache =
+    new java.util.LinkedHashMap[(SelfQueryFilter.Node, Int), java.lang.Double](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SelfQueryFilter.Node, Int), java.lang.Double]): Boolean =
+        size() > 64
+    }
+
+  /** Survivor fraction of `filter` (AND not-tombstoned) from partition
+    * 0's pinned meta only — one task, no distances. Empty ⇒ 1.0.
+    */
+  def estimateSelectivity(filter: SelfQueryFilter.Node): Double = {
+    val tomb = tombstones
+    val key = (filter, tomb.length)
+    selCache.synchronized {
+      val hit = selCache.get(key)
+      if (hit != null) return hit.doubleValue
+    }
+    val fOpt = Some(filter)
+    val counts = blocks.sparkContext.runJob(blocks,
+      (it: Iterator[(Int, GraphAnn.Graph)]) => {
+        var pass = 0L
+        var total = 0L
+        it.foreach { case (_, g) =>
+          val gate = GraphAnn.resultGate(g, fOpt, tomb)
+          val n = g.ids.length
+          var i = 0
+          while (i < n) {
+            if (gate == null || gate(i)) pass += 1
+            i += 1
+          }
+          total += n
+        }
+        (pass, total)
+      }, Seq(0))
+    val (p, t) = counts.head
+    val sel = if (t == 0) 1.0 else p.toDouble / t
+    selCache.synchronized { selCache.put(key, java.lang.Double.valueOf(sel)) }
+    sel
+  }
+
+  /** EXACT filtered brute force over ALL pinned cluster graphs — routing
+    * is ignored on purpose: scarce survivors may live in clusters the
+    * query would not route to, and the whole point of the brute path is
+    * that at very low selectivity the filter IS the index. `visited`
+    * counts distances computed (survivors × queries).
+    */
+  def topKBatchBrute(qs: Array[Array[Float]], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
+      : (Array[Array[(Long, Double)]], Long) = {
+    if (qs.isEmpty) return (Array.empty, 0L)
+    if (k <= 0) return (Array.fill(qs.length)(Array.empty), 0L)
+    val nq = qs.length
+    val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
+    val tomb = tombstones
+    val perPart = blocks.mapPartitions { it =>
+      it.map { case (_, g) =>
+        val gate = GraphAnn.resultGate(g, filter, tomb)
+        val sb = new scala.collection.mutable.ArrayBuilder.ofInt
+        val n = g.ids.length
+        var i = 0
+        while (i < n) {
+          if (gate == null || gate(i)) sb += i
+          i += 1
+        }
+        val surv = sb.result()
+        (surv.length.toLong,
+          Array.tabulate(nq)(qi =>
+            GraphAnn.bruteOverSurvivors(g, surv, qs(qi), qnorms(qi), k)))
+      }
+    }.collect()
+    val visited = perPart.iterator.map(_._1 * nq).sum
+    val out = Array.tabulate(nq) { qi =>
+      perPart.iterator.flatMap(_._2(qi))
+        .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+    }
+    (out, visited)
+  }
+
+  /** SELECTIVITY-DISPATCHED routed filtered search — [[GraphAnn!
+    * .topKBatchAuto]] on the MSTG-shape structure: below `bruteBelow`
+    * the exact brute force over all pinned clusters replaces the routed
+    * beam (which both degrades AND can miss scarce survivors in
+    * unrouted clusters). Returns (results, visited, usedBrute).
+    */
+  def topKBatchAuto(qs: Array[Array[Float]], k: Int, nprobe: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None,
+      bruteBelow: Double = GraphAnn.DefaultBruteBelow)
+      : (Array[Array[(Long, Double)]], Long, Boolean) = {
+    val brute = filter.isDefined && estimateSelectivity(filter.get) < bruteBelow
+    if (brute) {
+      val (r, v) = topKBatchBrute(qs, k, filter)
+      (r, v, true)
+    } else {
+      val (r, v) = topKBatch(qs, k, nprobe, ef, filter)
+      (r, v, false)
+    }
+  }
+
+  /** Single-query [[topKBatchAuto]]. */
+  def topKAuto(q: Array[Float], k: Int, nprobe: Int, ef: Int,
+      filter: Option[SelfQueryFilter.Node] = None,
+      bruteBelow: Double = GraphAnn.DefaultBruteBelow)
+      : (Array[(Long, Double)], Long, Boolean) = {
+    val (r, v, b) = topKBatchAuto(Array(q), k, nprobe, ef, filter, bruteBelow)
+    (r.head, v, b)
   }
 
   def nClusters: Int = model.centroids.length
