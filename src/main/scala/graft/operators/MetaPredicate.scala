@@ -34,9 +34,11 @@ package graft.operators
   * (`DateTimeUtils`) in the JVM-default zone — the same zone
   * `to_timestamp` uses under the default `spark.sql.session.timeZone`,
   * so the pinned gate, the DataFrame path, and the oracle's
-  * `TIMESTAMP '...'` literal agree. (A deployment that overrides the
-  * session timezone away from the executor JVM zone must pin NTZ
-  * columns instead — the naive comparison is zone-free.)
+  * `TIMESTAMP '...'` literal agree. A deployment that overrides the
+  * session timezone away from the executor JVM zone gets a LOUD
+  * bind-time error (asserted by MetaPredicateSpec, not just documented)
+  * telling it to pin NTZ columns instead — the naive comparison is
+  * zone-free.
   *
   * Null contract: pinned metadata must be NON-NULL (enforced at
   * [[PackedScan.build]]), including array ELEMENTS. SQL three-valued
@@ -183,10 +185,38 @@ object MetaPredicate {
     val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     val parsed =
       if (ntz) DateTimeUtils.stringToTimestampWithoutTimeZone(u)
-      else DateTimeUtils.stringToTimestamp(u, java.time.ZoneId.systemDefault())
+      else {
+        // LOUD bind-time contract check (r8 verdict item 6 — previously
+        // only a class-doc footgun): session-zone TIMESTAMP literals
+        // parse in the JVM-default zone (matching what `to_timestamp`
+        // does under the DEFAULT spark.sql.session.timeZone), so a
+        // session that overrides the timezone away from the executor JVM
+        // zone would silently shift every pinned comparison. Refuse at
+        // bind; NTZ-pinned columns are the zone-free alternative.
+        val jvm = java.time.ZoneId.systemDefault()
+        sessionZoneOrNull() match {
+          case null => // conf not reachable here: default zone semantics
+          case sz =>
+            val szId = java.time.ZoneId.of(sz)
+            if (szId.getRules != jvm.getRules)
+              throw new IllegalArgumentException(
+                s"pinned session-zone timestamp comparison requires " +
+                s"spark.sql.session.timeZone ('$sz') to match the JVM zone " +
+                s"('${jvm.getId}'); pin the column as TIMESTAMP_NTZ for " +
+                s"zone-free comparison, or align the session timezone")
+        }
+        DateTimeUtils.stringToTimestamp(u, jvm)
+      }
     parsed.getOrElse(throw new IllegalArgumentException(
       s"cannot parse timestamp literal '$s'"))
   }
+
+  /** Active session timezone, driver or executor side (SQLConf propagates
+    * to tasks); null when no conf is reachable (pure-library use).
+    */
+  private def sessionZoneOrNull(): String =
+    try org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    catch { case _: Throwable => null }
 
   // canonical pinned kinds: 0 = Long, 1 = Double, 2 = String, 3 = Boolean,
   // 4 = Timestamp (session-zone), 5 = Timestamp NTZ, 6 = list[string],

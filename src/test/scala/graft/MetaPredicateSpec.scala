@@ -119,4 +119,31 @@ class MetaPredicateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("session-timezone override away from the JVM zone is a LOUD bind error " +
+      "for session-zone timestamps; NTZ columns stay zone-free") {
+    // the contract was previously only documented (r8 verdict item 6):
+    // session-zone TIMESTAMP literals parse in the JVM-default zone, so a
+    // session.timeZone override would silently shift every pinned
+    // comparison — it must refuse at bind instead
+    val spark = graft.TestSpark.spark // active session so SQLConf.get sees conf
+    val jvm = java.time.ZoneId.systemDefault()
+    val mismatched =
+      if (jvm.getRules == java.time.ZoneId.of("UTC").getRules) "America/New_York"
+      else "UTC"
+    val original = spark.conf.get("spark.sql.session.timeZone")
+    // sanity under the MATCHING zone: both kinds bind and evaluate
+    assert(M.bind(F.Gt("pubdate", F.T("2021-01-01 00:00:00")), cols)(1))
+    try {
+      spark.conf.set("spark.sql.session.timeZone", mismatched)
+      val e = intercept[IllegalArgumentException](
+        M.bind(F.Gt("pubdate", F.T("2021-01-01 00:00:00")), cols))
+      assert(e.getMessage.contains(mismatched) &&
+        e.getMessage.contains("TIMESTAMP_NTZ"),
+        s"error must name the zones and the NTZ alternative: ${e.getMessage}")
+      // NTZ comparison is naive wall-clock — unaffected by the override
+      val pNtz = M.bind(F.Gt("born", F.T("2021-01-01 00:00:00")), cols)
+      assert(!pNtz(0) && pNtz(1) && pNtz(2))
+    } finally spark.conf.set("spark.sql.session.timeZone", original)
+  }
 }

@@ -30,6 +30,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # queries that THREW in graft.Verify are recorded, not elided — a
+    # broken query must show as an ERR row here, never as set shrinkage
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        for name, msg in json.load(open(err_path)).items():
+            results[name] = f"ERR {msg}"
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
