@@ -22,13 +22,20 @@ object AnnDispatchBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val n = 100000L
+    // N and block count are env-tunable so the same harness measures the
+    // block-size dependence of the crossover (PLANS §dispatch argues the
+    // brute gate pass is O(block rows) while beam's visited set is
+    // block-size-independent — DISPATCH_N=400000 at the same 8 blocks
+    // quadruples rows/block and lets us SEE the crossover move).
+    val n = sys.env.getOrElse("DISPATCH_N", "100000").toLong
+    val blocks = sys.env.getOrElse("DISPATCH_BLOCKS", "8").toInt
     val c = 64
     val corpus = ClusteredCorpus.df(spark, n, c)
       .withColumn("lbl", (col("vec_id") % 1000).cast("long"))
-      .repartition(8).cache()
+      .repartition(blocks).cache()
     corpus.count()
-    println(s"[dispatch] building graph over $n clustered vectors, 8 blocks")
+    println(s"[dispatch] building graph over $n clustered vectors, " +
+      s"$blocks blocks (${n / blocks} rows/block)")
     val t0 = System.nanoTime()
     val g = GraphAnn.build(corpus, "vec_id", "embedding", metaCols = Seq("lbl"))
     g.rows // force

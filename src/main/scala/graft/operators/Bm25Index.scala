@@ -144,16 +144,34 @@ final class Bm25Index private (
       filter: Option[SelfQueryFilter.Node] = None)
       : Array[Array[(Long, Long, Double)]] = {
     if (queries.isEmpty) return Array.empty
-    if (k <= 0) return Array.fill(queries.length)(Array.empty)
+    if (k <= 0 || docCount == 0) return Array.fill(queries.length)(Array.empty)
+    val nq = queries.length
+    val perShard = topKBatchPerShard(queries, k, filter)
+    Array.tabulate(nq) { qi =>
+      perShard.iterator.flatMap(_(qi)).toArray
+        .map { case (doc, dl, s) => (doc, dl, s, Bm25Index.round6(s)) }
+        .sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
+        .map { case (doc, dl, s, _) => (doc, dl, s) }
+    }
+  }
+
+  /** The per-shard leg of [[topKBatch]]: one entry per non-empty shard,
+    * each holding Q local top-k lists of ≤ k rows (the k-slot heap IS
+    * the per-shard accumulator). Exposed so the serving soak can
+    * MEASURE the driver-merge input (Σ shard list sizes ≤ P×k per
+    * query) instead of trusting the structural bound.
+    */
+  private[graft] def topKBatchPerShard(queries: Seq[Seq[String]], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
+      : Array[Array[Array[(Long, Long, Double)]]] = {
+    if (queries.isEmpty || k <= 0 || docCount == 0) return Array.empty
     val nq = queries.length
     val qTerms: Array[Array[String]] =
       queries.map(_.map(_.toLowerCase).distinct.toArray).toArray
-    if (docCount == 0) return Array.fill(nq)(Array.empty)
     val n = docCount
     val avg = avgDl
     val tomb = tombstones // snapshot: one consistent view per batch
-    val perShard: Array[Array[Array[(Long, Long, Double)]]] =
-      blocks.mapPartitions { it =>
+    blocks.mapPartitions { it =>
         // one k-slot heap per query, persistent ACROSS segments (a doc's
         // postings live entirely in its insertion segment, so per-segment
         // scoring is complete; later segments inherit the tightened
@@ -368,12 +386,6 @@ final class Bm25Index private (
         if (heaps.forall(_.size == 0)) Iterator.empty
         else Iterator.single(Array.tabulate(nq)(qi => heaps(qi).toSortedArray))
       }.collect()
-    Array.tabulate(nq) { qi =>
-      perShard.iterator.flatMap(_(qi)).toArray
-        .map { case (doc, dl, s) => (doc, dl, s, Bm25Index.round6(s)) }
-        .sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
-        .map { case (doc, dl, s, _) => (doc, dl, s) }
-    }
   }
 
   /** The pre-r8 exhaustive OR evaluation — every posting of every query

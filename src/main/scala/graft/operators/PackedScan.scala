@@ -109,9 +109,27 @@ final class PackedScan private (
     if (qs.isEmpty) return Array.empty
     if (k <= 0) return Array.fill(qs.length)(Array.empty)
     val nq = qs.length
+    val perPart = topKBatchPerPart(qs, k, filter)
+    Array.tabulate(nq) { qi =>
+      perPart.iterator.flatMap(_(qi))
+        .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+    }
+  }
+
+  /** The per-partition leg of [[topKBatch]]: one entry per partition,
+    * each holding Q local top-k lists of ≤ k rows (bounded insertion —
+    * the per-partition accumulator). Exposed so the serving soak can
+    * MEASURE the driver-merge input (Σ partition list sizes ≤ P×k per
+    * query) instead of trusting the structural bound.
+    */
+  private[graft] def topKBatchPerPart(qs: Array[Array[Float]], k: Int,
+      filter: Option[SelfQueryFilter.Node] = None)
+      : Array[Array[Array[(Long, Double)]]] = {
+    if (qs.isEmpty || k <= 0) return Array.empty
+    val nq = qs.length
     val qnorms = qs.map(q => math.sqrt(VectorKernels.norm2(q)))
     val tomb = tombstones // one consistent snapshot for the whole batch
-    val perPart = blocks.mapPartitions { it =>
+    blocks.mapPartitions { it =>
       // bounded insertion top-k per (partition, query): k is tiny (10ish),
       // so the branch-predictable insertion beats a heap
       val bestD = Array.fill(nq)(Array.fill(k)(Double.PositiveInfinity))
@@ -154,10 +172,6 @@ final class PackedScan private (
       Iterator.single(Array.tabulate(nq)(qi =>
         Array.tabulate(found(qi))(i => (bestId(qi)(i), bestD(qi)(i)))))
     }.collect()
-    Array.tabulate(nq) { qi =>
-      perPart.iterator.flatMap(_(qi))
-        .toArray.sortBy { case (id, d) => (d, id) }.take(k)
-    }
   }
 
   /** Top-k as a DataFrame (vec_id, dist) for plan composition / gating. */
@@ -289,11 +303,18 @@ object PackedScan {
     */
   def build(df: DataFrame, idCol: String, embCol: String,
       metaCols: Seq[String] = Nil): PackedScan = {
+    // a serving corpus inherits the SOURCE's partitioning, and a corpus
+    // that arrives as one parquet file would pack into one block — zero
+    // scan parallelism (the 2M-row soak measured 4.7 qps single-block vs
+    // one-block-per-core). Results are layout-independent (exact top-k,
+    // deterministic (dist, id) merge), so widening is always safe.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     val names = metaCols.toArray
     val kinds = if (metaCols.isEmpty) Array.empty[Int]
-      else df.select(metaCols.map(col): _*).schema.fields.map(_.dataType)
+      else src.select(metaCols.map(col): _*).schema.fields.map(_.dataType)
         .zip(names).map { case (t, n) => kindOf(t, n) }
-    fromBlocks(packSource(df, idCol, embCol, names, kinds), names, kinds)
+    fromBlocks(packSource(src, idCol, embCol, names, kinds), names, kinds)
   }
 
   /** Pack a source DataFrame into per-partition Blocks — shared by build
