@@ -1004,26 +1004,41 @@ object Bm25Index {
     import spark.implicits._
     val p = if (shards > 0) shards else spark.sparkContext.defaultParallelism
     val names = metaCols.toArray
+    // cache the tokenized projection for the build's lifetime: it feeds
+    // BOTH the stats pass and the postings pipeline, and tokenization
+    // (regex split over the whole corpus) is the single most expensive
+    // narrow stage in the build (profiled ~8 s of the 500k-doc build per
+    // pass). MEMORY_AND_DISK: a build-transient working set, freed below
+    // once the blocks are pinned.
     val toks = docs.select(
       (col(idCol).cast("long").as("doc_id") +:
         tokens(col(textCol)).as("toks") +: names.map(col).toSeq): _*)
       .select(
         (col("doc_id") +: col("toks") +:
           size(col("toks")).cast("long").as("dl") +: names.map(col).toSeq): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // global stats over ALL docs (dl = 0 docs count toward N and avgdl,
     // exactly like the oracle's stats CTE)
     val (nDocs, sumDl) = toks.agg(count(lit(1)), sum(col("dl")))
       .as[(Long, Option[Long])].head() match {
       case (c, s) => (c, s.getOrElse(0L))
     }
-    // meta rides the postings groupBy (functionally dependent on doc_id)
+    // (term, tf) per doc WITHOUT the explode -> groupBy shuffle: tf is a
+    // per-document quantity, computed in the narrow map stage by the
+    // TermTfs expression (sort + run-length count per doc, a custom
+    // Expression because Catalyst's higher-order functions don't join
+    // whole-stage codegen — the transform/filter formulation measured
+    // 133 s where this path and the groupBy measure 60 s and better on
+    // the 500k-doc build, PLANS §"BM25 build path"). Dropping the
+    // tokens-sized shuffle+agg. Contract (unchanged): doc ids are
+    // unique in `docs`.
     val postings = toks
       .select(
-        (explode(col("toks")).as("term") +: col("doc_id") +: col("dl") +:
-          names.map(col).toSeq): _*)
-      .groupBy(col("term") +: col("doc_id") +: col("dl") +:
-        names.map(col).toSeq: _*)
-      .agg(count(lit(1)).cast("int").as("tf"))
+        (explode(org.apache.spark.sql.graft.TextFunctions.term_tfs(col("toks")))
+          .as("tt") +: col("doc_id") +: col("dl") +: names.map(col).toSeq): _*)
+      .select(
+        (col("tt.term").as("term") +: col("doc_id") +: col("dl") +:
+          col("tt.tf").as("tf") +: names.map(col).toSeq): _*)
     // global df per term, then denormalized onto every posting — the
     // partial_count is map-side combined and the join key (term) is the
     // same as the groupBy key, so no extra wide shuffle of the postings
@@ -1035,13 +1050,24 @@ object Bm25Index {
           names.map(col).toSeq): _*)
     val kinds = projected.schema.fields.drop(5).map(_.dataType)
       .zip(names).map { case (t, n) => MetaPredicate.kindOf(t, n) }
-    val keyed = projected.rdd.map(keyRow(_, names, kinds))
-      .partitionBy(new HashPartitioner(p))
-    val blocks = keyed.mapPartitions({ it =>
+    // shard BY DOCUMENT with a DataFrame repartition, NOT an RDD
+    // partitionBy: the shuffle then moves compact Tungsten rows instead
+    // of Java-serialized nested tuples (this change alone measured 1.8x
+    // on the whole 500k-doc build; with the narrow-stage tf and the toks
+    // cache the build is 3.7x total — PLANS §"BM25 build path"), and
+    // keyRow boxing happens once post-shuffle. The invariant every
+    // consumer needs — ALL postings of a doc land in ONE shard — is the
+    // repartition key; which shard a doc gets is immaterial (serving is
+    // layout-exact, insert routes by its own partitioner, df patching is
+    // global).
+    val keyed = projected.repartition(p, col("doc_id")).rdd
+      .map(keyRow(_, names, kinds))
+    val blocks = keyed.mapPartitions { it =>
       packRows(it.toArray, names, kinds, (_, embedded) => embedded).iterator
-    }, preservesPartitioning = true)
+    }
     blocks.persist(StorageLevel.MEMORY_ONLY)
-    val bytes = blockBytes(blocks)
+    val bytes = blockBytes(blocks) // materializes the pinned blocks
+    toks.unpersist(false) // build-transient; blocks no longer depend on it
     new Bm25Index(blocks, nDocs, sumDl, names, kinds, bytes)
   }
 }

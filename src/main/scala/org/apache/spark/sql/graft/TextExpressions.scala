@@ -128,3 +128,57 @@ case class ChLength(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** `term_tfs(tokens)` — (term, tf) pairs for one document's token array:
+  * sort + run-length count in a single JVM call per ROW. Exists because
+  * computing tf in the narrow map stage (it is a purely per-document
+  * quantity) lets [[graft.operators.Bm25Index.build]] drop its
+  * tokens-sized explode→groupBy shuffle, and Catalyst's higher-order
+  * functions can't express this efficiently — transform/filter evaluate
+  * interpreted per ELEMENT (O(distinct·dl) Catalyst evals per doc,
+  * measured 2.2× slower than the shuffle it replaced), while this is one
+  * fallback eval per doc doing O(dl log dl) primitive work. Output order
+  * is the sorted term order; consumers treat it as a set.
+  */
+case class TermTfs(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "term_tfs"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(toks, null) // UTF8String is Comparable
+    val out = new java.util.ArrayList[Any](math.min(n, 64))
+    var start = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || toks(i).compareTo(toks(start)) != 0) {
+        out.add(org.apache.spark.sql.catalyst.InternalRow(toks(start), i - start))
+        start = i
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column wrappers for the text expressions used directly from Scala. */
+object TextFunctions {
+  import org.apache.spark.sql.Column
+  import Bridge.{toColumn, toExpr}
+  def term_tfs(tokens: Column): Column = toColumn(TermTfs(toExpr(tokens)))
+}
