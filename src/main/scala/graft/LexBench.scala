@@ -14,33 +14,67 @@ import org.apache.spark.sql.functions._
 object LexBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // LEX_CORPUS=zipf swaps the replicated driver table (31-term vocab —
+    // EVERY query term 40-80% df, the adversarial all-common shape) for
+    // [[ZipfCorpus]] (LEX_DOCS docs over a LEX_VOCAB-term Zipf(1.0)
+    // vocabulary) — the realistic spectrum where max-score has common
+    // terms to demote. Probe terms are picked by RANK ("t1" is the most
+    // common), measured dfs printed beside the results.
+    val zipf = sys.env.get("LEX_CORPUS").contains("zipf")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.install(spark)
-    val docs = Tables.documents(spark, sfDir)
-    val nd = docs.count()
-    val copies = math.max(1L, 200000L / math.max(1L, nd)).toInt
-    val bigDocs = docs
-      .withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
-      .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"), col("text"))
-    val ix = operators.Bm25Index.buildCached(bigDocs, "lexbench#" + sfDir,
-      "doc_id", "text")
-    // term-frequency spectrum of the corpus, most common first
-    val vocab = docs.select(explode(operators.Bm25Index.tokens(col("text"))).as("w"))
-      .groupBy("w").count().orderBy(desc("count"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    println(s"[lexbench] corpus=${ix.docCount} docs, vocab=${vocab.length}; " +
-      s"top terms: ${vocab.take(5).map { case (w, c) => s"$w($c)" }.mkString(", ")}")
+    val bigDocs =
+      if (zipf)
+        ZipfCorpus.df(spark,
+          sys.env.getOrElse("LEX_DOCS", "2000000").toLong,
+          sys.env.getOrElse("LEX_VOCAB", "30000").toInt)
+      else {
+        val docs = Tables.documents(spark, sfDir)
+        val nd = docs.count()
+        val copies = math.max(1L, 200000L / math.max(1L, nd)).toInt
+        docs
+          .withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
+          .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"), col("text"))
+      }
+    val ix = operators.Bm25Index.buildCached(bigDocs,
+      (if (zipf) "lexbench#zipf" else "lexbench#" + sfDir), "doc_id", "text")
 
-    val mixes: Seq[(String, Seq[String])] = Seq(
-      "common3" -> vocab.take(3).map(_._1).toSeq,
-      "common1" -> Seq(vocab.head._1),
-      "mixed3" -> Seq("query", "scan", "data"), // the driver-bench probe
-      "mid3" -> vocab.slice(vocab.length / 4, vocab.length / 4 + 3).map(_._1).toSeq,
-      "rare3" -> vocab.takeRight(3).map(_._1).toSeq)
+    val mixes: Seq[(String, Seq[String])] =
+      if (zipf) Seq(
+        "common3" -> Seq("t1", "t2", "t3"),
+        "common1" -> Seq("t1"),
+        "mixed3" -> Seq("t1", "t100", "t5000"),
+        "mid3" -> Seq("t100", "t150", "t200"),
+        "rare3" -> Seq("t9000", "t9500", "t10000"))
+      else {
+        // term-frequency spectrum of the corpus, most common first
+        val docs = Tables.documents(spark, sfDir)
+        val vocab = docs.select(explode(operators.Bm25Index.tokens(col("text"))).as("w"))
+          .groupBy("w").count().orderBy(desc("count"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        println(s"[lexbench] vocab=${vocab.length}; top terms: " +
+          vocab.take(5).map { case (w, c) => s"$w($c)" }.mkString(", "))
+        Seq(
+          "common3" -> vocab.take(3).map(_._1).toSeq,
+          "common1" -> Seq(vocab.head._1),
+          "mixed3" -> Seq("query", "scan", "data"), // the driver-bench probe
+          "mid3" -> vocab.slice(vocab.length / 4, vocab.length / 4 + 3).map(_._1).toSeq,
+          "rare3" -> vocab.takeRight(3).map(_._1).toSeq)
+      }
+    // measured df of every probe term (one job), so results read with
+    // their real selectivities beside them
+    val probeTerms = mixes.flatMap(_._2).distinct
+    val dfs = bigDocs
+      .select(explode(array_distinct(operators.Bm25Index.tokens(col("text")))).as("w"))
+      .filter(col("w").isin(probeTerms: _*))
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    println(s"[lexbench] corpus=${ix.docCount} docs; probe dfs: " +
+      probeTerms.map(t => s"$t=${dfs.getOrElse(t, 0L)}").mkString(", "))
     val k = 20
     def time(run: () => Unit): Double = {
       run() // warm
@@ -56,10 +90,15 @@ object LexBench {
         f"exhaustive ${1 / sE}%8.1f qps, speedup ${sE / sP}%5.2fx")
     }
     // the batched configuration (Q=16 3-term queries, one job) on the
-    // driver bench's own term pool
-    val pool = Array("query", "scan", "data", "vector", "index", "search",
-      "engine", "distributed", "the", "of", "a", "join", "stream", "graph",
-      "model", "table")
+    // driver bench's own term pool (zipf: a rank spread over the same
+    // common/mid/rare spectrum)
+    val pool =
+      if (zipf) Array("t1", "t5", "t20", "t60", "t100", "t200", "t400",
+        "t800", "t1500", "t3000", "t5000", "t7000", "t9000", "t10000",
+        "t2", "t150")
+      else Array("query", "scan", "data", "vector", "index", "search",
+        "engine", "distributed", "the", "of", "a", "join", "stream", "graph",
+        "model", "table")
     val qs = Seq.tabulate(16)(i =>
       Seq(pool(i % 16), pool((i + 5) % 16), pool((i + 11) % 16)))
     val sP = time(() => ix.topKBatch(qs, k))

@@ -200,4 +200,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(s128 == viaApi)
     assert(s64 != s128)
   }
+
+  test("term_tfs equals explode+groupBy tf on random token arrays") {
+    // the build-path contract: TermTfs is a drop-in for the explode ->
+    // groupBy(term, doc) count, including duplicates, unicode tokens,
+    // empty arrays and single-token docs
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Array("alpha", "beta", "gamma", "\u00fcber", "\u4e2d\u6587", "x1", "x2", "longtoken")
+    val docs = (0 until 40).map { id =>
+      val n = rnd.nextInt(12) // 0..11 tokens, empties included
+      (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))))
+    }
+    val df = docs.toDF("doc_id", "toks")
+    val viaExpr = df.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.TextFunctions.term_tfs(col("toks"))).as("tt"))
+      .select(col("doc_id"), col("tt.term"), col("tt.tf"))
+      .as[(Long, String, Int)].collect().toSet
+    val viaGroupBy = df.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(viaExpr === viaGroupBy)
+    assert(viaExpr.nonEmpty)
+  }
 }
