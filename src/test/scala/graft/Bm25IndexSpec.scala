@@ -342,4 +342,26 @@ class Bm25IndexSpec extends AnyFunSuite {
       } finally lp.unpersist()
     } finally pinned.unpersist()
   }
+
+  test("per-shard accumulators are k-bounded; merge input <= P*k per query") {
+    // CI twin of the 2M-row soak's accumulator measurement: each shard's
+    // heap returns <= k rows per query, and merging the per-shard leg
+    // reproduces topKBatch exactly
+    val qs = Seq(Seq("data", "query"), Seq("the", "scan", "vector"))
+    val k = 5
+    val per = index.topKBatchPerShard(qs, k)
+    assert(per.nonEmpty)
+    per.foreach { shard =>
+      assert(shard.length == qs.length)
+      shard.foreach(list => assert(list.length <= k))
+    }
+    val merged = index.topKBatch(qs, k)
+    val manual = (0 until qs.length).map { qi =>
+      per.iterator.flatMap(_(qi)).toArray
+        .map { case (doc, dl, sc) => (doc, dl, sc, graft.operators.Bm25Index.round6(sc)) }
+        .sortBy { case (doc, _, _, r) => (-r, doc) }.take(k)
+        .map { case (doc, dl, sc, _) => (doc, dl, sc) }.toSeq
+    }
+    assert(merged.map(_.toSeq).toSeq == manual)
+  }
 }

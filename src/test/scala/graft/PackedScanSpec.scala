@@ -286,4 +286,29 @@ class PackedScanSpec extends AnyFunSuite {
       assert(got == ref)
     } finally scan.clearDeletes() // shared cached instance: leave it clean
   }
+
+  test("per-partition accumulators are k-bounded; merge input <= P*k per query") {
+    // the contract the 2M-row soak measures at scale, locked in CI: the
+    // per-partition leg returns <= k rows per (partition, query), so the
+    // driver merge is bounded by partitions*k regardless of corpus size
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val scan = PackedScan.buildCached(e, "spec#" + TestSpark.sf, "vec_id", "embedding")
+    val qs = Array("acc probe one", "acc probe two", "acc probe three")
+      .map(HashEmbedder.embed(_))
+    val k = 7
+    val per = scan.topKBatchPerPart(qs, k)
+    assert(per.nonEmpty)
+    per.foreach { part =>
+      assert(part.length == qs.length)
+      part.foreach(list => assert(list.length <= k))
+    }
+    val mergePerQuery = (0 until qs.length).map(qi => per.map(_(qi).length).sum)
+    mergePerQuery.foreach(m => assert(m <= per.length * k))
+    // and the merge of the per-part leg IS topKBatch
+    val merged = scan.topKBatch(qs, k)
+    val manual = (0 until qs.length).map { qi =>
+      per.iterator.flatMap(_(qi)).toArray.sortBy { case (id, d) => (d, id) }.take(k).toSeq
+    }
+    assert(merged.map(_.toSeq).toSeq == manual)
+  }
 }
