@@ -130,6 +130,28 @@ object ServingSoak {
     ps.unpersist()
     }
 
+    // ---------------- graph tier: ~2M clustered vectors ----------------
+    if (tier == "graph" || tier == "all") {
+    val corpus = ClusteredCorpus.df(spark, targetRows, 64)
+      .repartition(32).cache()
+    corpus.count()
+    var t0 = System.nanoTime()
+    val g = operators.GraphAnn.build(corpus, "vec_id", "embedding")
+    println(f"[soak] graph corpus=${g.rows} vecs, blocks=32, " +
+      f"pinned=${mb(g.bytes)} MB, build=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    corpus.unpersist()
+    val gq = Array.tabulate(16)(i => ClusteredCorpus.query(i % 8))
+    val ef = 64
+    val (res, visited) = g.topKBatch(gq, k, ef)
+    println(s"[soak] graph batch16: visited/query=${visited / gq.length} " +
+      f"(${visited * 100.0 / (gq.length.toLong * g.rows)}%.2f%% of corpus), " +
+      s"merge bound P*max(k,ef)=${32 * math.max(k, ef)}/query, " +
+      s"results/query=${res.map(_.length).max}")
+    soak("graph single", 1, soakSecs / 2)(() => g.topKBatch(gq.take(1), k, ef))
+    soak("graph batch16", 16, soakSecs)(() => g.topKBatch(gq, k, ef))
+    g.unpersist()
+    }
+
     println(f"[soak] final heapUsed=${usedMb()} MB of " +
       f"${mb(Runtime.getRuntime.maxMemory)} MB max")
     spark.stop()

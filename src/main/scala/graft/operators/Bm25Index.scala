@@ -520,6 +520,13 @@ final class Bm25Index private (
         (col("doc_id") +: col("toks") +:
           size(col("toks")).cast("long").as("dl") +: names.map(col).toSeq): _*)
       .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    // NB build's narrow-stage TermTfs path is deliberately NOT used here:
+    // the batch stats ride this plan as an Observation, and swapping the
+    // explode→groupBy for the narrow explode changes when the
+    // CollectMetrics node fires relative to the lazy localCheckpoint
+    // (measured: docCount advanced by 0 — the insert≡rebuild spec caught
+    // it). Insert cadence is job-overhead-bound, so the groupBy shuffle
+    // costs nothing observable on batch-sized inputs anyway.
     val postings = toks
       .select(
         (explode(col("toks")).as("term") +: col("doc_id") +: col("dl") +:
