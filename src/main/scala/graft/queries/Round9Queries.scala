@@ -81,6 +81,93 @@ object Round9Queries {
       res.toSeq.toDF("vec_id", "dist")
         .orderBy(col("dist"), col("vec_id"))
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
-    }, Some(oracle("vec_id % 200 <= 99")))
+    }, Some(oracle("vec_id % 200 <= 99"))),
+
+    // ---- ClickHouse behavioral aggregates over the event stream --------
+    // (the reference engine's windowFunnel / retention / sequenceMatch —
+    // ClickHouse "Parametric aggregate functions". The ENGINE shape is
+    // one user-key shuffle + a linear per-user DP; the ORACLE is the
+    // L-way self-join a SQL user would have to write — the plan gap the
+    // operator exists to close.)
+
+    QueryDef("q151_window_funnel", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Funnel.windowFunnel(ev, "user_id", "ts",
+        windowMicros = 24L * 3600 * 1000000,
+        stages = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts,
+          CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+               WHEN 'purchase' THEN 3 END AS s
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      ),
+      l2 AS (
+        SELECT DISTINCT a.user_id FROM f a
+        JOIN f b ON b.user_id = a.user_id AND b.s = 2 AND b.ts > a.ts
+                AND b.ts <= a.ts + INTERVAL 24 HOUR
+        WHERE a.s = 1
+      ),
+      l3 AS (
+        SELECT DISTINCT a.user_id FROM f a
+        JOIN f b ON b.user_id = a.user_id AND b.s = 2 AND b.ts > a.ts
+                AND b.ts <= a.ts + INTERVAL 24 HOUR
+        JOIN f c ON c.user_id = a.user_id AND c.s = 3 AND c.ts > b.ts
+                AND c.ts <= a.ts + INTERVAL 24 HOUR
+        WHERE a.s = 1
+      )
+      SELECT u.user_id,
+        CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM f WHERE s = 1) THEN 1
+                  ELSE 0 END AS INT) AS level
+      FROM (SELECT DISTINCT user_id FROM f) u
+      ORDER BY u.user_id""")),
+
+    QueryDef("q152_retention", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Funnel.retention(ev, "user_id",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase",
+          col("event_type") === "error"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH a AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS a1,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a2,
+          max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS a3
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+        CAST(a1 AS INT) AS r1,
+        CAST(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END AS INT) AS r2,
+        CAST(CASE WHEN a1 = 1 AND a3 = 1 THEN 1 ELSE 0 END AS INT) AS r3
+      FROM a ORDER BY user_id""")),
+
+    QueryDef("q153_sequence_match", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Funnel.sequenceMatchChain(ev, "user_id", "ts",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts,
+          CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2 END AS s
+        FROM events WHERE event_type IN ('signup', 'purchase')
+      ),
+      m AS (
+        SELECT DISTINCT a.user_id FROM f a
+        JOIN f b ON b.user_id = a.user_id AND a.s = 1 AND b.s = 2
+                AND b.ts > a.ts
+      )
+      SELECT u.user_id,
+        CAST(CASE WHEN u.user_id IN (SELECT user_id FROM m) THEN 1
+                  ELSE 0 END AS INT) AS matched
+      FROM (SELECT DISTINCT user_id FROM f) u
+      ORDER BY u.user_id"""))
   )
 }

@@ -1,0 +1,89 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `funnel_level(events, windowMicros, nStages)` — the per-user kernel of
+  * ClickHouse/MyScale `windowFunnel` (the reference engine's behavioral-
+  * analytics aggregate; ClickHouse docs "Parametric aggregate functions").
+  * Input is ONE user's matched events as a ts-sorted array of
+  * struct(ts: long epoch-micros, stage: int 1-based); output is the max L
+  * such that there exist events e1, …, eL with stage(ei) = i, STRICTLY
+  * increasing timestamps, and ts(eL) − ts(e1) ≤ windowMicros.
+  *
+  * Algorithm (one linear pass, O(n·L) worst case): `start(s)` holds the
+  * LATEST chain-start timestamp among chains that have reached stage s
+  * using only events strictly before the current timestamp group. Taking
+  * the max start is optimal: a later chain start can only widen the
+  * remaining window, and feasibility (ts − start ≤ window) is monotone in
+  * start. Events sharing a timestamp update from the PRE-group state, so
+  * "strictly increasing" never matches two equal-ts events into one chain
+  * (the two-phase update below).
+  */
+case class FunnelLevel(events: Expression, windowMicros: Expression,
+    nStages: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = events
+  override def second: Expression = windowMicros
+  override def third: Expression = nStages
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "funnel_level"
+
+  override def checkInputDataTypes(): TypeCheckResult = events.dataType match {
+    case ArrayType(StructType(Array(f1, f2)), _)
+        if f1.dataType == LongType && f2.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"funnel_level expects array<struct<ts: long, stage: int>>, got $t")
+  }
+
+  override def nullSafeEval(ev: Any, win: Any, ns: Any): Any = {
+    val arr = ev.asInstanceOf[ArrayData]
+    val window = win.asInstanceOf[Long]
+    val stages = ns.asInstanceOf[Int]
+    val n = arr.numElements()
+    if (n == 0 || stages <= 0) return 0
+    // start(s) = latest chain-start ts of any chain at stage s (1-based);
+    // Long.MinValue = unreached
+    val start = Array.fill(stages + 1)(Long.MinValue)
+    var best = 0
+    var i = 0
+    while (i < n && best < stages) {
+      // collect this timestamp group [i, j)
+      val row0 = arr.getStruct(i, 2)
+      val ts = row0.getLong(0)
+      var j = i
+      // two-phase: compute updates against the pre-group snapshot, one
+      // pending max per stage (same-ts duplicates collapse here)
+      val pend = Array.fill(stages + 1)(Long.MinValue)
+      while (j < n && arr.getStruct(j, 2).getLong(0) == ts) {
+        val s = arr.getStruct(j, 2).getInt(1)
+        if (s == 1) {
+          if (ts > pend(1)) pend(1) = ts
+        } else if (s >= 2 && s <= stages) {
+          val prev = start(s - 1)
+          if (prev != Long.MinValue && ts - prev <= window && prev > pend(s))
+            pend(s) = prev
+        }
+        j += 1
+      }
+      var s = 1
+      while (s <= stages) {
+        if (pend(s) > start(s)) {
+          start(s) = pend(s)
+          if (s > best) best = s
+        }
+        s += 1
+      }
+      i = j
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(events = f, windowMicros = s, nStages = t)
+}

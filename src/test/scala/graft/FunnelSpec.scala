@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Funnel
+
+/** [[org.apache.spark.sql.graft.FunnelLevel]] semantics pinned on
+  * hand-built event sequences (the contract the q151 oracle mirrors with
+  * self-joins): strictly increasing timestamps, window measured from the
+  * chain's FIRST event, latest-start maximization, equal-ts two-phase.
+  */
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def level(events: Seq[(Long, Long, Int)], window: Long,
+      stages: Int): Map[Long, Int] = {
+    val df = events.toDF("user_id", "ts_us", "stage")
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("stage"))
+    Funnel.windowFunnel(df, "user_id", "ts", window,
+      (1 to stages).map(i => col("stage") === i))
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("basic chains, window from the chain start, strict ordering") {
+    val m = level(Seq(
+      // user 1: clean 1→2→3 inside the window
+      (1L, 100L, 1), (1L, 150L, 2), (1L, 190L, 3),
+      // user 2: stage 3 lands outside the window measured from e1
+      (2L, 100L, 1), (2L, 150L, 2), (2L, 260L, 3),
+      // user 3: out-of-order (2 before 1): only level 1
+      (3L, 100L, 2), (3L, 150L, 1),
+      // user 4: equal timestamps never chain (strictness)
+      (4L, 100L, 1), (4L, 100L, 2),
+      // user 5: only stage 2 events → present with level 0
+      (5L, 100L, 2)), window = 100L, stages = 3)
+    assert(m === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
+  test("latest chain start wins: a later stage-1 re-opens the window") {
+    // e1@0, e2@90, then the chain start RENEWS at 100; e2@150, e3@190
+    // fits the window only from the renewed start
+    val m = level(Seq(
+      (1L, 0L, 1), (1L, 90L, 2), (1L, 100L, 1), (1L, 150L, 2), (1L, 190L, 3)),
+      window = 100L, stages = 3)
+    assert(m === Map(1L -> 3))
+    // without the renewal (same events minus the second stage-1) the
+    // stage-3 probe at 190 is outside 0+100
+    val m2 = level(Seq(
+      (1L, 0L, 1), (1L, 90L, 2), (1L, 150L, 2), (1L, 190L, 3)),
+      window = 100L, stages = 3)
+    assert(m2 === Map(1L -> 2))
+  }
+
+  test("retention flags and sequence-match chain") {
+    val df = Seq(
+      (1L, 100L, "signup"), (1L, 200L, "purchase"),
+      (2L, 100L, "purchase"), (2L, 200L, "signup"),
+      (3L, 100L, "signup")).toDF("user_id", "ts_us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_type"))
+    val rm = Funnel.retention(df, "user_id",
+      Seq(col("event_type") === "signup", col("event_type") === "purchase"))
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // retention is FLAGS (any order): user 2 counts r2 even though the
+    // purchase precedes the signup
+    assert(rm === Map(1L -> (1, 1), 2L -> (1, 1), 3L -> (1, 0)))
+    // sequenceMatch is ORDERED: user 2 does not match
+    val sm = Funnel.sequenceMatchChain(df, "user_id", "ts",
+      Seq(col("event_type") === "signup", col("event_type") === "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(sm === Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+}
