@@ -173,7 +173,103 @@ object Registry {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType),
           Map.empty[String, String],
           GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1))))),
-      "JSONExtractArrayRaw(json, k) - JSON array field as array<string>"))
+      "JSONExtractArrayRaw(json, k) - JSON array field as array<string>"),
+    // --- ClickHouse aggregate-combinator / parametric aggregates -------
+    // (ClickHouse "Aggregate function combinators" -If family and
+    // argMax/argMin/uniq/quantile — the analytics surface a MyScale user
+    // writes daily. Pure aliases onto Spark's codegen'd aggregates; the
+    // -If combinators rewrite to agg(If(cond, x, NULL)), which Spark's
+    // partial aggregation map-side-combines like any other agg.)
+    ("argmax", (e: Seq[Expression]) => MaxBy(e(0), e(1)),
+      "argMax(x, val) - x at the maximum val = max_by"),
+    ("argmin", (e: Seq[Expression]) => MinBy(e(0), e(1)),
+      "argMin(x, val) - x at the minimum val = min_by"),
+    ("countif", (e: Seq[Expression]) => CountIf(e.head),
+      "countIf(cond) - rows where cond = count_if"),
+    ("sumif", (e: Seq[Expression]) => Sum(If(e(1), e(0), Literal(null))),
+      "sumIf(x, cond) - sum of x over rows where cond"),
+    ("avgif", (e: Seq[Expression]) => Average(If(e(1), e(0), Literal(null))),
+      "avgIf(x, cond) - mean of x over rows where cond"),
+    ("minif", (e: Seq[Expression]) => Min(If(e(1), e(0), Literal(null))),
+      "minIf(x, cond) - min of x over rows where cond"),
+    ("maxif", (e: Seq[Expression]) => Max(If(e(1), e(0), Literal(null))),
+      "maxIf(x, cond) - max of x over rows where cond"),
+    ("uniqexact", (e: Seq[Expression]) =>
+      Count(e.head).toAggregateExpression(isDistinct = true),
+      "uniqExact(x) - exact distinct count = count(DISTINCT x)"),
+    // rsd 0.02 (not Spark's 0.05 default): ClickHouse uniq's documented
+    // envelope is ~2%; the tighter sketch is ~4 KiB/group vs 1 — the right
+    // trade for the analytics shapes this dialect serves
+    ("uniq", (e: Seq[Expression]) =>
+      new HyperLogLogPlusPlus(e.head, Literal(0.02d)),
+      "uniq(x) - approximate distinct count (HLL++, ~2% rel. error)"),
+    ("any", (e: Seq[Expression]) => First(e.head, ignoreNulls = true),
+      "any(x) - ClickHouse first-encountered value (non-deterministic order)"),
+    ("anylast", (e: Seq[Expression]) => Last(e.head, ignoreNulls = true),
+      "anyLast(x) - ClickHouse last-encountered value (non-deterministic order)"),
+    // ClickHouse spells these parametrically — quantileExact(0.5)(x);
+    // Spark's parser has no parametric-agg syntax, so the level rides as a
+    // trailing argument: quantileExact(x, 0.5). Exact interpolated
+    // percentile (Spark `percentile`), matching DuckDB quantile_cont.
+    ("quantileexact", (e: Seq[Expression]) => new Percentile(e(0), e(1)),
+      "quantileExact(x, level) - exact interpolated percentile"),
+    ("medianexact", (e: Seq[Expression]) => new Percentile(e.head, Literal(0.5d)),
+      "medianExact(x) - exact median = quantileExact(x, 0.5)"),
+    // --- ClickHouse date/time dialect ----------------------------------
+    // (prompts.py:39 `today()` is already above; these are the family the
+    // reference's LLM prompt teaches alongside it — ClickHouse
+    // "Functions for working with dates and times".)
+    ("tostartofday", (e: Seq[Expression]) =>
+      TruncTimestamp(Literal("day"), e.head),
+      "toStartOfDay(ts) = date_trunc('day', ts)"),
+    ("tostartofhour", (e: Seq[Expression]) =>
+      TruncTimestamp(Literal("hour"), e.head),
+      "toStartOfHour(ts) = date_trunc('hour', ts)"),
+    ("tostartofminute", (e: Seq[Expression]) =>
+      TruncTimestamp(Literal("minute"), e.head),
+      "toStartOfMinute(ts) = date_trunc('minute', ts)"),
+    ("tostartofmonth", (e: Seq[Expression]) =>
+      TruncTimestamp(Literal("month"), e.head),
+      "toStartOfMonth(ts) = date_trunc('month', ts)"),
+    ("toyyyymm", (e: Seq[Expression]) =>
+      Add(Multiply(Year(e.head), Literal(100)), Month(e.head)),
+      "toYYYYMM(ts) - year*100 + month as int (202401)"),
+    ("todate", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.DateType),
+      "toDate(ts) - calendar date of a timestamp"),
+    ("tohour", (e: Seq[Expression]) => Hour(e.head), "toHour(ts) 0-23"),
+    ("tominute", (e: Seq[Expression]) => Minute(e.head), "toMinute(ts) 0-59"),
+    ("toyear", (e: Seq[Expression]) => Year(e.head), "toYear(ts)"),
+    ("tomonth", (e: Seq[Expression]) => Month(e.head), "toMonth(ts) 1-12"),
+    ("todayofmonth", (e: Seq[Expression]) => DayOfMonth(e.head),
+      "toDayOfMonth(ts) 1-31"),
+    // ClickHouse default mode: Monday = 1 … Sunday = 7 (ISO); Spark's
+    // dayofweek is Sunday = 1, hence the modular shift.
+    ("todayofweek", (e: Seq[Expression]) =>
+      Add(Pmod(Add(DayOfWeek(e.head), Literal(5)), Literal(7)), Literal(1)),
+      "toDayOfWeek(ts) - ISO weekday, Monday=1 .. Sunday=7"),
+    ("tounixtimestamp", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.LongType),
+      "toUnixTimestamp(ts) - epoch seconds (floor)"),
+    ("adddays", (e: Seq[Expression]) => new TimestampAdd("DAY", e(1), e(0)),
+      "addDays(ts, n)"),
+    ("addhours", (e: Seq[Expression]) => new TimestampAdd("HOUR", e(1), e(0)),
+      "addHours(ts, n)"),
+    ("subtractdays", (e: Seq[Expression]) =>
+      new TimestampAdd("DAY", UnaryMinus(e(1)), e(0)),
+      "subtractDays(ts, n)"),
+    // NB: ClickHouse `dateDiff('unit', a, b)` (quoted unit, boundary-
+    // crossing count) CANNOT be registered here — Spark's parser owns the
+    // datediff/date_diff/timestampdiff names and rejects a quoted unit
+    // before ever consulting the function registry. The dialect mapping is
+    // the trunc identity, exercised by q157:
+    //   dateDiff('u', a, b) == timestampdiff(u, date_trunc('u', a),
+    //                                           date_trunc('u', b))
+    // (ClickHouse and DuckDB both count unit boundaries crossed; Spark's
+    // native timestampdiff counts complete elapsed units.)
+    ("subtracthours", (e: Seq[Expression]) =>
+      new TimestampAdd("HOUR", UnaryMinus(e(1)), e(0)),
+      "subtractHours(ts, n)"))
 
   /** Imperative registration onto an existing session. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {

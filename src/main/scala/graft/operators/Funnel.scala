@@ -70,4 +70,27 @@ object Funnel {
       stages: Seq[Column]): DataFrame =
     windowFunnel(events, userCol, tsCol, Long.MaxValue / 4, stages)
       .select(col(userCol), (col("level") === stages.length).cast("int").as("matched"))
+
+  /** `sequenceCount('(?1).*(?2)…')` chain form: how many NON-OVERLAPPING
+    * completed stage-1→…→L chains per user, matched greedily in ts order
+    * (ClickHouse restarts the search after each match). Same plan shape
+    * as [[windowFunnel]] — one user-key shuffle, sorted per-user array,
+    * linear kernel ([[org.apache.spark.sql.graft.ChainCount]]).
+    */
+  def sequenceCount(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[Column]): DataFrame = {
+    require(stages.nonEmpty, "sequenceCount needs at least one stage")
+    import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
+    val stageIdx = stages.zipWithIndex.foldRight(lit(0)) {
+      case ((cond, i), rest) => when(cond, lit(i + 1)).otherwise(rest)
+    }
+    val matched = events
+      .withColumn("__stage", stageIdx)
+      .filter(col("__stage") > 0)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__ts"), col("__stage"))
+    val cnt = toColumn(org.apache.spark.sql.graft.ChainCount(
+      toExpr(sort_array(collect_list(struct(col("__ts"), col("__stage"))))),
+      toExpr(lit(stages.length))))
+    matched.groupBy(col(userCol)).agg(cnt.as("n_matches"))
+  }
 }

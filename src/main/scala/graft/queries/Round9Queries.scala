@@ -168,6 +168,115 @@ object Round9Queries {
         CAST(CASE WHEN u.user_id IN (SELECT user_id FROM m) THEN 1
                   ELSE 0 END AS INT) AS matched
       FROM (SELECT DISTINCT user_id FROM f) u
-      ORDER BY u.user_id"""))
+      ORDER BY u.user_id""")),
+
+    QueryDef("q156_sequence_count", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Funnel.sequenceCount(ev, "user_id", "ts",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts,
+          CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2 END AS s
+        FROM events WHERE event_type IN ('signup', 'purchase')
+      ),
+      d AS (
+        SELECT user_id, ts, s,
+          lag(s) OVER (PARTITION BY user_id ORDER BY ts) AS ps
+        FROM f
+      ),
+      c AS (SELECT user_id, ts, s FROM d WHERE ps IS NULL OR s <> ps),
+      e AS (
+        SELECT user_id, s,
+          lag(s) OVER (PARTITION BY user_id ORDER BY ts) AS ps
+        FROM c
+      )
+      SELECT user_id,
+        CAST(count(*) FILTER (WHERE s = 2 AND ps = 1) AS INT) AS n_matches
+      FROM e GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- ClickHouse aggregate combinators + parametric aggregates ------
+    // (the -If family, argMax/argMin, uniqExact — ClickHouse "Aggregate
+    // function combinators"; every alias maps onto a codegen'd Spark
+    // aggregate so partial aggregation map-side-combines as usual.)
+
+    QueryDef("q154_agg_combinators", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          countIf(value > 10.0) AS n_high,
+          round(sumIf(value, user_id % 2 = 0), 6) AS sum_even,
+          round(avgIf(value, value > 5.0), 6) AS avg_gt5,
+          round(minIf(value, value > 1.0), 6) AS min_gt1,
+          round(maxIf(value, user_id % 3 = 0), 6) AS max_u3,
+          argMax(event_id, ts) AS last_eid,
+          argMin(event_id, ts) AS first_eid,
+          uniqExact(user_id) AS users
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      SELECT event_type,
+        count(*) FILTER (WHERE value > 10.0) AS n_high,
+        round(sum(value) FILTER (WHERE user_id % 2 = 0), 6) AS sum_even,
+        round(avg(value) FILTER (WHERE value > 5.0), 6) AS avg_gt5,
+        round(min(value) FILTER (WHERE value > 1.0), 6) AS min_gt1,
+        round(max(value) FILTER (WHERE user_id % 3 = 0), 6) AS max_u3,
+        arg_max(event_id, ts) AS last_eid,
+        arg_min(event_id, ts) AS first_eid,
+        count(DISTINCT user_id) AS users
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("q155_quantiles", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          round(quantileExact(value, 0.25), 6) AS p25,
+          round(medianExact(value), 6) AS p50,
+          round(quantileExact(value, 0.9), 6) AS p90,
+          round(quantileExact(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      SELECT event_type,
+        round(quantile_cont(value, 0.25), 6) AS p25,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.9), 6) AS p90,
+        round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- ClickHouse date/time dialect over the event stream ------------
+    // `dd30` is the ClickHouse dateDiff('day', ts, ts+30h) BOUNDARY-
+    // crossing count (1 or 2 depending on time of day), expressed through
+    // the documented trunc identity (Registry note): Spark's native
+    // timestampdiff over unit-truncated endpoints ≡ ClickHouse/DuckDB
+    // dateDiff — the oracle side uses DuckDB's native boundary-counting
+    // date_diff directly, so the identity itself is what's being gated.
+    QueryDef("q157_datetime_dialect", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          toStartOfHour(ts) AS h,
+          toStartOfDay(ts) AS d,
+          toYYYYMM(ts) AS ym,
+          toDayOfWeek(ts) AS dow,
+          toHour(ts) AS hr,
+          toUnixTimestamp(ts) AS ut,
+          addDays(ts, 3) AS plus3d,
+          subtractHours(ts, 7) AS minus7h,
+          timestampdiff(DAY, toStartOfDay(ts),
+                        toStartOfDay(addHours(ts, 30))) AS dd30
+        FROM events WHERE event_id % 97 = 0 ORDER BY event_id""")
+    }, Some("""
+      SELECT event_id,
+        date_trunc('hour', ts) AS h,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        CAST(year(ts) * 100 + month(ts) AS INT) AS ym,
+        CAST(isodow(ts) AS INT) AS dow,
+        CAST(hour(ts) AS INT) AS hr,
+        CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ut,
+        ts + INTERVAL 3 DAY AS plus3d,
+        ts - INTERVAL 7 HOUR AS minus7h,
+        CAST(date_diff('day', ts, ts + INTERVAL 30 HOUR) AS BIGINT) AS dd30
+      FROM events WHERE event_id % 97 = 0 ORDER BY event_id"""))
   )
 }

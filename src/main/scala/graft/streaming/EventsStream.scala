@@ -160,6 +160,77 @@ object EventsStream {
       }
   }
 
+  /** Per-user funnel DP state carried across micro-batches: `start(s)` =
+    * latest chain-start micros among chains that reached stage s+1
+    * (Long.MinValue = unreached), plus the best level so far — O(L) per
+    * ACTIVE user, never per event, so at 100 TB/day the state store holds
+    * L longs per live user.
+    */
+  final case class FunnelState(start: Array[Long], best: Int)
+
+  /** STREAMING windowFunnel: the q151 behavioral aggregate maintained
+    * incrementally with `mapGroupsWithState` — the FunnelLevel DP is
+    * online-updatable because `start(s)` only ever moves FORWARD (latest-
+    * start maximization is monotone), so carrying the L-slot array across
+    * micro-batches and replaying each batch's events in ts order yields
+    * exactly the batch level. Equal-ts groups use the same two-phase
+    * update as the batch kernel; events must arrive batch-monotonically
+    * (a later micro-batch carries no ts below an earlier batch's — the
+    * append-only chat-memory shape, `app/backend/chat_bot/tools.py:63-82`;
+    * an equal-ts GROUP split across two batches weakens strictness to
+    * per-batch, the one divergence from the batch kernel).
+    * Emits (user, level) in update mode whenever the level could change.
+    */
+  def funnelStateful(events: org.apache.spark.sql.Dataset[Event],
+      windowMicros: Long, stages: Seq[Event => Boolean])
+      : org.apache.spark.sql.Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val nStages = stages.length
+    require(nStages > 0, "funnelStateful needs at least one stage")
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Array.fill(nStages + 1)(Long.MinValue), 0))
+          val start = st.start.clone()
+          var best = st.best
+          // this batch's matched events, ts-sorted (stage = first matching
+          // condition, 1-based; ties impossible for disjoint conditions)
+          val evs = it.flatMap { e =>
+            val s = stages.indexWhere(p => p(e)) + 1
+            // full micros (getTime is ms-truncated; sub-ms lives in nanos)
+            val micros = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            if (s > 0) Some((micros, s)) else None
+          }.toArray.sortInPlaceBy(_._1)
+          var i = 0
+          while (i < evs.length) {
+            val ts = evs(i)._1
+            var j = i
+            val pend = Array.fill(nStages + 1)(Long.MinValue)
+            while (j < evs.length && evs(j)._1 == ts) {
+              val s = evs(j)._2
+              if (s == 1) { if (ts > pend(1)) pend(1) = ts }
+              else {
+                val prev = start(s - 1)
+                if (prev != Long.MinValue && ts - prev <= windowMicros &&
+                  prev > pend(s)) pend(s) = prev
+              }
+              j += 1
+            }
+            var s = 1
+            while (s <= nStages) {
+              if (pend(s) > start(s)) { start(s) = pend(s); if (s > best) best = s }
+              s += 1
+            }
+            i = j
+          }
+          state.update(FunnelState(start, best))
+          (user, best)
+      }
+  }
+
   /** STREAM-STREAM interval join: purchases matched to the same user's
     * views within the preceding hour. Both sides are watermarked so the
     * join state is bounded — Spark buffers only rows inside

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** The ClickHouse aggregate-combinator and date/time dialect shims
+  * (Registry round-9 additions) pinned on hand-computable data — the SQL
+  * names q154–q157 gate against DuckDB are checked here for their exact
+  * semantics (null handling of the -If family, ISO weekday numbering,
+  * interpolated quantiles, HLL error envelope, the any/anyLast contract
+  * the oracle can't gate).
+  */
+class DialectAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sql1(q: String): Row = { GraftSession.install(spark); spark.sql(q).head() }
+
+  test("-If combinators: condition filters, not masks, and empty sets are null") {
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("id", "v").createOrReplaceTempView("t_if")
+    val r = sql1("""
+      SELECT countIf(v > 15.0) AS c, sumIf(v, id % 2 = 0) AS s,
+             avgIf(v, v > 100.0) AS a, minIf(v, id >= 3) AS mn,
+             maxIf(v, id <= 2) AS mx
+      FROM t_if""")
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 60.0)
+    assert(r.isNullAt(2), "avgIf over an empty set must be NULL, not NaN/0")
+    assert(r.getDouble(3) === 30.0)
+    assert(r.getDouble(4) === 20.0)
+  }
+
+  test("argMax/argMin/uniqExact/any/anyLast") {
+    Seq((1L, 5.0, "a"), (2L, 9.0, "b"), (3L, 1.0, "a"), (4L, 9.5, "b"))
+      .toDF("id", "v", "g").createOrReplaceTempView("t_arg")
+    val r = sql1("""
+      SELECT argMax(id, v) AS amax, argMin(id, v) AS amin,
+             uniqExact(g) AS u FROM t_arg""")
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L && r.getLong(2) === 2L)
+    // any/anyLast: SOME member value (order non-deterministic by contract;
+    // on a 1-row group both are pinned exactly)
+    val one = sql1("SELECT any(g) AS a, anyLast(g) AS l FROM t_arg WHERE id = 2")
+    assert(one.getString(0) === "b" && one.getString(1) === "b")
+    val memb = sql1("SELECT any(g) AS a, anyLast(g) AS l FROM t_arg")
+    assert(Set("a", "b").contains(memb.getString(0)))
+    assert(Set("a", "b").contains(memb.getString(1)))
+  }
+
+  test("quantileExact interpolates like DuckDB quantile_cont") {
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("v").createOrReplaceTempView("t_q")
+    val r = sql1("""
+      SELECT quantileExact(v, 0.5) AS p50, medianExact(v) AS med,
+             quantileExact(v, 0.25) AS p25, quantileExact(v, 1.0) AS p100
+      FROM t_q""")
+    // sorted [1,2,3,4]: p50 = 2.5 (interpolated), p25 at index 0.75 = 1.75
+    assert(r.getDouble(0) === 2.5 && r.getDouble(1) === 2.5)
+    assert(r.getDouble(2) === 1.75)
+    assert(r.getDouble(3) === 4.0)
+  }
+
+  test("uniq (HLL++) lands within 5% of the exact distinct count") {
+    spark.range(100000).selectExpr("id % 5000 AS k")
+      .createOrReplaceTempView("t_u")
+    val r = sql1("SELECT uniq(k) AS u, uniqExact(k) AS e FROM t_u")
+    val (u, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(e === 5000.0)
+    assert(math.abs(u - e) / e < 0.05, s"uniq=$u exact=$e")
+  }
+
+  test("date/time dialect: ISO weekday, yyyymm, boundary dateDiff identity") {
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    Seq("2024-01-01 22:30:15", "2024-01-07 01:02:03")
+      .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("t_d")
+    GraftSession.install(spark)
+    val rows = spark.sql("""
+      SELECT toDayOfWeek(ts) AS dow, toYYYYMM(ts) AS ym,
+             toHour(ts) AS hr, toStartOfDay(ts) AS d,
+             toUnixTimestamp(ts) AS ut,
+             addDays(ts, 1) AS nxt, subtractHours(ts, 2) AS m2,
+             timestampdiff(DAY, toStartOfDay(ts),
+                           toStartOfDay(addHours(ts, 3))) AS dd3h
+      FROM t_d ORDER BY ts""").collect()
+    assert(rows(0).getInt(0) === 1 && rows(1).getInt(0) === 7)
+    assert(rows(0).getInt(1) === 202401)
+    assert(rows(0).getInt(2) === 22)
+    assert(rows(0).getAs[java.sql.Timestamp]("d").toInstant ===
+      java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    assert(rows(0).getLong(4) === 1704148215L)
+    // ClickHouse dateDiff counts day BOUNDARIES: 22:30 + 3h crosses one;
+    // 01:02 + 3h crosses none
+    assert(rows(0).getLong(7) === 1L)
+    assert(rows(1).getLong(7) === 0L)
+  }
+}

@@ -73,4 +73,48 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(sm === Map(1L -> 1, 2L -> 0, 3L -> 0))
   }
+
+  private def chainCount(events: Seq[(Long, Long, Int)],
+      stages: Int): Map[Long, Int] = {
+    val df = events.toDF("user_id", "ts_us", "stage")
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("stage"))
+    Funnel.sequenceCount(df, "user_id", "ts",
+      (1 to stages).map(i => col("stage") === i))
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("sequenceCount: greedy non-overlapping chains, restart after match") {
+    val m = chainCount(Seq(
+      // user 1: 1,2,2,1,1,2 → two matches (greedy: 1@100+2@110, 1@130+2@150)
+      (1L, 100L, 1), (1L, 110L, 2), (1L, 120L, 2),
+      (1L, 130L, 1), (1L, 140L, 1), (1L, 150L, 2),
+      // user 2: 2,1,2,1 → one match; trailing 1 never completes
+      (2L, 100L, 2), (2L, 110L, 1), (2L, 120L, 2), (2L, 130L, 1),
+      // user 3: stage-2 only → 0 matches (still present in output)
+      (3L, 100L, 2)), stages = 2)
+    assert(m === Map(1L -> 2, 2L -> 1, 3L -> 0))
+  }
+
+  test("sequenceCount: strict ts ordering, at most one advance per ts group") {
+    val m = chainCount(Seq(
+      // equal-ts 1 and 2 cannot chain together; the later 2 completes
+      (1L, 100L, 1), (1L, 100L, 2), (1L, 200L, 2),
+      // user 2: a chain completing at ts=200 does not restart within the
+      // same group (the 1@200 is ignored), so the 2@300 finds no open chain
+      (2L, 100L, 1), (2L, 200L, 2), (2L, 200L, 1), (2L, 300L, 2)),
+      stages = 2)
+    assert(m === Map(1L -> 1, 2L -> 1))
+  }
+
+  test("sequenceCount: three stages, events off-chain are skipped gaps") {
+    val m = chainCount(Seq(
+      // 1,3,2,1,3 → one match (1@100, 2@120, 3@140); interleaved 3@110 and
+      // 1@130 are the `.*` gaps
+      (1L, 100L, 1), (1L, 110L, 3), (1L, 120L, 2), (1L, 130L, 1), (1L, 140L, 3),
+      // two full chains back-to-back
+      (2L, 100L, 1), (2L, 110L, 2), (2L, 120L, 3),
+      (2L, 130L, 1), (2L, 140L, 2), (2L, 150L, 3)), stages = 3)
+    assert(m === Map(1L -> 1, 2L -> 2))
+  }
 }

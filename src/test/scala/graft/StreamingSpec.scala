@@ -235,6 +235,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.read("t", Seq("event_id"), asOf = Some(2L)).count() === committed)
   }
 
+  test("streaming windowFunnel equals the batch behavioral aggregate (q151)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val win = 24L * 3600 * 1000000
+    val stages = Seq("view", "click", "purchase")
+    val batchDf = Tables.events(spark, TestSpark.sf)
+    val expected = graft.operators.Funnel.windowFunnel(
+      batchDf, "user_id", "ts", win,
+      stages.map(col("event_type") === _))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+
+    // feed the SAME events ts-ordered in 3 micro-batches (the append-only
+    // arrival contract); levels must converge to the batch DP's exactly
+    val all = batchDf.as[EventsStream.Event].collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[EventsStream.Event]
+    val q = EventsStream.funnelStateful(ms.toDS(), win,
+      stages.map(s => (e: EventsStream.Event) => e.event_type == s))
+      .toDF("user_id", "level")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // level only moves forward: last emission per user = max
+      val streamed = spark.table("funnel_out")
+        .groupBy("user_id").agg(max("level").as("level"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(streamed.nonEmpty)
+      // batch output covers users with >=1 STAGE-MATCHED event; the stream
+      // also emits level 0 for users whose events all missed every stage
+      assert(streamed.view.filterKeys(expected.contains).toMap === expected)
+      assert(streamed.view.filterKeys(!expected.contains(_)).values.forall(_ == 0))
+    } finally q.stop()
+  }
+
   test("streaming IVF maintenance: arriving vectors appended into partitioned index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
