@@ -70,9 +70,40 @@ object Bench {
     // Key by the short "qNN" prefix and round to ms: the driver captures only
     // a bounded tail of stdout, and round 1's full-name/full-precision line
     // (~2.9 KB) was truncated past its buffer → BENCH_r01 "parsed": null.
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok) (math.rint(v * 1000) / 1000).toString else "\"err\"")
+    def qsJson(rs: Seq[(String, Double, Boolean)]): String = rs.map {
+      case (k, v, ok) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          (if (ok) (math.rint(v * 1000) / 1000).toString else "\"err\"")
     }.mkString("{", ",", "}")
+    // ADAPTIVE per-query map: at 140 queries the full map alone is ~1.7 KB
+    // and the whole line ~2.4 KB — past the driver's 2000-char stdout tail
+    // (BENCH_r08 was clipped exactly this way; sbt's trailing "[success]"
+    // line eats another ~80). Keep the line parseable by omitting the
+    // FASTEST queries first until the map fits a fixed budget, and record
+    // what was dropped (count + their summed seconds + the cutoff) so the
+    // omission is explicit, never silent. The FULL map always goes to
+    // stderr (driver captures stdout) and to the committed local artifact.
+    val fullQs = qsJson(results)
+    val qsBudget = 1050 // bytes for the map; leaves ~850 for the scalar gates
+    val (qs, omitted) =
+      if (fullQs.length <= qsBudget) (fullQs, "")
+      else {
+        // drop ok-queries fastest-first (errors are never dropped)
+        val keepErr = results.filter(!_._3)
+        val okSorted = results.filter(_._3).sortBy(-_._2)
+        val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        var used = qsJson(keepErr).length
+        okSorted.foreach { r =>
+          val entry = 2 + r._1.takeWhile(_ != '_').length + 3 + 5
+          if (used + entry <= qsBudget) { keep += r; used += entry }
+        }
+        val kept = (keep ++ keepErr).sortBy(_._1)
+        val dropped = results.filter(_._3).filterNot(r => keep.exists(_._1 == r._1))
+        val cut = if (keep.isEmpty) 0.0 else keep.map(_._2).min
+        (qsJson(kept.toSeq),
+          s""""q_omitted":${dropped.length},"q_omitted_total":${math.rint(dropped.map(_._2).sum * 1000) / 1000},"q_min_shown":${math.rint(cut * 1000) / 1000},""")
+      }
+    System.err.println(s"[bench] full per-query map: $fullQs")
     val total = results.collect { case (_, v, true) => v }.sum
     val errCount = results.count(!_._3)
 
@@ -479,7 +510,7 @@ object Bench {
     // batch size, and knn_single_query_ms the single-query latency —
     // artifacts from round 7 on are self-describing.
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errCount,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"graph_qps":${math.rint(graphQps * 10) / 10},"graph_batch_qps":${math.rint(graphBatchQps * 10) / 10},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,$omitted"errors":$errCount,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"graph_qps":${math.rint(graphQps * 10) / 10},"graph_batch_qps":${math.rint(graphBatchQps * 10) / 10},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

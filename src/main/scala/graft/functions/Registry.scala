@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.graft.{ChLength, CosineDistance, CosineDistanceF16, CosineDistancePacked, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort, SimHash64, VecPack, VecPackF16, VecUnpack, VecUnpackF16, VectorAvg}
+import org.apache.spark.sql.graft.{ChLength, CosineDistance, CosineDistanceF16, CosineDistancePacked, InnerProduct, L2Distance, NeuralArray, ParseDateTimeBestEffort, SimHash64, SumMap, VecPack, VecPackF16, VecUnpack, VecUnpackF16, VectorAvg}
 
 /** SQL surface of the engine: graft natives + the MyScale/ClickHouse
   * dialect shim (SURVEY.md §2.8 — every scalar/aggregate function the
@@ -211,6 +211,8 @@ object Registry {
     // Spark's parser has no parametric-agg syntax, so the level rides as a
     // trailing argument: quantileExact(x, 0.5). Exact interpolated
     // percentile (Spark `percentile`), matching DuckDB quantile_cont.
+    ("summap", (e: Seq[Expression]) => SumMap(e(0), e(1)),
+      "sumMap(keys, values) - per-key sums as (sorted keys, sums) struct"),
     ("quantileexact", (e: Seq[Expression]) => new Percentile(e(0), e(1)),
       "quantileExact(x, level) - exact interpolated percentile"),
     ("medianexact", (e: Seq[Expression]) => new Percentile(e.head, Literal(0.5d)),

@@ -277,6 +277,36 @@ object Round9Queries {
         ts + INTERVAL 3 DAY AS plus3d,
         ts - INTERVAL 7 HOUR AS minus7h,
         CAST(date_diff('day', ts, ts + INTERVAL 30 HOUR) AS BIGINT) AS dd30
-      FROM events WHERE event_id % 97 = 0 ORDER BY event_id"""))
+      FROM events WHERE event_id % 97 = 0 ORDER BY event_id""")),
+
+    // ---- sumMap: the ClickHouse metrics-pipeline aggregate --------------
+    // ONE TypedImperativeAggregate (key→sum tree buffer, merged pairwise)
+    // where plain SQL needs explode → groupBy(cohort, key) → re-collect —
+    // two shuffles and an exploded row blow-up (the oracle below IS that
+    // plan, written as UNION ALL + list()). Per-row map: the event's own
+    // type plus a rolled-up 'all' slot.
+    QueryDef("q158_summap", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT cohort,
+          sm.keys AS keys,
+          transform(sm.values, v -> round(v, 6)) AS vals
+        FROM (
+          SELECT user_id % 10 AS cohort,
+            sumMap(array(event_type, 'all'), array(value, value)) AS sm
+          FROM events GROUP BY user_id % 10)
+        ORDER BY cohort""")
+    }, Some("""
+      WITH per AS (
+        SELECT user_id % 10 AS cohort, event_type AS k, sum(value) AS s
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT user_id % 10 AS cohort, 'all' AS k, sum(value) AS s
+        FROM events GROUP BY 1
+      )
+      SELECT cohort,
+        list(k ORDER BY k) AS keys,
+        list(round(s, 6) ORDER BY k) AS vals
+      FROM per GROUP BY cohort ORDER BY cohort"""))
   )
 }

@@ -69,6 +69,36 @@ class DialectAggSpec extends AnyFunSuite {
     assert(math.abs(u - e) / e < 0.05, s"uniq=$u exact=$e")
   }
 
+  test("sumMap: sorted unique keys, pairwise merge, null and length handling") {
+    import org.apache.spark.sql.Row
+    // 8 partitions force real partial/merge paths through the tree buffer
+    val df = spark.range(0, 1000, 1, 8)
+      .selectExpr(
+        "array(CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, 'all') AS ks",
+        "array(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS vs")
+    df.createOrReplaceTempView("t_sm")
+    val r = sql1("SELECT sumMap(ks, vs) AS sm FROM t_sm").getStruct(0)
+    val keys = r.getSeq[String](0)
+    val vals = r.getSeq[Double](1)
+    assert(keys === Seq("all", "even", "odd"))
+    val total = (0 until 1000).map(_.toDouble).sum
+    val even = (0 until 1000 by 2).map(_.toDouble).sum
+    assert(vals === Seq(total, even, total - even))
+    // long keys sort numerically; mismatched lengths take min(len) pairs;
+    // null slots skipped
+    Seq((Seq(10L, 2L), Seq(1.0, 2.0)), (Seq(2L), Seq(5.0, 99.0)),
+      (Seq(10L, 3L), Seq(4.0, 6.0)))
+      .toDF("ks", "vs").createOrReplaceTempView("t_sm2")
+    val r2 = sql1("SELECT sumMap(ks, vs) AS sm FROM t_sm2").getStruct(0)
+    assert(r2.getSeq[Long](0) === Seq(2L, 3L, 10L))
+    assert(r2.getSeq[Double](1) === Seq(7.0, 6.0, 5.0))
+    val r3 = sql1(
+      "SELECT sumMap(array('a', NULL), array(1.0, 2.0)) AS sm FROM range(3)")
+      .getStruct(0)
+    assert(r3.getSeq[String](0) === Seq("a"))
+    assert(r3.getSeq[Double](1) === Seq(3.0))
+  }
+
   test("date/time dialect: ISO weekday, yyyymm, boundary dateDiff identity") {
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday
     Seq("2024-01-01 22:30:15", "2024-01-07 01:02:03")
