@@ -142,6 +142,102 @@ object Registry {
       "arrayMap(x -> f(x), arr) = transform(arr, x -> f(x))"),
     ("arrayfilter", (e: Seq[Expression]) => ArrayFilter(e(1), e(0)),
       "arrayFilter(x -> p(x), arr) = filter(arr, p)"),
+    // --- ClickHouse array-function family ------------------------------
+    // (ClickHouse "Array functions" — the text/token manipulation surface
+    // its SQL users lean on; every alias maps onto a codegen'd Spark
+    // collection expression, or composes them with raw lambda nodes the
+    // way `shorten` above does.)
+    ("arraydistinct", (e: Seq[Expression]) => ArrayDistinct(e.head),
+      "arrayDistinct(arr) - first-occurrence-order dedup = array_distinct"),
+    ("arraysort", (e: Seq[Expression]) => new SortArray(e.head),
+      "arraySort(arr) - ascending = sort_array"),
+    ("arrayreversesort", (e: Seq[Expression]) =>
+      SortArray(e.head, Literal(false)),
+      "arrayReverseSort(arr) - descending sort"),
+    ("arrayreverse", (e: Seq[Expression]) => Reverse(e.head),
+      "arrayReverse(arr) = reverse"),
+    ("arraystringconcat", (e: Seq[Expression]) =>
+      if (e.length > 1) ArrayJoin(e(0), e(1), None)
+      else ArrayJoin(e(0), Literal(""), None),
+      "arrayStringConcat(arr[, sep]) = array_join"),
+    // ClickHouse puts the SEPARATOR first; Spark split takes a regex, so
+    // the char is quoted
+    ("splitbychar", (e: Seq[Expression]) => {
+      val sep = e.head match {
+        case Literal(u, org.apache.spark.sql.types.StringType) if u != null =>
+          u.toString
+        case other => throw new IllegalArgumentException(
+          s"splitByChar(sep, s): sep must be a string literal, got $other")
+      }
+      StringSplit(e(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1))
+    }, "splitByChar(sep, s) - split on a literal character"),
+    ("arrayslice", (e: Seq[Expression]) => Slice(e(0), e(1), e(2)),
+      "arraySlice(arr, offset, length) - 1-based = slice"),
+    ("arrayconcat", (e: Seq[Expression]) => Concat(e),
+      "arrayConcat(a, b, ...) = concat"),
+    ("arrayflatten", (e: Seq[Expression]) => Flatten(e.head),
+      "arrayFlatten(arr) = flatten"),
+    ("arraysum", (e: Seq[Expression]) => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      ArrayAggregate(e.head, Literal(0.0d),
+        LambdaFunction(Add(acc, x), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }, "arraySum(arr) - element sum as double (aggregate HOF)"),
+    ("arrayavg", (e: Seq[Expression]) => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      Divide(
+        ArrayAggregate(e.head, Literal(0.0d),
+          LambdaFunction(Add(acc, x), Seq(acc, x)),
+          LambdaFunction(fin, Seq(fin))),
+        Cast(Size(e.head, legacySizeOfNull = false),
+          org.apache.spark.sql.types.DoubleType))
+    }, "arrayAvg(arr) - element mean as double"),
+    // consecutive-duplicate removal: keep position i (0-based) when i = 0
+    // or the element differs from its predecessor (element_at is 1-based,
+    // so element_at(arr, i) IS the predecessor of 0-based position i)
+    ("arraycompact", (e: Seq[Expression]) => {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayFilter(e.head, LambdaFunction(
+        Or(EqualTo(i, Literal(0)), Not(EqualTo(x, ElementAt(e.head, i)))),
+        Seq(x, i)))
+    }, "arrayCompact(arr) - drop consecutive duplicate elements"),
+    ("indexof", (e: Seq[Expression]) => ArrayPosition(e(0), e(1)),
+      "indexOf(arr, x) - 1-based position, 0 if absent = array_position"),
+    ("countequal", (e: Seq[Expression]) => {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      Size(ArrayFilter(e(0), LambdaFunction(EqualTo(x, e(1)), Seq(x))),
+        legacySizeOfNull = false)
+    }, "countEqual(arr, x) - occurrences of x in arr"),
+    ("arraypushback", (e: Seq[Expression]) =>
+      Concat(Seq(e(0), CreateArray(Seq(e(1))))),
+      "arrayPushBack(arr, x)"),
+    ("arraypushfront", (e: Seq[Expression]) =>
+      Concat(Seq(CreateArray(Seq(e(1))), e(0))),
+      "arrayPushFront(arr, x)"),
+    ("arrayenumerate", (e: Seq[Expression]) => {
+      val n = Size(e.head, legacySizeOfNull = false)
+      If(LessThanOrEqual(n, Literal(0)),
+        Literal.create(Array.emptyIntArray,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+        Sequence(Literal(1), n, None, None))
+    }, "arrayEnumerate(arr) - [1, 2, ..., length(arr)]"),
+    ("hasall", (e: Seq[Expression]) =>
+      EqualTo(Size(ArrayExcept(e(1), e(0)), legacySizeOfNull = false), Literal(0)),
+      "hasAll(arr, sub) - every element of sub present in arr"),
+    ("hasany", (e: Seq[Expression]) => ArraysOverlap(e(0), e(1)),
+      "hasAny(a, b) - arrays share an element = arrays_overlap"),
+    ("empty", (e: Seq[Expression]) => EqualTo(ChLength(e.head), Literal(0)),
+      "empty(x) - zero-length string or array"),
+    ("notempty", (e: Seq[Expression]) =>
+      GreaterThan(ChLength(e.head), Literal(0)),
+      "notEmpty(x) - non-empty string or array"),
+    ("groupuniqarray", (e: Seq[Expression]) => CollectSet(e.head),
+      "groupUniqArray(x) - distinct values as array = collect_set (unordered)"),
     // length — overloaded over strings and arrays in ClickHouse (§2.8)
     ("length", (e: Seq[Expression]) => ChLength(e.head),
       "length(x) - ClickHouse overload: chars for strings, size for arrays"),

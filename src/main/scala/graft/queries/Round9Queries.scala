@@ -307,6 +307,50 @@ object Round9Queries {
       SELECT cohort,
         list(k ORDER BY k) AS keys,
         list(round(s, 6) ORDER BY k) AS vals
-      FROM per GROUP BY cohort ORDER BY cohort"""))
+      FROM per GROUP BY cohort ORDER BY cohort""")),
+
+    // ---- ClickHouse array-function dialect over document tokens ---------
+    // (arrayDistinct keeps first-occurrence order in BOTH ClickHouse and
+    // Spark but DuckDB's list_distinct does not guarantee order — the
+    // distinct leg is order-normalized through arraySort on both sides;
+    // every other leg is order-exact. indexOf: DuckDB list_position
+    // returns NULL where ClickHouse/Spark return 0 — coalesced.)
+    QueryDef("q159_array_dialect", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id,
+          arrayStringConcat(arraySort(arrayDistinct(splitByChar(' ', text))), '|') AS vocab,
+          arraySlice(splitByChar(' ', text), 2, 3) AS mid3,
+          arrayReverse(arraySlice(splitByChar(' ', text), 1, 4)) AS rev4,
+          CAST(arraySum(arrayMap(w -> length(w), splitByChar(' ', text))) AS BIGINT) AS chars,
+          round(arrayAvg(arrayMap(w -> length(w), splitByChar(' ', text))), 6) AS avg_len,
+          indexOf(splitByChar(' ', text), 'the') AS pos_the,
+          countEqual(splitByChar(' ', text), 'the') AS n_the,
+          arrayCompact(arrayMap(w -> length(w) % 3, arraySlice(splitByChar(' ', text), 1, 8))) AS compacted,
+          arrayPushBack(arrayPushFront(arraySlice(splitByChar(' ', text), 1, 2), '<s>'), '</s>') AS framed,
+          arrayEnumerate(arraySlice(splitByChar(' ', text), 1, 3)) AS enum3,
+          hasAll(splitByChar(' ', text), array('the', 'of')) AS has_the_of,
+          hasAny(splitByChar(' ', text), array('xyzzy', 'the')) AS has_any,
+          empty(splitByChar(' ', text)) AS is_empty
+        FROM documents ORDER BY doc_id""")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+        array_to_string(list_sort(list_distinct(w)), '|') AS vocab,
+        list_slice(w, 2, 4) AS mid3,
+        list_reverse(list_slice(w, 1, 4)) AS rev4,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars,
+        round(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))) / len(w), 6) AS avg_len,
+        CAST(coalesce(list_position(w, 'the'), 0) AS INT) AS pos_the,
+        CAST(len(list_filter(w, x -> x = 'the')) AS INT) AS n_the,
+        list_filter(list_transform(list_slice(w, 1, 8), x -> CAST(length(x) % 3 AS INT)),
+                    (x, i) -> i = 1 OR x <> list_transform(list_slice(w, 1, 8),
+                                                           y -> CAST(length(y) % 3 AS INT))[i - 1]) AS compacted,
+        list_append(list_prepend('<s>', list_slice(w, 1, 2)), '</s>') AS framed,
+        CAST(range(1, len(list_slice(w, 1, 3)) + 1) AS INT[]) AS enum3,
+        list_has_all(w, ['the', 'of']) AS has_the_of,
+        list_has_any(w, ['xyzzy', 'the']) AS has_any,
+        len(w) = 0 AS is_empty
+      FROM t ORDER BY doc_id"""))
   )
 }

@@ -99,6 +99,41 @@ class DialectAggSpec extends AnyFunSuite {
     assert(r3.getSeq[Double](1) === Seq(3.0))
   }
 
+  test("array dialect edges: empty arrays, compact, enumerate, push, hasAll") {
+    val r = sql1("""
+      SELECT
+        arrayCompact(array(1, 1, 2, 2, 2, 1, 3, 3)) AS c,
+        arrayEnumerate(array()) AS e0,
+        arrayEnumerate(array('a', 'b')) AS e2,
+        arraySum(array(1.5, 2.5)) AS s,
+        arrayAvg(array(2, 4, 6)) AS a,
+        arrayPushBack(array(1, 2), 3) AS pb,
+        arrayPushFront(array(2, 3), 1) AS pf,
+        hasAll(array('a', 'b', 'c'), array('c', 'a')) AS ha,
+        hasAll(array('a'), array('a', 'z')) AS hz,
+        indexOf(array(9, 8, 7), 7) AS ix,
+        indexOf(array(9), 1) AS ix0,
+        countEqual(array(5, 1, 5, 5), 5) AS ce,
+        empty(array()) AS em, notEmpty('x') AS ne,
+        arrayStringConcat(array('a', 'b')) AS nosep""")
+    assert(r.getSeq[Int](0) === Seq(1, 2, 1, 3))
+    assert(r.getSeq[Int](1) === Seq.empty[Int])
+    assert(r.getSeq[Int](2) === Seq(1, 2))
+    assert(r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 4.0)
+    assert(r.getSeq[Int](5) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](6) === Seq(1, 2, 3))
+    assert(r.getBoolean(7) === true && r.getBoolean(8) === false)
+    assert(r.getLong(9) === 3L && r.getLong(10) === 0L)
+    assert(r.getInt(11) === 3)
+    assert(r.getBoolean(12) === true && r.getBoolean(13) === true)
+    assert(r.getString(14) === "ab")
+    // groupUniqArray: set semantics (order not part of the contract)
+    val g = sql1(
+      "SELECT arraySort(groupUniqArray(v)) AS u FROM VALUES (1),(2),(2),(1),(3) AS t(v)")
+    assert(g.getSeq[Int](0) === Seq(1, 2, 3))
+  }
+
   test("date/time dialect: ISO weekday, yyyymm, boundary dateDiff identity") {
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday
     Seq("2024-01-01 22:30:15", "2024-01-07 01:02:03")
