@@ -29,22 +29,39 @@ object Funnel {
 
   /** (user, level) for every user with ≥1 stage-matched event.
     * `window` in the ts column's native unit semantics (microseconds).
+    *
+    * `mode`: [[org.apache.spark.sql.graft.FunnelLevel.StrictOrder]] |
+    * [[org.apache.spark.sql.graft.FunnelLevel.StrictDedup]] bitmask
+    * (ClickHouse windowFunnel 'strict_order'/'strict_dedup'; 0 = the
+    * default, oracle-gated semantics). Under strict_order the shuffle
+    * carries ALL of the user's events (non-matching rows are the
+    * interrupters), so its per-event cost is the full stream — the same
+    * trade ClickHouse makes.
     */
   def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
-      windowMicros: Long, stages: Seq[Column]): DataFrame = {
+      windowMicros: Long, stages: Seq[Column], mode: Int = 0): DataFrame = {
     require(stages.nonEmpty, "windowFunnel needs at least one stage")
     import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
+    val strictOrder = (mode & org.apache.spark.sql.graft.FunnelLevel.StrictOrder) != 0
     val stageIdx = stages.zipWithIndex.foldRight(lit(0)) {
       case ((cond, i), rest) => when(cond, lit(i + 1)).otherwise(rest)
     }
     val matched = events
       .withColumn("__stage", stageIdx)
-      .filter(col("__stage") > 0)
+      // strict_order needs the non-matching events too: they interrupt
+      .filter(if (strictOrder) lit(true) else col("__stage") > 0)
       .select(col(userCol), unix_micros(col(tsCol)).as("__ts"), col("__stage"))
     val lvl = toColumn(org.apache.spark.sql.graft.FunnelLevel(
       toExpr(sort_array(collect_list(struct(col("__ts"), col("__stage"))))),
-      toExpr(lit(windowMicros)), toExpr(lit(stages.length))))
-    matched.groupBy(col(userCol)).agg(lvl.as("level"))
+      toExpr(lit(windowMicros)), toExpr(lit(stages.length)), mode))
+    val out = matched.groupBy(col(userCol)).agg(lvl.as("level"))
+    // keep the output contract mode-independent: only users with >=1
+    // matched event appear (under strict_order unmatched-only users
+    // would otherwise surface with level 0)
+    if (strictOrder)
+      out.join(events.filter(stageIdx > 0).select(col(userCol)).distinct(),
+        Seq(userCol), "left_semi")
+    else out
   }
 
   /** ClickHouse `retention(cond1, …)` per user: r1 = any(cond1);

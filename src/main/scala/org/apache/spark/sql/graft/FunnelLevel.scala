@@ -22,9 +22,32 @@ import org.apache.spark.sql.types._
   * start. Events sharing a timestamp update from the PRE-group state, so
   * "strictly increasing" never matches two equal-ts events into one chain
   * (the two-phase update below).
+  *
+  * `mode` (bitmask; default 0 is the oracle-gated semantics above, which
+  * equals ClickHouse's 'strict_increase' — the deterministic choice,
+  * since ClickHouse's own default leaves equal-ts chaining order-defined
+  * by insertion):
+  *
+  *   - [[FunnelLevel.StrictOrder]] ('strict_order'): the ClickHouse
+  *     single-chain search — a non-matching event (stage 0; the caller
+  *     ships them) arriving after the first stage-1, or a stage-s event
+  *     whose predecessor slot is empty, TERMINATES the search at the
+  *     level reached ("A→B→D→C stops finding A→B→C at D"). Events that
+  *     match SOME stage in order do not interrupt; stage-1 events restart
+  *     the chain start (and keep higher slots, as ClickHouse does).
+  *   - [[FunnelLevel.StrictDedup]] ('strict_dedup'): a stage-s event
+  *     (s ≥ 2) whose own slot is already filled terminates the search and
+  *     — mirroring ClickHouse exactly — returns s, which can be LOWER
+  *     than the level already reached (e.g. stages 1..4 on A,B,C,B
+  *     returns 2 though A→B→C reached 3); stage-1 repeats never
+  *     dedup-terminate, they restart.
+  *
+  *   Strict modes process events in array order — (ts, stage) ascending,
+  *   deterministic under sort_array — with the strict-increase time check
+  *   kept, instead of the default path's two-phase group update.
   */
 case class FunnelLevel(events: Expression, windowMicros: Expression,
-    nStages: Expression)
+    nStages: Expression, mode: Int = 0)
     extends TernaryExpression with CodegenFallback {
   override def first: Expression = events
   override def second: Expression = windowMicros
@@ -32,6 +55,9 @@ case class FunnelLevel(events: Expression, windowMicros: Expression,
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "funnel_level"
+
+  private val strictOrder = (mode & FunnelLevel.StrictOrder) != 0
+  private val strictDedup = (mode & FunnelLevel.StrictDedup) != 0
 
   override def checkInputDataTypes(): TypeCheckResult = events.dataType match {
     case ArrayType(StructType(Array(f1, f2)), _)
@@ -47,6 +73,8 @@ case class FunnelLevel(events: Expression, windowMicros: Expression,
     val stages = ns.asInstanceOf[Int]
     val n = arr.numElements()
     if (n == 0 || stages <= 0) return 0
+    if (strictOrder || strictDedup) return strictEval(arr, window, stages)
+    // ---- default: multi-chain latest-start DP, two-phase ts groups ----
     // start(s) = latest chain-start ts of any chain at stage s (1-based);
     // Long.MinValue = unreached
     val start = Array.fill(stages + 1)(Long.MinValue)
@@ -84,6 +112,46 @@ case class FunnelLevel(events: Expression, windowMicros: Expression,
     best
   }
 
+  /** ClickHouse-shaped single-chain search (strict_order/strict_dedup):
+    * slot(s) = (chain start, last event ts) for the ONE tracked chain.
+    */
+  private def strictEval(arr: ArrayData, window: Long, stages: Int): Int = {
+    val NEG = Long.MinValue
+    val start = Array.fill(stages + 1)(NEG)
+    val last = Array.fill(stages + 1)(NEG)
+    var firstEvent = false
+    var best = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, 2)
+      val ts = row.getLong(0)
+      val s = row.getInt(1)
+      if (s <= 0) {
+        if (strictOrder && firstEvent) return best
+      } else if (s == 1) {
+        start(1) = ts; last(1) = ts
+        firstEvent = true
+        if (best < 1) best = 1
+      } else if (s <= stages) {
+        if (strictDedup && start(s) != NEG) return s
+        if (strictOrder && firstEvent && start(s - 1) == NEG) return best
+        val prev = start(s - 1)
+        if (prev != NEG && ts - prev <= window && last(s - 1) < ts) {
+          start(s) = prev; last(s) = ts
+          if (s > best) best = s
+          if (s == stages) return stages
+        }
+      }
+      i += 1
+    }
+    best
+  }
+
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(events = f, windowMicros = s, nStages = t)
+}
+
+object FunnelLevel {
+  val StrictOrder = 1
+  val StrictDedup = 2
 }

@@ -74,6 +74,64 @@ class FunnelSpec extends AnyFunSuite {
     assert(sm === Map(1L -> 1, 2L -> 0, 3L -> 0))
   }
 
+  private def levelMode(events: Seq[(Long, Long, Int)], window: Long,
+      stages: Int, mode: Int): Map[Long, Int] = {
+    // stage 0 rows = events matching no condition (strict_order
+    // interrupters); the operator maps them via a never-true condition
+    val df = events.toDF("user_id", "ts_us", "stage")
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("stage"))
+    Funnel.windowFunnel(df, "user_id", "ts", window,
+      (1 to stages).map(i => col("stage") === i), mode)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("strict_order: a non-matching or out-of-order event ends the search") {
+    import org.apache.spark.sql.graft.FunnelLevel.StrictOrder
+    val abdc = Seq( // the ClickHouse doc example: A,B,D,C -> 2 (D = stage 0)
+      (1L, 100L, 1), (1L, 110L, 2), (1L, 120L, 0), (1L, 130L, 3))
+    assert(levelMode(abdc, 1000L, 3, 0) === Map(1L -> 3)) // default: D ignored
+    assert(levelMode(abdc, 1000L, 3, StrictOrder) === Map(1L -> 2))
+    // clean A,B,C unaffected
+    val abc = Seq((2L, 100L, 1), (2L, 110L, 2), (2L, 120L, 3))
+    assert(levelMode(abc, 1000L, 3, StrictOrder) === Map(2L -> 3))
+    // an event matching SOME stage in order is not an interruption: the
+    // intervening A only renews the chain start (ClickHouse single-chain
+    // state keeps the higher slots)
+    val abac = Seq(
+      (3L, 100L, 1), (3L, 110L, 2), (3L, 120L, 1), (3L, 130L, 3))
+    assert(levelMode(abac, 1000L, 3, StrictOrder) === Map(3L -> 3))
+    // an out-of-order stage (C with no B yet) ends the search too
+    val acb = Seq(
+      (5L, 100L, 1), (5L, 110L, 3), (5L, 120L, 2))
+    assert(levelMode(acb, 1000L, 3, StrictOrder) === Map(5L -> 1))
+    // users whose events ALL miss every stage do not appear even though
+    // strict_order ships their rows as interrupters
+    val only0 = Seq((4L, 100L, 0), (4L, 110L, 0))
+    assert(levelMode(only0, 1000L, 3, StrictOrder) === Map.empty[Long, Int])
+  }
+
+  test("strict_dedup: a repeated stage terminates the search at that stage") {
+    import org.apache.spark.sql.graft.FunnelLevel.StrictDedup
+    val abbc = Seq(
+      (1L, 100L, 1), (1L, 110L, 2), (1L, 120L, 2), (1L, 130L, 3))
+    assert(levelMode(abbc, 1000L, 3, 0) === Map(1L -> 3)) // default: dup harmless
+    assert(levelMode(abbc, 1000L, 3, StrictDedup) === Map(1L -> 2))
+    // stage-1 repeats never dedup-terminate: they restart the chain start
+    val aabc = Seq(
+      (2L, 100L, 1), (2L, 110L, 1), (2L, 120L, 2), (2L, 130L, 3))
+    assert(levelMode(aabc, 1000L, 3, StrictDedup) === Map(2L -> 3))
+    // stage-0 events never interrupt under dedup alone
+    val abd0c = Seq(
+      (3L, 100L, 1), (3L, 110L, 2), (3L, 120L, 0), (3L, 130L, 3))
+    assert(levelMode(abd0c, 1000L, 3, StrictDedup) === Map(3L -> 3))
+    // the documented ClickHouse quirk mirrored exactly: on stages 1..4,
+    // A,B,C,B returns 2 — the dup's own stage — though A->B->C reached 3
+    val abcb = Seq(
+      (6L, 100L, 1), (6L, 110L, 2), (6L, 120L, 3), (6L, 130L, 2))
+    assert(levelMode(abcb, 1000L, 4, StrictDedup) === Map(6L -> 2))
+  }
+
   private def chainCount(events: Seq[(Long, Long, Int)],
       stages: Int): Map[Long, Int] = {
     val df = events.toDF("user_id", "ts_us", "stage")
