@@ -88,6 +88,32 @@ object Funnel {
     windowFunnel(events, userCol, tsCol, Long.MaxValue / 4, stages)
       .select(col(userCol), (col("level") === stages.length).cast("int").as("matched"))
 
+  /** Full ClickHouse `sequenceMatch('pattern')` over the event stream:
+    * `(?N)` steps, `.*` gaps, `(?t OP seconds)` time constraints, with
+    * the ClickHouse adjacency contract (steps with no `.*` between them
+    * must be adjacent AMONG condition-matching events — unlisted events
+    * are invisible, listed ones break adjacency). Same one-shuffle plan
+    * shape; the kernel is [[org.apache.spark.sql.graft.SequencePattern]]
+    * (reachability DP, O(n log n · L) per user). The `.*`-only chain form
+    * should prefer [[sequenceMatchChain]] (O(n·L) FunnelLevel kernel).
+    */
+  def sequenceMatchPattern(events: DataFrame, userCol: String, tsCol: String,
+      pattern: String, stages: Seq[Column]): DataFrame = {
+    require(stages.nonEmpty, "sequenceMatchPattern needs at least one condition")
+    import org.apache.spark.sql.graft.Bridge.{toColumn, toExpr}
+    val stageIdx = stages.zipWithIndex.foldRight(lit(0)) {
+      case ((cond, i), rest) => when(cond, lit(i + 1)).otherwise(rest)
+    }
+    val matched = events
+      .withColumn("__stage", stageIdx)
+      .filter(col("__stage") > 0)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__ts"), col("__stage"))
+    val m = toColumn(org.apache.spark.sql.graft.SequencePattern(
+      toExpr(sort_array(collect_list(struct(col("__ts"), col("__stage"))))),
+      toExpr(lit(stages.length)), pattern))
+    matched.groupBy(col(userCol)).agg(m.cast("int").as("matched"))
+  }
+
   /** `sequenceCount('(?1).*(?2)…')` chain form: how many NON-OVERLAPPING
     * completed stage-1→…→L chains per user, matched greedily in ts order
     * (ClickHouse restarts the search after each match). Same plan shape

@@ -197,6 +197,40 @@ object Round9Queries {
         CAST(count(*) FILTER (WHERE s = 2 AND ps = 1) AS INT) AS n_matches
       FROM e GROUP BY user_id ORDER BY user_id""")),
 
+    // sequenceMatch with the FULL pattern language: adjacency (no .*
+    // between steps — among condition-matching events) plus a time
+    // constraint. The oracle is the lag-window closed form over the same
+    // filtered stream with the same (ts, stage) tie order.
+    QueryDef("q160_sequence_pattern", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Funnel.sequenceMatchPattern(ev, "user_id", "ts",
+        "(?1)(?t<=7200)(?2)",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts,
+          CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2 END AS s
+        FROM events WHERE event_type IN ('signup', 'purchase')
+      ),
+      d AS (
+        SELECT user_id, s, ts,
+          lag(s) OVER (PARTITION BY user_id ORDER BY ts, s) AS ps,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, s) AS pts
+        FROM f
+      ),
+      m AS (
+        SELECT DISTINCT user_id FROM d
+        WHERE s = 2 AND ps = 1
+          AND epoch_us(ts) - epoch_us(pts) <= 7200000000
+      )
+      SELECT user_id,
+        CAST(CASE WHEN user_id IN (SELECT user_id FROM m) THEN 1
+                  ELSE 0 END AS INT) AS matched
+      FROM (SELECT DISTINCT user_id FROM f) u
+      ORDER BY user_id""")),
+
     // ---- ClickHouse aggregate combinators + parametric aggregates ------
     // (the -If family, argMax/argMin, uniqExact — ClickHouse "Aggregate
     // function combinators"; every alias maps onto a codegen'd Spark

@@ -132,6 +132,57 @@ class FunnelSpec extends AnyFunSuite {
     assert(levelMode(abcb, 1000L, 4, StrictDedup) === Map(6L -> 2))
   }
 
+  private def patternMatch(events: Seq[(Long, Long, Int)], stages: Int,
+      pattern: String): Map[Long, Int] = {
+    val df = events.toDF("user_id", "ts_us", "stage")
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("stage"))
+    Funnel.sequenceMatchPattern(df, "user_id", "ts", pattern,
+      (1 to stages).map(i => col("stage") === i))
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("sequenceMatch pattern: adjacency among matching events, gaps, time bounds") {
+    // micros; conditions 1=A, 2=B, 3=C
+    val evs = Seq(
+      // user 1: A then B adjacent (among matched)
+      (1L, 100L, 1), (1L, 200L, 2),
+      // user 2: A, C, B — the C breaks (?1)(?2) adjacency but not (?1).*(?2)
+      (2L, 100L, 1), (2L, 150L, 3), (2L, 200L, 2),
+      // user 3: B before A only
+      (3L, 100L, 2), (3L, 200L, 1))
+    assert(patternMatch(evs, 3, "(?1)(?2)") === Map(1L -> 1, 2L -> 0, 3L -> 0))
+    assert(patternMatch(evs, 3, "(?1).*(?2)") === Map(1L -> 1, 2L -> 1, 3L -> 0))
+    // time constraints ride the transition: gap is 100 us here, so a
+    // <=1 s bound passes and a >1 s bound fails (seconds per ClickHouse)
+    assert(patternMatch(evs, 3, "(?1)(?t<=1)(?2)") === Map(1L -> 1, 2L -> 0, 3L -> 0))
+    val far = Seq((1L, 0L, 1), (1L, 3000000L, 2)) // 3 s apart, adjacent
+    assert(patternMatch(far, 2, "(?1)(?t<=1)(?2)") === Map(1L -> 0))
+    assert(patternMatch(far, 2, "(?1)(?t>1)(?2)") === Map(1L -> 1))
+    assert(patternMatch(far, 2, "(?1)(?t==3)(?2)") === Map(1L -> 1))
+    // .* with a time bound: exists SOME earlier step-1 within the bound
+    val multi = Seq(
+      (1L, 0L, 1), (1L, 500000L, 3), (1L, 4000000L, 1), (1L, 5000000L, 2))
+    assert(patternMatch(multi, 3, "(?1).*(?t<=2)(?2)") === Map(1L -> 1))
+    assert(patternMatch(multi, 3, "(?1).*(?t>4)(?2)") === Map(1L -> 1))
+    assert(patternMatch(multi, 3, "(?1).*(?t>5)(?2)") === Map(1L -> 0))
+    // three-step pattern with mixed adjacency
+    val abc = Seq((1L, 0L, 1), (1L, 10L, 2), (1L, 20L, 3),
+      (2L, 0L, 1), (2L, 10L, 3), (2L, 20L, 2), (2L, 30L, 3))
+    assert(patternMatch(abc, 3, "(?1)(?2).*(?3)") === Map(1L -> 1, 2L -> 0))
+    assert(patternMatch(abc, 3, "(?1).*(?2)(?3)") === Map(1L -> 1, 2L -> 1))
+    // parser rejects malformed patterns
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.SequencePattern.parse("(?t<=5)(?1)")
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.SequencePattern.parse("(?1)(?t<=5)")
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.SequencePattern.parse("(?1)xx(?2)")
+    }
+  }
+
   private def chainCount(events: Seq[(Long, Long, Int)],
       stages: Int): Map[Long, Int] = {
     val df = events.toDF("user_id", "ts_us", "stage")
