@@ -84,7 +84,10 @@ object Bench {
     // omission is explicit, never silent. The FULL map always goes to
     // stderr (driver captures stdout) and to the committed local artifact.
     val fullQs = qsJson(results)
-    val qsBudget = 1050 // bytes for the map; leaves ~850 for the scalar gates
+    // bytes for the map; leaves ~850 for the scalar gates. Local artifact
+    // runs (committed BENCH_r*_local.json) override to keep the FULL map.
+    val qsBudget =
+      sys.env.get("SPARK_GRAFT_QMAP_BYTES").map(_.toInt).getOrElse(1050)
     val (qs, omitted) =
       if (fullQs.length <= qsBudget) (fullQs, "")
       else {

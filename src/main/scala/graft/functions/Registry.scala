@@ -307,6 +307,21 @@ object Registry {
     // Spark's parser has no parametric-agg syntax, so the level rides as a
     // trailing argument: quantileExact(x, 0.5). Exact interpolated
     // percentile (Spark `percentile`), matching DuckDB quantile_cont.
+    // Behavioral aggregates as SQL functions (ClickHouse parametric-call
+    // shape windowFunnel(w)(ts, ...) cannot parse; parameters lead the
+    // argument list). Windows / (?t) constraints in SECONDS.
+    ("windowfunnel", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.WindowFunnelAgg(e),
+      "windowFunnel(window_s, ts, cond1, ...) - max funnel level per group"),
+    ("sequencematch", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.SequenceMatchAgg(e),
+      "sequenceMatch('pattern', ts, cond1, ...) - (?N) .* (?t OP s) pattern match"),
+    ("sequencecount", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.SequenceCountAgg(e),
+      "sequenceCount('(?1).*(?2)...', ts, cond1, ...) - non-overlapping chain count"),
+    ("retention", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.RetentionAgg(e),
+      "retention(cond1, ...) - [r1, r1 AND cond2 seen, ...] flags"),
     ("summap", (e: Seq[Expression]) => SumMap(e(0), e(1)),
       "sumMap(keys, values) - per-key sums as (sorted keys, sums) struct"),
     ("quantileexact", (e: Seq[Expression]) => new Percentile(e(0), e(1)),

@@ -231,6 +231,110 @@ object Round9Queries {
       FROM (SELECT DISTINCT user_id FROM f) u
       ORDER BY user_id""")),
 
+    // ---- the behavioral aggregates as FIRST-CLASS SQL functions ---------
+    // (what a ClickHouse user types, through spark.sql; same kernels as
+    // the operator path via FunnelDp, same oracles as q151/q160. The
+    // WHERE pre-filter pins the output user set to "users with >=1
+    // stage-matched event", matching the oracle's.)
+
+    QueryDef("q161_window_funnel_sql", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id,
+          windowFunnel(86400, ts,
+            event_type = 'view', event_type = 'click',
+            event_type = 'purchase') AS level
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id ORDER BY user_id""")
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts,
+          CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+               WHEN 'purchase' THEN 3 END AS s
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      ),
+      l2 AS (
+        SELECT DISTINCT a.user_id FROM f a
+        JOIN f b ON b.user_id = a.user_id AND b.s = 2 AND b.ts > a.ts
+                AND b.ts <= a.ts + INTERVAL 24 HOUR
+        WHERE a.s = 1
+      ),
+      l3 AS (
+        SELECT DISTINCT a.user_id FROM f a
+        JOIN f b ON b.user_id = a.user_id AND b.s = 2 AND b.ts > a.ts
+                AND b.ts <= a.ts + INTERVAL 24 HOUR
+        JOIN f c ON c.user_id = a.user_id AND c.s = 3 AND c.ts > b.ts
+                AND c.ts <= a.ts + INTERVAL 24 HOUR
+        WHERE a.s = 1
+      )
+      SELECT u.user_id,
+        CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM f WHERE s = 1) THEN 1
+                  ELSE 0 END AS INT) AS level
+      FROM (SELECT DISTINCT user_id FROM f) u
+      ORDER BY u.user_id""")),
+
+    QueryDef("q162_sequence_sql", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id,
+          CAST(sequenceMatch('(?1)(?t<=7200)(?2)', ts,
+            event_type = 'signup', event_type = 'purchase') AS INT) AS matched,
+          sequenceCount('(?1).*(?2)', ts,
+            event_type = 'signup', event_type = 'purchase') AS n_matches,
+          retention(event_type = 'signup', event_type = 'purchase',
+            event_type = 'error') AS r
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'error')
+        GROUP BY user_id ORDER BY user_id""")
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts,
+          CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2 END AS s
+        FROM events WHERE event_type IN ('signup', 'purchase')
+      ),
+      d AS (
+        SELECT user_id, s, ts,
+          lag(s) OVER (PARTITION BY user_id ORDER BY ts, s) AS ps,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, s) AS pts
+        FROM f
+      ),
+      sm AS (
+        SELECT DISTINCT user_id FROM d
+        WHERE s = 2 AND ps = 1
+          AND epoch_us(ts) - epoch_us(pts) <= 7200000000
+      ),
+      c AS (SELECT user_id, ts, s FROM d WHERE ps IS NULL OR s <> ps),
+      e AS (
+        SELECT user_id, s,
+          lag(s) OVER (PARTITION BY user_id ORDER BY ts) AS ps
+        FROM c
+      ),
+      sc AS (
+        SELECT user_id,
+          CAST(count(*) FILTER (WHERE s = 2 AND ps = 1) AS INT) AS n_matches
+        FROM e GROUP BY user_id
+      ),
+      rt AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS a1,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a2,
+          max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS a3
+        FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+        GROUP BY user_id
+      )
+      SELECT rt.user_id,
+        CAST(CASE WHEN rt.user_id IN (SELECT user_id FROM sm) THEN 1
+                  ELSE 0 END AS INT) AS matched,
+        coalesce(sc.n_matches, 0) AS n_matches,
+        [CAST(rt.a1 AS INT),
+         CAST(CASE WHEN rt.a1 = 1 AND rt.a2 = 1 THEN 1 ELSE 0 END AS INT),
+         CAST(CASE WHEN rt.a1 = 1 AND rt.a3 = 1 THEN 1 ELSE 0 END AS INT)] AS r
+      FROM rt LEFT JOIN sc ON sc.user_id = rt.user_id
+      ORDER BY rt.user_id""")),
+
     // ---- ClickHouse aggregate combinators + parametric aggregates ------
     // (the -If family, argMax/argMin, uniqExact — ClickHouse "Aggregate
     // function combinators"; every alias maps onto a codegen'd Spark

@@ -45,25 +45,8 @@ case class ChainCount(events: Expression, nStages: Expression)
     val stages = ns.asInstanceOf[Int]
     val n = arr.numElements()
     if (n == 0 || stages <= 0) return 0
-    var count = 0
-    var p = 0 // chain progress: stages 1..p matched
-    var i = 0
-    while (i < n) {
-      val ts = arr.getStruct(i, 2).getLong(0)
-      // one advance per timestamp group: scan the group for stage p+1
-      var advanced = false
-      var j = i
-      while (j < n && arr.getStruct(j, 2).getLong(0) == ts) {
-        if (!advanced && arr.getStruct(j, 2).getInt(1) == p + 1) {
-          p += 1
-          advanced = true
-          if (p == stages) { count += 1; p = 0 }
-        }
-        j += 1
-      }
-      i = j
-    }
-    count
+    val (tsA, stA) = FunnelLevel.unpack(arr, n)
+    FunnelDp.chainCount(tsA, stA, n, stages)
   }
 
   override protected def withNewChildrenInternal(l: Expression,

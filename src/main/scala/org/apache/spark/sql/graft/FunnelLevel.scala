@@ -73,78 +73,10 @@ case class FunnelLevel(events: Expression, windowMicros: Expression,
     val stages = ns.asInstanceOf[Int]
     val n = arr.numElements()
     if (n == 0 || stages <= 0) return 0
-    if (strictOrder || strictDedup) return strictEval(arr, window, stages)
-    // ---- default: multi-chain latest-start DP, two-phase ts groups ----
-    // start(s) = latest chain-start ts of any chain at stage s (1-based);
-    // Long.MinValue = unreached
-    val start = Array.fill(stages + 1)(Long.MinValue)
-    var best = 0
-    var i = 0
-    while (i < n && best < stages) {
-      // collect this timestamp group [i, j)
-      val row0 = arr.getStruct(i, 2)
-      val ts = row0.getLong(0)
-      var j = i
-      // two-phase: compute updates against the pre-group snapshot, one
-      // pending max per stage (same-ts duplicates collapse here)
-      val pend = Array.fill(stages + 1)(Long.MinValue)
-      while (j < n && arr.getStruct(j, 2).getLong(0) == ts) {
-        val s = arr.getStruct(j, 2).getInt(1)
-        if (s == 1) {
-          if (ts > pend(1)) pend(1) = ts
-        } else if (s >= 2 && s <= stages) {
-          val prev = start(s - 1)
-          if (prev != Long.MinValue && ts - prev <= window && prev > pend(s))
-            pend(s) = prev
-        }
-        j += 1
-      }
-      var s = 1
-      while (s <= stages) {
-        if (pend(s) > start(s)) {
-          start(s) = pend(s)
-          if (s > best) best = s
-        }
-        s += 1
-      }
-      i = j
-    }
-    best
-  }
-
-  /** ClickHouse-shaped single-chain search (strict_order/strict_dedup):
-    * slot(s) = (chain start, last event ts) for the ONE tracked chain.
-    */
-  private def strictEval(arr: ArrayData, window: Long, stages: Int): Int = {
-    val NEG = Long.MinValue
-    val start = Array.fill(stages + 1)(NEG)
-    val last = Array.fill(stages + 1)(NEG)
-    var firstEvent = false
-    var best = 0
-    var i = 0
-    while (i < arr.numElements()) {
-      val row = arr.getStruct(i, 2)
-      val ts = row.getLong(0)
-      val s = row.getInt(1)
-      if (s <= 0) {
-        if (strictOrder && firstEvent) return best
-      } else if (s == 1) {
-        start(1) = ts; last(1) = ts
-        firstEvent = true
-        if (best < 1) best = 1
-      } else if (s <= stages) {
-        if (strictDedup && start(s) != NEG) return s
-        if (strictOrder && firstEvent && start(s - 1) == NEG) return best
-        val prev = start(s - 1)
-        if (prev != NEG && ts - prev <= window && last(s - 1) < ts) {
-          start(s) = prev; last(s) = ts
-          if (s > best) best = s
-          if (s == stages) return stages
-        }
-      }
-      i += 1
-    }
-    best
+    val (tsA, stA) = FunnelLevel.unpack(arr, n)
+    if (strictOrder || strictDedup)
+      FunnelDp.strictLevel(tsA, stA, n, window, stages, strictOrder, strictDedup)
+    else FunnelDp.level(tsA, stA, n, window, stages)
   }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
@@ -154,4 +86,20 @@ case class FunnelLevel(events: Expression, windowMicros: Expression,
 object FunnelLevel {
   val StrictOrder = 1
   val StrictDedup = 2
+
+  /** ArrayData of struct(ts, stage) → parallel primitive arrays (the
+    * [[FunnelDp]] kernel input shape).
+    */
+  private[graft] def unpack(arr: ArrayData, n: Int): (Array[Long], Array[Int]) = {
+    val ts = new Array[Long](n)
+    val st = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ts(i) = row.getLong(0)
+      st(i) = row.getInt(1)
+      i += 1
+    }
+    (ts, st)
+  }
 }

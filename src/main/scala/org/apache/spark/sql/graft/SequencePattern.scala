@@ -62,68 +62,8 @@ case class SequencePattern(events: Expression, nStages: Expression,
         s"pattern references (?${st.cond}) but only $stages conditions given")
     }
     val n = arr.numElements()
-    val L = steps.length
-    if (L == 0) return true
-    if (n == 0) return false
-    // reach(j)(s): event j completes step s (1-based s in col s-1)
-    val reach = Array.ofDim[Boolean](n, L)
-    // reachable ts per step, in insertion order == ts order (sorted)
-    val times = Array.fill(L)(new scala.collection.mutable.ArrayBuffer[Long]())
-    var j = 0
-    while (j < n) {
-      val row = arr.getStruct(j, 2)
-      val ts = row.getLong(0)
-      val c = row.getInt(1)
-      var s = 0
-      while (s < L) {
-        val st = steps(s)
-        if (st.cond == c) {
-          val ok =
-            if (s == 0) true
-            else if (st.gapBefore) {
-              // feasible prev-ts interval [lo, hi] from constraints +
-              // strict increase (prev < ts)
-              var lo = Long.MinValue
-              var hi = ts - 1
-              st.constraints.foreach { case (op, micros) =>
-                op match {
-                  case "<=" => lo = math.max(lo, ts - micros)
-                  case "<"  => lo = math.max(lo, ts - micros + 1)
-                  case ">=" => hi = math.min(hi, ts - micros)
-                  case ">"  => hi = math.min(hi, ts - micros - 1)
-                  case "==" => lo = math.max(lo, ts - micros); hi = math.min(hi, ts - micros)
-                }
-              }
-              lo <= hi && SequencePattern.anyInRange(times(s - 1), lo, hi)
-            } else {
-              // adjacency: previous matched event must have completed s-1
-              j > 0 && reach(j - 1)(s - 1) && {
-                val prevTs = arr.getStruct(j - 1, 2).getLong(0)
-                val d = ts - prevTs
-                st.constraints.forall { case (op, micros) =>
-                  op match {
-                    case "<=" => d <= micros
-                    case "<"  => d < micros
-                    case ">=" => d >= micros
-                    case ">"  => d > micros
-                    case "==" => d == micros
-                  }
-                }
-              }
-            }
-          if (ok) {
-            if (s == L - 1) return true
-            if (!reach(j)(s)) {
-              reach(j)(s) = true
-              times(s) += ts
-            }
-          }
-        }
-        s += 1
-      }
-      j += 1
-    }
-    false
+    val (tsA, stA) = FunnelLevel.unpack(arr, n)
+    FunnelDp.patternMatch(tsA, stA, n, steps)
   }
 
   override protected def withNewChildrenInternal(l: Expression,

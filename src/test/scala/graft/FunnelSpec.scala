@@ -183,6 +183,41 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL aggregates equal the operator path through real partial/merge") {
+    // 16 input partitions force serialize/merge of every buffer; the
+    // events table's real distribution exercises all levels
+    val ev = Tables.events(spark, TestSpark.sf).repartition(16)
+    ev.createOrReplaceTempView("ev_agg")
+    val win = 24L * 3600
+    val sqlRes = spark.sql(s"""
+      SELECT user_id,
+        windowFunnel($win, ts, event_type = 'view', event_type = 'click',
+          event_type = 'purchase') AS level
+      FROM ev_agg WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id""")
+      .as[(Long, Int)].collect().toMap
+    val opRes = Funnel.windowFunnel(ev, "user_id", "ts", win * 1000000L,
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(sqlRes.nonEmpty && sqlRes === opRes)
+    assert(sqlRes.values.toSet.size > 1, "fixture must exercise multiple levels")
+    // retention flags vs the operator
+    val rSql = spark.sql("""
+      SELECT user_id, retention(event_type = 'signup',
+        event_type = 'purchase') AS r
+      FROM ev_agg GROUP BY user_id""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rOp = Funnel.retention(ev, "user_id",
+      Seq(col("event_type") === "signup", col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2))).toMap
+    assert(rSql === rOp)
+    // construction-time validation is loud
+    intercept[Exception] {
+      spark.sql("SELECT sequenceCount('(?2).*(?1)', ts, event_type='a', event_type='b') FROM ev_agg").collect()
+    }
+  }
+
   private def chainCount(events: Seq[(Long, Long, Int)],
       stages: Int): Map[Long, Int] = {
     val df = events.toDF("user_id", "ts_us", "stage")
