@@ -324,6 +324,21 @@ object Registry {
       "retention(cond1, ...) - [r1, r1 AND cond2 seen, ...] flags"),
     ("summap", (e: Seq[Expression]) => SumMap(e(0), e(1)),
       "sumMap(keys, values) - per-key sums as (sorted keys, sums) struct"),
+    ("topk", (e: Seq[Expression]) => org.apache.spark.sql.graft.TopK(e(0), e(1)),
+      "topK(x, k) - k most frequent values, count desc then value asc (exact)"),
+    // quantile/quantiles/median: ClickHouse's default quantile is
+    // APPROXIMATE (reservoir); mapped onto Spark's approx_percentile
+    // (GK sketch, accuracy 10000). Spec-gated, not oracle-gated — two
+    // different sketches agree only within tolerance.
+    ("quantile", (e: Seq[Expression]) =>
+      new ApproximatePercentile(e(0), e(1)),
+      "quantile(x, level) - approximate percentile (sketch)"),
+    ("quantiles", (e: Seq[Expression]) =>
+      new ApproximatePercentile(e(0), CreateArray(e.drop(1))),
+      "quantiles(x, l1, l2, ...) - approximate percentiles as array"),
+    ("median", (e: Seq[Expression]) =>
+      new ApproximatePercentile(e.head, Literal(0.5d)),
+      "median(x) - approximate median = quantile(x, 0.5)"),
     ("quantileexact", (e: Seq[Expression]) => new Percentile(e(0), e(1)),
       "quantileExact(x, level) - exact interpolated percentile"),
     ("medianexact", (e: Seq[Expression]) => new Percentile(e.head, Literal(0.5d)),

@@ -447,6 +447,41 @@ object Round9Queries {
         list(round(s, 6) ORDER BY k) AS vals
       FROM per GROUP BY cohort ORDER BY cohort""")),
 
+    // topK: ClickHouse's approximate heavy-hitters API served EXACTLY
+    // (hash-map buffer; deterministic count-desc/value-asc order lets the
+    // oracle pin it — the oracle IS the two-shuffle groupBy+rank plan the
+    // single-shuffle aggregate replaces)
+    QueryDef("q163_topk", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT cohort, topK(event_type, 3) AS top_types,
+               topK(bucket, 4) AS top_buckets
+        FROM (SELECT user_id % 10 AS cohort, event_type,
+                     user_id % 7 AS bucket FROM events)
+        GROUP BY cohort ORDER BY cohort""")
+    }, Some("""
+      WITH base AS (
+        SELECT user_id % 10 AS cohort, event_type, user_id % 7 AS bucket
+        FROM events
+      ),
+      ct AS (SELECT cohort, event_type AS v, count(*) AS n
+             FROM base GROUP BY 1, 2),
+      rt AS (SELECT cohort, v,
+               row_number() OVER (PARTITION BY cohort ORDER BY n DESC, v) AS rn
+             FROM ct),
+      cb AS (SELECT cohort, bucket AS v, count(*) AS n
+             FROM base GROUP BY 1, 2),
+      rb AS (SELECT cohort, v,
+               row_number() OVER (PARTITION BY cohort ORDER BY n DESC, v) AS rn
+             FROM cb),
+      tt AS (SELECT cohort, list(v ORDER BY rn) AS top_types
+             FROM rt WHERE rn <= 3 GROUP BY cohort),
+      tb AS (SELECT cohort, list(CAST(v AS BIGINT) ORDER BY rn) AS top_buckets
+             FROM rb WHERE rn <= 4 GROUP BY cohort)
+      SELECT tt.cohort, tt.top_types, tb.top_buckets
+      FROM tt JOIN tb ON tb.cohort = tt.cohort
+      ORDER BY tt.cohort""")),
+
     // ---- ClickHouse array-function dialect over document tokens ---------
     // (arrayDistinct keeps first-occurrence order in BOTH ClickHouse and
     // Spark but DuckDB's list_distinct does not guarantee order — the

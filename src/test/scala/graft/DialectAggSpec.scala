@@ -134,6 +134,34 @@ class DialectAggSpec extends AnyFunSuite {
     assert(g.getSeq[Int](0) === Seq(1, 2, 3))
   }
 
+  test("topK: exact counts, count-desc value-asc ties, k > cardinality") {
+    // 8 partitions force the hash-map merge path; values 0..4 with
+    // frequencies 5,4,3,2,1-ish and a deliberate tie
+    Seq("b", "b", "a", "a", "c").toDF("v").repartition(8)
+      .createOrReplaceTempView("t_tk")
+    val r = sql1("SELECT topK(v, 2) AS t2, topK(v, 99) AS all FROM t_tk")
+    assert(r.getSeq[String](0) === Seq("a", "b")) // tie 2-2 -> value asc
+    assert(r.getSeq[String](1) === Seq("a", "b", "c"))
+    val l = sql1(
+      "SELECT topK(CAST(id % 3 AS BIGINT), 2) AS t FROM range(10)")
+    // counts: 0->4, 1->3, 2->3 -> [0, 1]
+    assert(l.getSeq[Long](0) === Seq(0L, 1L))
+  }
+
+  test("quantile/quantiles/median: sketch lands within tolerance of exact") {
+    spark.range(100001).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("t_qa")
+    val r = sql1("""
+      SELECT quantile(v, 0.9) AS p90, median(v) AS med,
+             quantiles(v, 0.25, 0.75) AS qs,
+             quantileExact(v, 0.9) AS e90 FROM t_qa""")
+    assert(math.abs(r.getDouble(0) - 90000.0) < 1000.0)
+    assert(math.abs(r.getDouble(1) - 50000.0) < 1000.0)
+    val qs = r.getSeq[Double](2)
+    assert(math.abs(qs(0) - 25000.0) < 1000.0 && math.abs(qs(1) - 75000.0) < 1000.0)
+    assert(r.getDouble(3) === 90000.0) // exact leg is exact
+  }
+
   test("date/time dialect: ISO weekday, yyyymm, boundary dateDiff identity") {
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday
     Seq("2024-01-01 22:30:15", "2024-01-07 01:02:03")
