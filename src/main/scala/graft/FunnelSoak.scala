@@ -95,6 +95,22 @@ object FunnelSoak {
       lvl.count()
     }
 
+    // same funnel through the SQL AGGREGATE path (WindowFunnelAgg packed
+    // buffer, partial ObjectHashAggregate) vs the operator path above
+    // (collect_list of structs + FunnelLevel expression) — both one
+    // shuffle; the packed buffer pre-reduces NOTHING (funnel state is
+    // not mergeable) but ships primitive pairs instead of struct rows
+    phase("windowFunnelSqlAgg") {
+      ev.createOrReplaceTempView("soak_ev")
+      val lvl = ev.sparkSession.sql("""
+        SELECT user_id, windowFunnel(86400, ts, event_type = 'view',
+          event_type = 'click', event_type = 'purchase') AS level
+        FROM soak_ev WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id""")
+      lvl.groupBy("level").count().collect()
+      nUsers
+    }
+
     phase("sequenceCount") {
       operators.Funnel.sequenceCount(ev, "user_id", "ts",
         Seq(col("event_type") === "signup", col("event_type") === "purchase"))
