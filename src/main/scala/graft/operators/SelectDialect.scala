@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse SELECT-clause extensions that are PLAN shapes rather than
+  * functions, Spark-first (ClickHouse docs "LIMIT BY clause" /
+  * "ORDER BY ... WITH FILL"):
+  *
+  *   - `LIMIT n BY cols` — first n rows per group in the query's order.
+  *     One window (rank inside the group's hash partition), no extra
+  *     shuffle beyond the partitionBy exchange Catalyst plans anyway;
+  *     at 100 TB this is the "top-n per key" shape AQE handles with
+  *     skew-aware partitioning.
+  *   - `WITH FILL STEP s` — densify an ordered time/number axis by
+  *     generating the missing points and left-joining the data onto the
+  *     spine. The spine derives from the frame's own min/max (one tiny
+  *     agg broadcast both ways), `sequence()` + explode generates it
+  *     distributed, and the join key is the axis value — so the fill
+  *     never collects to the driver and scales with (range/step), not
+  *     with input rows.
+  */
+object SelectDialect {
+
+  /** ClickHouse `... ORDER BY <order> LIMIT <n> BY <by>`: the first `n`
+    * rows of each `by` group under `order`. Deterministic iff `order` is
+    * total within groups (give it a tiebreaker, as q164 does).
+    */
+  def limitBy(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column]): DataFrame = {
+    require(n > 0 && by.nonEmpty && order.nonEmpty, "limitBy(n>0, by, order)")
+    val w = Window.partitionBy(by: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** ClickHouse `ORDER BY <axisCol> WITH FILL STEP <step>`: densify the
+    * axis from its own min to max at `step` (a Spark interval expression
+    * for timestamps, e.g. `expr("INTERVAL 1 DAY")`, or a numeric literal
+    * for numbers), left-joining the data and filling the given columns
+    * with defaults. Empty input yields empty output (no spine).
+    */
+  def withFill(df: DataFrame, axisCol: String, step: Column,
+      fill: Map[String, Column]): DataFrame = {
+    val spine = df.agg(min(col(axisCol)).as("__lo"), max(col(axisCol)).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"), step)).as(axisCol))
+    val filled = fill.foldLeft(spine.join(df, Seq(axisCol), "left")) {
+      case (acc, (c, dflt)) => acc.withColumn(c, coalesce(col(c), dflt))
+    }
+    filled.orderBy(axisCol)
+  }
+}

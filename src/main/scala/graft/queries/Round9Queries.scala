@@ -482,6 +482,47 @@ object Round9Queries {
       FROM tt JOIN tb ON tb.cohort = tt.cohort
       ORDER BY tt.cohort""")),
 
+    // ---- ClickHouse SELECT-clause extensions ----------------------------
+    // LIMIT n BY col: top-2 purchases by value per event type, total
+    // order via the (value DESC, event_id) tiebreaker
+    QueryDef("q164_limit_by", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.SelectDialect.limitBy(
+        ev.select(col("event_type"), col("event_id"), col("value")),
+        n = 2, by = Seq(col("event_type")),
+        order = Seq(col("value").desc, col("event_id").asc))
+        .orderBy(col("event_type"), col("value").desc, col("event_id"))
+    }, Some("""
+      SELECT event_type, event_id, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id) <= 2
+      ORDER BY event_type, value DESC, event_id""")),
+
+    // ORDER BY ... WITH FILL: daily high-value purchase counts densified
+    // over the frame's own [min, max] day range (gaps exist at sf0.01:
+    // 12 observed days over a 27-day span)
+    QueryDef("q165_with_fill", (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 250)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.SelectDialect.withFill(daily, "d",
+        expr("INTERVAL 1 DAY"), fill = Map("n" -> lit(0L)))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS n
+        FROM events WHERE event_type = 'purchase' AND value > 250
+        GROUP BY 1
+      ),
+      spine AS (
+        SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                      (SELECT max(d) FROM daily),
+                                      INTERVAL 1 DAY)) AS d
+      )
+      SELECT spine.d, coalesce(daily.n, 0) AS n
+      FROM spine LEFT JOIN daily ON daily.d = spine.d
+      ORDER BY spine.d""")),
+
     // ---- ClickHouse array-function dialect over document tokens ---------
     // (arrayDistinct keeps first-occurrence order in BOTH ClickHouse and
     // Spark but DuckDB's list_distinct does not guarantee order — the

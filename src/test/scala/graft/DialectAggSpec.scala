@@ -162,6 +162,31 @@ class DialectAggSpec extends AnyFunSuite {
     assert(r.getDouble(3) === 90000.0) // exact leg is exact
   }
 
+  test("limitBy and withFill: group caps, gap densify, empty-input edge") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SelectDialect
+    val df = Seq(("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 5.0),
+      ("b", 4L, 1.0)).toDF("g", "id", "v")
+    val top = SelectDialect.limitBy(df, 1, Seq(col("g")),
+      Seq(col("v").desc, col("id").asc))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top === Set(("a", 1L), ("b", 4L))) // tie 9.0-9.0 -> lower id
+    // withFill on a numeric-ish axis: timestamps with a 2-day hole
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-05")
+      .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS d", "1L AS n")
+    val filled = SelectDialect.withFill(days, "d",
+      expr("INTERVAL 1 DAY"), Map("n" -> lit(0L)))
+      .collect().map(r => r.getAs[java.sql.Timestamp](0).toString -> r.getLong(1))
+    assert(filled.length === 5)
+    assert(filled.count(_._2 == 0L) === 2) // Jan 3 + Jan 4 filled
+    assert(filled.map(_._1.take(10)) === Array("2024-01-01", "2024-01-02",
+      "2024-01-03", "2024-01-04", "2024-01-05"))
+    // empty input -> empty output, not a null-spine error
+    val empty = SelectDialect.withFill(days.filter(col("n") < 0), "d",
+      expr("INTERVAL 1 DAY"), Map("n" -> lit(0L)))
+    assert(empty.count() === 0L)
+  }
+
   test("date/time dialect: ISO weekday, yyyymm, boundary dateDiff identity") {
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday
     Seq("2024-01-01 22:30:15", "2024-01-07 01:02:03")
