@@ -9,7 +9,7 @@ package org.apache.spark.sql.graft
   * (ts, stage) ascending. Semantics documented on the expression
   * classes; this object only hosts the loops.
   */
-private[graft] object FunnelDp {
+object FunnelDp {
 
   /** windowFunnel default: multi-chain latest-start DP, two-phase
     * equal-ts groups, strictly increasing chains.
