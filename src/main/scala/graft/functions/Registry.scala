@@ -238,6 +238,173 @@ object Registry {
       "notEmpty(x) - non-empty string or array"),
     ("groupuniqarray", (e: Seq[Expression]) => CollectSet(e.head),
       "groupUniqArray(x) - distinct values as array = collect_set (unordered)"),
+    // --- ClickHouse array HOFs (lambda FIRST, as arrayMap above) -------
+    ("arrayexists", (e: Seq[Expression]) => ArrayExists(e(1), e(0)),
+      "arrayExists(p, arr) - any element satisfies p"),
+    ("arrayall", (e: Seq[Expression]) => ArrayForAll(e(1), e(0)),
+      "arrayAll(p, arr) - every element satisfies p"),
+    // NB the analyzer REQUIRES a function whose call carries a lambda
+    // argument to resolve to a HigherOrderFunction at the TOP level
+    // (ResolveFunctions' invalid-lambda check), so these three fold
+    // through ArrayAggregate instead of wrapping Size/element_at around
+    // the filter
+    ("arraycount", (e: Seq[Expression]) => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      ArrayAggregate(ArrayFilter(e(1), e(0)), Literal(0),
+        LambdaFunction(Add(acc, Literal(1)), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }, "arrayCount(p, arr) - elements satisfying p"),
+    // NB ClickHouse arrayFirst returns the TYPE DEFAULT (0, '') when
+    // nothing matches; this dialect returns NULL (the Spark/SQL idiom) —
+    // documented divergence, mirrored by the oracle
+    ("arrayfirst", (e: Seq[Expression]) => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      // keep-first fold over the filtered array. The zero must carry the
+      // ELEMENT type (ArrayAggregate rejects an untyped NULL) — a
+      // null-safe out-of-bounds read of the input array is a typed NULL
+      ArrayAggregate(ArrayFilter(e(1), e(0)),
+        new GetArrayItem(e(1), Literal(-1), false),
+        LambdaFunction(If(IsNull(acc), x, acc), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }, "arrayFirst(p, arr) - first element satisfying p, NULL if none"),
+    ("arrayfirstindex", (e: Seq[Expression]) => {
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val j = UnresolvedNamedLambdaVariable(Seq("j"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      // first-match fold over the array's own 1-based indices (transform
+      // with the 2-arg index lambda — empty in, empty out, unlike a
+      // sequence(1, 0) which would run DESCENDING): probe the user
+      // predicate through a one-element arrayExists (nested HOFs bind
+      // fine; only the TOP level must be one)
+      val xv = UnresolvedNamedLambdaVariable(Seq("xv"))
+      val iv = UnresolvedNamedLambdaVariable(Seq("iv"))
+      ArrayAggregate(
+        ArrayFilter(
+          ArrayTransform(e(1),
+            LambdaFunction(Add(iv, Literal(1)), Seq(xv, iv))),
+          LambdaFunction(
+            ArrayExists(CreateArray(Seq(ElementAt(e(1), i))), e(0)), Seq(i))),
+        Literal(0),
+        LambdaFunction(If(GreaterThan(acc, Literal(0)), acc, j), Seq(acc, j)),
+        LambdaFunction(fin, Seq(fin)))
+    }, "arrayFirstIndex(p, arr) - 1-based index of first match, 0 if none"),
+    ("arrayintersect", (e: Seq[Expression]) =>
+      e.reduceLeft((a, b) => ArrayIntersect(a, b)),
+      "arrayIntersect(a, b, ...) - distinct common elements, first-array order"),
+    ("arrayuniq", (e: Seq[Expression]) =>
+      Size(ArrayDistinct(e.head), legacySizeOfNull = false),
+      "arrayUniq(arr) - number of distinct elements"),
+    // arrayDifference([a0, a1, ...]) = [0, a1-a0, ...]; element_at is
+    // 1-based so element_at(arr, i) IS the predecessor of 0-based i
+    ("arraydifference", (e: Seq[Expression]) => {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(e.head, LambdaFunction(
+        If(EqualTo(i, Literal(0)), Literal(0.0d),
+          Subtract(x, ElementAt(e.head, i))), Seq(x, i)))
+    }, "arrayDifference(arr) - [0, a1-a0, a2-a1, ...] as double"),
+    // arrayCumSum via the aggregate HOF with an ARRAY accumulator:
+    // acc_k = concat(acc, [last(acc, 0) + x]) — one pass, no n^2
+    ("arraycumsum", (e: Seq[Expression]) => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      ArrayAggregate(e.head,
+        Literal.create(Array.emptyDoubleArray,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)),
+        LambdaFunction(
+          Concat(Seq(acc, CreateArray(Seq(Add(
+            // guarded last-element read: element_at(empty, -1) throws
+            // under ANSI; 0-based GetArrayItem(size-1) is null-safe and
+            // the Coalesce supplies the running-sum seed
+            Coalesce(Seq(
+              new GetArrayItem(acc,
+                Subtract(Size(acc, legacySizeOfNull = false), Literal(1)), false),
+              Literal(0.0d))), x))))),
+          Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }, "arrayCumSum(arr) - running sums as array<double>"),
+    // --- ClickHouse string functions -----------------------------------
+    ("position", (e: Seq[Expression]) => new StringLocate(e(1), e(0)),
+      "position(haystack, needle) - 1-based, 0 if absent = locate"),
+    ("positioncaseinsensitive", (e: Seq[Expression]) =>
+      new StringLocate(Lower(e(1)), Lower(e(0))),
+      "positionCaseInsensitive(haystack, needle)"),
+    ("replaceall", (e: Seq[Expression]) => StringReplace(e(0), e(1), e(2)),
+      "replaceAll(s, from, to) - literal replace = replace"),
+    // replaceOne: first literal occurrence only (no Spark builtin);
+    // composed from locate + substring so it stays codegen'd
+    ("replaceone", (e: Seq[Expression]) => {
+      val pos = new StringLocate(e(1), e(0))
+      If(EqualTo(pos, Literal(0)), e(0),
+        Concat(Seq(
+          Substring(e(0), Literal(1), Subtract(pos, Literal(1))),
+          e(2),
+          Substring(e(0), Add(pos, Length(e(1))), Literal(Int.MaxValue)))))
+    }, "replaceOne(s, from, to) - first occurrence only"),
+    ("replaceregexpall", (e: Seq[Expression]) =>
+      RegExpReplace(e(0), e(1), e(2)),
+      "replaceRegexpAll(s, re, to) = regexp_replace"),
+    ("match", (e: Seq[Expression]) => RLike(e(0), e(1)),
+      "match(s, re) - regex match anywhere = rlike"),
+    // ClickHouse extract: first subpattern if the regex has one, else
+    // the whole match
+    ("extract", (e: Seq[Expression]) => {
+      val group = e(1) match {
+        case Literal(u, org.apache.spark.sql.types.StringType)
+          if u != null && u.toString.contains("(") => 1
+        case _ => 0
+      }
+      RegExpExtract(e(0), e(1), Literal(group))
+    }, "extract(s, re) - first subpattern (or whole match)"),
+    ("extractall", (e: Seq[Expression]) => {
+      val group = e(1) match {
+        case Literal(u, org.apache.spark.sql.types.StringType)
+          if u != null && u.toString.contains("(") => 1
+        case _ => 0
+      }
+      RegExpExtractAll(e(0), e(1), Literal(group))
+    }, "extractAll(s, re) - all matches as array"),
+    ("countsubstrings", (e: Seq[Expression]) =>
+      Cast(Divide(
+        Subtract(Length(e(0)), Length(StringReplace(e(0), e(1), Literal("")))),
+        Length(e(1))), org.apache.spark.sql.types.IntegerType),
+      "countSubstrings(s, sub) - non-overlapping occurrences"),
+    ("countmatches", (e: Seq[Expression]) => RegExpCount(e(0), e(1)),
+      "countMatches(s, re) = regexp_count"),
+    ("multisearchany", (e: Seq[Expression]) => {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      ArrayExists(e(1), LambdaFunction(Contains(e(0), x), Seq(x)))
+    }, "multiSearchAny(s, [needles]) - any needle is a substring"),
+    ("splitbystring", (e: Seq[Expression]) => {
+      val sep = e.head match {
+        case Literal(u, org.apache.spark.sql.types.StringType) if u != null =>
+          u.toString
+        case other => throw new IllegalArgumentException(
+          s"splitByString(sep, s): sep must be a string literal, got $other")
+      }
+      StringSplit(e(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1))
+    }, "splitByString(sep, s) - split on a literal separator"),
+    ("trimleft", (e: Seq[Expression]) => new StringTrimLeft(e.head),
+      "trimLeft(s) = ltrim"),
+    ("trimright", (e: Seq[Expression]) => new StringTrimRight(e.head),
+      "trimRight(s) = rtrim"),
+    ("trimboth", (e: Seq[Expression]) => StringTrim(e.head),
+      "trimBoth(s) = trim"),
+    ("leftpad", (e: Seq[Expression]) => StringLPad(e(0), e(1), e(2)),
+      "leftPad(s, len, pad) = lpad"),
+    ("rightpad", (e: Seq[Expression]) => StringRPad(e(0), e(1), e(2)),
+      "rightPad(s, len, pad) = rpad"),
+    ("lengthutf8", (e: Seq[Expression]) => Length(e.head),
+      "lengthUTF8(s) - character length"),
+    ("lowerutf8", (e: Seq[Expression]) => Lower(e.head), "lowerUTF8(s)"),
+    ("upperutf8", (e: Seq[Expression]) => Upper(e.head), "upperUTF8(s)"),
     // length — overloaded over strings and arrays in ClickHouse (§2.8)
     ("length", (e: Seq[Expression]) => ChLength(e.head),
       "length(x) - ClickHouse overload: chars for strings, size for arrays"),

@@ -523,6 +523,87 @@ object Round9Queries {
       FROM spine LEFT JOIN daily ON daily.d = spine.d
       ORDER BY spine.d""")),
 
+    // ---- ClickHouse string-function dialect -----------------------------
+    // (divergences pinned in the oracle: DuckDB regexp_extract yields
+    // NULL on no-match where ClickHouse/Spark yield '' — coalesced;
+    // integer division made explicit in countSubstrings.)
+    QueryDef("q166_string_dialect", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id,
+          position(text, 'the') AS pos,
+          positionCaseInsensitive(text, 'THE') AS posci,
+          replaceOne(text, 'the', '###') AS r1,
+          replaceAll(text, 'the', '#') AS ra,
+          replaceRegexpAll(text, '[aeiou]', '*') AS rre,
+          match(text, '[0-9]') AS has_digit,
+          extract(text, '([A-Za-z]+)ing') AS ing,
+          extractAll(text, '([A-Za-z]+)ed') AS eds,
+          countSubstrings(text, 'a') AS n_a,
+          countMatches(text, '[0-9]+') AS n_num,
+          multiSearchAny(text, array('data', 'xyzzy')) AS ms,
+          trimBoth(leftPad(substring(text, 1, 8), 12, ' ')) AS padtrim,
+          rightPad(upperUTF8(substring(text, 1, 4)), 6, '.') AS pad4,
+          lengthUTF8(text) AS chars
+        FROM documents ORDER BY doc_id""")
+    }, Some("""
+      SELECT doc_id,
+        CAST(instr(text, 'the') AS INT) AS pos,
+        CAST(instr(lower(text), 'the') AS INT) AS posci,
+        CASE WHEN instr(text, 'the') = 0 THEN text
+             ELSE substr(text, 1, instr(text, 'the') - 1) || '###' ||
+                  substr(text, instr(text, 'the') + 3) END AS r1,
+        replace(text, 'the', '#') AS ra,
+        regexp_replace(text, '[aeiou]', '*', 'g') AS rre,
+        regexp_matches(text, '[0-9]') AS has_digit,
+        coalesce(regexp_extract(text, '([A-Za-z]+)ing', 1), '') AS ing,
+        regexp_extract_all(text, '([A-Za-z]+)ed', 1) AS eds,
+        CAST(length(text) - length(replace(text, 'a', '')) AS INT) AS n_a,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+        (contains(text, 'data') OR contains(text, 'xyzzy')) AS ms,
+        trim(lpad(substr(text, 1, 8), 12, ' ')) AS padtrim,
+        rpad(upper(substr(text, 1, 4)), 6, '.') AS pad4,
+        CAST(length(text) AS INT) AS chars
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- ClickHouse array HOFs (lambda-first) + difference/cumsum -------
+    QueryDef("q167_array_hof", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id,
+          arrayExists(w -> length(w) > 8, splitByChar(' ', text)) AS has_long,
+          arrayAll(w -> length(w) > 0, splitByChar(' ', text)) AS all_nonempty,
+          arrayCount(w -> length(w) = 3, splitByChar(' ', text)) AS n3,
+          arrayFirst(w -> length(w) > 5, splitByChar(' ', text)) AS first_long,
+          arrayFirstIndex(w -> length(w) > 5, splitByChar(' ', text)) AS idx_long,
+          arrayUniq(splitByChar(' ', text)) AS uniq_words,
+          arraySort(arrayIntersect(splitByChar(' ', text),
+                    array('the', 'of', 'and', 'data'))) AS stops,
+          arrayDifference(arrayMap(w -> length(w),
+                          arraySlice(splitByChar(' ', text), 1, 5))) AS diffs,
+          arrayCumSum(arrayMap(w -> length(w),
+                      arraySlice(splitByChar(' ', text), 1, 5))) AS cum
+        FROM documents ORDER BY doc_id""")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                        list_transform(list_slice(string_split(text, ' '), 1, 5),
+                                       x -> length(x)) AS l5
+                 FROM documents)
+      SELECT doc_id,
+        len(list_filter(w, x -> length(x) > 8)) > 0 AS has_long,
+        len(list_filter(w, x -> length(x) > 0)) = len(w) AS all_nonempty,
+        CAST(len(list_filter(w, x -> length(x) = 3)) AS INT) AS n3,
+        list_filter(w, x -> length(x) > 5)[1] AS first_long,
+        CAST(coalesce(list_filter(list_transform(w, (x, i) -> i),
+               i -> length(w[i]) > 5)[1], 0) AS INT) AS idx_long,
+        CAST(len(list_distinct(w)) AS INT) AS uniq_words,
+        list_sort(list_intersect(w, ['the', 'of', 'and', 'data'])) AS stops,
+        list_transform(l5, (x, i) -> CASE WHEN i = 1 THEN 0.0
+                       ELSE CAST(x - l5[i - 1] AS DOUBLE) END) AS diffs,
+        list_transform(l5, (x, i) ->
+                       CAST(list_sum(l5[1:i]) AS DOUBLE)) AS cum
+      FROM t ORDER BY doc_id""")),
+
     // ---- ClickHouse array-function dialect over document tokens ---------
     // (arrayDistinct keeps first-occurrence order in BOTH ClickHouse and
     // Spark but DuckDB's list_distinct does not guarantee order — the

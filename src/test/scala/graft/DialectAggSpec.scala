@@ -187,6 +187,53 @@ class DialectAggSpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  test("string dialect edges: replaceOne boundaries, extract groups, counts") {
+    val r = sql1("""
+      SELECT
+        replaceOne('aXbXc', 'X', '-') AS r1,
+        replaceOne('abc', 'zz', '-') AS rmiss,
+        replaceOne('Xbc', 'X', '') AS rhead,
+        position('hello', 'zz') AS p0,
+        extract('foo123bar', '[0-9]+') AS whole,
+        extract('v2024rel', 'v([0-9]+)') AS grp,
+        extractAll('a1b22c333', '[0-9]+') AS nums,
+        countSubstrings('aaaa', 'aa') AS nonoverlap,
+        countMatches('a1b22c', '[0-9]+') AS nm,
+        multiSearchAny('haystack', array('zz', 'st')) AS any1,
+        multiSearchAny('haystack', array('zz')) AS any0""")
+    assert(r.getString(0) === "a-bXc")
+    assert(r.getString(1) === "abc")
+    assert(r.getString(2) === "bc")
+    assert(r.getInt(3) === 0)
+    assert(r.getString(4) === "123")
+    assert(r.getString(5) === "2024")
+    assert(r.getSeq[String](6) === Seq("1", "22", "333"))
+    assert(r.getInt(7) === 2) // non-overlapping
+    assert(r.getInt(8) === 2)
+    assert(r.getBoolean(9) === true && r.getBoolean(10) === false)
+  }
+
+  test("array HOF edges: first/firstIndex on miss and empty, cumsum/difference") {
+    val r = sql1("""
+      SELECT
+        arrayFirst(x -> x > 10, array(1, 2, 3)) AS miss,
+        arrayFirst(x -> x > 1, array(1, 2, 3)) AS hit,
+        arrayFirstIndex(x -> x > 1, array(1, 2, 3)) AS idx,
+        arrayFirstIndex(x -> x > 10, array(1, 2, 3)) AS idx0,
+        arrayFirstIndex(x -> x > 0, array()) AS idxe,
+        arrayCount(x -> x % 2 = 0, array(1, 2, 3, 4)) AS n,
+        arrayCumSum(array()) AS cume,
+        arrayDifference(array(5)) AS d1,
+        arrayUniq(array()) AS u0""")
+    assert(r.isNullAt(0))
+    assert(r.getInt(1) === 2)
+    assert(r.getInt(2) === 2 && r.getInt(3) === 0 && r.getInt(4) === 0)
+    assert(r.getInt(5) === 2)
+    assert(r.getSeq[Double](6) === Seq.empty[Double])
+    assert(r.getSeq[Double](7) === Seq(0.0))
+    assert(r.getInt(8) === 0)
+  }
+
   test("date/time dialect: ISO weekday, yyyymm, boundary dateDiff identity") {
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday
     Seq("2024-01-01 22:30:15", "2024-01-07 01:02:03")
