@@ -34,6 +34,15 @@ object GraftSession {
         spark.experimental.extraOptimizations :+
           org.apache.spark.sql.graft.AnnTopKRule(spark)
     }
+    // Projection selection (ClickHouse ADD PROJECTION analog): no-op
+    // unless a base table is registered in ProjectionCatalog.
+    val hasProj = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.ProjectionRewrite])
+    if (!hasProj) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          org.apache.spark.sql.graft.ProjectionRewrite(spark)
+    }
     spark
   }
 

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ProjectionCatalog
+import org.apache.spark.sql.graft.ProjectionCatalog.Measure
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.AnnIndex
+
+/** Projection / materialized-rollup battery (ClickHouse `ADD PROJECTION`
+  * + automatic selection; SURVEY §13 round-9 addendum).
+  *
+  * q168 defines a rollup projection over lineitem keyed by
+  * (l_returnflag, l_linestatus) and then runs a plain base-table GROUP BY
+  * on a key SUBSET with a key-only filter. The engine must serve it from
+  * the projection — the query ASSERTS the optimizer substitution fired
+  * (`ProjectionCatalog.servedByProjection`), so the oracle comparison
+  * certifies the merged-partial algebra, not the trivial base plan.
+  *
+  * Exactness: l_quantity is integer-valued double (sums/avg exact under
+  * re-association), l_extendedprice rides the decimal-cast pattern shared
+  * with the oracle (QueryDef scaladoc).
+  */
+object ProjectionQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q168_projection_rollup", (s, dir) => {
+      val basePath = s"$dir/lineitem.parquet"
+      val projPath = AnnIndex.tmpRoot + "/proj_lineitem_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ProjectionCatalog.define(s, "lineitem_by_flag_status", basePath, projPath,
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          Measure("l_quantity"),
+          Measure("l_extendedprice", Some(DecimalType(18, 2)))))
+      val df = s.read.parquet(basePath)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          QueryDef.dsum(col("l_extendedprice")).as("sum_price"),
+          avg(col("l_quantity")).as("avg_qty"))
+        .orderBy("l_returnflag")
+      require(ProjectionCatalog.servedByProjection(df),
+        "q168: projection rewrite did not fire")
+      df
+    }, Some("""
+      SELECT l_returnflag,
+        sum(l_quantity) AS sum_qty,
+        count(*) AS n,
+        min(l_quantity) AS min_qty,
+        max(l_quantity) AS max_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        avg(l_quantity) AS avg_qty
+      FROM lineitem
+      WHERE l_linestatus = 'F'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+  )
+}
