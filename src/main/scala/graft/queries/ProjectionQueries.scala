@@ -60,6 +60,46 @@ object ProjectionQueries {
       FROM lineitem
       WHERE l_linestatus = 'F'
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""))
+      ORDER BY l_returnflag""")),
+
+    // ---- q169: AggregatingMergeTree materialized view, incremental ----
+    // CREATE MV backfilled from ~half of orders, then three INSERT
+    // batches (never re-reading the base), an OPTIMIZE FINAL mid-stream,
+    // and a merge-on-read finalize. The oracle is the direct GROUP BY
+    // over the WHOLE table — hash-exact means the insert-split partial
+    // algebra reconstructs the one-shot aggregate bit-for-bit
+    // (o_totalprice rides the decimal-cast pattern).
+    QueryDef("q169_matview_incremental", (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val path = AnnIndex.tmpRoot + "/mv_orders_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val keys = Seq("o_orderpriority", "o_orderstatus")
+      val measures = Seq(Measure("o_totalprice", Some(DecimalType(18, 2))))
+      val mv = graft.operators.MatView.create(s, path, keys, measures,
+        initial = orders.filter(col("o_orderkey") % 4 === 0))
+      mv.insert(orders.filter(col("o_orderkey") % 4 === 1))
+      mv.compact() // OPTIMIZE FINAL mid-stream: must not change results
+      mv.insert(orders.filter(col("o_orderkey") % 4 === 2))
+      mv.insert(orders.filter(col("o_orderkey") % 4 === 3))
+      // partial log stays bounded: ≤ (#inserts since compact + 1) rows/key
+      val groups = mv.merged.count()
+      require(mv.partialCount() <= groups * 3,
+        "q169: partial log exceeded the per-insert bound")
+      mv.read()
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("sum_o_totalprice").cast("double").as("sum_price"),
+          col("min_o_totalprice").as("min_price"),
+          col("max_o_totalprice").as("max_price"),
+          col("cnt").as("n"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }, Some("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_totalprice) AS min_price,
+        max(o_totalprice) AS max_price,
+        count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+      ORDER BY o_orderpriority, o_orderstatus"""))
   )
 }

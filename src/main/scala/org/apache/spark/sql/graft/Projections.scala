@@ -77,9 +77,14 @@ object ProjectionCatalog {
     * a parquet write of the rollup. Deterministic (pure aggregate of the
     * base), so re-defining is idempotent in content.
     */
-  def define(spark: SparkSession, name: String, basePath: String,
-      projPath: String, keys: Seq[String], measures: Seq[Measure]): ProjDef = {
-    val base = spark.read.parquet(basePath)
+  /** One partial-state aggregation of `df` — the mergeable rollup row
+    * set shared by projections and [[graft.operators.MatView]]: per
+    * (key...) group, `__cnt` plus `__sum/__min/__max/__cnt` per measure.
+    * Re-aggregating these partials with SUM/MIN/MAX/SUM is exact for any
+    * split of the input rows (the same algebra Spark's two-phase hash
+    * aggregate relies on).
+    */
+  def partialAgg(df: DataFrame, keys: Seq[String], measures: Seq[Measure]): DataFrame = {
     val aggs = measures.flatMap { m =>
       val summed = m.cast.map(t => col(m.colName).cast(t)).getOrElse(col(m.colName))
       Seq(
@@ -88,8 +93,12 @@ object ProjectionCatalog {
         max(col(m.colName)).as(s"__max_${m.colName}"),
         count(col(m.colName)).as(s"__cnt_${m.colName}"))
     } :+ count(lit(1)).as("__cnt")
-    base.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def define(spark: SparkSession, name: String, basePath: String,
+      projPath: String, keys: Seq[String], measures: Seq[Measure]): ProjDef = {
+    partialAgg(spark.read.parquet(basePath), keys, measures)
       .write.mode("overwrite").parquet(projPath)
     val d = ProjDef(name, normalize(basePath), normalize(projPath), keys, measures)
     defs.updateWith(d.basePath) {
