@@ -564,7 +564,28 @@ object Registry {
     // native timestampdiff counts complete elapsed units.)
     ("subtracthours", (e: Seq[Expression]) =>
       new TimestampAdd("HOUR", UnaryMinus(e(1)), e(0)),
-      "subtractHours(ts, n)"))
+      "subtractHours(ts, n)"),
+    // --- ClickHouse dictionaries (broadcast point-lookup enrichment) ----
+    // Dict/attr names must be string literals: the dictionary is resolved
+    // at ANALYSIS time into a broadcast-backed expression (Dict.scala).
+    ("dictget", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.DictCatalog.buildGet(e, mode = 0),
+      "dictGet('dict', 'attr', key) - broadcast lookup; type default on miss"),
+    ("dictgetordefault", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.DictCatalog.buildGet(e, mode = 2),
+      "dictGetOrDefault('dict', 'attr', key, default)"),
+    ("dictgetornull", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.DictCatalog.buildGet(e, mode = 1),
+      "dictGetOrNull('dict', 'attr', key) - NULL on miss"),
+    ("dicthas", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.DictCatalog.buildHas(e),
+      "dictHas('dict', key)"),
+    // --- ClickHouse arrayJoin: the row-multiplying function ------------
+    // Maps to Spark's Explode generator; the analyzer's ExtractGenerator
+    // lifts it out of the SELECT list into a Generate node, which is the
+    // plan shape ClickHouse's ARRAY JOIN clause produces too.
+    ("arrayjoin", (e: Seq[Expression]) => Explode(e.head),
+      "arrayJoin(arr) - one output row per array element"))
 
   /** Imperative registration onto an existing session. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {

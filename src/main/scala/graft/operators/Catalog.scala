@@ -57,6 +57,28 @@ final case class Catalog(spark: SparkSession, root: String) {
     replaceDir(tmp, path(table))
   }
 
+  /** ClickHouse `ALTER TABLE .. UPDATE col = expr WHERE cond` (a
+    * "mutation"): rewrite matching rows in place, leave the rest
+    * untouched. Same rewrite-the-parts shape as [[deleteWhere]] — CH
+    * mutations also rewrite whole data parts rather than touching rows;
+    * at scale a partition-pruned `cond` bounds the rewrite to the parts
+    * it matches.
+    */
+  def updateWhere(table: String, cond: Column,
+      assignments: Map[String, Column]): Unit = {
+    val cur = spark.read.parquet(path(table))
+    // one SELECT so every RHS sees the OLD row (CH mutation semantics,
+    // even when one assignment references another updated column)
+    val updated = cur.select(cur.columns.toIndexedSeq.map { c =>
+      assignments.get(c)
+        .map(v => when(cond, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    val tmp = path(table) + "__tmp"
+    updated.write.mode("overwrite").parquet(tmp)
+    replaceDir(tmp, path(table))
+  }
+
   /** Materialize compaction (OPTIMIZE analog). */
   def compact(table: String, key: Seq[String], versionCol: String): Unit = {
     val tmp = path(table) + "__tmp"

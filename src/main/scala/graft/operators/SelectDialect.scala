@@ -50,4 +50,39 @@ object SelectDialect {
     }
     filled.orderBy(axisCol)
   }
+
+  /** ClickHouse `GROUP BY <keys> WITH TOTALS`: the per-group rows PLUS
+    * one grand-total row with NULL keys (ClickHouse docs "WITH TOTALS
+    * modifier"). ONE pass over the input — `GROUPING SETS ((keys), ())`,
+    * which Spark plans as a single expand+aggregate, not two scans.
+    * Contract note: EMPTY input produces NO rows (Spark's grouping-sets
+    * aggregate groups by the expanded gid, so the `()` set vanishes with
+    * the input — unlike a bare global aggregate's one null-ish row).
+    */
+  def withTotals(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "withTotals(keys, aggs)")
+    df.groupingSets(Seq(keys, Seq.empty), keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ClickHouse `SAMPLE k/n [OFFSET m/n]` over a table with
+    * `SAMPLE BY <keyCol>`: a DETERMINISTIC subset chosen by key hash, so
+    * the same key always lands in the same sample (repeatable queries,
+    * consistent joins between sampled tables — the CH contract; docs
+    * "SAMPLE clause"). Knuth multiplicative hashing over the key makes
+    * the bucket assignment portable arithmetic (`key*2654435761 mod 2^32
+    * mod den`), i.e. expressible in any engine, and the predicate is a
+    * plain filter — it pushes to the parquet scan.
+    */
+  def sampleByKey(df: DataFrame, keyCol: Column, num: Int, den: Int,
+      offset: Int = 0): DataFrame = {
+    require(num > 0 && den > num && offset >= 0, "sampleByKey(num < den)")
+    val bucket = pmod(pmod(keyCol.cast("long") * lit(2654435761L),
+      lit(4294967296L)), lit(den.toLong))
+    // the sampled window wraps modulo den, like CH's OFFSET arithmetic
+    val lo = offset.toLong % den
+    val hi = lo + num
+    if (hi <= den) df.filter(bucket >= lo && bucket < hi)
+    else df.filter(bucket >= lo || bucket < (hi % den))
+  }
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DictCatalog
+
+import graft.Tables
+import graft.operators.{AnnIndex, Catalog, SelectDialect}
+
+/** Engine-surface battery, late round 9: dictionaries, arrayJoin,
+  * WITH TOTALS, SAMPLE, and ALTER TABLE UPDATE mutations — the remaining
+  * ClickHouse server features a MyScale user exercises that are PLAN or
+  * CATALOG shapes rather than scalar functions.
+  */
+object EngineQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q170: dictGet enrichment replaces the dimension join ---------
+    // nation+region registered as broadcast dictionaries; the query is
+    // the classic CH pattern: enrich facts by dictGet (nested, too)
+    // instead of two joins. Oracle IS the join plan — hash-exact proves
+    // the broadcast-lookup path ≡ the join it displaces.
+    QueryDef("q170_dict_enrich", (s, dir) => {
+      DictCatalog.register(s, "nation", Tables.nation(s, dir), "n_nationkey")
+      DictCatalog.register(s, "region", Tables.region(s, dir), "r_regionkey")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT dictGet('nation', 'n_name', c_nationkey) AS nation,
+               dictGet('region', 'r_name',
+                       dictGet('nation', 'n_regionkey', c_nationkey)) AS region,
+               count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM customer
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")
+    }, Some("""
+      SELECT n_name AS nation, r_name AS region,
+             count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")),
+
+    // ---- q171: arrayJoin — the CH row-multiplier in the SELECT list ---
+    QueryDef("q171_array_join", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id, w, count(*) AS n
+        FROM (SELECT doc_id, arrayJoin(splitByChar(' ', text)) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+        ORDER BY doc_id, w""")
+    }, Some("""
+      SELECT doc_id, w, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+      ORDER BY doc_id, w""")),
+
+    // ---- q172: GROUP BY ... WITH TOTALS (one-pass grouping sets) ------
+    QueryDef("q172_with_totals", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      SelectDialect.withTotals(
+        li.filter(col("l_quantity") >= 25),
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        aggs = Seq(
+          QueryDef.dsum(col("l_extendedprice")).as("rev"),
+          count(lit(1)).as("n")))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_quantity >= 25
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- q173: SAMPLE k/n — deterministic key-hash sampling -----------
+    // The bucket arithmetic is portable (Knuth multiplicative hash), so
+    // the oracle applies the IDENTICAL predicate: hash-exact proves the
+    // sample is a pure function of the key, not of partitioning (the CH
+    // repeatability contract).
+    QueryDef("q173_sample_clause", (s, dir) => {
+      val sampled = SelectDialect.sampleByKey(
+        Tables.orders(s, dir), col("o_custkey"), num = 3, den = 10)
+      sampled.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          QueryDef.dsum(col("o_totalprice")).as("price"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+      FROM orders
+      WHERE (o_custkey * 2654435761) % 4294967296 % 10 < 3
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+
+    // ---- q174: ALTER TABLE UPDATE (mutation) --------------------------
+    // Bulk-reprice parts >40 size by an exact decimal factor, then
+    // aggregate the mutated table; the oracle computes the same mutation
+    // as a CASE expression over the ORIGINAL table. Decimal(18,3) sums —
+    // the mutated prices carry 3 decimals.
+    QueryDef("q174_update_mutation", (s, dir) => {
+      val root = AnnIndex.tmpRoot + "/mutcat_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = Catalog(s, root)
+      cat.create("part", Tables.part(s, dir))
+      cat.updateWhere("part", col("p_size") > 40, Map(
+        "p_retailprice" -> expr(
+          "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)"),
+        "p_type" -> concat(col("p_type"), lit(" (bulk)"))))
+      cat.readRaw("part")
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("p_retailprice").cast("decimal(18,3)")).cast("double").as("price"),
+          count(when(col("p_type").endsWith("(bulk)"), 1)).as("n_bulk"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }, Some("""
+      SELECT p_brand,
+        CAST(sum(CAST(CASE WHEN p_size > 40
+          THEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+          ELSE p_retailprice END AS DECIMAL(18,3))) AS DOUBLE) AS price,
+        count(CASE WHEN p_size > 40 THEN 1 END) AS n_bulk,
+        count(*) AS n
+      FROM part
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+  )
+}

@@ -1,0 +1,181 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ClickHouse DICTIONARIES: `dictGet('dict', 'attr', key)` — O(1)
+  * enrichment lookups that replace dimension joins (ClickHouse
+  * "Dictionaries"; `dictGet`/`dictGetOrDefault`/`dictGetOrNull`/
+  * `dictHas`).
+  *
+  * ClickHouse loads the whole dictionary into RAM on EVERY server and
+  * serves point lookups from it. The Spark-identical contract is a
+  * broadcast: [[DictCatalog.register]] collects the dimension frame once
+  * (internal-row form, so string attrs stay `UTF8String` — no per-lookup
+  * conversions) and broadcasts one `Map[key -> Array[attr]]` per dict.
+  * [[DictGet]] then evaluates as a map probe per row — the same work a
+  * ClickHouse flat/hashed dictionary does, and strictly cheaper at scale
+  * than the shuffle a dimension join would cost. (For dims too big to
+  * broadcast you keep the join; that's also ClickHouse's own guidance.)
+  *
+  * Miss semantics mirror ClickHouse exactly: `dictGet` returns the type's
+  * default value (0 / '' / 0.0), `dictGetOrDefault` the caller's default,
+  * `dictGetOrNull` NULL, `dictHas` 0/1-as-boolean.
+  */
+object DictCatalog {
+
+  final case class Dict(
+      name: String,
+      keyType: DataType,
+      attrNames: Seq[String],
+      attrTypes: Seq[DataType],
+      bc: Broadcast[Map[Any, Array[Any]]]) {
+    def attrIndex(a: String): Int = {
+      val i = attrNames.indexOf(a)
+      require(i >= 0, s"dictionary '$name' has no attribute '$a' " +
+        s"(has: ${attrNames.mkString(", ")})")
+      i
+    }
+  }
+
+  private val dicts = new TrieMap[String, Dict]
+
+  /** Load a dimension frame as a dictionary. One collect + one broadcast;
+    * re-registering a name replaces it (the CH `SYSTEM RELOAD DICTIONARY`
+    * analog).
+    */
+  def register(spark: SparkSession, name: String, df: DataFrame,
+      keyCol: String): Dict = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != keyIdx)
+    val attrIdx = attrs.map(_._2)
+    val attrTypes = attrs.map(_._1.dataType).toSeq
+    val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+    val map: Map[Any, Array[Any]] = rows.iterator.map { r: InternalRow =>
+      val k = r.get(keyIdx, schema(keyIdx).dataType)
+      k -> attrIdx.zip(attrTypes).map { case (i, t) => r.get(i, t) }.toArray
+    }.toMap
+    val d = Dict(name, schema(keyIdx).dataType, attrs.map(_._1.name).toSeq,
+      attrTypes, spark.sparkContext.broadcast(map))
+    dicts.put(name, d)
+    d
+  }
+
+  def get(name: String): Dict =
+    dicts.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown dictionary '$name' " +
+        s"(registered: ${dicts.keys.mkString(", ")})"))
+
+  def clear(): Unit = dicts.clear()
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $e")
+  }
+
+  /** SQL builders (Registry entries). `mode`: 0 = type default on miss,
+    * 1 = null on miss, 2 = explicit default (4th arg).
+    */
+  def buildGet(args: Seq[Expression], mode: Int): Expression = {
+    val d = get(litString(args(0), "dictGet dictionary name"))
+    val attr = litString(args(1), "dictGet attribute name")
+    val default = if (mode == 2) Some(args(3)) else None
+    DictGet(d.name, attr, args(2), default, nullOnMiss = mode == 1,
+      d.attrIndex(attr), d.attrTypes(d.attrIndex(attr)), d.bc)
+  }
+
+  def buildHas(args: Seq[Expression]): Expression = {
+    val d = get(litString(args(0), "dictHas dictionary name"))
+    DictHas(d.name, args(1), d.bc)
+  }
+
+  /** ClickHouse type-default values for miss-without-default. */
+  def typeDefault(dt: DataType): Any = dt match {
+    case StringType              => UTF8String.fromString("")
+    case LongType                => 0L
+    case IntegerType             => 0
+    case ShortType               => 0.toShort
+    case ByteType                => 0.toByte
+    case DoubleType              => 0.0
+    case FloatType               => 0.0f
+    case BooleanType             => false
+    case d: DecimalType          => Decimal(0, d.precision, d.scale)
+    case _                       => null
+  }
+}
+
+/** One dictionary probe. CodegenFallback: the probe is a hash-map get —
+  * the same cost whether codegen'd or not; keeping it an opaque call
+  * avoids baking the broadcast into generated code.
+  */
+case class DictGet(
+    dictName: String,
+    attrName: String,
+    key: Expression,
+    default: Option[Expression],
+    nullOnMiss: Boolean,
+    attrIdx: Int,
+    attrType: DataType,
+    bc: Broadcast[Map[Any, Array[Any]]])
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = key +: default.toSeq
+  override def dataType: DataType = attrType
+  override def nullable: Boolean =
+    nullOnMiss || default.forall(_.nullable)
+  override def prettyName: String =
+    if (nullOnMiss) "dictGetOrNull"
+    else if (default.isDefined) "dictGetOrDefault" else "dictGet"
+
+  private def onMiss(input: InternalRow): Any = default match {
+    case Some(d)             => d.eval(input)
+    case None if nullOnMiss  => null
+    case None                => DictCatalog.typeDefault(attrType)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val k = key.eval(input)
+    if (k == null) onMiss(input)
+    else bc.value.get(k) match {
+      case Some(attrs) =>
+        val v = attrs(attrIdx)
+        if (v == null) onMiss(input) else v
+      case None => onMiss(input)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren.head,
+      default = if (default.isDefined) Some(newChildren(1)) else None)
+}
+
+case class DictHas(
+    dictName: String,
+    key: Expression,
+    bc: Broadcast[Map[Any, Array[Any]]])
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(key)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "dictHas"
+
+  override def eval(input: InternalRow): Any = {
+    val k = key.eval(input)
+    k != null && bc.value.contains(k)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren.head)
+}

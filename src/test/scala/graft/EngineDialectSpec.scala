@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DictCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Catalog, SelectDialect}
+
+/** Edge semantics for the round-9 engine-surface batch (q170–q174):
+  * dictionaries' miss contract, arrayJoin's empty/null behavior,
+  * WITH TOTALS's single-pass shape + empty input, SAMPLE's determinism
+  * and offset wrap, and UPDATE's old-row assignment semantics.
+  */
+class EngineDialectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dimDf = Seq(
+    (1L, "alpha", 10L),
+    (2L, "beta", 20L),
+    (3L, null.asInstanceOf[String], 30L)).toDF("k", "name", "w")
+
+  test("dictGet miss contract: type default / null / explicit default / has") {
+    DictCatalog.register(spark, "spec_dim", dimDf, "k")
+    val df = Seq(1L, 2L, 99L).toDF("k").select(
+      expr("dictGet('spec_dim', 'name', k)").as("d"),
+      expr("dictGetOrNull('spec_dim', 'name', k)").as("n"),
+      expr("dictGetOrDefault('spec_dim', 'name', k, 'missing')").as("dd"),
+      expr("dictGet('spec_dim', 'w', k)").as("w"),
+      expr("dictHas('spec_dim', k)").as("h"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "alpha" && rows(0).getBoolean(4))
+    // miss: '' for string (CH type default), NULL for OrNull, explicit for OrDefault, 0 for long
+    assert(rows(2).getString(0) == "" && rows(2).isNullAt(1))
+    assert(rows(2).getString(2) == "missing" && rows(2).getLong(3) == 0L)
+    assert(!rows(2).getBoolean(4))
+  }
+
+  test("dictGet: NULL stored attribute falls back like a miss") {
+    DictCatalog.register(spark, "spec_dim", dimDf, "k")
+    val r = Seq(3L).toDF("k").select(
+      expr("dictGet('spec_dim', 'name', k)").as("d"),
+      expr("dictGetOrNull('spec_dim', 'name', k)").as("n"),
+      expr("dictHas('spec_dim', k)").as("h")).collect()(0)
+    assert(r.getString(0) == "" && r.isNullAt(1) && r.getBoolean(2))
+  }
+
+  test("dictGet: unknown dict and unknown attr are loud analysis errors") {
+    DictCatalog.register(spark, "spec_dim", dimDf, "k")
+    val e1 = intercept[Exception] {
+      Seq(1L).toDF("k").select(expr("dictGet('nope', 'name', k)")).collect()
+    }
+    assert(e1.getMessage.contains("unknown dictionary"))
+    val e2 = intercept[Exception] {
+      Seq(1L).toDF("k").select(expr("dictGet('spec_dim', 'nope', k)")).collect()
+    }
+    assert(e2.getMessage.contains("no attribute"))
+  }
+
+  test("arrayJoin skips empty and null arrays (CH contract)") {
+    val df = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "arr")
+    df.createOrReplaceTempView("aj_in")
+    val out = spark.sql("SELECT id, arrayJoin(arr) AS w FROM aj_in")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (1L, "b")))
+  }
+
+  test("withTotals: one pass (single Expand), totals row, empty input") {
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 10L)).toDF("k", "v")
+    val t = SelectDialect.withTotals(df, Seq(col("k")),
+      Seq(sum($"v").as("s"), count(lit(1)).as("n")))
+      .orderBy(asc_nulls_first("k"))
+    val rows = t.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((null, 13L, 3L), ("x", 3L, 2L), ("y", 10L, 1L)))
+    // single-pass: exactly one Expand, one scan in the optimized plan
+    val plan = t.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, LocalRelation}
+    assert(plan.collect { case e: Expand => e }.size == 1)
+    assert(plan.collectLeaves().size == 1)
+    // empty input: Spark's Expand+Aggregate grouping-sets plan produces
+    // NO rows (unlike a bare global aggregate) — pinned as the operator
+    // contract (see withTotals scaladoc)
+    val empty = SelectDialect.withTotals(df.filter($"v" > 100), Seq(col("k")),
+      Seq(count(lit(1)).as("n"))).collect()
+    assert(empty.isEmpty)
+  }
+
+  test("sampleByKey: deterministic, key-consistent, offset wraps, covers all") {
+    val df = spark.range(0, 10000).toDF("k")
+    val s1 = SelectDialect.sampleByKey(df, $"k", 3, 10).collect().map(_.getLong(0)).toSet
+    val s2 = SelectDialect.sampleByKey(df.repartition(13), $"k", 3, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // pure function of the key, not of partitioning
+    assert(s1.size > 2000 && s1.size < 4000) // ~30%
+    // offset slices are disjoint and the den/den union is everything
+    val slices = (0 until 10).map(o =>
+      SelectDialect.sampleByKey(df, $"k", 1, 10, offset = o)
+        .collect().map(_.getLong(0)).toSet)
+    assert(slices.map(_.size).sum == 10000)
+    assert(slices.reduce(_ ++ _).size == 10000)
+    // wrap-around: offset 8 + num 3 wraps past den
+    val wrap = SelectDialect.sampleByKey(df, $"k", 3, 10, offset = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(wrap == (slices(8) ++ slices(9) ++ slices(0)))
+  }
+
+  test("updateWhere: every RHS sees the OLD row") {
+    val root = Files.createTempDirectory("mut_spec").toString
+    val cat = Catalog(spark, root)
+    cat.create("t", Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
+      .toDF("id", "a", "b"))
+    // swap a and b where id=1: with old-row semantics both move; with
+    // sequential semantics b would get the NEW a
+    cat.updateWhere("t", col("id") === 1, Map(
+      "a" -> col("b"),
+      "b" -> col("a")))
+    val rows = cat.readRaw("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 100.0, 10.0), (2L, 20.0, 200.0)))
+  }
+}
