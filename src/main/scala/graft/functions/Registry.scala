@@ -580,12 +580,45 @@ object Registry {
     ("dicthas", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.DictCatalog.buildHas(e),
       "dictHas('dict', key)"),
+    // --- ClickHouse token search ---------------------------------------
+    // hasToken: needle must appear bounded by non-alphanumerics (the
+    // tokenbf index probe semantics). CH requires a CONSTANT needle;
+    // mirrored here — the regex is precompiled at analysis time.
+    ("hastoken", (e: Seq[Expression]) => RLike(e(0), Literal(
+      "(^|[^A-Za-z0-9])" +
+        java.util.regex.Pattern.quote(Registry.constString(e(1), "hasToken")) +
+        "([^A-Za-z0-9]|$)")),
+      "hasToken(haystack, 'needle') - whole-token match"),
+    ("hastokencaseinsensitive", (e: Seq[Expression]) => RLike(Lower(e(0)),
+      Literal("(^|[^a-z0-9])" +
+        java.util.regex.Pattern.quote(
+          Registry.constString(e(1), "hasTokenCaseInsensitive").toLowerCase) +
+        "([^a-z0-9]|$)")),
+      "hasTokenCaseInsensitive(haystack, 'needle')"),
+    ("multisearchallpositions", (e: Seq[Expression]) => {
+      val n = UnresolvedNamedLambdaVariable(Seq("n"))
+      ArrayTransform(e(1), LambdaFunction(new StringLocate(n, e(0)), Seq(n)))
+    }, "multiSearchAllPositions(haystack, [needles]) - 1-based, 0 if absent"),
+    // CH tokens(): alphanumeric runs, empties dropped
+    ("tokens", (e: Seq[Expression]) => {
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      ArrayFilter(
+        StringSplit(e.head, Literal("[^A-Za-z0-9]+"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(t), Literal(0)), Seq(t)))
+    }, "tokens(s) - alphanumeric tokens"),
     // --- ClickHouse arrayJoin: the row-multiplying function ------------
     // Maps to Spark's Explode generator; the analyzer's ExtractGenerator
     // lifts it out of the SELECT list into a Generate node, which is the
     // plan shape ClickHouse's ARRAY JOIN clause produces too.
     ("arrayjoin", (e: Seq[Expression]) => Explode(e.head),
       "arrayJoin(arr) - one output row per array element"))
+
+  /** Constant string arg (analysis-time; loud otherwise). */
+  private def constString(e: Expression, fn: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn needle must be a constant string (ClickHouse contract)")
+  }
 
   /** Imperative registration onto an existing session. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {

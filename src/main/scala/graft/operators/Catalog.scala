@@ -79,6 +79,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     replaceDir(tmp, path(table))
   }
 
+  /** ClickHouse `TTL <tsCol> + INTERVAL n <unit>` row expiry: drop rows
+    * whose ts is older than `now - ttl`. CH applies TTL at merge time;
+    * graft applies it as an explicit maintenance pass (the same
+    * rewrite-the-parts shape as [[deleteWhere]]). `now` is
+    * caller-supplied so expiry is deterministic and testable — a
+    * scheduler would pass the wall clock. At scale a table partitioned
+    * by day makes this pure partition drops.
+    */
+  def applyTtl(table: String, tsCol: String, ttl: Column, now: Column): Unit =
+    deleteWhere(table, col(tsCol) < now - ttl)
+
   /** Materialize compaction (OPTIMIZE analog). */
   def compact(table: String, key: Seq[String], versionCol: String): Unit = {
     val tmp = path(table) + "__tmp"

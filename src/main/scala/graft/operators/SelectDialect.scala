@@ -65,6 +65,24 @@ object SelectDialect {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** ClickHouse `ANY LEFT JOIN`: at most ONE right-side row per left row
+    * (CH docs "JOIN clause", ANY strictness). ClickHouse picks an
+    * arbitrary match; graft requires a total `pick` order and takes the
+    * FIRST right row under it, making the operator deterministic (and
+    * oracle-expressible — q175). Plan: the right side dedupes with one
+    * window rank inside its join-key hash partition, then a plain
+    * equi-join; both exchanges are on the join key, so AQE can still
+    * broadcast a small deduped right side.
+    */
+  def anyLeftJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      pick: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && pick.nonEmpty, "anyLeftJoin(keys, pick)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(pick: _*)
+    val firstMatch = right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    left.join(firstMatch, keys, "left")
+  }
+
   /** ClickHouse `SAMPLE k/n [OFFSET m/n]` over a table with
     * `SAMPLE BY <keyCol>`: a DETERMINISTIC subset chosen by key hash, so
     * the same key always lands in the same sample (repeatable queries,

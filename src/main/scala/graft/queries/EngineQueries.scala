@@ -128,6 +128,87 @@ object EngineQueries {
         count(*) AS n
       FROM part
       GROUP BY p_brand
-      ORDER BY p_brand"""))
+      ORDER BY p_brand""")),
+
+    // ---- q175: ANY LEFT JOIN (first matching right row) ---------------
+    // Orders joined to their FIRST lineitem — at most one right row per
+    // order. The synthetic lineitem does NOT have TPC-H's unique
+    // (orderkey, linenumber), so the pick order carries a full
+    // tiebreaker (anyLeftJoin requires a TOTAL order — that's the
+    // operator's determinism contract vs CH's arbitrary ANY). Oracle
+    // spells the dedupe as QUALIFY row_number() = 1, the plan the
+    // operator packages.
+    QueryDef("q175_any_join", (s, dir) => {
+      val joined = SelectDialect.anyLeftJoin(
+        Tables.orders(s, dir), Tables.lineitem(s, dir).withColumnRenamed(
+          "l_orderkey", "o_orderkey"),
+        keys = Seq("o_orderkey"),
+        pick = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice")))
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("l_linenumber")).as("n_matched"),
+          sum(col("l_quantity")).as("first_line_qty"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      WITH first_line AS (
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) = 1)
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             count(l_linenumber) AS n_matched,
+             sum(l_quantity) AS first_line_qty
+      FROM orders LEFT JOIN first_line ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+
+    // ---- q176: TTL row expiry -----------------------------------------
+    // Copy events into the catalog, expire everything older than 30 days
+    // before the stream's own max ts (deterministic "now"), aggregate
+    // the survivors. CH applies TTL at merge; graft as a maintenance
+    // pass — same visible result.
+    QueryDef("q176_ttl_expiry", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = AnnIndex.tmpRoot + "/ttlcat_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = Catalog(s, root)
+      cat.create("events", ev)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      cat.applyTtl("events", "ts", expr("INTERVAL 30 DAYS"),
+        lit(maxTs))
+      cat.readRaw("events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("oldest"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n, min(ts) AS oldest
+      FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 30 DAY
+      GROUP BY event_type
+      ORDER BY event_type""")),
+
+    // ---- q177: token search family ------------------------------------
+    QueryDef("q177_token_search", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id,
+          hasToken(text, 'data') AS has_data,
+          hasTokenCaseInsensitive(text, 'DATA') AS has_data_ci,
+          hasToken(text, 'dat') AS has_dat,
+          multiSearchAllPositions(text, array('the', 'data', 'xyzzy')) AS pos,
+          size(tokens(text)) AS n_tokens
+        FROM documents ORDER BY doc_id""")
+    }, Some("""
+      SELECT doc_id,
+        regexp_matches(text, '(^|[^A-Za-z0-9])data([^A-Za-z0-9]|$)') AS has_data,
+        regexp_matches(lower(text), '(^|[^a-z0-9])data([^a-z0-9]|$)') AS has_data_ci,
+        regexp_matches(text, '(^|[^A-Za-z0-9])dat([^A-Za-z0-9]|$)') AS has_dat,
+        [CAST(instr(text, 'the') AS INT), CAST(instr(text, 'data') AS INT),
+         CAST(instr(text, 'xyzzy') AS INT)] AS pos,
+        CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                             t -> length(t) > 0)) AS INT) AS n_tokens
+      FROM documents ORDER BY doc_id"""))
   )
 }

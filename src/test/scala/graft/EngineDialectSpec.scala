@@ -110,6 +110,51 @@ class EngineDialectSpec extends AnyFunSuite {
     assert(wrap == (slices(8) ++ slices(9) ++ slices(0)))
   }
 
+  test("anyLeftJoin: one right row per left, unmatched stay null") {
+    val left = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "lv")
+    val right = Seq((1L, "b", 20), (1L, "a", 10), (2L, "c", 30))
+      .toDF("k", "rv", "ord")
+    val out = SelectDialect.anyLeftJoin(left, right, Seq("k"), Seq(col("ord")))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(out == Seq((1L, "x", "a"), (2L, "y", "c"), (3L, "z", null)))
+  }
+
+  test("applyTtl drops exactly the expired rows") {
+    val root = Files.createTempDirectory("ttl_spec").toString
+    val cat = Catalog(spark, root)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    cat.create("t", Seq((1L, ts(1)), (2L, ts(10)), (3L, ts(20)), (4L, ts(25)))
+      .toDF("id", "ts"))
+    cat.applyTtl("t", "ts", expr("INTERVAL 10 DAYS"), lit(ts(25)))
+    val kept = cat.readRaw("t").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L)) // day 20 and 25 survive a 10-day TTL at day 25
+  }
+
+  test("hasToken: whole-token boundaries; regex metachars are literal") {
+    val df = Seq("big data lake", "database", "data", "a (data) b", "c+d e")
+      .toDF("t")
+    val got = df.select(expr("hasToken(t, 'data')").as("a"),
+      expr("hasToken(t, 'c+d')").as("b")).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(got == Seq((true, false), (false, false), (true, false),
+      (true, false), (false, true)))
+    val e = intercept[Exception] {
+      df.select(expr("hasToken(t, t)")).collect()
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+
+  test("tokens + multiSearchAllPositions") {
+    val r = Seq("Hello, world! 42 foo").toDF("t").select(
+      expr("tokens(t)").as("tk"),
+      expr("multiSearchAllPositions(t, array('world', 'nope', 'Hello'))").as("p"))
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("Hello", "world", "42", "foo"))
+    assert(r.getSeq[Int](1) == Seq(8, 0, 1))
+  }
+
   test("updateWhere: every RHS sees the OLD row") {
     val root = Files.createTempDirectory("mut_spec").toString
     val cat = Catalog(spark, root)
