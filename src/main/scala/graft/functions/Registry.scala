@@ -493,6 +493,12 @@ object Registry {
       "sumMap(keys, values) - per-key sums as (sorted keys, sums) struct"),
     ("topk", (e: Seq[Expression]) => org.apache.spark.sql.graft.TopK(e(0), e(1)),
       "topK(x, k) - k most frequent values, count desc then value asc (exact)"),
+    ("topkweighted", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.TopK(e(0), e(1), e(2)),
+      "topKWeighted(x, w, k) - k largest weight-sums, desc then value asc (exact)"),
+    ("uniqupto", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.UniqUpTo(e(0), e(1)),
+      "uniqUpTo(x, n) - exact distinct count saturated at n+1; O(n) state"),
     // quantile/quantiles/median: ClickHouse's default quantile is
     // APPROXIMATE (reservoir); mapped onto Spark's approx_percentile
     // (GK sketch, accuracy 10000). Spec-gated, not oracle-gated — two

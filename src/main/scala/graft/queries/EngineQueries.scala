@@ -209,6 +209,40 @@ object EngineQueries {
          CAST(instr(text, 'xyzzy') AS INT)] AS pos,
         CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
                              t -> length(t) > 0)) AS INT) AS n_tokens
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- q178: topKWeighted + uniqUpTo --------------------------------
+    // Heavy hitters by WEIGHT sum (quantity-weighted return flags) and
+    // the bounded-state distinct counter, both exact: topKWeighted's
+    // deterministic (weight desc, value asc) order makes the groupBy+
+    // rank oracle expressible; uniqUpTo is least(count distinct, n+1).
+    // uniqUpTo saturates on l_partkey (n=100 << distinct parts) and
+    // counts exactly on l_returnflag (3 < n=10) — both legs gated.
+    QueryDef("q178_weighted_topk", (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_linestatus,
+          topKWeighted(l_returnflag, CAST(l_quantity AS BIGINT), 2) AS top_flags,
+          uniqUpTo(l_partkey, 100) AS parts_capped,
+          uniqUpTo(l_returnflag, 10) AS flags_exact
+        FROM lineitem
+        GROUP BY l_linestatus ORDER BY l_linestatus""")
+    }, Some("""
+      WITH w AS (SELECT l_linestatus, l_returnflag AS v,
+                        sum(CAST(l_quantity AS BIGINT)) AS n
+                 FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT l_linestatus, v,
+              row_number() OVER (PARTITION BY l_linestatus
+                                 ORDER BY n DESC, v) AS rn
+            FROM w),
+      t AS (SELECT l_linestatus, list(v ORDER BY rn) AS top_flags
+            FROM r WHERE rn <= 2 GROUP BY l_linestatus),
+      u AS (SELECT l_linestatus,
+              least(count(DISTINCT l_partkey), 101) AS parts_capped,
+              least(count(DISTINCT l_returnflag), 11) AS flags_exact
+            FROM lineitem GROUP BY l_linestatus)
+      SELECT u.l_linestatus, t.top_flags, u.parts_capped, u.flags_exact
+      FROM u JOIN t ON t.l_linestatus = u.l_linestatus
+      ORDER BY u.l_linestatus"""))
   )
 }

@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `top_k(x, k)` — ClickHouse `topK(k)(x)`: the k most frequent values
+/** `top_k(x[, w], k)` — ClickHouse `topK(k)(x)` / `topKWeighted(k)(x, w)`:
+  * the k most frequent values
   * as an array, most frequent first. ClickHouse computes this
   * APPROXIMATELY (filtered space-saving); this implementation is EXACT —
   * buffer = value→count map per group per partition, merged by summing —
@@ -28,15 +29,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TopK(
     child: Expression,
+    weight: Expression,
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[AnyRef, java.lang.Long]]
-  with BinaryLike[Expression] {
+  with TernaryLike[Expression] {
 
-  override def left: Expression = child
-  override def right: Expression = kExpr
-  override def prettyName: String = "top_k"
+  override def first: Expression = child
+  override def second: Expression = weight
+  override def third: Expression = kExpr
+  override def prettyName: String =
+    if (weighted) "top_k_weighted" else "top_k"
+  private lazy val weighted: Boolean = weight match {
+    case Literal(w: java.lang.Long, LongType) => w.longValue() != 1L
+    case _ => true
+  }
   override def nullable: Boolean = false
 
   private lazy val k: Int = {
@@ -48,10 +56,13 @@ case class TopK(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | LongType | IntegerType =>
-      if (kExpr.dataType.isInstanceOf[IntegralType])
-        TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"top_k k must be integral, got ${kExpr.dataType}")
+      if (!kExpr.dataType.isInstanceOf[IntegralType])
+        TypeCheckResult.TypeCheckFailure(
+          s"top_k k must be integral, got ${kExpr.dataType}")
+      else if (!weight.dataType.isInstanceOf[IntegralType])
+        TypeCheckResult.TypeCheckFailure(
+          s"top_k weight must be integral, got ${weight.dataType}")
+      else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"top_k supports string|bigint|int values, got $t")
   }
@@ -65,15 +76,18 @@ case class TopK(
   override def update(buf: java.util.HashMap[AnyRef, java.lang.Long],
       input: InternalRow): java.util.HashMap[AnyRef, java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) {
+    val w = weight.eval(input)
+    // ClickHouse topKWeighted skips NULL keys; a NULL weight counts as 0
+    if (v != null && w != null) {
       val key: AnyRef = v match {
         case u: UTF8String => u.toString
         case l: java.lang.Long => l
         case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
         case other => other.toString
       }
+      val inc = w.asInstanceOf[Number].longValue()
       val prev = buf.get(key)
-      buf.put(key, if (prev == null) 1L else prev + 1L)
+      buf.put(key, if (prev == null) inc else prev + inc)
     }
     buf
   }
@@ -141,6 +155,113 @@ case class TopK(
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): TopK =
     copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): TopK =
+    copy(child = f, weight = s, kExpr = t)
+}
+
+object TopK {
+  /** Unweighted form (ClickHouse `topK(k)(x)`): weight 1 per row. */
+  def apply(child: Expression, kExpr: Expression): TopK =
+    TopK(child, Literal(1L), kExpr)
+}
+
+/** `uniq_up_to(x, n)` — ClickHouse `uniqUpTo(N)(x)`: exact distinct count
+  * saturated at N+1 ("N or more"). The buffer is a set CAPPED at N+1
+  * elements — once saturated, updates and merges are free and the state
+  * stays O(N) per group regardless of true cardinality, which is the
+  * whole point of the function at 100 TB (vs uniqExact's unbounded
+  * state). Exact, hence oracle-expressible as
+  * `least(count(DISTINCT x), N+1)`.
+  */
+case class UniqUpTo(
+    child: Expression,
+    nExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashSet[AnyRef]]
+  with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def prettyName: String = "uniq_up_to"
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  private lazy val n: Int = {
+    require(nExpr.foldable, s"uniqUpTo n must be a literal, got $nExpr")
+    nExpr.eval(null).asInstanceOf[Number].intValue()
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType =>
+      if (nExpr.dataType.isInstanceOf[IntegralType])
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"uniq_up_to n must be integral, got ${nExpr.dataType}")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"uniq_up_to supports string|bigint|int values, got $t")
+  }
+
+  override def createAggregationBuffer(): java.util.HashSet[AnyRef] =
+    new java.util.HashSet[AnyRef]()
+
+  override def update(buf: java.util.HashSet[AnyRef],
+      input: InternalRow): java.util.HashSet[AnyRef] = {
+    if (buf.size() <= n) { // saturated at n+1: stop accumulating
+      val v = child.eval(input)
+      if (v != null) buf.add(v match {
+        case u: UTF8String => u.toString
+        case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+        case other => other.asInstanceOf[AnyRef]
+      })
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.HashSet[AnyRef],
+      b2: java.util.HashSet[AnyRef]): java.util.HashSet[AnyRef] = {
+    val it = b2.iterator()
+    while (it.hasNext && b1.size() <= n) b1.add(it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.HashSet[AnyRef]): Any =
+    math.min(buf.size().toLong, n + 1L)
+
+  override def serialize(buf: java.util.HashSet[AnyRef]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val isString = child.dataType == StringType
+    out.writeInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (isString) out.writeUTF(v.asInstanceOf[String])
+      else out.writeLong(v.asInstanceOf[java.lang.Long].longValue())
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[AnyRef] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val isString = child.dataType == StringType
+    val m = in.readInt()
+    var i = 0
+    while (i < m) {
+      buf.add(if (isString) in.readUTF()
+        else java.lang.Long.valueOf(in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): UniqUpTo =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): UniqUpTo =
+    copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(l: Expression,
-      r: Expression): TopK = copy(child = l, kExpr = r)
+      r: Expression): UniqUpTo = copy(child = l, nExpr = r)
 }

@@ -259,4 +259,39 @@ class DialectAggSpec extends AnyFunSuite {
     assert(rows(0).getLong(7) === 1L)
     assert(rows(1).getLong(7) === 0L)
   }
+
+  test("topKWeighted and uniqUpTo: weights, saturation, 16-partition merge") {
+    GraftSession.install(spark)
+    // one heavy-but-rare value: 'z' appears once with weight 1000
+    val df = spark.range(0, 3200).selectExpr(
+      "id % 16 AS g",
+      "CASE WHEN id = 7 THEN 'z' ELSE concat('v', id % 5) END AS v",
+      "CASE WHEN id = 7 THEN 1000L ELSE 1L END AS w",
+      "id % 37 AS u").repartition(16)
+    df.createOrReplaceTempView("t_tkw")
+    val rows = spark.sql("""
+      SELECT g, topKWeighted(v, w, 2) AS tw, topK(v, 2) AS tc,
+             uniqUpTo(u, 5) AS cap5, uniqUpTo(u, 100) AS exact
+      FROM t_tkw GROUP BY g ORDER BY g""").collect()
+    // group 7 holds the heavy 'z' (weight 1000 beats ~40 of any other);
+    // by plain count 'z' is nowhere near the top
+    val g7 = rows(7)
+    assert(g7.getSeq[String](1).head == "z")
+    assert(!g7.getSeq[String](2).contains("z"))
+    // unweighted top list: weight-1 everywhere means tw == tc elsewhere
+    assert(rows(0).getSeq[String](1) == rows(0).getSeq[String](2))
+    // uniqUpTo: every group sees 37 distinct u values eventually — here
+    // each group has 200 rows, u = id % 37 cycles, so distinct u per
+    // group is 37: cap5 saturates at 6, exact reports 37
+    assert(rows.forall(_.getLong(3) == 6L))
+    assert(rows.forall(_.getLong(4) == 37L))
+    // null keys are skipped; null weights drop the row (CH contract)
+    val n = spark.sql("""
+      SELECT topKWeighted(v, w, 3) AS tw, uniqUpTo(v, 9) AS uq FROM (
+        SELECT CASE WHEN id % 3 = 0 THEN NULL ELSE concat('k', id % 2) END AS v,
+               CASE WHEN id % 5 = 0 THEN NULL ELSE 1L END AS w
+        FROM range(30))""").collect()(0)
+    assert(n.getSeq[String](0).toSet == Set("k0", "k1"))
+    assert(n.getLong(1) == 2L)
+  }
 }
