@@ -97,6 +97,49 @@ final case class Catalog(spark: SparkSession, root: String) {
     replaceDir(tmp, path(table))
   }
 
+  /** ClickHouse `ALTER TABLE .. DROP PARTITION` on a table created with
+    * `partitionBy`: remove one partition directory outright — no scan,
+    * no rewrite, the O(1) bulk-delete that makes date-partitioned
+    * retention free at 100 TB (vs deleteWhere's full-table rewrite).
+    */
+  def dropPartition(table: String, partCol: String, value: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path(table), s"$partCol=$value")
+    require(dir.normalize.startsWith(Paths.get(path(table)).normalize),
+      s"partition escapes table dir: $dir")
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** ClickHouse `system.parts` analog: the physical parts (parquet
+    * files) behind each table in this catalog — name, bytes, mtime —
+    * as a DataFrame. Pure driver-side FS listing (parts counts are
+    * what an operator checks before/after compaction; cf. CH's
+    * `SELECT ... FROM system.parts WHERE active`).
+    */
+  def parts(): DataFrame = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val rootPath = Paths.get(root)
+    val rows: Seq[(String, String, Long, java.sql.Timestamp)] =
+      if (!Files.isDirectory(rootPath)) Nil
+      else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
+        .flatMap { t =>
+          Files.walk(t).iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map { p =>
+              (t.getFileName.toString, rootPath.relativize(p).toString,
+                Files.size(p),
+                new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis))
+            }
+        }.toSeq
+    rows.toDF("table", "part_name", "bytes", "modified")
+  }
+
   private def replaceDir(from: String, to: String): Unit = {
     import java.nio.file._
     import scala.jdk.CollectionConverters._

@@ -100,6 +100,35 @@ object ProjectionQueries {
         count(*) AS n
       FROM orders
       GROUP BY o_orderpriority, o_orderstatus
-      ORDER BY o_orderpriority, o_orderstatus"""))
+      ORDER BY o_orderpriority, o_orderstatus""")),
+
+    // ---- q179: matview over the EVENT STREAM table --------------------
+    // The canonical CH materialized-view use: a rolling per-event-type
+    // rollup of the append-only events stream, populated in arrival
+    // batches (split by event_id — the batch boundaries a stream would
+    // produce), finalized at read. Oracle = one-shot GROUP BY over all
+    // events.
+    QueryDef("q179_matview_events", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val path = AnnIndex.tmpRoot + "/mv_events_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val measures = Seq(Measure("value", Some(DecimalType(18, 2))))
+      val mv = graft.operators.MatView.create(s, path, Seq("event_type"),
+        measures, initial = ev.filter(col("event_id") % 3 === 0))
+      mv.insert(ev.filter(col("event_id") % 3 === 1))
+      mv.insert(ev.filter(col("event_id") % 3 === 2))
+      mv.read()
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("total"),
+          col("min_value").as("lo"), col("max_value").as("hi"),
+          col("cnt").as("n"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        min(value) AS lo, max(value) AS hi, count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
   )
 }
