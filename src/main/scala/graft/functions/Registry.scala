@@ -586,6 +586,16 @@ object Registry {
     ("dicthas", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.DictCatalog.buildHas(e),
       "dictHas('dict', key)"),
+    // --- ClickHouse formatDateTime (%-syntax → Java pattern) -----------
+    // Supported subset (the unambiguous CH/MySQL symbols; %i is MINUTE
+    // in both): %Y %y %m %d %H %i %S %j %F %T %%. Constant format only —
+    // translated once at analysis time onto Spark's codegen'd
+    // date_format. Literal runs are single-quote-escaped for the Java
+    // pattern syntax.
+    ("formatdatetime", (e: Seq[Expression]) => DateFormatClass(e(0),
+      Literal(Registry.chFormatToJava(
+        Registry.constString(e(1), "formatDateTime")))),
+      "formatDateTime(ts, '%Y-%m-%d %H:%i:%S') - CH %-syntax formatting"),
     // --- ClickHouse token search ---------------------------------------
     // hasToken: needle must appear bounded by non-alphanumerics (the
     // tokenbf index probe semantics). CH requires a CONSTANT needle;
@@ -618,6 +628,34 @@ object Registry {
     // plan shape ClickHouse's ARRAY JOIN clause produces too.
     ("arrayjoin", (e: Seq[Expression]) => Explode(e.head),
       "arrayJoin(arr) - one output row per array element"))
+
+  /** CH formatDateTime %-pattern → Java SimpleDateFormat pattern. */
+  private[functions] def chFormatToJava(fmt: String): String = {
+    val map = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'i' -> "mm", 'S' -> "ss", 'j' -> "DDD",
+      'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss")
+    val sb = new StringBuilder
+    var i = 0
+    def lit(s: String): Unit =
+      if (s.nonEmpty) sb.append("'").append(s.replace("'", "''")).append("'")
+    val run = new StringBuilder
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val x = fmt.charAt(i + 1)
+        if (x == '%') { run.append('%'); i += 2 }
+        else map.get(x) match {
+          case Some(p) =>
+            lit(run.result()); run.clear(); sb.append(p); i += 2
+          case None => throw new IllegalArgumentException(
+            s"formatDateTime: unsupported symbol %$x " +
+              "(supported: %Y %y %m %d %H %i %S %j %F %T %%)")
+        }
+      } else { run.append(c); i += 1 }
+    }
+    lit(run.result())
+    sb.result()
+  }
 
   /** Constant string arg (analysis-time; loud otherwise). */
   private def constString(e: Expression, fn: String): String = e match {

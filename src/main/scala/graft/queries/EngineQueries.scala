@@ -243,6 +243,25 @@ object EngineQueries {
             FROM lineitem GROUP BY l_linestatus)
       SELECT u.l_linestatus, t.top_flags, u.parts_capped, u.flags_exact
       FROM u JOIN t ON t.l_linestatus = u.l_linestatus
-      ORDER BY u.l_linestatus"""))
+      ORDER BY u.l_linestatus""")),
+
+    // ---- q180: formatDateTime (%-syntax) ------------------------------
+    // DuckDB strftime shares the %-vocabulary (with %M for minute where
+    // CH/MySQL use %i) — hash-exact across every row of events proves
+    // the pattern translation, including literal runs and %%.
+    QueryDef("q180_format_datetime", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS full,
+          formatDateTime(ts, '%F') AS datepart,
+          formatDateTime(ts, 'day %j of %Y (100%%)') AS doy
+        FROM events ORDER BY event_id""")
+    }, Some("""
+      SELECT event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS full,
+        strftime(ts, '%Y-%m-%d') AS datepart,
+        strftime(ts, 'day %j of %Y (100%%)') AS doy
+      FROM events ORDER BY event_id"""))
   )
 }

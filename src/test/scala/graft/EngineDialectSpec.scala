@@ -185,6 +185,23 @@ class EngineDialectSpec extends AnyFunSuite {
     assert(cat.readRaw("t").count() == 200)
   }
 
+  test("formatDateTime: translation, literals, %%, unsupported symbol is loud") {
+    GraftSession.install(spark)
+    val r = Seq("2024-03-05 07:08:09").toDF("s")
+      .selectExpr("CAST(s AS TIMESTAMP) AS ts")
+      .selectExpr("formatDateTime(ts, '%Y/%m/%d %H:%i:%S') AS a",
+        "formatDateTime(ts, '%T on %F') AS b",
+        "formatDateTime(ts, 'yr=%y 100%% day %j') AS c").collect()(0)
+    assert(r.getString(0) == "2024/03/05 07:08:09")
+    assert(r.getString(1) == "07:08:09 on 2024-03-05")
+    assert(r.getString(2) == "yr=24 100% day 065")
+    val e = intercept[Exception] {
+      Seq(1).toDF("x").selectExpr("formatDateTime(current_timestamp(), '%Q')")
+        .collect()
+    }
+    assert(e.getMessage.contains("unsupported symbol"))
+  }
+
   test("updateWhere: every RHS sees the OLD row") {
     val root = Files.createTempDirectory("mut_spec").toString
     val cat = Catalog(spark, root)
