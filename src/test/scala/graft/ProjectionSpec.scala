@@ -115,6 +115,17 @@ class ProjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSame(df, withRuleOff(q))
   }
 
+  test("fires through the spark.sql text path (temp view alias)") {
+    base.createOrReplaceTempView("proj_base_view")
+    def q = spark.sql("""
+      SELECT k1, sum(v) AS sv, count(*) AS n
+      FROM proj_base_view WHERE k2 <= 2
+      GROUP BY k1 ORDER BY k1""")
+    val df = q
+    assert(ProjectionCatalog.servedByProjection(df))
+    assertSame(df, withRuleOff(q))
+  }
+
   test("does not fire: non-key grouping column") {
     val df = base.groupBy("extra").agg(sum($"v").as("sv"))
     assert(!ProjectionCatalog.servedByProjection(df))
