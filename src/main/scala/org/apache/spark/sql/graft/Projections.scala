@@ -69,6 +69,17 @@ object ProjectionCatalog {
   }
 
   private val defs = new TrieMap[String, Vector[ProjDef]] // basePath -> projections
+  // analyzed projection scans, memoized: analysis includes a driver-side
+  // file listing, which must not repeat on every optimizer pass at scale.
+  // Served via newInstance() so each use gets fresh exprIds.
+  private val planCache = new TrieMap[String, LogicalPlan]
+
+  private[graft] def freshProjPlan(spark: SparkSession, projPath: String): LogicalPlan =
+    planCache.getOrElseUpdate(projPath,
+      spark.read.parquet(projPath).queryExecution.analyzed) match {
+      case lr: LogicalRelation => lr.newInstance()
+      case other               => other
+    }
 
   def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
@@ -101,6 +112,7 @@ object ProjectionCatalog {
     partialAgg(spark.read.parquet(basePath), keys, measures)
       .write.mode("overwrite").parquet(projPath)
     val d = ProjDef(name, normalize(basePath), normalize(projPath), keys, measures)
+    planCache.remove(d.projPath) // re-defined projection: refresh the scan
     defs.updateWith(d.basePath) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
       case None    => Some(Vector(d))
@@ -111,7 +123,7 @@ object ProjectionCatalog {
   def forPath(path: String): Seq[ProjDef] =
     defs.getOrElse(normalize(path), Vector.empty)
 
-  def clear(): Unit = defs.clear()
+  def clear(): Unit = { defs.clear(); planCache.clear() }
 
   /** Did the optimizer serve this frame from a registered projection?
     * (Queries gate on this so a silently-not-firing rewrite is a loud
@@ -190,7 +202,7 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewriteWith(agg: Aggregate, d: ProjectionCatalog.ProjDef,
       filters: List[Expression]): Option[LogicalPlan] = {
-    val projPlan = spark.read.parquet(d.projPath).queryExecution.analyzed
+    val projPlan = ProjectionCatalog.freshProjPlan(spark, d.projPath)
     val projAttr: Map[String, Attribute] = projPlan.output.map(a => a.name -> a).toMap
     def pa(n: String): Attribute = projAttr(n)
 
