@@ -129,6 +129,42 @@ object ProjectionQueries {
         min(value) AS lo, max(value) AS hi, count(*) AS n
       FROM events
       GROUP BY event_type
-      ORDER BY event_type"""))
+      ORDER BY event_type""")),
+
+    // ---- q181: projection × dictionary composition --------------------
+    // The dashboard shape: a SQL-text aggregate over the base table,
+    // grouped by a projection key, with the key enriched through
+    // dictGet IN THE SELECT LIST — the optimizer must serve the
+    // aggregate from the rollup while the dictionary probe rides above
+    // it (the rewrite maps the key attr under the dictGet call).
+    // Oracle = the join+full-scan plan both features displace.
+    QueryDef("q181_projection_dict", (s, dir) => {
+      import org.apache.spark.sql.graft.DictCatalog
+      DictCatalog.register(s, "nation", Tables.nation(s, dir), "n_nationkey")
+      val basePath = s"$dir/customer.parquet"
+      val projPath = AnnIndex.tmpRoot + "/proj_customer_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ProjectionCatalog.define(s, "customer_by_nation", basePath, projPath,
+        keys = Seq("c_nationkey"),
+        measures = Seq(Measure("c_acctbal", Some(DecimalType(18, 2)))))
+      s.read.parquet(basePath).createOrReplaceTempView("customer")
+      val df = s.sql("""
+        SELECT dictGet('nation', 'n_name', c_nationkey) AS nation,
+               count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+               max(c_acctbal) AS top_bal
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY nation""")
+      require(ProjectionCatalog.servedByProjection(df),
+        "q181: projection rewrite did not fire under the dictGet select")
+      df
+    }, Some("""
+      SELECT n_name AS nation, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+             max(c_acctbal) AS top_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_nationkey, n_name
+      ORDER BY nation"""))
   )
 }
