@@ -491,6 +491,12 @@ object Registry {
       "retention(cond1, ...) - [r1, r1 AND cond2 seen, ...] flags"),
     ("summap", (e: Seq[Expression]) => SumMap(e(0), e(1)),
       "sumMap(keys, values) - per-key sums as (sorted keys, sums) struct"),
+    ("minmap", (e: Seq[Expression]) =>
+      SumMap(e(0), e(1), op = org.apache.spark.sql.graft.SumMap.OpMin),
+      "minMap(keys, values) - per-key minimums (sorted keys)"),
+    ("maxmap", (e: Seq[Expression]) =>
+      SumMap(e(0), e(1), op = org.apache.spark.sql.graft.SumMap.OpMax),
+      "maxMap(keys, values) - per-key maximums (sorted keys)"),
     ("topk", (e: Seq[Expression]) => org.apache.spark.sql.graft.TopK(e(0), e(1)),
       "topK(x, k) - k most frequent values, count desc then value asc (exact)"),
     ("topkweighted", (e: Seq[Expression]) =>

@@ -262,6 +262,31 @@ object EngineQueries {
         strftime(ts, '%Y-%m-%d %H:%M:%S') AS full,
         strftime(ts, '%Y-%m-%d') AS datepart,
         strftime(ts, 'day %j of %Y (100%%)') AS doy
-      FROM events ORDER BY event_id"""))
+      FROM events ORDER BY event_id""")),
+
+    // ---- q182: minMap / maxMap ----------------------------------------
+    // sumMap's siblings (same single-shuffle tree buffer, min/max
+    // combine). Unlike the summed leg (q158, rounded 6dp for fp
+    // association), min/max PICK existing doubles — exact, no rounding.
+    QueryDef("q182_minmax_map", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT cohort, mn.keys AS keys, mn.values AS lo, mx.values AS hi
+        FROM (
+          SELECT user_id % 10 AS cohort,
+            minMap(array(event_type), array(value)) AS mn,
+            maxMap(array(event_type), array(value)) AS mx
+          FROM events GROUP BY user_id % 10)
+        ORDER BY cohort""")
+    }, Some("""
+      WITH per AS (
+        SELECT user_id % 10 AS cohort, event_type AS k,
+               min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY 1, 2)
+      SELECT cohort,
+        list(k ORDER BY k) AS keys,
+        list(lo ORDER BY k) AS lo,
+        list(hi ORDER BY k) AS hi
+      FROM per GROUP BY cohort ORDER BY cohort"""))
   )
 }

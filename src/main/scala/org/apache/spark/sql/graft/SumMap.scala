@@ -30,6 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SumMap(
     keys: Expression,
     values: Expression,
+    op: Int = SumMap.OpSum, // OpSum | OpMin | OpMax (minMap/maxMap share the buffer)
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeMap[AnyRef, java.lang.Double]]
@@ -37,7 +38,11 @@ case class SumMap(
 
   override def left: Expression = keys
   override def right: Expression = values
-  override def prettyName: String = "sum_map"
+  override def prettyName: String = op match {
+    case SumMap.OpMin => "min_map"
+    case SumMap.OpMax => "max_map"
+    case _            => "sum_map"
+  }
   override def nullable: Boolean = true
 
   private lazy val keyType: DataType = keys.dataType match {
@@ -83,7 +88,8 @@ case class SumMap(
           val key = keyAt(ka, i)
           val add = va.getDouble(i)
           val prev = buf.get(key)
-          buf.put(key, if (prev == null) add else prev + add)
+          buf.put(key, if (prev == null) add
+            else java.lang.Double.valueOf(SumMap.comb(op, prev, add)))
         }
         i += 1
       }
@@ -97,7 +103,8 @@ case class SumMap(
     while (it.hasNext) {
       val e = it.next()
       val prev = b1.get(e.getKey)
-      b1.put(e.getKey, if (prev == null) e.getValue else prev + e.getValue)
+      b1.put(e.getKey, if (prev == null) e.getValue
+        else java.lang.Double.valueOf(SumMap.comb(op, prev, e.getValue)))
     }
     b1
   }
@@ -158,4 +165,20 @@ case class SumMap(
   override def withNewInputAggBufferOffset(o: Int): SumMap = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SumMap =
     copy(keys = l, values = r)
+}
+
+object SumMap {
+  val OpSum = 0
+  val OpMin = 1
+  val OpMax = 2
+
+  /** The per-key combine — associative and commutative for all three
+    * ops, which is what makes the partial buffers mergeable in any
+    * split/order (the property RollupPropertySpec-style gates rely on).
+    */
+  def comb(op: Int, a: Double, b: Double): Double = op match {
+    case OpMin => math.min(a, b)
+    case OpMax => math.max(a, b)
+    case _     => a + b
+  }
 }

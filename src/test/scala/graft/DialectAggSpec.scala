@@ -294,4 +294,21 @@ class DialectAggSpec extends AnyFunSuite {
     assert(n.getSeq[String](0).toSet == Set("k0", "k1"))
     assert(n.getLong(1) == 2L)
   }
+
+  test("minMap/maxMap: per-key extremes across a multi-partition merge") {
+    GraftSession.install(spark)
+    val rows = spark.sql("""
+      SELECT g, minMap(ks, vs) AS mn, maxMap(ks, vs) AS mx FROM (
+        SELECT id % 2 AS g,
+          array(concat('k', id % 3), 'all') AS ks,
+          array(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS vs
+        FROM range(100) DISTRIBUTE BY id % 8)
+      GROUP BY g ORDER BY g""").collect()
+    // g=0: even ids 0..98. k0 holds ids ≡0 (mod 6): min 0, max 96
+    val r0 = rows(0).getStruct(1)
+    assert(r0.getSeq[String](0) == Seq("all", "k0", "k1", "k2"))
+    assert(r0.getSeq[Double](1) == Seq(0.0, 0.0, 4.0, 2.0))
+    val x0 = rows(0).getStruct(2)
+    assert(x0.getSeq[Double](1) == Seq(98.0, 96.0, 94.0, 98.0))
+  }
 }
