@@ -109,8 +109,18 @@ object ProjectionCatalog {
 
   def define(spark: SparkSession, name: String, basePath: String,
       projPath: String, keys: Seq[String], measures: Seq[Measure]): ProjDef = {
-    partialAgg(spark.read.parquet(basePath), keys, measures)
+    // The build MUST read the BASE: on a re-define, the build aggregate
+    // itself matches the already-registered projection and would be
+    // rewritten to read the very parquet it is about to overwrite
+    // (read-while-overwrite). Disable the rule for the build plan.
+    val prev = spark.conf.getOption("spark.graft.projections.enabled")
+    spark.conf.set("spark.graft.projections.enabled", "false")
+    try partialAgg(spark.read.parquet(basePath), keys, measures)
       .write.mode("overwrite").parquet(projPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.projections.enabled", v)
+      case None    => spark.conf.unset("spark.graft.projections.enabled")
+    }
     val d = ProjDef(name, normalize(basePath), normalize(projPath), keys, measures)
     planCache.remove(d.projPath) // re-defined projection: refresh the scan
     defs.updateWith(d.basePath) {

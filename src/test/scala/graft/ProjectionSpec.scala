@@ -164,6 +164,19 @@ class ProjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ProjectionCatalog.servedByProjection(miss))
   }
 
+  test("re-define in the same session rebuilds from the BASE, not itself") {
+    // second define of the same projection: its build aggregate matches
+    // the registered rewrite and, unguarded, would read the parquet it
+    // overwrites. Must succeed and leave the rollup correct.
+    ProjectionCatalog.define(spark, "spec_proj", basePath, projPath,
+      keys = Seq("k1", "k2"),
+      measures = Seq(Measure("v"), Measure("d", Some(DecimalType(18, 2)))))
+    def q = base.groupBy("k1").agg(sum($"v").as("sv")).orderBy("k1")
+    val df = q
+    assert(ProjectionCatalog.servedByProjection(df))
+    assertSame(df, withRuleOff(q))
+  }
+
   test("conf kill-switch disables the rewrite") {
     withRuleOff {
       val df = base.groupBy("k1", "k2").agg(sum($"v").as("sv"))
