@@ -32,10 +32,21 @@ final case class Catalog(spark: SparkSession, root: String) {
   def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+    invalidateProjections(table)
   }
 
-  def append(table: String, df: DataFrame): Unit =
+  def append(table: String, df: DataFrame): Unit = {
     df.write.mode("append").parquet(path(table))
+    invalidateProjections(table)
+  }
+
+  /** Every mutation drops projections registered over the table path:
+    * a define-time rollup snapshot must never serve aggregates of a
+    * base that changed under it (SURVEY §14 item 2 — the caller
+    * re-defines, or maintains a MatView whose insert path stays fresh).
+    */
+  private def invalidateProjections(table: String): Unit =
+    org.apache.spark.sql.graft.ProjectionCatalog.invalidate(path(table))
 
   /** Last-writer-wins view over the append history. */
   def read(table: String, key: Seq[String], versionCol: String): DataFrame = {
@@ -55,6 +66,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     val tmp = path(table) + "__tmp"
     kept.write.mode("overwrite").parquet(tmp)
     replaceDir(tmp, path(table))
+    invalidateProjections(table)
   }
 
   /** ClickHouse `ALTER TABLE .. UPDATE col = expr WHERE cond` (a
@@ -77,6 +89,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     val tmp = path(table) + "__tmp"
     updated.write.mode("overwrite").parquet(tmp)
     replaceDir(tmp, path(table))
+    invalidateProjections(table)
   }
 
   /** ClickHouse `TTL <tsCol> + INTERVAL n <unit>` row expiry: drop rows
@@ -95,6 +108,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     val tmp = path(table) + "__tmp"
     read(table, key, versionCol).write.mode("overwrite").parquet(tmp)
     replaceDir(tmp, path(table))
+    invalidateProjections(table)
   }
 
   /** ClickHouse `ALTER TABLE .. DROP PARTITION` on a table created with
@@ -110,6 +124,7 @@ final case class Catalog(spark: SparkSession, root: String) {
       s"partition escapes table dir: $dir")
     if (Files.exists(dir)) {
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      invalidateProjections(table)
     }
   }
 

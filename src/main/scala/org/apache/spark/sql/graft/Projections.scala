@@ -133,21 +133,38 @@ object ProjectionCatalog {
   def forPath(path: String): Seq[ProjDef] =
     defs.getOrElse(normalize(path), Vector.empty)
 
+  /** Drop every projection registered over `basePath`. Called by
+    * mutation paths (e.g. [[graft.operators.Catalog]] writes) so a
+    * stale define-time snapshot can never serve an aggregate after its
+    * base changed — the caller re-defines (or maintains a [[graft
+    * .operators.MatView]] instead, whose insert path stays fresh).
+    */
+  def invalidate(basePath: String): Unit = {
+    defs.remove(normalize(basePath)).foreach(_.foreach(d =>
+      planCache.remove(d.projPath)))
+  }
+
   def clear(): Unit = { defs.clear(); planCache.clear() }
 
   /** Did the optimizer serve this frame from a registered projection?
     * (Queries gate on this so a silently-not-firing rewrite is a loud
     * error, not a trivially-passing oracle comparison.)
     */
-  def servedByProjection(df: DataFrame): Boolean = {
-    val projPaths = defs.values.flatten.map(_.projPath).toSet
-    df.queryExecution.optimizedPlan.collectLeaves().exists {
-      case lr: LogicalRelation => lr.relation match {
+  def servedByProjection(df: DataFrame): Boolean =
+    servingProjection(df).isDefined
+
+  /** Which registered projection (by name) serves this frame, if any. */
+  def servingProjection(df: DataFrame): Option[String] = {
+    val byPath = defs.values.flatten.map(d => d.projPath -> d.name).toMap
+    df.queryExecution.optimizedPlan.collectLeaves().collectFirst {
+      case lr: LogicalRelation if (lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.exists(p => projPaths.contains(normalize(p.toString)))
+          fs.location.rootPaths.exists(p => byPath.contains(normalize(p.toString)))
         case _ => false
-      }
-      case _ => false
+      }) =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        byPath(fs.location.rootPaths.map(p => normalize(p.toString))
+          .find(byPath.contains).get)
     }
   }
 }
@@ -204,7 +221,9 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val filterRefs = filters.flatMap(_.references.toSeq).map(_.name)
 
-    candidates.iterator.flatMap { d =>
+    // Cheapest covering rollup first: fewer keys = fewer rollup rows
+    // (the CH projection-selection heuristic).
+    candidates.sortBy(_.keys.length).iterator.flatMap { d =>
       if (!groupNames.forall(d.keys.contains) || !filterRefs.forall(d.keys.contains)) None
       else rewriteWith(agg, d, filters)
     }.nextOption()

@@ -177,6 +177,47 @@ class ProjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSame(df, withRuleOff(q))
   }
 
+  test("selection prefers the smallest covering rollup") {
+    val p2 = s"$scratch/proj_k1.parquet"
+    ProjectionCatalog.define(spark, "spec_proj_k1", basePath, p2,
+      keys = Seq("k1"), measures = Seq(Measure("v")))
+    // k1-only grouping: both projections cover; the 1-key rollup wins
+    val byK1 = base.groupBy("k1").agg(sum($"v").as("sv"))
+    assert(ProjectionCatalog.servingProjection(byK1).contains("spec_proj_k1"))
+    // (k1,k2) grouping: only the 2-key projection covers
+    val byBoth = base.groupBy("k1", "k2").agg(sum($"v").as("sv"))
+    assert(ProjectionCatalog.servingProjection(byBoth).contains("spec_proj"))
+    ProjectionCatalog.invalidate(basePath)
+    ProjectionCatalog.define(spark, "spec_proj", basePath, projPath,
+      keys = Seq("k1", "k2"),
+      measures = Seq(Measure("v"), Measure("d", Some(DecimalType(18, 2)))))
+  }
+
+  test("base mutation through Catalog invalidates the snapshot") {
+    import graft.operators.Catalog
+    val root = Files.createTempDirectory("proj_inval").toString
+    val cat = Catalog(spark, root)
+    cat.create("t", spark.range(0, 500).select(
+      (col("id") % 3).cast("string").as("k"), (col("id") % 10).as("v")))
+    val tPath = s"$root/t"
+    ProjectionCatalog.define(spark, "inval_proj", tPath,
+      s"$root/t_proj.parquet", keys = Seq("k"), measures = Seq(Measure("v")))
+    val before = cat.readRaw("t").groupBy("k").agg(sum($"v").as("sv"))
+    assert(ProjectionCatalog.servedByProjection(before))
+    cat.append("t", spark.range(500, 600).select(
+      (col("id") % 3).cast("string").as("k"), (col("id") % 10).as("v")))
+    // stale snapshot must NOT serve — and the un-rewritten query is right
+    val after = cat.readRaw("t").groupBy("k").agg(sum($"v").as("sv"))
+    assert(!ProjectionCatalog.servedByProjection(after))
+    assert(after.agg(sum($"sv")).collect()(0).getLong(0) ==
+      (0L until 600L).map(_ % 10).sum)
+    // re-define re-arms
+    ProjectionCatalog.define(spark, "inval_proj", tPath,
+      s"$root/t_proj.parquet", keys = Seq("k"), measures = Seq(Measure("v")))
+    assert(ProjectionCatalog.servedByProjection(
+      cat.readRaw("t").groupBy("k").agg(sum($"v").as("sv"))))
+  }
+
   test("conf kill-switch disables the rewrite") {
     withRuleOff {
       val df = base.groupBy("k1", "k2").agg(sum($"v").as("sv"))
