@@ -113,9 +113,14 @@ object DictCatalog {
   }
 }
 
-/** One dictionary probe. CodegenFallback: the probe is a hash-map get —
-  * the same cost whether codegen'd or not; keeping it an opaque call
-  * avoids baking the broadcast into generated code.
+/** One dictionary probe, codegen'd: the generated code calls
+  * [[DictGet.lookupRaw]] (one map get through a reference object —
+  * DictSoak measured the interpreted fallback at 0.84x the codegen'd
+  * broadcast join on a 100k-key dim; inlining the probe into the
+  * consuming stage closes the boxing/virtual-call overhead around it)
+  * and branches to the miss value inline. Falls back to interpreted
+  * eval for the explicit-default form only when its default expression
+  * itself can't codegen.
   */
 case class DictGet(
     dictName: String,
@@ -126,7 +131,69 @@ case class DictGet(
     attrIdx: Int,
     attrType: DataType,
     bc: Broadcast[Map[Any, Array[Any]]])
-  extends Expression with CodegenFallback {
+  extends Expression {
+
+  /** Executor-side probe; null = miss (or stored null, same contract). */
+  def lookupRaw(k: Any): AnyRef = bc.value.get(k) match {
+    case Some(attrs) => attrs(attrIdx).asInstanceOf[AnyRef]
+    case None        => null
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen._
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val self = ctx.addReferenceObj("dictGet", this, classOf[DictGet].getName)
+    val keyGen = key.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxed = CodeGenerator.boxedType(dataType)
+    val raw = ctx.freshName("dictRaw")
+    val missCode: String = default match {
+      case Some(d) =>
+        val dGen = d.genCode(ctx)
+        s"""
+           |${dGen.code}
+           |${ev.isNull} = ${dGen.isNull};
+           |if (!${ev.isNull}) ${ev.value} = ${dGen.value};
+         """.stripMargin
+      case None if nullOnMiss => s"${ev.isNull} = true;"
+      case None => DictCatalog.typeDefault(dataType) match {
+        case null => s"${ev.isNull} = true;"
+        case dv =>
+          val dfltRef = ctx.addReferenceObj("dictDefault", dv, boxed)
+          s"${ev.value} = (($boxed) $dfltRef)$unboxSuffix;"
+      }
+    }
+    ev.copy(code =
+      code"""
+        |${keyGen.code}
+        |Object $raw = ${keyGen.isNull} ? null : $self.lookupRaw(${keyGen.value});
+        |boolean ${ev.isNull} = false;
+        |$javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+        |if ($raw != null) {
+        |  ${ev.value} = (($boxed) $raw)$unboxSuffix;
+        |} else {
+        |  $missCode
+        |}
+      """.stripMargin)
+  }
+
+  /** Java unbox call for primitive-backed types; object types cast only.
+    * (Internal values: TimestampType/DateType are long/int, so the
+    * boxed form is java.lang.Long/Integer like the numeric cases.)
+    */
+  private def unboxSuffix: String = dataType match {
+    case LongType | TimestampType | TimestampNTZType => ".longValue()"
+    case IntegerType | DateType                      => ".intValue()"
+    case ShortType                                   => ".shortValue()"
+    case ByteType                                    => ".byteValue()"
+    case DoubleType                                  => ".doubleValue()"
+    case FloatType                                   => ".floatValue()"
+    case BooleanType                                 => ".booleanValue()"
+    case _                                           => ""
+  }
 
   override def children: Seq[Expression] = key +: default.toSeq
   override def dataType: DataType = attrType
