@@ -27,8 +27,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Guard (r9 verdict): the driver's oracle harness cannot sort/hash
+        // array or map columns (pandas: unhashable ndarray). Refuse loudly
+        // at dump time instead of letting the compare crash downstream —
+        // oracle-bearing queries must serialize such columns to strings in
+        // their final projection (the q32 convention).
+        val complexCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+                 || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+        }
+        if (SparkEntry.oracleSql.contains(name) && complexCols.nonEmpty)
+          sys.error(s"array/map output column(s) ${complexCols.mkString(",")} " +
+            "in an oracle-gated query — serialize to string in the final projection")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

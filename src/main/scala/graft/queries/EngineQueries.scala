@@ -197,7 +197,9 @@ object EngineQueries {
           hasToken(text, 'data') AS has_data,
           hasTokenCaseInsensitive(text, 'DATA') AS has_data_ci,
           hasToken(text, 'dat') AS has_dat,
-          multiSearchAllPositions(text, array('the', 'data', 'xyzzy')) AS pos,
+          array_join(transform(
+            multiSearchAllPositions(text, array('the', 'data', 'xyzzy')),
+            x -> CAST(x AS STRING)), ',') AS pos,
           size(tokens(text)) AS n_tokens
         FROM documents ORDER BY doc_id""")
     }, Some("""
@@ -205,8 +207,8 @@ object EngineQueries {
         regexp_matches(text, '(^|[^A-Za-z0-9])data([^A-Za-z0-9]|$)') AS has_data,
         regexp_matches(lower(text), '(^|[^a-z0-9])data([^a-z0-9]|$)') AS has_data_ci,
         regexp_matches(text, '(^|[^A-Za-z0-9])dat([^A-Za-z0-9]|$)') AS has_dat,
-        [CAST(instr(text, 'the') AS INT), CAST(instr(text, 'data') AS INT),
-         CAST(instr(text, 'xyzzy') AS INT)] AS pos,
+        array_to_string([instr(text, 'the'), instr(text, 'data'),
+                         instr(text, 'xyzzy')], ',') AS pos,
         CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
                              t -> length(t) > 0)) AS INT) AS n_tokens
       FROM documents ORDER BY doc_id""")),
@@ -222,7 +224,8 @@ object EngineQueries {
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
       s.sql("""
         SELECT l_linestatus,
-          topKWeighted(l_returnflag, CAST(l_quantity AS BIGINT), 2) AS top_flags,
+          array_join(topKWeighted(l_returnflag,
+            CAST(l_quantity AS BIGINT), 2), '|') AS top_flags,
           uniqUpTo(l_partkey, 100) AS parts_capped,
           uniqUpTo(l_returnflag, 10) AS flags_exact
         FROM lineitem
@@ -235,7 +238,7 @@ object EngineQueries {
               row_number() OVER (PARTITION BY l_linestatus
                                  ORDER BY n DESC, v) AS rn
             FROM w),
-      t AS (SELECT l_linestatus, list(v ORDER BY rn) AS top_flags
+      t AS (SELECT l_linestatus, array_to_string(list(v ORDER BY rn), '|') AS top_flags
             FROM r WHERE rn <= 2 GROUP BY l_linestatus),
       u AS (SELECT l_linestatus,
               least(count(DISTINCT l_partkey), 101) AS parts_capped,
@@ -271,7 +274,11 @@ object EngineQueries {
     QueryDef("q182_minmax_map", (s, dir) => {
       Tables.events(s, dir).createOrReplaceTempView("events")
       s.sql("""
-        SELECT cohort, mn.keys AS keys, mn.values AS lo, mx.values AS hi
+        SELECT cohort, array_join(mn.keys, '|') AS keys,
+          array_join(transform(mn.values,
+            v -> CAST(CAST(round(v * 1000000) AS BIGINT) AS STRING)), '|') AS lo,
+          array_join(transform(mx.values,
+            v -> CAST(CAST(round(v * 1000000) AS BIGINT) AS STRING)), '|') AS hi
         FROM (
           SELECT user_id % 10 AS cohort,
             minMap(array(event_type), array(value)) AS mn,
@@ -284,9 +291,9 @@ object EngineQueries {
                min(value) AS lo, max(value) AS hi
         FROM events GROUP BY 1, 2)
       SELECT cohort,
-        list(k ORDER BY k) AS keys,
-        list(lo ORDER BY k) AS lo,
-        list(hi ORDER BY k) AS hi
+        array_to_string(list(k ORDER BY k), '|') AS keys,
+        array_to_string(list(CAST(round(lo * 1000000) AS BIGINT) ORDER BY k), '|') AS lo,
+        array_to_string(list(CAST(round(hi * 1000000) AS BIGINT) ORDER BY k), '|') AS hi
       FROM per GROUP BY cohort ORDER BY cohort"""))
   )
 }

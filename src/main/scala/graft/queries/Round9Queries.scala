@@ -284,8 +284,9 @@ object Round9Queries {
             event_type = 'signup', event_type = 'purchase') AS INT) AS matched,
           sequenceCount('(?1).*(?2)', ts,
             event_type = 'signup', event_type = 'purchase') AS n_matches,
-          retention(event_type = 'signup', event_type = 'purchase',
-            event_type = 'error') AS r
+          array_join(transform(
+            retention(event_type = 'signup', event_type = 'purchase',
+              event_type = 'error'), x -> CAST(x AS STRING)), ',') AS r
         FROM events
         WHERE event_type IN ('signup', 'purchase', 'error')
         GROUP BY user_id ORDER BY user_id""")
@@ -329,9 +330,9 @@ object Round9Queries {
         CAST(CASE WHEN rt.user_id IN (SELECT user_id FROM sm) THEN 1
                   ELSE 0 END AS INT) AS matched,
         coalesce(sc.n_matches, 0) AS n_matches,
-        [CAST(rt.a1 AS INT),
-         CAST(CASE WHEN rt.a1 = 1 AND rt.a2 = 1 THEN 1 ELSE 0 END AS INT),
-         CAST(CASE WHEN rt.a1 = 1 AND rt.a3 = 1 THEN 1 ELSE 0 END AS INT)] AS r
+        array_to_string([rt.a1,
+         CASE WHEN rt.a1 = 1 AND rt.a2 = 1 THEN 1 ELSE 0 END,
+         CASE WHEN rt.a1 = 1 AND rt.a3 = 1 THEN 1 ELSE 0 END], ',') AS r
       FROM rt LEFT JOIN sc ON sc.user_id = rt.user_id
       ORDER BY rt.user_id""")),
 
@@ -423,12 +424,18 @@ object Round9Queries {
     // two shuffles and an exploded row blow-up (the oracle below IS that
     // plan, written as UNION ALL + list()). Per-row map: the event's own
     // type plus a rolled-up 'all' slot.
+    // Array/map outputs are serialized to '|'-joined strings in the FINAL
+    // projection (both engines) so the driver's oracle harness can sort +
+    // hash them — the repo's q32 convention; kernels/semantics unchanged.
+    // Doubles go through round(v*1e6)→BIGINT micro-units: both engines
+    // round the identical double, ties-away-from-zero on both.
     QueryDef("q158_summap", (s, dir) => {
       Tables.events(s, dir).createOrReplaceTempView("events")
       s.sql("""
         SELECT cohort,
-          sm.keys AS keys,
-          transform(sm.values, v -> round(v, 6)) AS vals
+          array_join(sm.keys, '|') AS keys,
+          array_join(transform(sm.values,
+            v -> CAST(CAST(round(v * 1000000) AS BIGINT) AS STRING)), '|') AS vals
         FROM (
           SELECT user_id % 10 AS cohort,
             sumMap(array(event_type, 'all'), array(value, value)) AS sm
@@ -443,8 +450,8 @@ object Round9Queries {
         FROM events GROUP BY 1
       )
       SELECT cohort,
-        list(k ORDER BY k) AS keys,
-        list(round(s, 6) ORDER BY k) AS vals
+        array_to_string(list(k ORDER BY k), '|') AS keys,
+        array_to_string(list(CAST(round(s * 1000000) AS BIGINT) ORDER BY k), '|') AS vals
       FROM per GROUP BY cohort ORDER BY cohort""")),
 
     // topK: ClickHouse's approximate heavy-hitters API served EXACTLY
@@ -454,8 +461,9 @@ object Round9Queries {
     QueryDef("q163_topk", (s, dir) => {
       Tables.events(s, dir).createOrReplaceTempView("events")
       s.sql("""
-        SELECT cohort, topK(event_type, 3) AS top_types,
-               topK(bucket, 4) AS top_buckets
+        SELECT cohort, array_join(topK(event_type, 3), '|') AS top_types,
+               array_join(transform(topK(bucket, 4),
+                 x -> CAST(x AS STRING)), '|') AS top_buckets
         FROM (SELECT user_id % 10 AS cohort, event_type,
                      user_id % 7 AS bucket FROM events)
         GROUP BY cohort ORDER BY cohort""")
@@ -474,9 +482,9 @@ object Round9Queries {
       rb AS (SELECT cohort, v,
                row_number() OVER (PARTITION BY cohort ORDER BY n DESC, v) AS rn
              FROM cb),
-      tt AS (SELECT cohort, list(v ORDER BY rn) AS top_types
+      tt AS (SELECT cohort, array_to_string(list(v ORDER BY rn), '|') AS top_types
              FROM rt WHERE rn <= 3 GROUP BY cohort),
-      tb AS (SELECT cohort, list(CAST(v AS BIGINT) ORDER BY rn) AS top_buckets
+      tb AS (SELECT cohort, array_to_string(list(CAST(v AS BIGINT) ORDER BY rn), '|') AS top_buckets
              FROM rb WHERE rn <= 4 GROUP BY cohort)
       SELECT tt.cohort, tt.top_types, tb.top_buckets
       FROM tt JOIN tb ON tb.cohort = tt.cohort
@@ -538,7 +546,7 @@ object Round9Queries {
           replaceRegexpAll(text, '[aeiou]', '*') AS rre,
           match(text, '[0-9]') AS has_digit,
           extract(text, '([A-Za-z]+)ing') AS ing,
-          extractAll(text, '([A-Za-z]+)ed') AS eds,
+          array_join(extractAll(text, '([A-Za-z]+)ed'), '|') AS eds,
           countSubstrings(text, 'a') AS n_a,
           countMatches(text, '[0-9]+') AS n_num,
           multiSearchAny(text, array('data', 'xyzzy')) AS ms,
@@ -557,7 +565,7 @@ object Round9Queries {
         regexp_replace(text, '[aeiou]', '*', 'g') AS rre,
         regexp_matches(text, '[0-9]') AS has_digit,
         coalesce(regexp_extract(text, '([A-Za-z]+)ing', 1), '') AS ing,
-        regexp_extract_all(text, '([A-Za-z]+)ed', 1) AS eds,
+        coalesce(array_to_string(regexp_extract_all(text, '([A-Za-z]+)ed', 1), '|'), '') AS eds,
         CAST(length(text) - length(replace(text, 'a', '')) AS INT) AS n_a,
         CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
         (contains(text, 'data') OR contains(text, 'xyzzy')) AS ms,
@@ -577,12 +585,14 @@ object Round9Queries {
           arrayFirst(w -> length(w) > 5, splitByChar(' ', text)) AS first_long,
           arrayFirstIndex(w -> length(w) > 5, splitByChar(' ', text)) AS idx_long,
           arrayUniq(splitByChar(' ', text)) AS uniq_words,
-          arraySort(arrayIntersect(splitByChar(' ', text),
-                    array('the', 'of', 'and', 'data'))) AS stops,
-          arrayDifference(arrayMap(w -> length(w),
-                          arraySlice(splitByChar(' ', text), 1, 5))) AS diffs,
-          arrayCumSum(arrayMap(w -> length(w),
-                      arraySlice(splitByChar(' ', text), 1, 5))) AS cum
+          array_join(arraySort(arrayIntersect(splitByChar(' ', text),
+                     array('the', 'of', 'and', 'data'))), '|') AS stops,
+          array_join(transform(arrayDifference(arrayMap(w -> length(w),
+                       arraySlice(splitByChar(' ', text), 1, 5))),
+                     x -> CAST(CAST(x AS BIGINT) AS STRING)), '|') AS diffs,
+          array_join(transform(arrayCumSum(arrayMap(w -> length(w),
+                       arraySlice(splitByChar(' ', text), 1, 5))),
+                     x -> CAST(CAST(x AS BIGINT) AS STRING)), '|') AS cum
         FROM documents ORDER BY doc_id""")
     }, Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
@@ -597,11 +607,11 @@ object Round9Queries {
         CAST(coalesce(list_filter(list_transform(w, (x, i) -> i),
                i -> length(w[i]) > 5)[1], 0) AS INT) AS idx_long,
         CAST(len(list_distinct(w)) AS INT) AS uniq_words,
-        list_sort(list_intersect(w, ['the', 'of', 'and', 'data'])) AS stops,
-        list_transform(l5, (x, i) -> CASE WHEN i = 1 THEN 0.0
-                       ELSE CAST(x - l5[i - 1] AS DOUBLE) END) AS diffs,
-        list_transform(l5, (x, i) ->
-                       CAST(list_sum(l5[1:i]) AS DOUBLE)) AS cum
+        coalesce(array_to_string(list_sort(list_intersect(w, ['the', 'of', 'and', 'data'])), '|'), '') AS stops,
+        array_to_string(list_transform(l5, (x, i) -> CASE WHEN i = 1 THEN 0
+                        ELSE CAST(x - l5[i - 1] AS BIGINT) END), '|') AS diffs,
+        array_to_string(list_transform(l5, (x, i) ->
+                        CAST(list_sum(l5[1:i]) AS BIGINT)), '|') AS cum
       FROM t ORDER BY doc_id""")),
 
     // ---- ClickHouse array-function dialect over document tokens ---------
@@ -615,15 +625,18 @@ object Round9Queries {
       s.sql("""
         SELECT doc_id,
           arrayStringConcat(arraySort(arrayDistinct(splitByChar(' ', text))), '|') AS vocab,
-          arraySlice(splitByChar(' ', text), 2, 3) AS mid3,
-          arrayReverse(arraySlice(splitByChar(' ', text), 1, 4)) AS rev4,
+          array_join(arraySlice(splitByChar(' ', text), 2, 3), '|') AS mid3,
+          array_join(arrayReverse(arraySlice(splitByChar(' ', text), 1, 4)), '|') AS rev4,
           CAST(arraySum(arrayMap(w -> length(w), splitByChar(' ', text))) AS BIGINT) AS chars,
           round(arrayAvg(arrayMap(w -> length(w), splitByChar(' ', text))), 6) AS avg_len,
           indexOf(splitByChar(' ', text), 'the') AS pos_the,
           countEqual(splitByChar(' ', text), 'the') AS n_the,
-          arrayCompact(arrayMap(w -> length(w) % 3, arraySlice(splitByChar(' ', text), 1, 8))) AS compacted,
-          arrayPushBack(arrayPushFront(arraySlice(splitByChar(' ', text), 1, 2), '<s>'), '</s>') AS framed,
-          arrayEnumerate(arraySlice(splitByChar(' ', text), 1, 3)) AS enum3,
+          array_join(transform(arrayCompact(arrayMap(w -> length(w) % 3,
+            arraySlice(splitByChar(' ', text), 1, 8))), x -> CAST(x AS STRING)), '|') AS compacted,
+          array_join(arrayPushBack(arrayPushFront(
+            arraySlice(splitByChar(' ', text), 1, 2), '<s>'), '</s>'), '|') AS framed,
+          array_join(transform(arrayEnumerate(arraySlice(splitByChar(' ', text), 1, 3)),
+            x -> CAST(x AS STRING)), '|') AS enum3,
           hasAll(splitByChar(' ', text), array('the', 'of')) AS has_the_of,
           hasAny(splitByChar(' ', text), array('xyzzy', 'the')) AS has_any,
           empty(splitByChar(' ', text)) AS is_empty
@@ -632,17 +645,19 @@ object Round9Queries {
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       SELECT doc_id,
         array_to_string(list_sort(list_distinct(w)), '|') AS vocab,
-        list_slice(w, 2, 4) AS mid3,
-        list_reverse(list_slice(w, 1, 4)) AS rev4,
+        coalesce(array_to_string(list_slice(w, 2, 4), '|'), '') AS mid3,
+        coalesce(array_to_string(list_reverse(list_slice(w, 1, 4)), '|'), '') AS rev4,
         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars,
         round(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))) / len(w), 6) AS avg_len,
         CAST(coalesce(list_position(w, 'the'), 0) AS INT) AS pos_the,
         CAST(len(list_filter(w, x -> x = 'the')) AS INT) AS n_the,
-        list_filter(list_transform(list_slice(w, 1, 8), x -> CAST(length(x) % 3 AS INT)),
-                    (x, i) -> i = 1 OR x <> list_transform(list_slice(w, 1, 8),
-                                                           y -> CAST(length(y) % 3 AS INT))[i - 1]) AS compacted,
-        list_append(list_prepend('<s>', list_slice(w, 1, 2)), '</s>') AS framed,
-        CAST(range(1, len(list_slice(w, 1, 3)) + 1) AS INT[]) AS enum3,
+        array_to_string(
+          list_filter(list_transform(list_slice(w, 1, 8), x -> CAST(length(x) % 3 AS INT)),
+                      (x, i) -> i = 1 OR x <> list_transform(list_slice(w, 1, 8),
+                                                             y -> CAST(length(y) % 3 AS INT))[i - 1]),
+          '|') AS compacted,
+        array_to_string(list_append(list_prepend('<s>', list_slice(w, 1, 2)), '</s>'), '|') AS framed,
+        array_to_string(range(1, len(list_slice(w, 1, 3)) + 1), '|') AS enum3,
         list_has_all(w, ['the', 'of']) AS has_the_of,
         list_has_any(w, ['xyzzy', 'the']) AS has_any,
         len(w) = 0 AS is_empty
