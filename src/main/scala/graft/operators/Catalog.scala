@@ -60,14 +60,37 @@ final case class Catalog(spark: SparkSession, root: String) {
 
   def readRaw(table: String): DataFrame = spark.read.parquet(path(table))
 
-  /** DELETE WHERE cond: rewrite as keep-complement overwrite. */
-  def deleteWhere(table: String, cond: Column): Unit = {
-    val kept = spark.read.parquet(path(table)).filter(!cond)
+  /** Partition columns of a table as laid out on disk (nested
+    * `col=value` directory levels, outermost first). Rewrite paths
+    * ([[deleteWhere]]/[[updateWhere]]/[[compact]]) re-apply this layout
+    * so a mutation never silently flattens a partitioned table — which
+    * would make later [[dropPartition]] retention a no-op (r9 ADVICE).
+    */
+  private def partitionColsOf(table: String): Seq[String] = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    def level(dir: Path): Option[(String, Path)] =
+      if (!Files.isDirectory(dir)) None
+      else Files.list(dir).iterator().asScala
+        .find(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .map(p => (p.getFileName.toString.split("=", 2)(0), p))
+    Iterator.unfold(Paths.get(path(table))) { d =>
+      level(d).map { case (c, next) => (c, next) }
+    }.toSeq
+  }
+
+  private def writeReplacing(table: String, df: DataFrame): Unit = {
+    val parts = partitionColsOf(table)
     val tmp = path(table) + "__tmp"
-    kept.write.mode("overwrite").parquet(tmp)
+    val w = df.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
     replaceDir(tmp, path(table))
     invalidateProjections(table)
   }
+
+  /** DELETE WHERE cond: rewrite as keep-complement overwrite. */
+  def deleteWhere(table: String, cond: Column): Unit =
+    writeReplacing(table, spark.read.parquet(path(table)).filter(!cond))
 
   /** ClickHouse `ALTER TABLE .. UPDATE col = expr WHERE cond` (a
     * "mutation"): rewrite matching rows in place, leave the rest
@@ -86,10 +109,7 @@ final case class Catalog(spark: SparkSession, root: String) {
         .map(v => when(cond, v).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }: _*)
-    val tmp = path(table) + "__tmp"
-    updated.write.mode("overwrite").parquet(tmp)
-    replaceDir(tmp, path(table))
-    invalidateProjections(table)
+    writeReplacing(table, updated)
   }
 
   /** ClickHouse `TTL <tsCol> + INTERVAL n <unit>` row expiry: drop rows
@@ -104,12 +124,8 @@ final case class Catalog(spark: SparkSession, root: String) {
     deleteWhere(table, col(tsCol) < now - ttl)
 
   /** Materialize compaction (OPTIMIZE analog). */
-  def compact(table: String, key: Seq[String], versionCol: String): Unit = {
-    val tmp = path(table) + "__tmp"
-    read(table, key, versionCol).write.mode("overwrite").parquet(tmp)
-    replaceDir(tmp, path(table))
-    invalidateProjections(table)
-  }
+  def compact(table: String, key: Seq[String], versionCol: String): Unit =
+    writeReplacing(table, read(table, key, versionCol))
 
   /** ClickHouse `ALTER TABLE .. DROP PARTITION` on a table created with
     * `partitionBy`: remove one partition directory outright — no scan,
@@ -119,6 +135,12 @@ final case class Catalog(spark: SparkSession, root: String) {
   def dropPartition(table: String, partCol: String, value: String): Unit = {
     import java.nio.file._
     import scala.jdk.CollectionConverters._
+    // loud on layout mismatch (r9 ADVICE): a table not partitioned by
+    // partCol means retention would silently delete nothing.
+    require(partitionColsOf(table).headOption.contains(partCol),
+      s"table '$table' is not partitioned by '$partCol' " +
+      s"(on-disk layout: ${partitionColsOf(table).mkString("/")}) — " +
+      "dropPartition would be a silent no-op")
     val dir = Paths.get(path(table), s"$partCol=$value")
     require(dir.normalize.startsWith(Paths.get(path(table)).normalize),
       s"partition escapes table dir: $dir")

@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,6 +47,16 @@ object DictCatalog {
 
   private val dicts = new TrieMap[String, Dict]
 
+  /** Hard cap on dictionary rows (conf `spark.graft.dict.maxRows`).
+    * ClickHouse refuses oversized dictionaries loudly; without this a
+    * careless register() on a fact table would OOM the driver with no
+    * message. Dictionaries are dimensions — a dim bigger than this
+    * belongs in a broadcast/shuffle join, not a per-executor map.
+    */
+  private def maxRows(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dict.maxRows").map(_.toInt)
+      .getOrElse(2000000)
+
   /** Load a dimension frame as a dictionary. One collect + one broadcast;
     * re-registering a name replaces it (the CH `SYSTEM RELOAD DICTIONARY`
     * analog).
@@ -58,7 +68,15 @@ object DictCatalog {
     val attrs = schema.fields.zipWithIndex.filter(_._2 != keyIdx)
     val attrIdx = attrs.map(_._2)
     val attrTypes = attrs.map(_._1.dataType).toSeq
-    val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+    val cap = maxRows(spark)
+    // take(cap+1) instead of collect: bounded driver memory even when the
+    // caller points register() at a fact table by mistake.
+    val rows = df.queryExecution.toRdd.map(_.copy()).take(cap + 1)
+    if (rows.length > cap)
+      throw new IllegalArgumentException(
+        s"dictionary '$name' exceeds spark.graft.dict.maxRows=$cap rows — " +
+        "dictionaries are broadcast to every executor; keep a dimension " +
+        "this size in a join instead (or raise the cap explicitly)")
     val map: Map[Any, Array[Any]] = rows.iterator.map { r: InternalRow =>
       val k = r.get(keyIdx, schema(keyIdx).dataType)
       k -> attrIdx.zip(attrTypes).map { case (i, t) => r.get(i, t) }.toArray
@@ -85,17 +103,30 @@ object DictCatalog {
   /** SQL builders (Registry entries). `mode`: 0 = type default on miss,
     * 1 = null on miss, 2 = explicit default (4th arg).
     */
+  /** Coerce a probe-key expression to the dictionary's key type. Without
+    * this a BIGINT-keyed dict probed with an INT column/literal boxes to
+    * Integer, never equals the Long map keys, and silently returns the
+    * miss default on every row (r9 ADVICE). Incompatible types fail at
+    * bind time instead.
+    */
+  private def coerceKey(d: Dict, key: Expression): Expression =
+    if (!key.resolved || key.dataType == d.keyType) key
+    else if (Cast.canCast(key.dataType, d.keyType)) Cast(key, d.keyType)
+    else throw new IllegalArgumentException(
+      s"dictionary '${d.name}' has key type ${d.keyType.sql} but the probe " +
+      s"expression is ${key.dataType.sql} (not castable)")
+
   def buildGet(args: Seq[Expression], mode: Int): Expression = {
     val d = get(litString(args(0), "dictGet dictionary name"))
     val attr = litString(args(1), "dictGet attribute name")
     val default = if (mode == 2) Some(args(3)) else None
-    DictGet(d.name, attr, args(2), default, nullOnMiss = mode == 1,
+    DictGet(d.name, attr, coerceKey(d, args(2)), default, nullOnMiss = mode == 1,
       d.attrIndex(attr), d.attrTypes(d.attrIndex(attr)), d.bc)
   }
 
   def buildHas(args: Seq[Expression]): Expression = {
     val d = get(litString(args(0), "dictHas dictionary name"))
-    DictHas(d.name, args(1), d.bc)
+    DictHas(d.name, coerceKey(d, args(1)), d.bc)
   }
 
   /** ClickHouse type-default values for miss-without-default. */

@@ -62,7 +62,8 @@ object ProjectionCatalog {
       basePath: String,
       projPath: String,
       keys: Seq[String],
-      measures: Seq[Measure]) {
+      measures: Seq[Measure],
+      baseFingerprint: String = "") {
     def measureFor(attr: String, cast: Option[DataType]): Option[Measure] =
       measures.find(m => m.colName == attr && m.cast == cast)
     def hasMeasure(attr: String): Boolean = measures.exists(_.colName == attr)
@@ -83,6 +84,32 @@ object ProjectionCatalog {
 
   def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
+
+  /** Cheap base-dir fingerprint: direct children (names, sizes, mtimes)
+    * of a LOCAL base path, hashed. Catches out-of-band writes (plain
+    * df.write.parquet over the base) that bypass the Catalog mutation
+    * hooks — the reference maintains projections on every insert, so a
+    * stale rollup silently serving would be a divergence (r9 ADVICE).
+    * One shallow listing, O(#direct entries) — never a recursive walk.
+    * Non-local/unlistable paths return "" → the documented define-time
+    * snapshot contract applies unchanged.
+    */
+  def fingerprint(basePath: String): String = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(normalize(basePath))
+    try {
+      if (!Files.isDirectory(p)) ""
+      else {
+        val h = new scala.util.hashing.MurmurHash3.ArrayHashing[String]
+        val entries = Files.list(p).iterator().asScala.map { c =>
+          val sz = if (Files.isRegularFile(c)) Files.size(c) else -1L
+          s"${c.getFileName}:$sz:${Files.getLastModifiedTime(c).toMillis}"
+        }.toArray.sorted
+        h.hash(entries).toString
+      }
+    } catch { case _: Exception => "" }
+  }
 
   /** Build + register a projection: one shuffle over the base table, then
     * a parquet write of the rollup. Deterministic (pure aggregate of the
@@ -121,7 +148,8 @@ object ProjectionCatalog {
       case Some(v) => spark.conf.set("spark.graft.projections.enabled", v)
       case None    => spark.conf.unset("spark.graft.projections.enabled")
     }
-    val d = ProjDef(name, normalize(basePath), normalize(projPath), keys, measures)
+    val d = ProjDef(name, normalize(basePath), normalize(projPath), keys,
+      measures, fingerprint(basePath))
     planCache.remove(d.projPath) // re-defined projection: refresh the scan
     defs.updateWith(d.basePath) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
@@ -211,7 +239,15 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(x) => x
       case None    => return None
     }
-    val candidates = relationPaths(lr).flatMap(forPath)
+    val candidates = relationPaths(lr).flatMap(forPath).filter { d =>
+      // Out-of-band base write (bypassing Catalog hooks) → the rollup is
+      // stale; drop it and serve the base directly. Self-healing, never
+      // silently wrong.
+      val fresh = d.baseFingerprint.isEmpty ||
+        d.baseFingerprint == ProjectionCatalog.fingerprint(d.basePath)
+      if (!fresh) ProjectionCatalog.invalidate(d.basePath)
+      fresh
+    }
     if (candidates.isEmpty) return None
 
     // Query grouping keys must all be plain columns.
@@ -252,7 +288,7 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Some(cAgg(Min(pa(s"__min_${a.name}"))))
         case Max(a: AttributeReference) if d.hasMeasure(a.name) =>
           Some(cAgg(Max(pa(s"__max_${a.name}"))))
-        case Count(Seq(Literal(_, _))) =>
+        case Count(Seq(Literal(v, _))) if v != null => // count(NULL) is always 0
           Some(Coalesce(Seq(cAgg(Sum(pa("__cnt"))), Literal(0L))))
         case Count(Seq(a: AttributeReference)) if d.hasMeasure(a.name) =>
           Some(Coalesce(Seq(cAgg(Sum(pa(s"__cnt_${a.name}"))), Literal(0L))))

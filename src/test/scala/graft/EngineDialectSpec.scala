@@ -47,6 +47,36 @@ class EngineDialectSpec extends AnyFunSuite {
     assert(r.getString(0) == "" && r.isNullAt(1) && r.getBoolean(2))
   }
 
+  test("dictGet: probe key is coerced to the dictionary key type") {
+    DictCatalog.register(spark, "spec_dim", dimDf, "k")
+    // INT literal / INT column probing a BIGINT-keyed dict must match,
+    // not silently miss on boxed-type inequality (r9 ADVICE)
+    val r = Seq(1, 2, 9).toDF("ik").select(
+      expr("dictGet('spec_dim', 'name', 1)").as("lit"),
+      expr("dictGet('spec_dim', 'name', ik)").as("c"),
+      expr("dictHas('spec_dim', ik)").as("h")).collect()
+    assert(r(0).getString(0) == "alpha")
+    assert(r.map(_.getString(1)).toSeq == Seq("alpha", "beta", ""))
+    assert(r.map(_.getBoolean(2)).toSeq == Seq(true, true, false))
+    // incompatible probe type fails loudly at bind time
+    val e = intercept[Exception] {
+      Seq(Array(1.0)).toDF("a")
+        .select(expr("dictGet('spec_dim', 'name', a)")).collect()
+    }
+    assert(e.getMessage.contains("key type"))
+  }
+
+  test("dict register: row cap is loud, not an OOM") {
+    spark.conf.set("spark.graft.dict.maxRows", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DictCatalog.register(spark, "too_big", dimDf, "k")
+      }
+      assert(e.getMessage.contains("maxRows"))
+    } finally spark.conf.unset("spark.graft.dict.maxRows")
+    DictCatalog.register(spark, "fits", dimDf, "k") // default cap: fine
+  }
+
   test("dictGet: unknown dict and unknown attr are loud analysis errors") {
     DictCatalog.register(spark, "spec_dim", dimDf, "k")
     val e1 = intercept[Exception] {
@@ -183,6 +213,29 @@ class EngineDialectSpec extends AnyFunSuite {
     assert(cat.readRaw("t").count() == 200)
     cat.dropPartition("t", "day", "99") // absent partition: no-op
     assert(cat.readRaw("t").count() == 200)
+  }
+
+  test("mutations preserve partition layout; dropPartition stays loud") {
+    val root = Files.createTempDirectory("mutpart_spec").toString
+    val cat = Catalog(spark, root)
+    cat.create("t", spark.range(0, 300).select(
+      (col("id") % 3).cast("string").as("day"), col("id").as("v")),
+      partitionBy = Seq("day"))
+    // a rewrite mutation must NOT flatten the day=… directory layout —
+    // retention by dropPartition would silently no-op after (r9 ADVICE)
+    cat.updateWhere("t", col("v") < 10, Map("v" -> (col("v") + 1000)))
+    cat.deleteWhere("t", col("v") === 1000L)
+    cat.dropPartition("t", "day", "1")
+    val days = cat.readRaw("t").select(col("day").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(days == Set("0", "2"))
+    assert(cat.readRaw("t").filter(col("v") === 1001L).count() == 0)
+    // dropPartition on a table not partitioned by that column is loud
+    cat.create("flat", spark.range(0, 10).toDF("v"))
+    val e = intercept[IllegalArgumentException] {
+      cat.dropPartition("flat", "day", "1")
+    }
+    assert(e.getMessage.contains("not partitioned"))
   }
 
   test("formatDateTime: translation, literals, %%, unsupported symbol is loud") {

@@ -224,4 +224,31 @@ class ProjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!ProjectionCatalog.servedByProjection(df))
     }
   }
+
+  // NB Spark's NullPropagation usually folds count(NULL)→0 before our
+  // rule runs (then serving keys from the rollup is legitimate); the
+  // rewriteFn guard covers the paths where it doesn't. Either way the
+  // value must be 0, never the row count.
+  test("count(NULL) never yields the row count") {
+    val df = base.groupBy("k1").agg(expr("count(NULL)").as("n"))
+    assert(df.collect().forall(_.getLong(1) == 0L))
+  }
+
+  test("out-of-band base write drops the stale rollup (fingerprint)") {
+    val root = Files.createTempDirectory("proj_oob").toString
+    val bp = s"$root/base.parquet"
+    def mk(n: Long) = spark.range(0, n).select(
+      (col("id") % 3).cast("string").as("k"), (col("id") % 10).as("v"))
+    mk(500).write.mode("overwrite").parquet(bp)
+    ProjectionCatalog.define(spark, "oob_proj", bp,
+      s"$root/proj.parquet", keys = Seq("k"), measures = Seq(Measure("v")))
+    assert(ProjectionCatalog.servedByProjection(
+      spark.read.parquet(bp).groupBy("k").agg(sum($"v").as("sv"))))
+    // write AROUND the catalog — no invalidation hook fires
+    mk(800).write.mode("overwrite").parquet(bp)
+    val after = spark.read.parquet(bp).groupBy("k").agg(sum($"v").as("sv"))
+    assert(!ProjectionCatalog.servedByProjection(after))
+    assert(after.agg(sum($"sv")).collect()(0).getLong(0) ==
+      (0L until 800L).map(_ % 10).sum)
+  }
 }
