@@ -497,6 +497,12 @@ object Registry {
     ("maxmap", (e: Seq[Expression]) =>
       SumMap(e(0), e(1), op = org.apache.spark.sql.graft.SumMap.OpMax),
       "maxMap(keys, values) - per-key maximums (sorted keys)"),
+    ("grouparraymovingsum", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.MovingAgg.build(e, avg = false),
+      "groupArrayMovingSum(sortKey, v[, win]) - moving sums in sortKey order"),
+    ("grouparraymovingavg", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.MovingAgg.build(e, avg = true),
+      "groupArrayMovingAvg(sortKey, v[, win]) - moving means in sortKey order"),
     ("topk", (e: Seq[Expression]) => org.apache.spark.sql.graft.TopK(e(0), e(1)),
       "topK(x, k) - k most frequent values, count desc then value asc (exact)"),
     ("topkweighted", (e: Seq[Expression]) =>

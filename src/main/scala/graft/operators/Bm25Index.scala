@@ -99,6 +99,124 @@ final class Bm25Index private (
 
   def deletedCount: Int = tombstones.length
 
+  /** Doc ids whose PINNED metadata passes `filter` (not already
+    * tombstoned) — the enumeration a retention pass needs, answered from
+    * the index's own blocks: one job over pinned meta, no distance/score
+    * math, no corpus read. Requires metadata columns pinned at build.
+    */
+  def idsWhere(filter: SelfQueryFilter.Node): Array[Long] = {
+    require(metaNames.nonEmpty,
+      "idsWhere needs metadata columns pinned at build (metaCols)")
+    val tomb = tombstones
+    blocks.mapPartitions { it =>
+      it.flatMap { b =>
+        val pred = MetaPredicate.bind(filter, b.meta)
+        (0 until b.metaDocs.length).iterator.collect {
+          case i if pred(i) &&
+            (tomb.isEmpty ||
+              java.util.Arrays.binarySearch(tomb, b.metaDocs(i)) < 0) =>
+            b.metaDocs(i)
+        }
+      }
+    }.distinct().collect().sorted
+  }
+
+  /** `DELETE WHERE` on the LIVE index: tombstone every doc matching the
+    * metadata predicate. Serving excludes them from the next batch on.
+    */
+  def deleteWhere(filter: SelfQueryFilter.Node): Int = delete(idsWhere(filter))
+
+  /** Serving-tier TTL (ClickHouse `TTL ts + INTERVAL …` on a live
+    * deployment; the reference ages out private KBs and sessions by
+    * deletion while serving — `private_knowledge_base.py:136-138`,
+    * `session_manager.py:94-96`): tombstone docs whose pinned `tsCol` is
+    * strictly older than `cutoff` (ISO timestamp string). Deterministic —
+    * the scheduler supplies the cutoff, never the wall clock. Pair with
+    * [[purgeDeleted]] to keep the tombstone array bounded.
+    */
+  def applyTtl(tsCol: String, cutoff: String): Int =
+    deleteWhere(SelfQueryFilter.Lt(tsCol, SelfQueryFilter.T(cutoff)))
+
+  /** PHYSICAL removal of tombstoned docs WITH the corpus-stats move that
+    * [[compact]]'s scaladoc defers to the "rebuild path" — done in place
+    * from the blocks, no corpus re-read:
+    *
+    *   - job 1a: per-term SURVIVING df, re-aggregated globally
+    *     (`reduceByKey` over ≤ vocab×shards pairs, collected once —
+    *     the same broadcast-df shape [[insert]] uses);
+    *   - job 1b: surviving docCount / sumDl (per-segment doc dedup);
+    *   - job 2: each shard's segments rebuild into ONE block (purge
+    *     doubles as compaction) with the new dfs and without dead docs.
+    *
+    * The result serves EXACTLY like `build()` over the surviving corpus
+    * (integer stats recomputed identically — TtlServingSpec gates
+    * bit-identical topK) and carries ZERO tombstones: the maintenance op
+    * that bounds tombstone count on a long-lived deployment. The caller
+    * should `unpersist()` the old instance once cut over.
+    */
+  def purgeDeleted(): Bm25Index = {
+    import Bm25Index._
+    val tomb = tombstones
+    if (tomb.isEmpty) return this
+    val names = metaNames
+    val kinds = metaKinds
+    val alive: Long => Boolean =
+      doc => java.util.Arrays.binarySearch(tomb, doc) < 0
+    val dfMap = blocks.flatMap { b =>
+      (0 until b.terms.length).iterator.flatMap { ti =>
+        var cnt = 0L
+        var j = b.starts(ti)
+        while (j < b.starts(ti + 1)) {
+          if (alive(b.docIds(j))) cnt += 1
+          j += 1
+        }
+        if (cnt > 0) Iterator.single((b.terms(ti), cnt)) else Iterator.empty
+      }
+    }.reduceByKey(_ + _).collectAsMap()
+    val (nDocs, dlSum) = blocks.mapPartitions { it =>
+      var docs = 0L
+      var dl = 0L
+      it.foreach { b =>
+        val seen = new java.util.HashSet[java.lang.Long]()
+        var ti = 0
+        while (ti < b.terms.length) {
+          var j = b.starts(ti)
+          while (j < b.starts(ti + 1)) {
+            val doc = b.docIds(j)
+            if (alive(doc) && seen.add(doc)) { docs += 1; dl += b.dls(j) }
+            j += 1
+          }
+          ti += 1
+        }
+      }
+      Iterator.single((docs, dl))
+    }.fold((0L, 0L)) { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+    val bcDf = blocks.sparkContext.broadcast(
+      scala.collection.Map.from(dfMap))
+    val nb = blocks.mapPartitions({ it =>
+      val rows = it.flatMap { b =>
+        (0 until b.terms.length).iterator.flatMap { ti =>
+          (b.starts(ti) until b.starts(ti + 1)).iterator
+            .filter(j => alive(b.docIds(j)))
+            .map { j =>
+              val doc = b.docIds(j)
+              val m = if (names.isEmpty) Array.empty[Any]
+                else {
+                  val di = java.util.Arrays.binarySearch(b.metaDocs, doc)
+                  names.indices.map(k =>
+                    MetaPredicate.valueAt(b.meta(names(k)), di)).toArray
+                }
+              (doc, (b.terms(ti), b.tfs(j), b.dls(j), 0L, m))
+            }
+        }
+      }.toArray
+      packRows(rows, names, kinds, (t, _) => bcDf.value(t)).iterator
+    }, preservesPartitioning = true)
+    nb.persist(StorageLevel.MEMORY_ONLY)
+    val bytes2 = Bm25Index.blockBytes(nb)
+    new Bm25Index(nb, nDocs, dlSum, names, kinds, bytes2)
+  }
+
   /** Top-k (docId, dl, bm25 score) for the OR-semantics query `terms`:
     * every doc containing at least one term is scored. Terms are
     * lowercased and deduplicated preserving first occurrence (duplicate

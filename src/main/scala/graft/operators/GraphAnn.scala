@@ -74,6 +74,77 @@ final class GraphAnn private (
 
   def clearDeletes(): Unit = synchronized { tombstones = Array.emptyLongArray }
 
+  /** External ids whose pinned metadata passes `filter` (not already
+    * tombstoned) — the enumeration a retention pass needs, answered from
+    * the pinned blocks: one job, no distance math. Requires metaCols
+    * pinned at build.
+    */
+  def idsWhere(filter: SelfQueryFilter.Node): Array[Long] = {
+    val tomb = tombstones
+    val fOpt = Some(filter)
+    blocks.mapPartitions { it =>
+      it.flatMap { g =>
+        require(g.meta.nonEmpty,
+          "idsWhere needs metadata columns pinned at build (metaCols)")
+        val gate = GraphAnn.resultGate(g, fOpt, tomb)
+        (0 until g.ids.length).iterator.collect {
+          case i if gate(i) => g.ids(i)
+        }
+      }
+    }.collect().sorted
+  }
+
+  /** `DELETE WHERE` on the live graph tier: tombstone every node whose
+    * metadata matches. Serving excludes them from the next batch on.
+    */
+  def deleteWhere(filter: SelfQueryFilter.Node): Int = delete(idsWhere(filter))
+
+  /** Serving-tier TTL (deterministic: the scheduler supplies `cutoff`,
+    * never the wall clock): tombstone nodes whose pinned `tsCol` is
+    * strictly older. Pair with [[purgeDeleted]] to bound the tombstone
+    * array. Mirrors the reference's age-out-by-deletion of private KBs
+    * and sessions while serving (`private_knowledge_base.py:136-138`,
+    * `session_manager.py:94-96`).
+    */
+  def applyTtl(tsCol: String, cutoff: String): Int =
+    deleteWhere(SelfQueryFilter.Lt(tsCol, SelfQueryFilter.T(cutoff)))
+
+  /** PHYSICAL removal of tombstoned nodes: per-partition graph REBUILD
+    * over the survivors — vectors and metadata already live in the
+    * blocks, so no corpus re-read — returning an instance with ZERO
+    * tombstones (the compaction=rebuild contract made concrete). Exact
+    * paths (brute/full-ef) serve identically to a fresh build over the
+    * surviving corpus; beam paths get a clean graph with no dead nodes
+    * burning beam width. Caller unpersists the old instance on cut-over.
+    */
+  def purgeDeleted(m: Int = 12, efC: Int = 64): GraphAnn = {
+    val tomb = tombstones
+    if (tomb.isEmpty) return this
+    val nb = blocks.mapPartitions({ it =>
+      it.flatMap { g =>
+        val keep = (0 until g.ids.length).filter(i =>
+          java.util.Arrays.binarySearch(tomb, g.ids(i)) < 0)
+        if (keep.isEmpty) Iterator.empty
+        else if (g.meta.isEmpty) {
+          val rows = keep.map(i => (g.ids(i),
+            java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim)))
+            .toArray
+          Iterator.single(GraphAnn.packAndBuild(rows, m, efC))
+        } else {
+          val names = g.meta.keys.toArray.sorted
+          val kinds = names.map(n => MetaPredicate.kindOfCol(g.meta(n)))
+          val rows = keep.map { i =>
+            (g.ids(i),
+              java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim),
+              names.map(n => MetaPredicate.valueAt(g.meta(n), i)): Array[Any])
+          }.toArray
+          Iterator.single(GraphAnn.packAndBuildMeta(rows, names, kinds, m, efC))
+        }
+      }
+    }, preservesPartitioning = true)
+    GraphAnn.fromBlocks(nb)
+  }
+
   /** Beam-search top-k. Returns ((id, dist) ascending, nodes visited).
     * `filter` gates RESULT admission against metadata pinned at build
     * (metaCols) — traversal is unaffected, so connectivity (and the full-

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.HashEmbedder
+import graft.operators.{Bm25Index, GraphAnn}
+
+/** Round-10 battery: the deterministic histogram family, the
+  * moving-aggregate family under the explicit-sort-key contract, the
+  * CSV format-family round-trip, and serving-tier TTL (SURVEY §14 items
+  * 4/5/6/7).
+  */
+object Round10Queries {
+
+  private val ttlVec = HashEmbedder.embed("retention aged serving probe")
+  private val ttlLit = HashEmbedder.sqlArrayLiteral(ttlVec)
+
+  /** Derived deterministic ingest timestamp: day (id % 30) of Jan 2024.
+    * TTL cutoff 2024-01-15 expires offsets 0..13; survivors id%30 >= 14.
+    */
+  private def withIngestTs(df: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("ingest_ts", expr(
+      s"timestampadd(DAY, CAST($idCol % 30 AS INT), " +
+        "timestamp'2024-01-01 00:00:00')"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q183: exact fine-grid histogram (pass 2 of histogram(N)) -----
+    // The bin expression is written identically on both engines, so the
+    // IEEE double arithmetic — (v-lo)/(hi-lo)*G, floor, clamp — is
+    // bit-identical and the counts hash-gate. min/max are exact picks.
+    QueryDef("q183_histogram_fine", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val st = ev.agg(min(col("value").cast("double")).as("lo"),
+        max(col("value").cast("double")).as("hi")).collect()(0)
+      graft.operators.Hist
+        .fineCounts(ev, "value", st.getDouble(0), st.getDouble(1), 512)
+        .orderBy("bin")
+    }, Some("""
+      WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+      SELECT CAST(least(floor(((value - lo) / (hi - lo)) * 512), 511) AS INT) AS bin,
+             count(*) AS cnt
+      FROM events, st GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q184: adaptive histogram(16) — invariant gate ----------------
+    // The adaptive merge itself is not SQL-expressible; the oracle pins
+    // its exact invariants instead (HistSpec pins the bins themselves):
+    // exactly N bins, heights sum to the row count, outer bounds are the
+    // exact min/max, bins contiguous and strictly increasing.
+    QueryDef("q184_histogram_adaptive", (s, dir) => {
+      import s.implicits._
+      val bs = graft.operators.Hist.bins(Tables.events(s, dir), "value", 16)
+      val contiguous = bs.size >= 2 &&
+        bs.sliding(2).forall(p => p(0).upper == p(1).lower)
+      val increasing = bs.forall(b => b.upper > b.lower)
+      Seq((bs.length, math.round(bs.map(_.height).sum),
+        math.round(bs.head.lower * 1000000), math.round(bs.last.upper * 1000000),
+        contiguous && increasing))
+        .toDF("n_bins", "total", "lo", "hi", "ok")
+    }, Some("""
+      SELECT 16 AS n_bins, count(*) AS total,
+        CAST(round(min(value) * 1000000) AS BIGINT) AS lo,
+        CAST(round(max(value) * 1000000) AS BIGINT) AS hi,
+        true AS ok
+      FROM events""")),
+
+    // ---- q185: groupArrayMovingSum/Avg (ts-sorted contract) -----------
+    // Values pre-rounded to BIGINT so every windowed sum is exact in
+    // double on both engines (≤2^53) — the gate is then immune to fp
+    // association, like the funnel family. Oracle = the window-function
+    // closed form the single-shuffle aggregate displaces.
+    QueryDef("q185_moving_aggs", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id,
+          array_join(transform(
+            groupArrayMovingSum(event_id, CAST(round(value) AS BIGINT), 3),
+            x -> CAST(CAST(x AS BIGINT) AS STRING)), '|') AS ms3,
+          array_join(transform(
+            groupArrayMovingAvg(event_id, CAST(round(value) AS BIGINT)),
+            x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING)), '|') AS cma
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    }, Some("""
+      WITH w AS (
+        SELECT user_id, event_id,
+          sum(CAST(round(value) AS BIGINT)) OVER (PARTITION BY user_id
+            ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms,
+          avg(CAST(round(value) AS BIGINT)) OVER (PARTITION BY user_id
+            ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ma
+        FROM events)
+      SELECT user_id,
+        array_to_string(list(CAST(ms AS BIGINT) ORDER BY event_id), '|') AS ms3,
+        array_to_string(list(CAST(round(ma * 1000000) AS BIGINT)
+                             ORDER BY event_id), '|') AS cma
+      FROM w GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- q186: CSVWithNames export → import round-trip ----------------
+    // Spark writes the CSV parts; BOTH engines then read the same files
+    // back (Spark via CsvFormat.read with declared schema, DuckDB via
+    // read_csv), gating the export formatting AND the import parse.
+    QueryDef("q186_csv_roundtrip", (s, dir) => {
+      val out = graft.operators.AnnIndex.tmpRoot + "/csv_q186"
+      graft.sources.CsvFormat.write(
+        Tables.events(s, dir).select("event_id", "event_type", "value")
+          .repartition(4),
+        out, graft.sources.CsvFormat.CsvWithNames)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      graft.sources.CsvFormat.read(s, schema, out)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 1000000).cast("long").as("v"))
+        .orderBy("event_id")
+    }, Some(s"""
+      SELECT event_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v
+      FROM read_csv('${graft.operators.AnnIndex.tmpRoot}/csv_q186/*.csv',
+        header=true,
+        columns={'event_id': 'BIGINT', 'event_type': 'VARCHAR',
+                 'value': 'DOUBLE'})
+      ORDER BY event_id""")),
+
+    // ---- q187: serving-tier TTL on the lexical tier -------------------
+    // applyTtl tombstones by pinned ingest_ts; purgeDeleted physically
+    // removes the dead docs WITH the corpus-stats move (df/N/avgdl
+    // re-derived over survivors) — so the oracle scores over ONLY the
+    // surviving corpus, unlike q138 whose pre-compaction contract keeps
+    // full-corpus stats. In-query requires pin the purge contract.
+    QueryDef("q187_ttl_lexical_purge", (s, dir) => {
+      val docs = withIngestTs(Tables.documents(s, dir), "doc_id")
+      val ix = Bm25Index.build(docs, "doc_id", "text",
+        metaCols = Seq("ingest_ts"))
+      try {
+        val expired = ix.applyTtl("ingest_ts", "2024-01-15 00:00:00")
+        val purged = ix.purgeDeleted()
+        try {
+          require(purged.deletedCount == 0, "purge must clear tombstones")
+          require(purged.docCount == ix.docCount - expired,
+            s"purge must drop the $expired expired docs")
+          purged.topKDF(s, Round7Queries.bmTerms, 20)
+        } finally purged.unpersist()
+      } finally ix.unpersist()
+    }, Some {
+      val tfCols = Round7Queries.bmTerms.zipWithIndex
+        .map { case (t, i) => s"${Round7Queries.tokTfSql(t)} AS tf$i" }
+        .mkString(", ")
+      val dfCols = Round7Queries.bmTerms.indices
+        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS BIGINT) AS dl,
+               $tfCols
+        FROM documents
+        WHERE doc_id % 30 >= 14
+      ), stats AS (
+        SELECT count(*) AS n, sum(dl) AS sdl, $dfCols,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM base
+      )
+      SELECT doc_id, dl, round(${Round7Queries.bmScore}, 6) AS bm25
+      FROM base CROSS JOIN stats
+      WHERE tf0 + tf1 + tf2 > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""
+    }),
+
+    // ---- q188: serving-tier TTL on the graph tier ---------------------
+    // Same age-out on GraphAnn: tombstone by pinned ts, purge rebuilds
+    // the per-partition graphs over survivors with zero tombstones; the
+    // exact brute path over the purged blocks oracle-gates the result.
+    QueryDef("q188_ttl_vector_purge", (s, dir) => {
+      import s.implicits._
+      val corpus = withIngestTs(Tables.embeddings(s, dir), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("ingest_ts"))
+      val g = GraphAnn.build(corpus, "vec_id", "embedding",
+        metaCols = Seq("ingest_ts"))
+      try {
+        val expired = g.applyTtl("ingest_ts", "2024-01-15 00:00:00")
+        val purged = g.purgeDeleted()
+        try {
+          require(purged.deletedCount == 0, "purge must clear tombstones")
+          require(purged.rows == g.rows - expired,
+            s"purge must drop the $expired expired nodes")
+          val (res, _) = purged.topKBatchBrute(Array(ttlVec), 10)
+          res(0).toSeq.toDF("vec_id", "dist")
+            .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+            .orderBy(col("dist"), col("vec_id"))
+        } finally purged.unpersist()
+      } finally g.unpersist()
+    }, Some(s"""
+      SELECT vec_id,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($ttlLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      WHERE vec_id % 30 >= 14
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($ttlLit AS DOUBLE[])), vec_id
+      LIMIT 10"""))
+  )
+}
