@@ -414,18 +414,18 @@ object Registry {
     // JSONExtractString(json, key) — docs/vector-sql.md:204-209
     ("jsonextractstring",
       (e: Seq[Expression]) =>
-        GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
-      "JSONExtractString(json, k) = get_json_object(json, '$.k')"),
+        GetJsonObject(e(0), Registry.jsonPath(e.drop(1))),
+      "JSONExtractString(json, k...) = get_json_object(json, '$.k...')"),
     ("jsonextractint",
       (e: Seq[Expression]) =>
-        Cast(GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
+        Cast(GetJsonObject(e(0), Registry.jsonPath(e.drop(1))),
           org.apache.spark.sql.types.LongType),
-      "JSONExtractInt(json, k) - extract and cast to bigint"),
+      "JSONExtractInt(json, k...) - extract and cast to bigint"),
     ("jsonextractfloat",
       (e: Seq[Expression]) =>
-        Cast(GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
+        Cast(GetJsonObject(e(0), Registry.jsonPath(e.drop(1))),
           org.apache.spark.sql.types.DoubleType),
-      "JSONExtractFloat(json, k) - extract and cast to double"),
+      "JSONExtractFloat(json, k...) - extract and cast to double"),
     // JSONExtractArrayRaw(json, k) — docs/vector-sql.md:206-207. NB: Spark
     // from_json returns PARSED strings (no surrounding quotes) where
     // ClickHouse returns raw JSON fragments; equivalent for the
@@ -437,6 +437,134 @@ object Registry {
           Map.empty[String, String],
           GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1))))),
       "JSONExtractArrayRaw(json, k) - JSON array field as array<string>"),
+    // Rest of the CH JSON family over the same get_json_object core.
+    // Multi-key forms (JSONExtractString(j,'a','b')) join keys into one
+    // JSONPath; integer keys would be array indices — string keys only
+    // here (the reference's usage; CH needs constant keys too).
+    ("jsonhas", (e: Seq[Expression]) =>
+      IsNotNull(GetJsonObject(e(0), Registry.jsonPath(e.drop(1)))),
+      "JSONHas(json, k...) - key exists (and is non-null)"),
+    ("jsonextractbool", (e: Seq[Expression]) =>
+      Coalesce(Seq(
+        Cast(GetJsonObject(e(0), Registry.jsonPath(e.drop(1))),
+          org.apache.spark.sql.types.BooleanType),
+        Literal(false))),
+      "JSONExtractBool(json, k...) - false on miss (CH default-value rule)"),
+    ("jsonextractraw", (e: Seq[Expression]) =>
+      GetJsonObject(e(0), Registry.jsonPath(e.drop(1))),
+      "JSONExtractRaw(json, k...) - raw fragment (scalars unquoted, " +
+        "unlike CH which keeps string quotes)"),
+    ("jsonextractkeys", (e: Seq[Expression]) =>
+      JsonObjectKeys(if (e.length == 1) e.head
+        else GetJsonObject(e(0), Registry.jsonPath(e.drop(1)))),
+      "JSONExtractKeys(json[, k...]) - object keys as array<string>"),
+    ("jsonlength", (e: Seq[Expression]) => {
+      val target = if (e.length == 1) e.head
+        else GetJsonObject(e(0), Registry.jsonPath(e.drop(1)))
+      Coalesce(Seq(
+        LengthOfJsonArray(target),
+        Size(JsonObjectKeys(target))))
+    }, "JSONLength(json[, k...]) - element count of the array/object"),
+    // visitParam* — the legacy simpleJSON spellings (CH keeps both)
+    ("visitparamextractstring", (e: Seq[Expression]) =>
+      GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
+      "visitParamExtractString = JSONExtractString"),
+    ("visitparamextractint", (e: Seq[Expression]) =>
+      Cast(GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1)))),
+        org.apache.spark.sql.types.LongType),
+      "visitParamExtractInt = JSONExtractInt"),
+    ("visitparamhas", (e: Seq[Expression]) =>
+      IsNotNull(GetJsonObject(e(0), Concat(Seq(Literal("$."), e(1))))),
+      "visitParamHas = JSONHas"),
+    // --- ClickHouse URL functions ---------------------------------------
+    // (CH "URL functions" — regexp compositions over RFC-3986 shape; all
+    // codegen'd RegExpExtract/Replace, no UDFs. CH contract: empty string
+    // when the part is absent, which RegExpExtract already returns.)
+    ("protocol", (e: Seq[Expression]) =>
+      RegExpExtract(e.head, Literal("^([a-zA-Z][a-zA-Z0-9+.-]*):"), Literal(1)),
+      "protocol(url) - scheme without '://'"),
+    ("domain", (e: Seq[Expression]) => Registry.urlDomain(e.head),
+      "domain(url) - host (user@ and :port stripped)"),
+    ("domainwithoutwww", (e: Seq[Expression]) =>
+      RegExpReplace(Registry.urlDomain(e.head), Literal("^www\\."), Literal("")),
+      "domainWithoutWWW(url)"),
+    ("topleveldomain", (e: Seq[Expression]) =>
+      RegExpExtract(Registry.urlDomain(e.head), Literal("\\.([^.]+)$"), Literal(1)),
+      "topLevelDomain(url) - last dot-label of the host"),
+    ("path", (e: Seq[Expression]) =>
+      RegExpExtract(e.head,
+        Literal("^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^?#]*)"), Literal(1)),
+      "path(url) - path without query/fragment"),
+    ("pathfull", (e: Seq[Expression]) =>
+      RegExpExtract(e.head,
+        Literal("^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^#]*)"), Literal(1)),
+      "pathFull(url) - path including the query string"),
+    ("querystring", (e: Seq[Expression]) =>
+      RegExpExtract(e.head, Literal("\\?([^#]*)"), Literal(1)),
+      "queryString(url) - text after '?' (no '?', no fragment)"),
+    ("fragment", (e: Seq[Expression]) =>
+      RegExpExtract(e.head, Literal("#(.*)$"), Literal(1)),
+      "fragment(url) - text after '#'"),
+    ("extracturlparameter", (e: Seq[Expression]) => e(1) match {
+      case Literal(u, org.apache.spark.sql.types.StringType) if u != null =>
+        RegExpExtract(e.head,
+          Literal("[?&]" + java.util.regex.Pattern.quote(u.toString) +
+            "=([^&#]*)"), Literal(1))
+      case other => throw new IllegalArgumentException(
+        s"extractURLParameter(url, name): name must be a string literal, got $other")
+    }, "extractURLParameter(url, 'name') - value of one query parameter"),
+    ("cutquerystring", (e: Seq[Expression]) =>
+      RegExpReplace(e.head, Literal("\\?[^#]*"), Literal("")),
+      "cutQueryString(url) - url without '?...' (fragment kept)"),
+    ("cutfragment", (e: Seq[Expression]) =>
+      RegExpReplace(e.head, Literal("#.*$"), Literal("")),
+      "cutFragment(url) - url without '#...'"),
+    // --- ClickHouse conditionals / integer arithmetic / conversions -----
+    ("multiif", (e: Seq[Expression]) => {
+      require(e.length >= 3 && e.length % 2 == 1,
+        "multiIf(c1, v1, ..., cN, vN, else) needs odd arity >= 3")
+      CaseWhen(e.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq,
+        Some(e.last))
+    }, "multiIf(c1, v1, ..., else) = CASE WHEN chain"),
+    // CH intDiv rounds toward negative infinity (floor division); Spark's
+    // `div` truncates toward zero — composed exactly over integers via
+    // pmod (non-negative remainder), no doubles involved.
+    ("intdiv", (e: Seq[Expression]) =>
+      IntegralDivide(Subtract(e(0), Pmod(e(0), e(1))), e(1)),
+      "intDiv(a, b) - floor division on integers"),
+    ("intdivorzero", (e: Seq[Expression]) =>
+      If(EqualTo(e(1), Literal(0L)), Literal(0L),
+        IntegralDivide(Subtract(e(0), Pmod(e(0), e(1))), e(1))),
+      "intDivOrZero(a, b) - 0 when b = 0"),
+    ("moduloorzero", (e: Seq[Expression]) =>
+      If(EqualTo(e(1), Literal(0L)), Literal(0L), Remainder(e(0), e(1))),
+      "moduloOrZero(a, b) - a % b, 0 when b = 0"),
+    ("toint32", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.IntegerType),
+      "toInt32(x) = cast int"),
+    ("toint64", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.LongType),
+      "toInt64(x) = cast bigint"),
+    ("touint64", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.LongType),
+      "toUInt64(x) - mapped to bigint (Spark has no unsigned)"),
+    ("tofloat32", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.FloatType),
+      "toFloat32(x) = cast float"),
+    ("tofloat64", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.DoubleType),
+      "toFloat64(x) = cast double"),
+    ("tostring", (e: Seq[Expression]) =>
+      Cast(e.head, org.apache.spark.sql.types.StringType),
+      "toString(x) = cast string"),
+    // CH sipHash64/cityHash64: used for sampling/sharding, where the
+    // contract is a STABLE uniform hash, not CH's exact bytes — mapped to
+    // Spark's codegen'd xxhash64 (deterministic in-engine; NOT
+    // byte-compatible with ClickHouse, same caveat as SAMPLE's key hash).
+    ("siphash64", (e: Seq[Expression]) => new XxHash64(e),
+      "sipHash64(x...) - stable 64-bit hash (xxhash64, not CH bytes)"),
+    ("cityhash64", (e: Seq[Expression]) => new XxHash64(e),
+      "cityHash64(x...) - stable 64-bit hash (xxhash64, not CH bytes)"),
     // --- ClickHouse aggregate-combinator / parametric aggregates -------
     // (ClickHouse "Aggregate function combinators" -If family and
     // argMax/argMin/uniq/quantile — the analytics surface a MyScale user
@@ -583,6 +711,75 @@ object Registry {
     ("subtracthours", (e: Seq[Expression]) =>
       new TimestampAdd("HOUR", UnaryMinus(e(1)), e(0)),
       "subtractHours(ts, n)"),
+    ("addminutes", (e: Seq[Expression]) => new TimestampAdd("MINUTE", e(1), e(0)),
+      "addMinutes(ts, n)"),
+    ("subtractminutes", (e: Seq[Expression]) =>
+      new TimestampAdd("MINUTE", UnaryMinus(e(1)), e(0)),
+      "subtractMinutes(ts, n)"),
+    ("addseconds", (e: Seq[Expression]) => new TimestampAdd("SECOND", e(1), e(0)),
+      "addSeconds(ts, n)"),
+    ("subtractseconds", (e: Seq[Expression]) =>
+      new TimestampAdd("SECOND", UnaryMinus(e(1)), e(0)),
+      "subtractSeconds(ts, n)"),
+    ("addmonths", (e: Seq[Expression]) => new TimestampAdd("MONTH", e(1), e(0)),
+      "addMonths(ts, n)"),
+    ("subtractmonths", (e: Seq[Expression]) =>
+      new TimestampAdd("MONTH", UnaryMinus(e(1)), e(0)),
+      "subtractMonths(ts, n)"),
+    ("toquarter", (e: Seq[Expression]) => Quarter(e.head),
+      "toQuarter(ts) - 1..4"),
+    ("tostartofquarter", (e: Seq[Expression]) =>
+      TruncTimestamp(Literal("quarter"), e.head),
+      "toStartOfQuarter(ts) = date_trunc('quarter', ts)"),
+    ("tostartofyear", (e: Seq[Expression]) =>
+      TruncTimestamp(Literal("year"), e.head),
+      "toStartOfYear(ts) = date_trunc('year', ts)"),
+    // CH toMonday/toStartOfWeek(mode 0): Monday- vs Sunday-anchored week
+    // starts, both as DATE (the CH return type). date_trunc('week') is
+    // Monday-anchored in Spark and DuckDB alike; the Sunday anchor is the
+    // Monday anchor of ts+1day, minus one day.
+    ("tomonday", (e: Seq[Expression]) =>
+      Cast(TruncTimestamp(Literal("week"), e.head),
+        org.apache.spark.sql.types.DateType),
+      "toMonday(ts) - DATE of the Monday-anchored week start"),
+    ("tostartofweek", (e: Seq[Expression]) =>
+      DateSub(Cast(TruncTimestamp(Literal("week"),
+          new TimestampAdd("DAY", Literal(1), e.head)),
+        org.apache.spark.sql.types.DateType), Literal(1)),
+      "toStartOfWeek(ts) - DATE of the Sunday-anchored week start (mode 0)"),
+    ("toisoweek", (e: Seq[Expression]) => WeekOfYear(e.head),
+      "toISOWeek(ts) - ISO-8601 week number = weekofyear"),
+    ("todayofyear", (e: Seq[Expression]) => DayOfYear(e.head),
+      "toDayOfYear(ts) - 1..366"),
+    ("tolastdayofmonth", (e: Seq[Expression]) => LastDay(e.head),
+      "toLastDayOfMonth(ts) = last_day"),
+    ("toyyyymmdd", (e: Seq[Expression]) =>
+      Add(Multiply(Year(e.head), Literal(10000)),
+        Add(Multiply(Month(e.head), Literal(100)), DayOfMonth(e.head))),
+      "toYYYYMMDD(ts) - year*10000 + month*100 + day (20240115)"),
+    ("yesterday", (_: Seq[Expression]) => DateSub(CurrentDate(), Literal(1)),
+      "yesterday() = current_date - 1"),
+    // Fixed-interval floors: epoch-second arithmetic, codegen'd. CH
+    // timeSlot IS toStartOfInterval(ts, 30 min).
+    ("tostartoffiveminutes", (e: Seq[Expression]) =>
+      Registry.epochFloor(e.head, 300),
+      "toStartOfFiveMinutes(ts)"),
+    ("tostartoftenminutes", (e: Seq[Expression]) =>
+      Registry.epochFloor(e.head, 600),
+      "toStartOfTenMinutes(ts)"),
+    ("tostartoffifteenminutes", (e: Seq[Expression]) =>
+      Registry.epochFloor(e.head, 900),
+      "toStartOfFifteenMinutes(ts)"),
+    ("timeslot", (e: Seq[Expression]) => Registry.epochFloor(e.head, 1800),
+      "timeSlot(ts) - floor to the half hour"),
+    ("tostartofinterval", (e: Seq[Expression]) => e(1) match {
+      case Literal(s, org.apache.spark.sql.types.IntegerType) =>
+        Registry.epochFloor(e(0), s.asInstanceOf[Int].toLong)
+      case Literal(s, org.apache.spark.sql.types.LongType) =>
+        Registry.epochFloor(e(0), s.asInstanceOf[Long])
+      case other => throw new IllegalArgumentException(
+        s"toStartOfInterval(ts, seconds): literal second count required, got $other")
+    }, "toStartOfInterval(ts, seconds) - floor ts to a fixed second grid"),
     // --- ClickHouse dictionaries (broadcast point-lookup enrichment) ----
     // Dict/attr names must be string literals: the dictionary is resolved
     // at ANALYSIS time into a broadcast-backed expression (Dict.scala).
@@ -674,6 +871,28 @@ object Registry {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
     case _ => throw new IllegalArgumentException(
       s"$fn needle must be a constant string (ClickHouse contract)")
+  }
+
+  /** Host part of a URL: optional scheme, optional userinfo@, up to the
+    * first of :port / path / query / fragment.
+    */
+  private def urlDomain(url: Expression): Expression =
+    RegExpExtract(url,
+      Literal("^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]*)"),
+      Literal(1))
+
+  /** '$.k1.k2' JSONPath from the key argument list (string keys only). */
+  private def jsonPath(keys: Seq[Expression]): Expression =
+    Concat(Literal("$") +: keys.flatMap(k => Seq(Literal("."), k)))
+
+  /** Floor a timestamp to a fixed `seconds` grid via epoch arithmetic
+    * (timestamp↔long casts are whole seconds in Spark SQL semantics);
+    * stays inside codegen.
+    */
+  private def epochFloor(ts: Expression, seconds: Long): Expression = {
+    val l = Cast(ts, org.apache.spark.sql.types.LongType)
+    Cast(Subtract(l, Pmod(l, Literal(seconds))),
+      org.apache.spark.sql.types.TimestampType)
   }
 
   /** Imperative registration onto an existing session. Idempotent. */

@@ -203,6 +203,175 @@ object Round10Queries {
       WHERE vec_id % 30 >= 14
       ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST($ttlLit AS DOUBLE[])), vec_id
-      LIMIT 10"""))
+      LIMIT 10""")),
+
+    // ---- q189: ClickHouse JSON-function family -------------------------
+    // Over the real props column plus a nested document BOTH engines
+    // construct identically (no whitespace, so raw fragments compare
+    // byte-equal against DuckDB's normalized json_extract output).
+    QueryDef("q189_json_dialect", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        WITH j AS (
+          SELECT event_id, props,
+            concat('{"k":', CAST(user_id % 100 AS STRING),
+                   ',"flag":', CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END,
+                   ',"nested":{"f":', CAST(user_id % 7 AS STRING),
+                   ',"s":"u', CAST(user_id % 10 AS STRING), '"}',
+                   ',"arr":[1,', CAST(user_id % 5 AS STRING), ',9]}') AS doc
+          FROM events)
+        SELECT event_id,
+          JSONExtractInt(props, 'k') AS k,
+          JSONHas(props, 'k') AS has_k,
+          JSONHas(props, 'missing') AS has_m,
+          JSONExtractBool(doc, 'flag') AS flag,
+          JSONExtractInt(doc, 'nested', 'f') AS nf,
+          JSONExtractString(doc, 'nested', 's') AS ns,
+          JSONLength(doc) AS obj_len,
+          JSONLength(doc, 'arr') AS arr_len,
+          array_join(JSONExtractKeys(doc), '|') AS keys,
+          JSONExtractRaw(doc, 'nested') AS raw_nested,
+          visitParamExtractInt(props, 'k') AS vp_k
+        FROM j ORDER BY event_id""")
+    }, Some("""
+      WITH j AS (
+        SELECT event_id, props,
+          '{"k":' || CAST(user_id % 100 AS VARCHAR) ||
+          ',"flag":' || CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+          ',"nested":{"f":' || CAST(user_id % 7 AS VARCHAR) ||
+          ',"s":"u' || CAST(user_id % 10 AS VARCHAR) || '"}' ||
+          ',"arr":[1,' || CAST(user_id % 5 AS VARCHAR) || ',9]}' AS doc
+        FROM events)
+      SELECT event_id,
+        CAST(props->>'$.k' AS BIGINT) AS k,
+        props->>'$.k' IS NOT NULL AS has_k,
+        props->>'$.missing' IS NOT NULL AS has_m,
+        CAST(doc->>'$.flag' AS BOOLEAN) AS flag,
+        CAST(doc->>'$.nested.f' AS BIGINT) AS nf,
+        doc->>'$.nested.s' AS ns,
+        CAST(len(json_keys(doc)) AS INT) AS obj_len,
+        CAST(json_array_length(doc, '$.arr') AS INT) AS arr_len,
+        array_to_string(json_keys(doc), '|') AS keys,
+        CAST(json_extract(doc, '$.nested') AS VARCHAR) AS raw_nested,
+        CAST(props->>'$.k' AS BIGINT) AS vp_k
+      FROM j ORDER BY event_id""")),
+
+    // ---- q190: ClickHouse date/time-function family --------------------
+    QueryDef("q190_datetime_dialect", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          toQuarter(ts) AS qtr,
+          toStartOfQuarter(ts) AS soq,
+          toStartOfYear(ts) AS soy,
+          toMonday(ts) AS mon,
+          toStartOfWeek(ts) AS sow,
+          toISOWeek(ts) AS iw,
+          toDayOfYear(ts) AS doy,
+          toLastDayOfMonth(ts) AS ldm,
+          toYYYYMMDD(ts) AS ymd,
+          addMonths(ts, 1) AS am,
+          subtractMinutes(ts, 90) AS sm,
+          addSeconds(ts, 45) AS asec,
+          toStartOfFifteenMinutes(ts) AS s15,
+          timeSlot(ts) AS slot,
+          toStartOfInterval(ts, 3600) AS s3600
+        FROM events ORDER BY event_id""")
+    }, Some("""
+      SELECT event_id,
+        CAST(quarter(ts) AS INT) AS qtr,
+        CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS soq,
+        CAST(date_trunc('year', ts) AS TIMESTAMP) AS soy,
+        CAST(date_trunc('week', ts) AS DATE) AS mon,
+        CAST(date_trunc('week', ts + INTERVAL 1 DAY) AS DATE) - 1 AS sow,
+        CAST(weekofyear(ts) AS INT) AS iw,
+        CAST(dayofyear(ts) AS INT) AS doy,
+        last_day(ts) AS ldm,
+        CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT) AS ymd,
+        ts + INTERVAL 1 MONTH AS am,
+        ts - INTERVAL 90 MINUTE AS sm,
+        ts + INTERVAL 45 SECOND AS asec,
+        ts - to_microseconds(epoch_us(ts) % 900000000) AS s15,
+        ts - to_microseconds(epoch_us(ts) % 1800000000) AS slot,
+        ts - to_microseconds(epoch_us(ts) % 3600000000) AS s3600
+      FROM events ORDER BY event_id""")),
+
+    // ---- q191: ClickHouse URL-function family --------------------------
+    // URLs constructed identically on both engines from documents.
+    QueryDef("q191_url_dialect", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        WITH u AS (
+          SELECT doc_id,
+            concat('https://www.example', CAST(doc_id % 5 AS STRING),
+                   '.org/kb/', source, '/', CAST(doc_id AS STRING),
+                   '?lang=', lang, '&page=', CAST(doc_id % 7 AS STRING),
+                   '#sec', CAST(doc_id % 3 AS STRING)) AS url
+          FROM documents)
+        SELECT doc_id,
+          protocol(url) AS proto,
+          domain(url) AS dom,
+          domainWithoutWWW(url) AS dom_nw,
+          topLevelDomain(url) AS tld,
+          path(url) AS pth,
+          pathFull(url) AS pthf,
+          queryString(url) AS qs,
+          fragment(url) AS frag,
+          extractURLParameter(url, 'page') AS page,
+          cutQueryString(url) AS cut_q,
+          cutFragment(url) AS cut_f
+        FROM u ORDER BY doc_id""")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          'https://www.example' || CAST(doc_id % 5 AS VARCHAR) ||
+          '.org/kb/' || source || '/' || CAST(doc_id AS VARCHAR) ||
+          '?lang=' || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR) ||
+          '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents)
+      SELECT doc_id,
+        regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS proto,
+        regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]*)', 1) AS dom,
+        regexp_replace(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]*)', 1), '^www\.', '') AS dom_nw,
+        regexp_extract(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]*)', 1), '\.([^.]+)$', 1) AS tld,
+        regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^?#]*)', 1) AS pth,
+        regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^#]*)', 1) AS pthf,
+        regexp_extract(url, '\?([^#]*)', 1) AS qs,
+        regexp_extract(url, '#(.*)$', 1) AS frag,
+        regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+        regexp_replace(url, '\?[^#]*', '') AS cut_q,
+        regexp_replace(url, '#.*$', '') AS cut_f
+      FROM u ORDER BY doc_id""")),
+
+    // ---- q192: multiIf / integer arithmetic / conversions --------------
+    // (toInt64 truncates toward zero like CH; DuckDB CAST(double AS
+    // BIGINT) ROUNDS — the oracle trunc()s first to pin the divergence.)
+    QueryDef("q192_misc_fns", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          multiIf(value < 100, 'low', value < 300, 'mid', 'high') AS band,
+          intDiv(user_id - 75, 7) AS fdiv,
+          intDivOrZero(user_id, user_id % 5) AS divz,
+          moduloOrZero(user_id, user_id % 5) AS modz,
+          toInt64(value) AS vi,
+          toInt32(user_id % 100) AS ui,
+          toFloat64(user_id) AS uf,
+          toString(user_id) AS us
+        FROM events ORDER BY event_id""")
+    }, Some("""
+      SELECT event_id,
+        CASE WHEN value < 100 THEN 'low'
+             WHEN value < 300 THEN 'mid' ELSE 'high' END AS band,
+        CAST(floor(CAST(user_id - 75 AS DOUBLE) / 7) AS BIGINT) AS fdiv,
+        CASE WHEN user_id % 5 = 0 THEN 0
+             ELSE CAST(floor(CAST(user_id AS DOUBLE) / (user_id % 5)) AS BIGINT)
+             END AS divz,
+        CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id % (user_id % 5) END AS modz,
+        CAST(trunc(value) AS BIGINT) AS vi,
+        CAST(user_id % 100 AS INT) AS ui,
+        CAST(user_id AS DOUBLE) AS uf,
+        CAST(user_id AS VARCHAR) AS us
+      FROM events ORDER BY event_id"""))
   )
 }

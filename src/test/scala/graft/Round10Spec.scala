@@ -119,6 +119,42 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  // ---- round-10 dialect batch edges (oracle gates: q189–q192) --------
+
+  test("dialect edges: hash stability, miss defaults, loud non-literals") {
+    GraftSession.install(spark)
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("s", "n")
+    // sipHash64/cityHash64: stable across runs and partitionings
+    val h1 = df.repartition(1).selectExpr("sipHash64(s, n) AS h")
+      .collect().map(_.getLong(0)).toSeq
+    val h2 = df.repartition(4).selectExpr("sipHash64(s, n) AS h")
+      .collect().map(_.getLong(0)).toSeq
+    assert(h1.sorted == h2.sorted && h1.distinct.length == 2)
+    // JSON miss defaults: bool false, int null-through-cast, has false
+    val r = Seq("""{"a":1}""").toDF("j").selectExpr(
+      "JSONExtractBool(j, 'missing') AS b",
+      "JSONHas(j, 'missing') AS h",
+      "JSONLength(j) AS l").collect()(0)
+    assert(!r.getBoolean(0) && !r.getBoolean(1) && r.getInt(2) == 1)
+    // loud non-literal parameters
+    val e1 = intercept[Exception] {
+      df.selectExpr("toStartOfInterval(current_timestamp(), n)").collect()
+    }
+    assert(e1.getMessage.contains("literal"))
+    val e2 = intercept[Exception] {
+      df.selectExpr("extractURLParameter(s, s)").collect()
+    }
+    assert(e2.getMessage.contains("literal"))
+    val e3 = intercept[Exception] {
+      df.selectExpr("multiIf(n > 1, 'x')").collect()
+    }
+    assert(e3.getMessage.contains("arity") || e3.getMessage.contains("odd"))
+    // intDiv floors toward negative infinity (CH), not toward zero
+    val d = Seq((-7L, 2L)).toDF("a", "b")
+      .selectExpr("intDiv(a, b)").collect()(0).getLong(0)
+    assert(d == -4L)
+  }
+
   test("headerless CSV reads with declared schema only") {
     val scratch = Files.createTempDirectory("csv_spec2").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
