@@ -626,11 +626,47 @@ object Registry {
       SumMap(e(0), e(1), op = org.apache.spark.sql.graft.SumMap.OpMax),
       "maxMap(keys, values) - per-key maximums (sorted keys)"),
     ("grouparraymovingsum", (e: Seq[Expression]) =>
-      org.apache.spark.sql.graft.MovingAgg.build(e, avg = false),
+      org.apache.spark.sql.graft.MovingAgg.build(e,
+        org.apache.spark.sql.graft.MovingAgg.ModeSum),
       "groupArrayMovingSum(sortKey, v[, win]) - moving sums in sortKey order"),
     ("grouparraymovingavg", (e: Seq[Expression]) =>
-      org.apache.spark.sql.graft.MovingAgg.build(e, avg = true),
+      org.apache.spark.sql.graft.MovingAgg.build(e,
+        org.apache.spark.sql.graft.MovingAgg.ModeAvg),
       "groupArrayMovingAvg(sortKey, v[, win]) - moving means in sortKey order"),
+    ("deltasum", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.MovingAgg.build(e.take(2),
+        org.apache.spark.sql.graft.MovingAgg.ModeDeltaSum),
+      "deltaSum(sortKey, v) - sum of positive steps in sortKey order"),
+    // Sketch-family aliases: CH exposes several cardinality sketches;
+    // all map onto the same HLL++ estimate here (uniq's 2% envelope).
+    ("uniqcombined", (e: Seq[Expression]) =>
+      new HyperLogLogPlusPlus(e.head, Literal(0.02d)),
+      "uniqCombined(x) - approximate distinct (HLL++, alias of uniq)"),
+    ("uniqtheta", (e: Seq[Expression]) =>
+      new HyperLogLogPlusPlus(e.head, Literal(0.02d)),
+      "uniqTheta(x) - approximate distinct (HLL++, alias of uniq)"),
+    ("uniqhll12", (e: Seq[Expression]) =>
+      new HyperLogLogPlusPlus(e.head, Literal(0.02d)),
+      "uniqHLL12(x) - approximate distinct (HLL++, alias of uniq)"),
+    // Bit / stats aggregate aliases onto Spark's codegen'd natives.
+    ("groupbitand", (e: Seq[Expression]) => BitAndAgg(e.head),
+      "groupBitAnd(x) = bit_and"),
+    ("groupbitor", (e: Seq[Expression]) => BitOrAgg(e.head),
+      "groupBitOr(x) = bit_or"),
+    ("groupbitxor", (e: Seq[Expression]) => BitXorAgg(e.head),
+      "groupBitXor(x) = bit_xor"),
+    ("varpop", (e: Seq[Expression]) => VariancePop(e.head),
+      "varPop(x) = var_pop"),
+    ("varsamp", (e: Seq[Expression]) => VarianceSamp(e.head),
+      "varSamp(x) = var_samp"),
+    ("stddevpop", (e: Seq[Expression]) => StddevPop(e.head),
+      "stddevPop(x) = stddev_pop"),
+    ("stddevsamp", (e: Seq[Expression]) => StddevSamp(e.head),
+      "stddevSamp(x) = stddev_samp"),
+    ("covarpop", (e: Seq[Expression]) => CovPopulation(e(0), e(1)),
+      "covarPop(x, y) = covar_pop"),
+    ("covarsamp", (e: Seq[Expression]) => CovSample(e(0), e(1)),
+      "covarSamp(x, y) = covar_samp"),
     ("topk", (e: Seq[Expression]) => org.apache.spark.sql.graft.TopK(e(0), e(1)),
       "topK(x, k) - k most frequent values, count desc then value asc (exact)"),
     ("topkweighted", (e: Seq[Expression]) =>

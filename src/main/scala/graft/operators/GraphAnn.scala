@@ -765,6 +765,70 @@ final class IvfGraph private (
 
   private[operators] def tombstoneSnapshot: Array[Long] = tombstones
 
+  /** External ids whose pinned metadata passes `filter` (not already
+    * tombstoned), across all cluster graphs — one meta-only job.
+    */
+  def idsWhere(filter: SelfQueryFilter.Node): Array[Long] = {
+    require(hasMeta,
+      "idsWhere needs metadata columns pinned at build (metaCols)")
+    val tomb = tombstones
+    val fOpt = Some(filter)
+    blocks.mapPartitions { it =>
+      it.flatMap { case (_, g) =>
+        val gate = GraphAnn.resultGate(g, fOpt, tomb)
+        (0 until g.ids.length).iterator.collect {
+          case i if gate(i) => g.ids(i)
+        }
+      }
+    }.collect().sorted
+  }
+
+  /** `DELETE WHERE` on the routed structure: tombstone matching nodes. */
+  def deleteWhere(filter: SelfQueryFilter.Node): Int = delete(idsWhere(filter))
+
+  /** Serving-tier TTL (deterministic cutoff — see [[Bm25Index.applyTtl]]
+    * for the contract and the reference anchor).
+    */
+  def applyTtl(tsCol: String, cutoff: String): Int =
+    deleteWhere(SelfQueryFilter.Lt(tsCol, SelfQueryFilter.T(cutoff)))
+
+  /** PHYSICAL removal of tombstoned nodes: per-CLUSTER graph rebuild over
+    * the survivors from the blocks' own vectors+meta (cluster routing is
+    * untouched — survivors stay in the clusters their vectors routed to,
+    * so the frozen centroid model remains valid). Unlike
+    * [[IvfGraph.remove]] this path supports metadata-pinned indexes: the
+    * meta columns re-pack beside the surviving nodes. Returns with ZERO
+    * tombstones; caller unpersists the old instance on cut-over.
+    */
+  def purgeDeleted(m: Int = 12, efC: Int = 64): IvfGraph = {
+    val tomb = tombstones
+    if (tomb.isEmpty) return this
+    val nb = blocks.mapPartitions({ it =>
+      it.flatMap { case (cid, g) =>
+        val keep = (0 until g.ids.length).filter(i =>
+          java.util.Arrays.binarySearch(tomb, g.ids(i)) < 0)
+        if (keep.isEmpty) Iterator.empty
+        else if (keep.length == g.ids.length) Iterator.single((cid, g))
+        else if (g.meta.isEmpty) {
+          val rows = keep.map(i => (g.ids(i),
+            java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim)))
+            .toArray
+          Iterator.single((cid, GraphAnn.packAndBuild(rows, m, efC)))
+        } else {
+          val names = g.meta.keys.toArray.sorted
+          val kinds = names.map(n => MetaPredicate.kindOfCol(g.meta(n)))
+          val rows = keep.map { i =>
+            (g.ids(i),
+              java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim),
+              names.map(n => MetaPredicate.valueAt(g.meta(n), i)): Array[Any])
+          }.toArray
+          Iterator.single((cid, GraphAnn.packAndBuildMeta(rows, names, kinds, m, efC)))
+        }
+      }
+    }, preservesPartitioning = true)
+    IvfGraph.fromBlocks(model, nb)
+  }
+
   /** Beam-search the nprobe routed clusters. Returns ((id, dist)
     * ascending, nodes visited across probed graphs). `filter` gates
     * result admission against metadata pinned at build (metaCols);

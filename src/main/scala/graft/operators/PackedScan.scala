@@ -75,6 +75,38 @@ final class PackedScan private (
   /** Drop all tombstones (e.g. after the backing table was rebuilt). */
   def clearDeletes(): Unit = synchronized { tombstones = Array.emptyLongArray }
 
+  /** Ids whose pinned metadata passes `filter` (not already tombstoned)
+    * — the retention enumeration, answered from the pinned blocks: one
+    * meta-only job, no distance math. Requires metaCols at build.
+    */
+  def idsWhere(filter: SelfQueryFilter.Node): Array[Long] = {
+    require(metaNames.nonEmpty,
+      "idsWhere needs metadata columns pinned at build (metaCols)")
+    val tomb = tombstones
+    blocks.mapPartitions { it =>
+      it.flatMap { b =>
+        val pred = MetaPredicate.bind(filter, b.meta)
+        (0 until b.ids.length).iterator.collect {
+          case i if pred(i) &&
+            (tomb.isEmpty ||
+              java.util.Arrays.binarySearch(tomb, b.ids(i)) < 0) => b.ids(i)
+        }
+      }
+    }.collect().sorted
+  }
+
+  /** `DELETE WHERE` on the live scan tier (tombstones; [[compact]] is
+    * the purge — it already drops tombstoned rows physically).
+    */
+  def deleteWhere(filter: SelfQueryFilter.Node): Int = delete(idsWhere(filter))
+
+  /** Serving-tier TTL (deterministic cutoff, see [[graft.operators
+    * .Bm25Index.applyTtl]]): tombstone rows whose pinned `tsCol` is
+    * strictly older; a following [[compact]] bounds the tombstone array.
+    */
+  def applyTtl(tsCol: String, cutoff: String): Int =
+    deleteWhere(SelfQueryFilter.Lt(tsCol, SelfQueryFilter.T(cutoff)))
+
   /** Exact top-k (id, cosine distance), ascending by (dist, id). */
   def topK(q: Array[Float], k: Int,
       filter: Option[SelfQueryFilter.Node] = None): Array[(Long, Double)] =

@@ -98,6 +98,24 @@ object Round10Queries {
                              ORDER BY event_id), '|') AS cma
       FROM w GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- q193: deltaSum (sorted contract; integral-exact) --------------
+    QueryDef("q193_deltasum", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id,
+          CAST(deltaSum(event_id, CAST(round(value) AS BIGINT)) AS BIGINT) AS ds
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    }, Some("""
+      WITH d AS (
+        SELECT user_id, CAST(round(value) AS BIGINT) AS v,
+          lag(CAST(round(value) AS BIGINT)) OVER (PARTITION BY user_id
+            ORDER BY event_id) AS pv
+        FROM events)
+      SELECT user_id,
+        CAST(coalesce(sum(CASE WHEN pv IS NOT NULL AND v > pv
+                               THEN v - pv ELSE 0 END), 0) AS BIGINT) AS ds
+      FROM d GROUP BY user_id ORDER BY user_id""")),
+
     // ---- q186: CSVWithNames export → import round-trip ----------------
     // Spark writes the CSV parts; BOTH engines then read the same files
     // back (Spark via CsvFormat.read with declared schema, DuckDB via

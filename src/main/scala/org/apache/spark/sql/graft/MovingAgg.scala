@@ -40,18 +40,24 @@ case class MovingAgg(
     sortKey: Expression,
     value: Expression,
     winSize: Int,
-    avg: Boolean,
+    mode: Int, // MovingAgg.{ModeSum,ModeAvg,ModeDeltaSum}
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Double)]]
   with BinaryLike[Expression] {
 
+  private def avg: Boolean = mode == MovingAgg.ModeAvg
+  private def deltaSum: Boolean = mode == MovingAgg.ModeDeltaSum
+
   override def left: Expression = sortKey
   override def right: Expression = value
   override def prettyName: String =
-    if (avg) "group_array_moving_avg" else "group_array_moving_sum"
+    if (deltaSum) "delta_sum"
+    else if (avg) "group_array_moving_avg" else "group_array_moving_sum"
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (deltaSum) DoubleType
+    else ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val keyOk = sortKey.dataType match {
@@ -102,6 +108,17 @@ case class MovingAgg(
   override def eval(buf: scala.collection.mutable.ArrayBuffer[(Long, Double)]): Any = {
     val sorted = buf.sortBy(identity) // (key, value) — deterministic
     val n = sorted.length
+    if (deltaSum) {
+      // CH deltaSum under the sorted contract: sum of positive steps
+      var acc = 0.0
+      var i = 1
+      while (i < n) {
+        val d = sorted(i)._2 - sorted(i - 1)._2
+        if (d > 0) acc += d
+        i += 1
+      }
+      return acc
+    }
     val out = new Array[Any](n)
     var run = 0.0
     var i = 0
@@ -141,16 +158,20 @@ case class MovingAgg(
 }
 
 object MovingAgg {
+  val ModeSum = 0
+  val ModeAvg = 1
+  val ModeDeltaSum = 2
+
   /** Registry builder: 2-arg = unbounded window, 3-arg = fixed window
     * (a foldable positive integer, the CH parametric position).
     */
-  def build(e: Seq[Expression], avg: Boolean): MovingAgg = {
+  def build(e: Seq[Expression], mode: Int): MovingAgg = {
     val win = if (e.length < 3) 0 else e(2) match {
       case Literal(v, IntegerType) => v.asInstanceOf[Int]
       case Literal(v, LongType)    => v.asInstanceOf[Long].toInt
       case other => throw new IllegalArgumentException(
         "groupArrayMoving* window size must be an integer literal, got: " + other)
     }
-    MovingAgg(e(0), e(1), win, avg)
+    MovingAgg(e(0), e(1), win, mode)
   }
 }

@@ -94,6 +94,27 @@ class Round10Spec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("deltaSum: positive steps only, sorted contract, determinism") {
+    GraftSession.install(spark)
+    // sorted by k: values 10, 13, 9, 14 → deltas +3, -4, +5 → deltaSum 8
+    val df = Seq((1L, 10.0), (4L, 14.0), (2L, 13.0), (3L, 9.0)).toDF("k", "v")
+    def run(parts: Int) = df.repartition(parts)
+      .agg(expr("deltaSum(k, v)")).collect()(0).getDouble(0)
+    assert(run(1) == 8.0 && run(3) == 8.0)
+  }
+
+  test("aggregate aliases map onto Spark natives") {
+    GraftSession.install(spark)
+    val df = Seq(1L, 2L, 3L, 4L).toDF("x")
+    val r = df.agg(
+      expr("groupBitAnd(x)"), expr("groupBitOr(x)"), expr("groupBitXor(x)"),
+      expr("varPop(x)"), expr("stddevSamp(x)"), expr("uniqCombined(x)"))
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 7L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - 1.25) < 1e-12)
+    assert(r.getLong(5) == 4L)
+  }
+
   // ---- CSV format family --------------------------------------------
 
   test("CSV/TSVWithNames round-trip incl. nulls, quotes, tabs") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bm25Index, GraphAnn, SelfQueryFilter => F}
+import graft.operators.{AnnIndex, Bm25Index, GraphAnn, IvfGraph, PackedScan, SelfQueryFilter => F}
 
 /** Serving-tier TTL (SURVEY §14 item 7): age-out by pinned metadata on
   * the live Bm25/graph tiers, and the purge contract that bounds the
@@ -69,6 +69,64 @@ class TtlServingSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("metadata"))
     } finally ix.unpersist()
+  }
+
+  test("packed scan: applyTtl tombstones by pinned ts; compact purges") {
+    val dim = 8
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((id * 13 + j * 7) % 31).toFloat - 15) / 15f)
+    val rows = (0L until 150L).map { id =>
+      (id, vec(id), java.sql.Timestamp.valueOf(
+        f"2024-01-${(id % 28 + 1)}%02d 00:00:00"))
+    }.toDF("vec_id", "embedding", "ingest_ts")
+    val ps = PackedScan.build(rows, "vec_id", "embedding",
+      metaCols = Seq("ingest_ts"))
+    val fresh = PackedScan.build(rows.filter(col("vec_id") % 28 >= 9),
+      "vec_id", "embedding", metaCols = Seq("ingest_ts"))
+    try {
+      val n = ps.applyTtl("ingest_ts", "2024-01-10 00:00:00")
+      assert(n == (0L until 150L).count(_ % 28 < 9))
+      val purged = ps.compact() // PackedScan's purge: drops tombstoned rows
+      try {
+        assert(purged.deletedCount == 0 && purged.rows == 150L - n)
+        val q = vec(777L)
+        assert(purged.topK(q, 12).toSeq == fresh.topK(q, 12).toSeq)
+      } finally purged.unpersist()
+    } finally { ps.unpersist(); fresh.unpersist() }
+  }
+
+  test("ivf-graph: applyTtl + meta-capable purge keeps routing valid") {
+    val dim = 12
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((id * 29 + j * 11) % 53).toFloat - 26) / 26f)
+    val rows = (0L until 300L).map { id =>
+      (id, vec(id), java.sql.Timestamp.valueOf(
+        f"2024-01-${(id % 28 + 1)}%02d 00:00:00"))
+    }.toDF("vec_id", "embedding", "ingest_ts")
+    val (model, indexed) = AnnIndex.fit(rows, "embedding", "vec_id",
+      k = 4, iters = 5)
+    val g = IvfGraph.build(indexed, model, "vec_id", "embedding",
+      metaCols = Seq("ingest_ts"))
+    try {
+      val n = g.applyTtl("ingest_ts", "2024-01-10 00:00:00")
+      assert(n == (0L until 300L).count(_ % 28 < 9))
+      val purged = g.purgeDeleted()
+      try {
+        assert(purged.deletedCount == 0 && purged.rows == 300L - n)
+        // exactness contract: nprobe=k + full ef == exhaustive over the
+        // survivors — compare against the tombstoned-but-unpurged index
+        val q = vec(4242L)
+        val (a, _) = purged.topKBatch(Array(q), 10, nprobe = 4,
+          ef = purged.rows.toInt)
+        val (b, _) = g.topKBatch(Array(q), 10, nprobe = 4, ef = g.rows.toInt)
+        assert(a(0).toSeq == b(0).toSeq)
+        // metadata survived the purge: filtered serving still binds
+        val f = Some(F.Gte("ingest_ts", F.T("2024-01-20 00:00:00")): F.Node)
+        val (c, _) = purged.topKBatch(Array(q), 10, nprobe = 4,
+          ef = purged.rows.toInt, filter = f)
+        assert(c(0).nonEmpty)
+      } finally purged.unpersist()
+    } finally g.unpersist()
   }
 
   test("graph: applyTtl + purge == fresh build over survivors (exact path)") {
