@@ -675,6 +675,90 @@ object Registry {
     ("uniqupto", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.UniqUpTo(e(0), e(1)),
       "uniqUpTo(x, n) - exact distinct count saturated at n+1; O(n) state"),
+    // --- roaring bitmap family (ClickHouse groupBitmap / bitmap*) ------
+    // Exact set algebra over uint32 ids: the audience-segmentation /
+    // retention workhorse. State is O(distinct ids), never O(rows).
+    ("groupbitmap", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GroupBitmapAgg(e.head, returnState = false),
+      "groupBitmap(x) - exact distinct count via roaring bitmap"),
+    ("groupbitmapstate", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GroupBitmapAgg(e.head, returnState = true),
+      "groupBitmapState(x) - serialized roaring bitmap of the group's values"),
+    ("groupbitmapand", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapMergeAgg(e.head,
+        org.apache.spark.sql.graft.BitmapMergeAgg.OpAnd, returnState = false),
+      "groupBitmapAnd(bm) - cardinality of the intersection of bitmap states"),
+    ("groupbitmapor", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapMergeAgg(e.head,
+        org.apache.spark.sql.graft.BitmapMergeAgg.OpOr, returnState = false),
+      "groupBitmapOr(bm) - cardinality of the union of bitmap states"),
+    ("groupbitmapxor", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapMergeAgg(e.head,
+        org.apache.spark.sql.graft.BitmapMergeAgg.OpXor, returnState = false),
+      "groupBitmapXor(bm) - cardinality of the symmetric difference"),
+    ("groupbitmapandstate", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapMergeAgg(e.head,
+        org.apache.spark.sql.graft.BitmapMergeAgg.OpAnd, returnState = true),
+      "groupBitmapAndState(bm) - intersection of bitmap states as a bitmap"),
+    ("groupbitmaporstate", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapMergeAgg(e.head,
+        org.apache.spark.sql.graft.BitmapMergeAgg.OpOr, returnState = true),
+      "groupBitmapOrState(bm) - union of bitmap states as a bitmap"),
+    ("groupbitmapxorstate", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapMergeAgg(e.head,
+        org.apache.spark.sql.graft.BitmapMergeAgg.OpXor, returnState = true),
+      "groupBitmapXorState(bm) - symmetric difference as a bitmap"),
+    ("bitmapbuild", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBuild(e.head),
+      "bitmapBuild(array<bigint>) - serialized roaring bitmap"),
+    ("bitmaptoarray", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapToArray(e.head),
+      "bitmapToArray(bm) - ascending array<bigint> of members"),
+    ("bitmapcardinality", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapUnaryLong(e.head, "cardinality"),
+      "bitmapCardinality(bm) - member count"),
+    ("bitmapmin", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapUnaryLong(e.head, "min"),
+      "bitmapMin(bm) - smallest member (2^32-1 on empty, as ClickHouse)"),
+    ("bitmapmax", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapUnaryLong(e.head, "max"),
+      "bitmapMax(bm) - largest member (0 on empty, as ClickHouse)"),
+    ("bitmapand", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinOp(e(0), e(1), "and"),
+      "bitmapAnd(a, b) - intersection bitmap"),
+    ("bitmapor", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinOp(e(0), e(1), "or"),
+      "bitmapOr(a, b) - union bitmap"),
+    ("bitmapxor", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinOp(e(0), e(1), "xor"),
+      "bitmapXor(a, b) - symmetric-difference bitmap"),
+    ("bitmapandnot", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinOp(e(0), e(1), "andnot"),
+      "bitmapAndnot(a, b) - a minus b"),
+    ("bitmapandcardinality", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinCard(e(0), e(1), "and"),
+      "bitmapAndCardinality(a, b) - |a ∩ b| without building the result"),
+    ("bitmaporcardinality", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinCard(e(0), e(1), "or"),
+      "bitmapOrCardinality(a, b) - |a ∪ b| by inclusion-exclusion"),
+    ("bitmapxorcardinality", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinCard(e(0), e(1), "xor"),
+      "bitmapXorCardinality(a, b) - |a △ b|"),
+    ("bitmapandnotcardinality", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapBinCard(e(0), e(1), "andnot"),
+      "bitmapAndnotCardinality(a, b) - |a \\ b|"),
+    ("bitmapcontains", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapContains(e(0), e(1)),
+      "bitmapContains(bm, v) - membership probe"),
+    ("bitmaphasall", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapHas(e(0), e(1), all = true),
+      "bitmapHasAll(a, b) - true iff b ⊆ a"),
+    ("bitmaphasany", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitmapHas(e(0), e(1), all = false),
+      "bitmapHasAny(a, b) - true iff a ∩ b non-empty"),
+    ("subbitmap", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.SubBitmap(e(0), e(1), e(2)),
+      "subBitmap(bm, offset, limit) - ascending slice as a bitmap"),
     // quantile/quantiles/median: ClickHouse's default quantile is
     // APPROXIMATE (reservoir); mapped onto Spark's approx_percentile
     // (GK sketch, accuracy 10000). Spec-gated, not oracle-gated — two
@@ -690,6 +774,15 @@ object Registry {
       "median(x) - approximate median = quantile(x, 0.5)"),
     ("quantileexact", (e: Seq[Expression]) => new Percentile(e(0), e(1)),
       "quantileExact(x, level) - exact interpolated percentile"),
+    ("quantiletdigest", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.TDigestAgg(e(0), e(1)),
+      "quantileTDigest(x, level) - t-digest percentile (bounded O(δ) state)"),
+    ("quantilestdigest", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.TDigestAgg(e(0), CreateArray(e.drop(1))),
+      "quantilesTDigest(x, l1, l2, ...) - t-digest percentiles as array"),
+    ("mediantdigest", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.TDigestAgg(e.head, Literal(0.5d)),
+      "medianTDigest(x) = quantileTDigest(x, 0.5)"),
     ("medianexact", (e: Seq[Expression]) => new Percentile(e.head, Literal(0.5d)),
       "medianExact(x) - exact median = quantileExact(x, 0.5)"),
     // --- ClickHouse date/time dialect ----------------------------------

@@ -390,6 +390,92 @@ object Round10Queries {
         CAST(user_id % 100 AS INT) AS ui,
         CAST(user_id AS DOUBLE) AS uf,
         CAST(user_id AS VARCHAR) AS us
-      FROM events ORDER BY event_id"""))
+      FROM events ORDER BY event_id""")),
+
+    // ---- q194: bitmap audience segmentation -----------------------------
+    // One shuffle builds a roaring bitmap of user ids per event type
+    // (state O(distinct users), never O(events)); every pairwise overlap
+    // then comes from in-memory set algebra on the tiny state table — the
+    // plan a SQL user needs T² distinct-count joins for. At 100 TB the
+    // states are KBs/MBs while the fact table is the 100 TB; the self-join
+    // is over |event_type|² rows.
+    QueryDef("q194_bitmap_segments", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        WITH st AS (SELECT event_type, groupBitmapState(user_id) AS bm
+                    FROM events GROUP BY event_type)
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               bitmapAndCardinality(a.bm, b.bm) AS n_both,
+               bitmapOrCardinality(a.bm, b.bm) AS n_either,
+               bitmapAndnotCardinality(a.bm, b.bm) AS n_only1,
+               bitmapXorCardinality(a.bm, b.bm) AS n_sym
+        FROM st a JOIN st b ON a.event_type < b.event_type
+        ORDER BY t1, t2""")
+    }, Some("""
+      WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+      c AS (SELECT t, count(*) AS n FROM ut GROUP BY t),
+      p AS (SELECT c1.t AS t1, c2.t AS t2, c1.n AS n1, c2.n AS n2
+            FROM c c1 JOIN c c2 ON c1.t < c2.t),
+      j AS (SELECT x.t AS t1, y.t AS t2, count(*) AS b
+            FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
+      SELECT p.t1, p.t2,
+             CAST(coalesce(j.b, 0) AS BIGINT) AS n_both,
+             CAST(p.n1 + p.n2 - coalesce(j.b, 0) AS BIGINT) AS n_either,
+             CAST(p.n1 - coalesce(j.b, 0) AS BIGINT) AS n_only1,
+             CAST(p.n1 + p.n2 - 2 * coalesce(j.b, 0) AS BIGINT) AS n_sym
+      FROM p LEFT JOIN j ON j.t1 = p.t1 AND j.t2 = p.t2
+      ORDER BY p.t1, p.t2""")),
+
+    // ---- q195: bitmap retention curve ----------------------------------
+    // Day-0 cohort ∩ each later day, entirely on per-day bitmap states —
+    // the groupBitmapAnd/retention idiom. The exact alternative re-scans
+    // the fact table once per day measured.
+    QueryDef("q195_bitmap_retention", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                          groupBitmapState(user_id) AS bm
+                   FROM events GROUP BY 1),
+        d0 AS (SELECT bm AS bm0 FROM d
+               WHERE day = (SELECT min(day) FROM d))
+        SELECT day,
+               bitmapAndCardinality(bm, bm0) AS retained,
+               bitmapCardinality(bm) AS active
+        FROM d CROSS JOIN d0 ORDER BY day""")
+    }, Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+                  FROM events),
+      c0 AS (SELECT u FROM du WHERE day = (SELECT min(day) FROM du))
+      SELECT du.day,
+             CAST(count(DISTINCT c0.u) AS BIGINT) AS retained,
+             CAST(count(DISTINCT du.u) AS BIGINT) AS active
+      FROM du LEFT JOIN c0 ON du.u = c0.u
+      GROUP BY du.day ORDER BY du.day""")),
+
+    // ---- q196: quantileTDigest rank-band gate ---------------------------
+    // The t-digest estimate is merge-order-sensitive (every t-digest is),
+    // so the hashable outputs are the EXACT quantiles; the sketch is gated
+    // by an in-query assertion that each estimate lands inside the ±0.02
+    // rank band of the exact distribution — an order of magnitude looser
+    // than δ=200's worst-case rank error, hence deterministic under any
+    // partitioning (the uniq/dispatch-assert convention).
+    QueryDef("q196_quantile_tdigest", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          round(quantileExact(value, 0.5), 6) AS p50,
+          round(quantileExact(value, 0.95), 6) AS p95,
+          (quantileTDigest(value, 0.5)
+             BETWEEN quantileExact(value, 0.48) AND quantileExact(value, 0.52))
+          AND (quantileTDigest(value, 0.95)
+             BETWEEN quantileExact(value, 0.93) AND quantileExact(value, 0.97))
+          AS td_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.95), 6) AS p95,
+        true AS td_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
