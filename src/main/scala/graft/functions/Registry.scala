@@ -783,6 +783,70 @@ object Registry {
     ("mediantdigest", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.TDigestAgg(e.head, Literal(0.5d)),
       "medianTDigest(x) = quantileTDigest(x, 0.5)"),
+    ("entropy", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.EntropyAgg(e.head),
+      "entropy(x) - Shannon entropy (bits) of the value distribution; " +
+        "summed in sorted-key order so the double is partitioning-exact"),
+    // --- statistical moments (ClickHouse naming onto Spark's stable
+    // central-moment kernels; CH's *Samp forms are plain mu_k/sigma_samp^k,
+    // i.e. the population value scaled by ((n-1)/n)^(k/2)) ---------------
+    ("skewpop", (e: Seq[Expression]) => Skewness(e.head),
+      "skewPop(x) - population skewness m3/m2^1.5"),
+    ("skewsamp", (e: Seq[Expression]) => {
+      val n = Cast(Count(e.head).toAggregateExpression(), org.apache.spark.sql.types.DoubleType)
+      Multiply(Skewness(e.head).toAggregateExpression(),
+        Pow(Divide(Subtract(n, Literal(1.0d)), n), Literal(1.5d)))
+    }, "skewSamp(x) = skewPop(x) * ((n-1)/n)^1.5 (CH mu3/sigma_samp^3)"),
+    ("kurtpop", (e: Seq[Expression]) =>
+      Add(Kurtosis(e.head).toAggregateExpression(), Literal(3.0d)),
+      "kurtPop(x) - population kurtosis m4/m2^2 (NOT excess)"),
+    ("kurtsamp", (e: Seq[Expression]) => {
+      val n = Cast(Count(e.head).toAggregateExpression(), org.apache.spark.sql.types.DoubleType)
+      Multiply(Add(Kurtosis(e.head).toAggregateExpression(), Literal(3.0d)),
+        Pow(Divide(Subtract(n, Literal(1.0d)), n), Literal(2.0d)))
+    }, "kurtSamp(x) = kurtPop(x) * ((n-1)/n)^2 (CH mu4/sigma_samp^4)"),
+    ("simplelinearregression", (e: Seq[Expression]) =>
+      CreateNamedStruct(Seq(
+        Literal("k"), RegrSlope(e(1), e(0)).toAggregateExpression(),
+        Literal("b"), RegrIntercept(e(1), e(0)).toAggregateExpression())),
+      "simpleLinearRegression(x, y) - struct(k, b) fitting y = k*x + b " +
+        "(Spark regr_slope/regr_intercept kernels)"),
+    // --- the -ForEach combinator family (position-wise array aggs) ------
+    ("sumforeach", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ForEachAgg(e.head, "sum"),
+      "sumForEach(arr) - position-wise sums; ragged tails contribute nothing"),
+    ("minforeach", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ForEachAgg(e.head, "min"),
+      "minForEach(arr) - position-wise minima"),
+    ("maxforeach", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ForEachAgg(e.head, "max"),
+      "maxForEach(arr) - position-wise maxima"),
+    ("avgforeach", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ForEachAgg(e.head, "avg"),
+      "avgForEach(arr) - position-wise means over present elements"),
+    ("countforeach", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ForEachAgg(e.head, "count"),
+      "countForEach(arr) - position-wise non-null element counts"),
+    // --- geo family -----------------------------------------------------
+    ("greatcircledistance", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GreatCircleDistance(e(0), e(1), e(2), e(3)),
+      "greatCircleDistance(lon1, lat1, lon2, lat2) - haversine meters on " +
+        "the IUGG mean sphere"),
+    // ClickHouse geoDistance corrects for the WGS-84 ellipsoid; this alias
+    // stays spherical (divergence < 0.5% of distance, documented).
+    ("geodistance", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GreatCircleDistance(e(0), e(1), e(2), e(3)),
+      "geoDistance(lon1, lat1, lon2, lat2) - alias of greatCircleDistance"),
+    ("pointinpolygon", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.PointInPolygon(e(0), e(1), e(2), e(3)),
+      "pointInPolygon(x, y, xs, ys) - ray casting; boundary counts inside"),
+    ("geohashencode", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GeohashEncode(e(0), e(1),
+        if (e.length > 2) e(2) else Literal(12)),
+      "geohashEncode(lon, lat[, precision=12]) - base32 geohash"),
+    ("geohashdecode", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GeohashDecode(e.head),
+      "geohashDecode(s) - struct(longitude, latitude) of the cell center"),
     ("medianexact", (e: Seq[Expression]) => new Percentile(e.head, Literal(0.5d)),
       "medianExact(x) - exact median = quantileExact(x, 0.5)"),
     // --- ClickHouse date/time dialect ----------------------------------

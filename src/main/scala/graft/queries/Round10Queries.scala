@@ -476,6 +476,179 @@ object Round10Queries {
         round(quantile_cont(value, 0.5), 6) AS p50,
         round(quantile_cont(value, 0.95), 6) AS p95,
         true AS td_ok
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q197: geo dialect --------------------------------------------
+    // Deterministic lon/lat derived from ids (0.1-degree grid — both
+    // engines compute the identical integer division, so the input
+    // doubles are bit-identical). Distance gates at whole meters: the
+    // only cross-engine drift is libm-vs-Java sin/cos ulps (~1e-8 m at
+    // 1e7 m), eight orders below the gate. pointInPolygon runs on a
+    // diamond whose SQL closed form (|x|+|y| <= 5, boundary inside)
+    // matches the ray-caster's documented boundary rule exactly on
+    // integral coordinates. Geohash has no DuckDB spelling, so its legs
+    // are in-query assertions (the q196 convention): decode(encode(p))
+    // lands within the cell's half-extent, and precision-5 is a prefix
+    // of precision-7 (GeoSpec pins public test vectors).
+    QueryDef("q197_geo_dialect", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          CAST(round(greatCircleDistance(
+            CAST(event_id % 3600 AS DOUBLE) / 10 - 180,
+            CAST(user_id % 1700 AS DOUBLE) / 10 - 85,
+            2.3522, 48.8566)) AS BIGINT) AS dist_m,
+          pointInPolygon(
+            CAST(event_id % 11 - 5 AS DOUBLE), CAST(user_id % 11 - 5 AS DOUBLE),
+            array(0D, 5D, 0D, -5D), array(5D, 0D, -5D, 0D)) AS in_poly,
+          (abs(geohashDecode(geohashEncode(
+              CAST(event_id % 3600 AS DOUBLE) / 10 - 180,
+              CAST(user_id % 1700 AS DOUBLE) / 10 - 85, 7)).longitude
+            - (CAST(event_id % 3600 AS DOUBLE) / 10 - 180)) <= 180.0 / pow(2, 18) + 1e-9
+           AND abs(geohashDecode(geohashEncode(
+              CAST(event_id % 3600 AS DOUBLE) / 10 - 180,
+              CAST(user_id % 1700 AS DOUBLE) / 10 - 85, 7)).latitude
+            - (CAST(user_id % 1700 AS DOUBLE) / 10 - 85)) <= 90.0 / pow(2, 17) + 1e-9
+           AND startswith(
+             geohashEncode(CAST(event_id % 3600 AS DOUBLE) / 10 - 180,
+               CAST(user_id % 1700 AS DOUBLE) / 10 - 85, 7),
+             geohashEncode(CAST(event_id % 3600 AS DOUBLE) / 10 - 180,
+               CAST(user_id % 1700 AS DOUBLE) / 10 - 85, 5))) AS gh_ok
+        FROM events ORDER BY event_id""")
+    }, Some("""
+      SELECT event_id,
+        CAST(round(2 * 6371008.8 * asin(least(1.0, sqrt(
+          pow(sin(radians(48.8566 - (CAST(user_id % 1700 AS DOUBLE) / 10 - 85)) / 2), 2)
+          + cos(radians(CAST(user_id % 1700 AS DOUBLE) / 10 - 85)) * cos(radians(48.8566))
+            * pow(sin(radians(2.3522 - (CAST(event_id % 3600 AS DOUBLE) / 10 - 180)) / 2), 2)
+        )))) AS BIGINT) AS dist_m,
+        (abs(event_id % 11 - 5) + abs(user_id % 11 - 5)) <= 5 AS in_poly,
+        true AS gh_ok
+      FROM events ORDER BY event_id""")),
+
+    // ---- q198: entropy ------------------------------------------------
+    // Shannon entropy per event type over two key types (bigint buckets,
+    // string pages). The Spark side sums in sorted-key order so the
+    // double is partitioning-exact; DuckDB's own entropy() aggregate is
+    // the oracle, rounded at 1e-6 (cross-engine libm drift ~1e-15).
+    QueryDef("q198_entropy", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          round(entropy(user_id % 16), 6) AS h_bucket,
+          round(entropy(concat('b', CAST(user_id % 8 AS STRING))), 6) AS h_page,
+          round(entropy(CAST(user_id % 1 AS INT)), 6) AS h_const
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      SELECT event_type,
+        round(entropy(user_id % 16), 6) AS h_bucket,
+        round(entropy(concat('b', CAST(user_id % 8 AS VARCHAR))), 6) AS h_page,
+        round(entropy(user_id % 1), 6) AS h_const
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q199: statistical moments + regression -----------------------
+    // CH naming onto Spark's stable central-moment kernels (skewPop =
+    // m3/m2^1.5, kurtPop = m4/m2^2 — NOT excess; the *Samp forms are the
+    // population value scaled by ((n-1)/n)^(k/2), CH's own definition).
+    // The oracle recomputes from EXACT integer power sums (x is a small
+    // int, so s1..s4 are exact in DuckDB's HUGEINT) — both engines land
+    // within ~1e-10 of the true value and gate at 1e-6.
+    QueryDef("q199_stats_dialect", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type, count(*) AS n,
+          round(skewPop(user_id % 97), 6) AS skew_p,
+          round(skewSamp(user_id % 97), 6) AS skew_s,
+          round(kurtPop(user_id % 97), 6) AS kurt_p,
+          round(kurtSamp(user_id % 97), 6) AS kurt_s,
+          round(corr(CAST(user_id % 97 AS DOUBLE), value), 6) AS cxy,
+          round(simpleLinearRegression(CAST(user_id % 97 AS DOUBLE), value).k, 6) AS k,
+          round(simpleLinearRegression(CAST(user_id % 97 AS DOUBLE), value).b, 6) AS b
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH m AS (
+        SELECT event_type, count(*) AS n,
+               sum(user_id % 97) AS s1,
+               sum((user_id % 97) * (user_id % 97)) AS s2,
+               sum((user_id % 97) * (user_id % 97) * (user_id % 97)) AS s3,
+               sum((user_id % 97) * (user_id % 97) * (user_id % 97) * (user_id % 97)) AS s4,
+               corr(value, CAST(user_id % 97 AS DOUBLE)) AS cxy,
+               regr_slope(value, CAST(user_id % 97 AS DOUBLE)) AS k,
+               regr_intercept(value, CAST(user_id % 97 AS DOUBLE)) AS b
+        FROM events GROUP BY event_type),
+      c AS (
+        SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM m),
+      cm AS (
+        SELECT *,
+          CAST(s2 AS DOUBLE) / n - mu * mu AS m2,
+          CAST(s3 AS DOUBLE) / n - 3 * mu * CAST(s2 AS DOUBLE) / n + 2 * mu * mu * mu AS m3,
+          CAST(s4 AS DOUBLE) / n - 4 * mu * CAST(s3 AS DOUBLE) / n
+            + 6 * mu * mu * CAST(s2 AS DOUBLE) / n - 3 * mu * mu * mu * mu AS m4
+        FROM c)
+      SELECT event_type, n,
+        round(m3 / pow(m2, 1.5), 6) AS skew_p,
+        round(m3 / pow(m2, 1.5) * pow((n - 1.0) / n, 1.5), 6) AS skew_s,
+        round(m4 / (m2 * m2), 6) AS kurt_p,
+        round(m4 / (m2 * m2) * pow((n - 1.0) / n, 2), 6) AS kurt_s,
+        round(cxy, 6) AS cxy, round(k, 6) AS k, round(b, 6) AS b
+      FROM cm ORDER BY event_type""")),
+
+    // ---- q200: the -ForEach combinator family --------------------------
+    // Position-wise aggregation over the embedding column, including a
+    // RAGGED leg (slice length 1 + vec_id % 3) where short arrays simply
+    // stop contributing — ClickHouse's rule. min/max/count are exact;
+    // sums gate at 1e-4 units (distributed double sums drift ~1e-12,
+    // eight orders below the grid), per-position means at micro-units —
+    // all via floor(x*C + 0.5), pure IEEE ops both engines compute
+    // bit-identically (Spark's round() goes through the shortest string
+    // repr, which for float-origin data lands ON micro-boundaries).
+    // Arrays serialize to '|' strings on both engines (the q158
+    // convention); the DuckDB oracle is the zipped-unnest closed form.
+    QueryDef("q200_foreach", (s, dir) => {
+      s.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
+      s.sql("""
+        SELECT vec_id % 4 AS g,
+          array_join(transform(sumForEach(embedding),
+            v -> floor(v * 10000 + 0.5d)), '|') AS s4,
+          array_join(transform(minForEach(embedding),
+            v -> floor(v * 1000000 + 0.5d)), '|') AS mn6,
+          array_join(transform(maxForEach(embedding),
+            v -> floor(v * 1000000 + 0.5d)), '|') AS mx6,
+          array_join(transform(avgForEach(embedding),
+            v -> floor(v * 1000000 + 0.5d)), '|') AS av6,
+          array_join(transform(countForEach(slice(embedding, 1, CAST(1 + vec_id % 3 AS INT))),
+            v -> CAST(v AS STRING)), '|') AS ragged_cnt,
+          array_join(transform(sumForEach(slice(embedding, 1, CAST(1 + vec_id % 3 AS INT))),
+            v -> floor(v * 10000 + 0.5d)), '|') AS ragged_s4
+        FROM emb GROUP BY vec_id % 4 ORDER BY g""")
+    }, Some("""
+      WITH u0 AS (SELECT vec_id % 4 AS g,
+                         unnest(range(len(embedding))) AS i,
+                         unnest(embedding) AS e0
+                  FROM embeddings),
+      u AS (SELECT g, i, CAST(e0 AS DOUBLE) AS e FROM u0),
+      p AS (SELECT g, i, sum(e) AS s, min(e) AS mn, max(e) AS mx,
+                   avg(e) AS av, count(*) AS c
+            FROM u GROUP BY g, i),
+      r0 AS (SELECT vec_id % 4 AS g,
+                    unnest(range(len(embedding[1 : CAST(1 + vec_id % 3 AS INT)]))) AS i,
+                    unnest(embedding[1 : CAST(1 + vec_id % 3 AS INT)]) AS e0
+             FROM embeddings),
+      r AS (SELECT g, i, CAST(e0 AS DOUBLE) AS e FROM r0),
+      rp AS (SELECT g, i, sum(e) AS s, count(*) AS c FROM r GROUP BY g, i),
+      agg AS (
+        SELECT g,
+          string_agg(CAST(floor(s * 10000 + 0.5) AS BIGINT), '|' ORDER BY i) AS s4,
+          string_agg(CAST(floor(mn * 1000000 + 0.5) AS BIGINT), '|' ORDER BY i) AS mn6,
+          string_agg(CAST(floor(mx * 1000000 + 0.5) AS BIGINT), '|' ORDER BY i) AS mx6,
+          string_agg(CAST(floor(av * 1000000 + 0.5) AS BIGINT), '|' ORDER BY i) AS av6
+        FROM p GROUP BY g),
+      ragg AS (
+        SELECT g,
+          string_agg(CAST(c AS VARCHAR), '|' ORDER BY i) AS ragged_cnt,
+          string_agg(CAST(floor(s * 10000 + 0.5) AS BIGINT), '|' ORDER BY i) AS ragged_s4
+        FROM rp GROUP BY g)
+      SELECT agg.g, s4, mn6, mx6, av6, ragged_cnt, ragged_s4
+      FROM agg JOIN ragg ON agg.g = ragg.g ORDER BY agg.g"""))
   )
 }
