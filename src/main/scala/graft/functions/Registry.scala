@@ -811,6 +811,53 @@ object Registry {
         Literal("b"), RegrIntercept(e(1), e(0)).toAggregateExpression())),
       "simpleLinearRegression(x, y) - struct(k, b) fitting y = k*x + b " +
         "(Spark regr_slope/regr_intercept kernels)"),
+    // --- hypothesis tests + categorical association ---------------------
+    ("studentttest", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.TTestAgg(e(0), e(1), welch = false),
+      "studentTTest(v, sample01) - struct(t_stat, p_value), pooled variance"),
+    ("welchttest", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.TTestAgg(e(0), e(1), welch = true),
+      "welchTTest(v, sample01) - struct(t_stat, p_value), Welch-Satterthwaite df"),
+    ("cramersv", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "cramers_v"),
+      "cramersV(x, y) - Cramer's V association in [0, 1]"),
+    ("cramersvbiascorrected", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "cramers_v_bias_corrected"),
+      "cramersVBiasCorrected(x, y) - Bergsma-corrected Cramer's V"),
+    ("theilsu", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "theils_u"),
+      "theilsU(x, y) - uncertainty coefficient U(x|y) in [0, 1]"),
+    ("contingency", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "contingency"),
+      "contingency(x, y) - Pearson contingency coefficient sqrt(chi2/(chi2+n))"),
+    // --- time-series aggregates (explicit-sort-key contract) ------------
+    ("exponentialmovingaverage", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.EmaAgg(e(0), e(1), e(2) match {
+        case Literal(v, _: org.apache.spark.sql.types.NumericType) => v match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+        case other => throw new IllegalArgumentException(
+          "exponentialMovingAverage half-life must be a numeric literal, got: " + other)
+      }),
+      "exponentialMovingAverage(sortKey, v, halfLife) - EWMA at the latest key"),
+    ("largesttrianglethreebuckets", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.LttbAgg(e(0), e(1), e(2) match {
+        case Literal(v, org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
+        case Literal(v, org.apache.spark.sql.types.LongType) => v.asInstanceOf[Long].toInt
+        case other => throw new IllegalArgumentException(
+          "largestTriangleThreeBuckets bucket count must be an integer literal, got: " + other)
+      }),
+      "largestTriangleThreeBuckets(x, y, n) - LTTB downsample to n points " +
+        "(Steinarsson 2013), array<struct(x, y)> in x order"),
+    ("lttb", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.LttbAgg(e(0), e(1), e(2) match {
+        case Literal(v, org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
+        case Literal(v, org.apache.spark.sql.types.LongType) => v.asInstanceOf[Long].toInt
+        case other => throw new IllegalArgumentException(
+          "lttb bucket count must be an integer literal, got: " + other)
+      }),
+      "lttb(x, y, n) = largestTriangleThreeBuckets"),
     // --- the -ForEach combinator family (position-wise array aggs) ------
     ("sumforeach", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.ForEachAgg(e.head, "sum"),

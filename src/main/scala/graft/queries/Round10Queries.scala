@@ -649,6 +649,139 @@ object Round10Queries {
           string_agg(CAST(floor(s * 10000 + 0.5) AS BIGINT), '|' ORDER BY i) AS ragged_s4
         FROM rp GROUP BY g)
       SELECT agg.g, s4, mn6, mx6, av6, ragged_cnt, ragged_s4
-      FROM agg JOIN ragg ON agg.g = ragg.g ORDER BY agg.g"""))
+      FROM agg JOIN ragg ON agg.g = ragg.g ORDER BY agg.g""")),
+
+    // ---- q201: hypothesis tests + categorical association ---------------
+    // t statistics gate exactly against DuckDB's avg/var_samp closed
+    // forms; the p-values have no DuckDB spelling (regularized incomplete
+    // beta), so they gate by in-query bands — the sketch convention —
+    // while StatTestsSpec pins them to published t-table constants.
+    // cramersV / theilsU / contingency gate exactly against pair-count
+    // closed forms.
+    QueryDef("q201_stat_tests", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          round(studentTTest(value, CAST(user_id % 2 AS INT)).t_stat, 6) AS t_student,
+          round(welchTTest(value, CAST(user_id % 2 AS INT)).t_stat, 6) AS t_welch,
+          (studentTTest(value, CAST(user_id % 2 AS INT)).p_value BETWEEN 0 AND 1)
+            AND (welchTTest(value, CAST(user_id % 2 AS INT)).p_value BETWEEN 0 AND 1)
+            AS p_ok,
+          round(cramersV(CAST(user_id % 7 AS STRING), CAST(user_id % 3 AS STRING)), 6) AS cv,
+          round(cramersVBiasCorrected(CAST(user_id % 7 AS STRING),
+                                      CAST(user_id % 3 AS STRING)), 6) AS cvbc,
+          round(theilsU(CAST(user_id % 6 AS STRING), CAST(user_id % 3 AS STRING)), 6) AS tu,
+          round(contingency(CAST(user_id % 7 AS STRING), CAST(user_id % 3 AS STRING)), 6) AS cg
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH g AS (
+        SELECT event_type, user_id % 2 AS s,
+               count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        FROM events GROUP BY event_type, user_id % 2),
+      t AS (
+        SELECT a.event_type,
+          (a.m - b.m) / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+            / (a.n + b.n - 2) * (1.0 / a.n + 1.0 / b.n)) AS t_student,
+          (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t_welch
+        FROM g a JOIN g b ON a.event_type = b.event_type AND a.s = 0 AND b.s = 1),
+      pc AS (SELECT event_type, user_id % 7 AS x, user_id % 3 AS y, count(*) AS c
+             FROM events GROUP BY 1, 2, 3),
+      rm AS (SELECT event_type, x, sum(c) AS rc FROM pc GROUP BY 1, 2),
+      cm AS (SELECT event_type, y, sum(c) AS cc FROM pc GROUP BY 1, 2),
+      nn AS (SELECT event_type, count(*) AS n,
+                    count(DISTINCT user_id % 7) AS r,
+                    count(DISTINCT user_id % 3) AS cdim
+             FROM events GROUP BY 1),
+      chi AS (
+        SELECT pc.event_type,
+               nn.n * (sum(CAST(pc.c AS DOUBLE) * pc.c
+                 / (rm.rc * CAST(cm.cc AS DOUBLE))) - 1.0) AS chi2,
+               max(nn.n) AS n, max(nn.r) AS r, max(nn.cdim) AS cdim
+        FROM pc JOIN rm ON pc.event_type = rm.event_type AND pc.x = rm.x
+                JOIN cm ON pc.event_type = cm.event_type AND pc.y = cm.y
+                JOIN nn ON pc.event_type = nn.event_type
+        GROUP BY pc.event_type, nn.n),
+      pu AS (SELECT event_type, user_id % 6 AS x, user_id % 3 AS y, count(*) AS c
+             FROM events GROUP BY 1, 2, 3),
+      pur AS (SELECT event_type, x, sum(c) AS rc FROM pu GROUP BY 1, 2),
+      puc AS (SELECT event_type, y, sum(c) AS cc FROM pu GROUP BY 1, 2),
+      pun AS (SELECT event_type, sum(c) AS n FROM pu GROUP BY 1),
+      hx AS (SELECT pur.event_type,
+                    -sum((rc / CAST(n AS DOUBLE)) * ln(rc / CAST(n AS DOUBLE))) AS h
+             FROM pur JOIN pun ON pur.event_type = pun.event_type GROUP BY 1),
+      hxy AS (SELECT pu.event_type,
+                     -sum((puc.cc / CAST(pun.n AS DOUBLE))
+                          * (pu.c / CAST(puc.cc AS DOUBLE))
+                          * ln(pu.c / CAST(puc.cc AS DOUBLE))) AS h
+              FROM pu JOIN puc ON pu.event_type = puc.event_type AND pu.y = puc.y
+                      JOIN pun ON pu.event_type = pun.event_type
+              GROUP BY 1)
+      SELECT t.event_type,
+        round(t.t_student, 6) AS t_student,
+        round(t.t_welch, 6) AS t_welch,
+        true AS p_ok,
+        round(sqrt(chi.chi2 / chi.n / least(chi.r - 1, chi.cdim - 1)), 6) AS cv,
+        round(CASE WHEN greatest(0.0, chi.chi2 / chi.n
+                     - (chi.r - 1.0) * (chi.cdim - 1.0) / (chi.n - 1.0)) = 0 THEN 0
+              ELSE sqrt(greatest(0.0, chi.chi2 / chi.n
+                     - (chi.r - 1.0) * (chi.cdim - 1.0) / (chi.n - 1.0))
+                / least(chi.r - (chi.r - 1.0) * (chi.r - 1.0) / (chi.n - 1.0) - 1.0,
+                        chi.cdim - (chi.cdim - 1.0) * (chi.cdim - 1.0) / (chi.n - 1.0) - 1.0))
+              END, 6) AS cvbc,
+        round((hx.h - hxy.h) / hx.h, 6) AS tu,
+        round(sqrt(chi.chi2 / (chi.chi2 + chi.n)), 6) AS cg
+      FROM t JOIN chi ON t.event_type = chi.event_type
+             JOIN hx ON t.event_type = hx.event_type
+             JOIN hxy ON t.event_type = hxy.event_type
+      ORDER BY t.event_type""")),
+
+    // ---- q202: EMA + LTTB over per-user series --------------------------
+    // EMA gates exactly (rounded 1e-6) against its own telescoped closed
+    // form — one SQL expression, the reason graft defines the aggregate
+    // this way. LTTB has no SQL closed form; its legs gate the exact
+    // invariants in-query (length, endpoints, membership via anti-join,
+    // strict x order) while StatTestsSpec pins the point selection.
+    QueryDef("q202_series_aggs", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        WITH lt AS (
+          SELECT user_id, count(*) AS cnt,
+                 largestTriangleThreeBuckets(event_id, value, 5) AS pts
+          FROM events GROUP BY user_id),
+        flat AS (SELECT user_id, explode(pts) AS p FROM lt),
+        member AS (
+          SELECT f.user_id, count(*) AS n_out,
+                 sum(CASE WHEN e.event_id IS NULL THEN 1 ELSE 0 END) AS strays
+          FROM flat f LEFT JOIN events e
+            ON f.user_id = e.user_id AND CAST(f.p.x AS BIGINT) = e.event_id
+               AND abs(f.p.y - e.value) < 1e-9
+          GROUP BY f.user_id),
+        ema AS (
+          SELECT user_id,
+                 round(exponentialMovingAverage(event_id, value, 500.0), 6) AS ema
+          FROM events GROUP BY user_id)
+        SELECT lt.user_id, ema.ema,
+               least(5, lt.cnt) AS n_expect, member.n_out,
+               (member.strays = 0
+                AND element_at(lt.pts, 1).x = CAST(array_min(transform(lt.pts, q -> q.x)) AS DOUBLE)
+                AND element_at(lt.pts, -1).x = CAST(array_max(transform(lt.pts, q -> q.x)) AS DOUBLE))
+                 AS lttb_ok
+        FROM lt JOIN member ON lt.user_id = member.user_id
+                JOIN ema ON lt.user_id = ema.user_id
+        ORDER BY lt.user_id""")
+    }, Some("""
+      WITH mk AS (SELECT user_id, max(event_id) AS kmax FROM events GROUP BY user_id),
+      ema AS (
+        SELECT e.user_id,
+               sum(e.value * pow(2, (e.event_id - mk.kmax) / 500.0))
+                 / sum(pow(2, (e.event_id - mk.kmax) / 500.0)) AS ema
+        FROM events e JOIN mk ON e.user_id = mk.user_id
+        GROUP BY e.user_id),
+      c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+      SELECT c.user_id, round(ema.ema, 6) AS ema,
+             least(5, c.cnt) AS n_expect, least(5, c.cnt) AS n_out,
+             true AS lttb_ok
+      FROM c JOIN ema ON c.user_id = ema.user_id
+      ORDER BY c.user_id"""))
   )
 }
