@@ -830,6 +830,41 @@ object Registry {
     ("contingency", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "contingency"),
       "contingency(x, y) - Pearson contingency coefficient sqrt(chi2/(chi2+n))"),
+    ("rankcorr", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.RankStatsAgg(e(0), e(1), "rank_corr"),
+      "rankCorr(x, y) - Spearman rank correlation, average-rank ties"),
+    ("kolmogorovsmirnovtest", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.RankStatsAgg(e(0), e(1), "ks_test"),
+      "kolmogorovSmirnovTest(v, sample01) - struct(d_statistic, p_value)"),
+    ("mannwhitneyutest", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.RankStatsAgg(e(0), e(1), "mwu_test"),
+      "mannWhitneyUTest(v, sample01) - struct(u_statistic, p_value), " +
+        "U of sample 0, tie-corrected normal approximation"),
+    // --- interval sweep aggregates --------------------------------------
+    ("maxintersections", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.IntervalAgg(e(0), e(1), "max_intersections"),
+      "maxIntersections(start, end) - max concurrent intervals (end exclusive)"),
+    ("maxintersectionsposition", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.IntervalAgg(e(0), e(1), "max_intersections_position"),
+      "maxIntersectionsPosition(start, end) - leftmost point reaching the max"),
+    ("intervallengthsum", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.IntervalAgg(e(0), e(1), "interval_length_sum"),
+      "intervalLengthSum(start, end) - total length of the interval union"),
+    ("modeexact", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ModeAgg(e.head),
+      "modeExact(x) - most frequent value, ties to the smallest (deterministic)"),
+    ("anyheavy", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ModeAgg(e.head),
+      "anyHeavy(x) - CH heavy hitter; graft serves the exact deterministic mode"),
+    ("boundingratio", (e: Seq[Expression]) =>
+      Divide(
+        Subtract(MaxBy(e(1), e(0)).toAggregateExpression(),
+          MinBy(e(1), e(0)).toAggregateExpression()),
+        Cast(Subtract(Max(e(0)).toAggregateExpression(),
+          Min(e(0)).toAggregateExpression()),
+          org.apache.spark.sql.types.DoubleType)),
+      "boundingRatio(x, y) - (y at max x - y at min x)/(max x - min x); " +
+        "deterministic when x is unique within the group (documented contract)"),
     // --- time-series aggregates (explicit-sort-key contract) ------------
     ("exponentialmovingaverage", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.EmaAgg(e(0), e(1), e(2) match {

@@ -782,6 +782,136 @@ object Round10Queries {
              least(5, c.cnt) AS n_expect, least(5, c.cnt) AS n_out,
              true AS lttb_ok
       FROM c JOIN ema ON c.user_id = ema.user_id
-      ORDER BY c.user_id"""))
+      ORDER BY c.user_id""")),
+
+    // ---- q203: rank statistics ------------------------------------------
+    // Spearman via average ranks (oracle: rank() + (ties-1)/2 then
+    // Pearson), the KS D statistic via the cumulative-ECDF closed form,
+    // and the Mann-Whitney U from rank sums — all exact in DuckDB SQL.
+    // The two p-values ride the incomplete-beta/erfc machinery pinned in
+    // RankIntervalSpec, banded in-query here.
+    QueryDef("q203_rank_tests", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          round(rankCorr(CAST(user_id % 97 AS DOUBLE), value), 6) AS rho,
+          round(kolmogorovSmirnovTest(value, CAST(user_id % 2 AS INT)).d_statistic, 6) AS ks_d,
+          round(mannWhitneyUTest(value, CAST(user_id % 2 AS INT)).u_statistic, 6) AS mwu_u,
+          (kolmogorovSmirnovTest(value, CAST(user_id % 2 AS INT)).p_value BETWEEN 0 AND 1
+           AND mannWhitneyUTest(value, CAST(user_id % 2 AS INT)).p_value BETWEEN 0 AND 1)
+            AS p_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH rk AS (
+        SELECT event_type,
+          rank() OVER (PARTITION BY event_type ORDER BY user_id % 97)
+            + (count(*) OVER (PARTITION BY event_type, user_id % 97) - 1) / 2.0 AS rx,
+          rank() OVER (PARTITION BY event_type ORDER BY value)
+            + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS ry
+        FROM events),
+      rho AS (SELECT event_type, corr(rx, ry) AS rho FROM rk GROUP BY 1),
+      pts AS (
+        SELECT event_type, value AS v,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(c0) AS n0, sum(c1) AS n1 FROM pts GROUP BY 1),
+      ecdf AS (
+        SELECT p.event_type,
+               abs(sum(p.c0) OVER (PARTITION BY p.event_type ORDER BY p.v)
+                     / CAST(t.n0 AS DOUBLE)
+                   - sum(p.c1) OVER (PARTITION BY p.event_type ORDER BY p.v)
+                     / CAST(t.n1 AS DOUBLE)) AS gap
+        FROM pts p JOIN tot t ON p.event_type = t.event_type),
+      ks AS (SELECT event_type, max(gap) AS d FROM ecdf GROUP BY 1),
+      mrk AS (
+        SELECT event_type, user_id % 2 AS s,
+          rank() OVER (PARTITION BY event_type ORDER BY value)
+            + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS r
+        FROM events),
+      mwu AS (
+        SELECT m.event_type,
+               sum(CASE WHEN m.s = 0 THEN m.r ELSE 0 END)
+                 - t.n0 * (t.n0 + 1) / 2.0 AS u
+        FROM mrk m JOIN tot t ON m.event_type = t.event_type
+        GROUP BY m.event_type, t.n0)
+      SELECT rho.event_type, round(rho.rho, 6) AS rho,
+             round(ks.d, 6) AS ks_d, round(mwu.u, 6) AS mwu_u, true AS p_ok
+      FROM rho JOIN ks ON rho.event_type = ks.event_type
+               JOIN mwu ON rho.event_type = mwu.event_type
+      ORDER BY rho.event_type""")),
+
+    // ---- q204: interval sweeps + mode + boundingRatio -------------------
+    // Derived intervals [event_id % 1000, + user_id % 50 + 1) per event
+    // type. The oracle rebuilds the sweep in SQL: +1/-1 events ordered by
+    // (point, delta) — delta ascending puts the -1 end first, matching
+    // the aggregate's end-exclusive rule; the union length comes from the
+    // islands idiom. boundingRatio gates against arg_max/arg_min
+    // (event_id is unique, the documented determinism contract).
+    QueryDef("q204_intervals", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          maxIntersections(event_id % 1000, event_id % 1000 + user_id % 50 + 1) AS mi,
+          maxIntersectionsPosition(event_id % 1000,
+                                   event_id % 1000 + user_id % 50 + 1) AS mp,
+          intervalLengthSum(event_id % 1000, event_id % 1000 + user_id % 50 + 1) AS il,
+          round(boundingRatio(CAST(event_id AS DOUBLE), value), 6) AS br,
+          modeExact(CAST(user_id % 100 AS INT)) AS md
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH iv AS (
+        SELECT event_type, event_id % 1000 AS s,
+               event_id % 1000 + user_id % 50 + 1 AS e
+        FROM events),
+      ev AS (
+        SELECT event_type, s AS pt, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e AS pt, -1 AS delta FROM iv),
+      rs AS (
+        SELECT event_type, pt, delta,
+               sum(delta) OVER (PARTITION BY event_type
+                 ORDER BY pt, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+        FROM ev),
+      mi AS (SELECT event_type, max(cur) AS mi FROM rs GROUP BY 1),
+      mp AS (SELECT rs.event_type, min(rs.pt) AS mp
+             FROM rs JOIN mi ON rs.event_type = mi.event_type
+             WHERE rs.cur = mi.mi AND rs.delta = 1 GROUP BY 1),
+      isl AS (
+        SELECT event_type, s, e,
+          CASE WHEN s > coalesce(max(e) OVER (PARTITION BY event_type
+                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), -9223372036854775808) THEN 1 ELSE 0 END AS brk
+        FROM iv),
+      isl2 AS (
+        SELECT event_type, s, e,
+          sum(brk) OVER (PARTITION BY event_type ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      il AS (
+        SELECT event_type, sum(len) AS il FROM (
+          SELECT event_type, island, max(e) - min(s) AS len
+          FROM isl2 GROUP BY 1, 2) GROUP BY 1),
+      br AS (
+        SELECT event_type,
+          (arg_max(value, event_id) - arg_min(value, event_id))
+            / CAST(max(event_id) - min(event_id) AS DOUBLE) AS br
+        FROM events GROUP BY 1),
+      md AS (
+        SELECT event_type, CAST(v AS INT) AS md FROM (
+          SELECT event_type, user_id % 100 AS v, count(*) AS c,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY count(*) DESC, user_id % 100 ASC) AS rn
+          FROM events GROUP BY event_type, user_id % 100)
+        WHERE rn = 1)
+      SELECT mi.event_type, CAST(mi.mi AS BIGINT) AS mi,
+             CAST(mp.mp AS BIGINT) AS mp, CAST(il.il AS BIGINT) AS il,
+             round(br.br, 6) AS br, md.md
+      FROM mi JOIN mp ON mi.event_type = mp.event_type
+              JOIN il ON mi.event_type = il.event_type
+              JOIN br ON mi.event_type = br.event_type
+              JOIN md ON mi.event_type = md.event_type
+      ORDER BY mi.event_type"""))
   )
 }
