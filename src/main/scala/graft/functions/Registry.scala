@@ -830,6 +830,39 @@ object Registry {
     ("contingency", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "contingency"),
       "contingency(x, y) - Pearson contingency coefficient sqrt(chi2/(chi2+n))"),
+    // --- fuzzy string matching (dedup/curation dialect) -----------------
+    ("editdistance", (e: Seq[Expression]) => Levenshtein(e(0), e(1)),
+      "editDistance(a, b) = levenshtein"),
+    ("levenshteindistance", (e: Seq[Expression]) => Levenshtein(e(0), e(1)),
+      "levenshteinDistance(a, b) = levenshtein"),
+    ("dameraulevenshteindistance", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.DamerauLevenshtein(e(0), e(1)),
+      "damerauLevenshteinDistance(a, b) - TRUE DL (transpositions), not OSA"),
+    ("jarosimilarity", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.JaroSimilarity(e(0), e(1)),
+      "jaroSimilarity(a, b) in [0,1]; either side empty -> 0"),
+    ("jarowinklersimilarity", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.JaroWinklerSimilarity(e(0), e(1)),
+      "jaroWinklerSimilarity(a, b) - p=0.1, prefix<=4, boost above 0.7 only"),
+    ("stringjaccardindex", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.StringJaccardIndex(e(0), e(1)),
+      "stringJaccardIndex(a, b) - Jaccard over character sets"),
+    ("ngramdistance", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.NgramDistance(e(0), e(1)),
+      "ngramDistance(a, b) - Sorensen-Dice distance over 4-gram multisets"),
+    ("meanztest", (e: Seq[Expression]) => {
+      def litD(x: Expression, what: String): Double = x match {
+        case Literal(v, _: org.apache.spark.sql.types.NumericType) => v match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+        case other => throw new IllegalArgumentException(
+          s"meanZTest $what must be a numeric literal, got: " + other)
+      }
+      org.apache.spark.sql.graft.ZTestAgg(e(0), e(1),
+        litD(e(2), "varX"), litD(e(3), "varY"))
+    }, "meanZTest(v, sample01, varX, varY) - struct(z_stat, p_value) with " +
+      "known population variances"),
     ("rankcorr", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.RankStatsAgg(e(0), e(1), "rank_corr"),
       "rankCorr(x, y) - Spearman rank correlation, average-rank ties"),

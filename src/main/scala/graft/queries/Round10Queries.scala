@@ -664,8 +664,11 @@ object Round10Queries {
         SELECT event_type,
           round(studentTTest(value, CAST(user_id % 2 AS INT)).t_stat, 6) AS t_student,
           round(welchTTest(value, CAST(user_id % 2 AS INT)).t_stat, 6) AS t_welch,
+          round(meanZTest(value, CAST(user_id % 2 AS INT), 20000, 20000).z_stat, 6) AS z_mean,
           (studentTTest(value, CAST(user_id % 2 AS INT)).p_value BETWEEN 0 AND 1)
             AND (welchTTest(value, CAST(user_id % 2 AS INT)).p_value BETWEEN 0 AND 1)
+            AND (meanZTest(value, CAST(user_id % 2 AS INT), 20000, 20000).p_value
+                   BETWEEN 0 AND 1)
             AS p_ok,
           round(cramersV(CAST(user_id % 7 AS STRING), CAST(user_id % 3 AS STRING)), 6) AS cv,
           round(cramersVBiasCorrected(CAST(user_id % 7 AS STRING),
@@ -682,7 +685,8 @@ object Round10Queries {
         SELECT a.event_type,
           (a.m - b.m) / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
             / (a.n + b.n - 2) * (1.0 / a.n + 1.0 / b.n)) AS t_student,
-          (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t_welch
+          (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t_welch,
+          (a.m - b.m) / sqrt(20000.0 / a.n + 20000.0 / b.n) AS z_mean
         FROM g a JOIN g b ON a.event_type = b.event_type AND a.s = 0 AND b.s = 1),
       pc AS (SELECT event_type, user_id % 7 AS x, user_id % 3 AS y, count(*) AS c
              FROM events GROUP BY 1, 2, 3),
@@ -719,6 +723,7 @@ object Round10Queries {
       SELECT t.event_type,
         round(t.t_student, 6) AS t_student,
         round(t.t_welch, 6) AS t_welch,
+        round(t.z_mean, 6) AS z_mean,
         true AS p_ok,
         round(sqrt(chi.chi2 / chi.n / least(chi.r - 1, chi.cdim - 1)), 6) AS cv,
         round(CASE WHEN greatest(0.0, chi.chi2 / chi.n
@@ -846,7 +851,9 @@ object Round10Queries {
     // type. The oracle rebuilds the sweep in SQL: +1/-1 events ordered by
     // (point, delta) — delta ascending puts the -1 end first, matching
     // the aggregate's end-exclusive rule; the union length comes from the
-    // islands idiom. boundingRatio gates against arg_max/arg_min
+    // islands idiom over DISTINCT intervals (with duplicates, the two
+    // window sorts can order tied rows differently and attach a gap to
+    // the wrong island - caught as a 1-unit sf0.1 divergence). boundingRatio gates against arg_max/arg_min
     // (event_id is unique, the documented determinism contract).
     QueryDef("q204_intervals", (s, dir) => {
       Tables.events(s, dir).createOrReplaceTempView("events")
@@ -878,12 +885,13 @@ object Round10Queries {
       mp AS (SELECT rs.event_type, min(rs.pt) AS mp
              FROM rs JOIN mi ON rs.event_type = mi.event_type
              WHERE rs.cur = mi.mi AND rs.delta = 1 GROUP BY 1),
+      ivd AS (SELECT DISTINCT event_type, s, e FROM iv),
       isl AS (
         SELECT event_type, s, e,
           CASE WHEN s > coalesce(max(e) OVER (PARTITION BY event_type
                  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
                  AND 1 PRECEDING), -9223372036854775808) THEN 1 ELSE 0 END AS brk
-        FROM iv),
+        FROM ivd),
       isl2 AS (
         SELECT event_type, s, e,
           sum(brk) OVER (PARTITION BY event_type ORDER BY s, e
@@ -912,6 +920,46 @@ object Round10Queries {
               JOIN il ON mi.event_type = il.event_type
               JOIN br ON mi.event_type = br.event_type
               JOIN md ON mi.event_type = md.event_type
-      ORDER BY mi.event_type"""))
+      ORDER BY mi.event_type""")),
+
+    // ---- q205: fuzzy string matching ------------------------------------
+    // Adjacent-doc pairs over 40-char prefixes. editDistance/damerau/
+    // jaro/jaroWinkler/stringJaccardIndex gate exactly against DuckDB's
+    // native levenshtein/damerau_levenshtein/jaro_similarity/
+    // jaro_winkler_similarity/jaccard (same variants: true DL, 0.7 boost
+    // threshold, character-set Jaccard — probed before wiring).
+    // ngramDistance has no DuckDB native; its legs gate the metric
+    // identities (d(s,s)=0, symmetry, [0,1]) with exact values pinned in
+    // StringSimSpec.
+    QueryDef("q205_fuzzy_match", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        WITH p AS (
+          SELECT a.doc_id, substring(a.text, 1, 40) AS s1,
+                 substring(b.text, 1, 40) AS s2
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+        SELECT doc_id,
+          editDistance(s1, s2) AS lev,
+          damerauLevenshteinDistance(s1, s2) AS dl,
+          round(jaroSimilarity(s1, s2), 6) AS jaro,
+          round(jaroWinklerSimilarity(s1, s2), 6) AS jw,
+          round(stringJaccardIndex(s1, s2), 6) AS jac,
+          (ngramDistance(s1, s2) BETWEEN 0 AND 1
+           AND ngramDistance(s1, s2) = ngramDistance(s2, s1)
+           AND ngramDistance(s1, s1) = 0.0D) AS ngram_ok
+        FROM p ORDER BY doc_id""")
+    }, Some("""
+      WITH p AS (
+        SELECT a.doc_id, substring(a.text, 1, 40) AS s1,
+               substring(b.text, 1, 40) AS s2
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+      SELECT doc_id,
+        levenshtein(s1, s2) AS lev,
+        damerau_levenshtein(s1, s2) AS dl,
+        round(jaro_similarity(s1, s2), 6) AS jaro,
+        round(jaro_winkler_similarity(s1, s2), 6) AS jw,
+        round(jaccard(s1, s2), 6) AS jac,
+        true AS ngram_ok
+      FROM p ORDER BY doc_id"""))
   )
 }

@@ -79,6 +79,21 @@ object SpecialMath {
     if (df <= 0 || t.isNaN) return Double.NaN
     betaI(df / 2.0, 0.5, df / (df + t * t))
   }
+
+  /** erfc via the standard 9-term Chebyshev fit (public; |err| < 1.2e-7). */
+  def erfc(x: Double): Double = {
+    val z = math.abs(x)
+    val t = 1.0 / (1.0 + 0.5 * z)
+    val ans = t * math.exp(-z * z - 1.26551223 + t * (1.00002368 +
+      t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
+      t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
+      t * (-0.82215223 + t * 0.17087277)))))))))
+    if (x >= 0.0) ans else 2.0 - ans
+  }
+
+  /** Two-sided normal p-value for a z statistic. */
+  def normalP(z: Double): Double =
+    if (z.isNaN) Double.NaN else math.min(1.0, erfc(math.abs(z) / math.sqrt(2.0)))
 }
 
 /** `studentTTest(v, sample)` / `welchTTest(v, sample)` — ClickHouse's
@@ -174,6 +189,88 @@ case class TTestAgg(
   override def withNewInputAggBufferOffset(o: Int): TTestAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TTestAgg =
+    copy(value = l, sample = r)
+}
+
+/** `meanZTest(v, sample01, varX, varY)` — ClickHouse's two-sample mean
+  * z-test with KNOWN population variances (literal parameters):
+  * z = (m0 − m1)/√(varX/n0 + varY/n1), two-sided p from the normal
+  * tail. Same O(1) six-sum buffer as [[TTestAgg]].
+  */
+case class ZTestAgg(
+    value: Expression,
+    sample: Expression,
+    varX: Double,
+    varY: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with BinaryLike[Expression] {
+
+  override def left: Expression = value
+  override def right: Expression = sample
+  override def prettyName: String = "mean_z_test"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("z_stat", DoubleType, nullable = false),
+    StructField("p_value", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!value.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(s"$prettyName value must be numeric")
+    else if (!sample.dataType.isInstanceOf[IntegralType])
+      TypeCheckResult.TypeCheckFailure(s"$prettyName sample index must be 0/1 integer")
+    else if (varX <= 0.0 || varY <= 0.0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName variances must be positive")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](4)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = value.eval(input)
+    val s = sample.eval(input)
+    if (v != null && s != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      val g = s.asInstanceOf[Number].intValue()
+      require(g == 0 || g == 1, s"$prettyName sample index must be 0 or 1, got $g")
+      buf(g * 2) += 1.0; buf(g * 2 + 1) += x
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < 4) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any = {
+    val n0 = buf(0); val n1 = buf(2)
+    if (n0 < 1 || n1 < 1) return InternalRow(Double.NaN, Double.NaN)
+    val z = (buf(1) / n0 - buf(3) / n1) / math.sqrt(varX / n0 + varY / n1)
+    InternalRow(z, SpecialMath.normalP(z))
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    buf.foreach(out.writeDouble)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < 4) { buf(i) = in.readDouble(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ZTestAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ZTestAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZTestAgg =
     copy(value = l, sample = r)
 }
 

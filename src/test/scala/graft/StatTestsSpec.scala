@@ -38,6 +38,18 @@ class StatTestsSpec extends AnyFunSuite {
       org.apache.spark.sql.graft.SpecialMath.studentP(1.96, 1e6) - 0.05) < 1e-4)
   }
 
+  test("meanZTest: known-variance z and normal p") {
+    // m0=2, m1=5, varX=varY=1: z = -3/sqrt(2/3) = -3.674234614...
+    spark.sql("""
+      SELECT v, s FROM VALUES
+        (1D,0),(2D,0),(3D,0),(4D,1),(5D,1),(6D,1) AS t(v, s)""")
+      .createOrReplaceTempView("zt1")
+    val r = spark.sql("SELECT meanZTest(v, s, 1.0, 1.0) AS z FROM zt1")
+      .selectExpr("z.z_stat", "z.p_value").head()
+    assert(math.abs(r.getDouble(0) - (-3.6742346141747673)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.00023856347510022778) < 1e-12)
+  }
+
   test("cramersV / contingency / biasCorrected: hand-computed 2x2") {
     // cells (a,a)=2 (a,b)=1 (b,a)=1 (b,b)=2: chi2 = 2/3, V = 1/3,
     // C = sqrt(chi2/(chi2+n)) = sqrt(0.1); bias-corrected clamps to 0.
