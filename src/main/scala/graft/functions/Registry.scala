@@ -830,6 +830,65 @@ object Registry {
     ("contingency", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "contingency"),
       "contingency(x, y) - Pearson contingency coefficient sqrt(chi2/(chi2+n))"),
+    // --- weighted/approx quantiles, weighted mean, matrix stats ---------
+    ("avgweighted", (e: Seq[Expression]) => {
+      val num = Cast(Sum(Multiply(Cast(e(0), org.apache.spark.sql.types.DoubleType),
+        Cast(e(1), org.apache.spark.sql.types.DoubleType))).toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType)
+      val den = Cast(Sum(Cast(e(1), org.apache.spark.sql.types.DoubleType))
+        .toAggregateExpression(), org.apache.spark.sql.types.DoubleType)
+      // explicit NaN branch: ANSI mode raises on the 0/0 CH returns NaN for
+      If(EqualTo(den, Literal(0.0d)), Literal(Double.NaN), Divide(num, den))
+    }, "avgWeighted(v, w) = sum(v*w)/sum(w); NaN when total weight is 0"),
+    ("sumcount", (e: Seq[Expression]) =>
+      CreateNamedStruct(Seq(
+        Literal("sum"), Sum(e.head).toAggregateExpression(),
+        Literal("count"), Count(e.head).toAggregateExpression())),
+      "sumCount(x) - struct(sum, count) in one pass"),
+    ("sumwithoverflow", (e: Seq[Expression]) => Sum(e.head),
+      "sumWithOverflow(x) = sum (Spark's non-ANSI long sum wraps, CH-like)"),
+    ("quantileexactweighted", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.WeightedQuantileAgg(e(0), e(1), e(2) match {
+        case Literal(v, _: org.apache.spark.sql.types.NumericType) => v match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+        case other => throw new IllegalArgumentException(
+          "quantileExactWeighted level must be a numeric literal, got: " + other)
+      }),
+      "quantileExactWeighted(v, w, q) - smallest v with cum weight >= q*total"),
+    ("medianexactweighted", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.WeightedQuantileAgg(e(0), e(1), 0.5),
+      "medianExactWeighted(v, w) = quantileExactWeighted(v, w, 0.5)"),
+    ("quantilegk", (e: Seq[Expression]) =>
+      new ApproximatePercentile(e(0), e(1),
+        if (e.length > 2) e(2) else Literal(10000)),
+      "quantileGK(x, q[, accuracy]) - Greenwald-Khanna sketch " +
+        "(Spark approx_percentile kernel; rank error <= 1/accuracy)"),
+    ("quantiletiming", (e: Seq[Expression]) => new Percentile(e(0), e(1)),
+      "quantileTiming(x, q) - served by the EXACT percentile (CH's is a " +
+        "bucketed approximation; exact is strictly more accurate)"),
+    ("arrayauc", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ArrayAuc(e(0), e(1)),
+      "arrayAUC(scores, labels) - ROC AUC with average-rank ties; NaN if " +
+        "one class is empty"),
+    ("laginframe", (e: Seq[Expression]) =>
+      Lag(e(0), if (e.length > 1) e(1) else Literal(1),
+        if (e.length > 2) e(2) else Literal(null), ignoreNulls = false),
+      "lagInFrame(x[, n[, default]]) = lag (CH window-frame spelling)"),
+    ("leadinframe", (e: Seq[Expression]) =>
+      Lead(e(0), if (e.length > 1) e(1) else Literal(1),
+        if (e.length > 2) e(2) else Literal(null), ignoreNulls = false),
+      "leadInFrame(x[, n[, default]]) = lead (CH window-frame spelling)"),
+    ("corrmatrix", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.MomentMatrixAgg(e, "corr"),
+      "corrMatrix(c1, ..., cN) - NxN Pearson matrix as array<array<double>>"),
+    ("covarsampmatrix", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.MomentMatrixAgg(e, "covar_samp"),
+      "covarSampMatrix(c1, ..., cN) - NxN sample covariance matrix"),
+    ("covarpopmatrix", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.MomentMatrixAgg(e, "covar_pop"),
+      "covarPopMatrix(c1, ..., cN) - NxN population covariance matrix"),
     // --- fuzzy string matching (dedup/curation dialect) -----------------
     ("editdistance", (e: Seq[Expression]) => Levenshtein(e(0), e(1)),
       "editDistance(a, b) = levenshtein"),

@@ -960,6 +960,136 @@ object Round10Queries {
         round(jaro_winkler_similarity(s1, s2), 6) AS jw,
         round(jaccard(s1, s2), 6) AS jac,
         true AS ngram_ok
-      FROM p ORDER BY doc_id"""))
+      FROM p ORDER BY doc_id""")),
+
+    // ---- q206: weighted stats, AUC, frame aliases -----------------------
+    // quantileExactWeighted oracles via DuckDB quantile_disc over
+    // unnest(range(w)) repeats (probed: quantile_disc = smallest v with
+    // cum count >= q*n, exactly our type-1 rule). arrayAUC oracles via
+    // the rank closed form the array never needs on the DuckDB side.
+    // quantileGK gates by the exact-quantile rank band (sketch
+    // convention).
+    QueryDef("q206_weighted_stats", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          round(avgWeighted(value, CAST(user_id % 10 + 1 AS DOUBLE)), 6) AS aw,
+          quantileExactWeighted(value, user_id % 5 + 1, 0.5) AS wq50,
+          quantileExactWeighted(value, user_id % 5 + 1, 0.9) AS wq90,
+          sumCount(CAST(round(value * 100) AS BIGINT)).sum AS sc_sum,
+          sumCount(CAST(round(value * 100) AS BIGINT)).count AS sc_cnt,
+          (quantileGK(value, 0.5, 5000)
+             BETWEEN quantileExact(value, 0.48) AND quantileExact(value, 0.52)) AS gk_ok,
+          round(arrayAUC(
+            transform(array_sort(collect_list(struct(event_id, value))), p -> p.value),
+            transform(array_sort(collect_list(struct(event_id,
+              CAST(user_id % 2 AS INT)))), p -> p.col2)), 6) AS auc
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH w AS (
+        SELECT event_type, value, user_id,
+               unnest(range(user_id % 5 + 1)) AS rep
+        FROM events),
+      wq AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS wq50,
+               quantile_disc(value, 0.9) AS wq90
+        FROM w GROUP BY 1),
+      base AS (
+        SELECT event_type,
+          round(sum(value * (user_id % 10 + 1)) / sum(user_id % 10 + 1), 6) AS aw,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc_sum,
+          count(*) AS sc_cnt
+        FROM events GROUP BY 1),
+      rk AS (
+        SELECT event_type, user_id % 2 AS lbl,
+          rank() OVER (PARTITION BY event_type ORDER BY value)
+            + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS r
+        FROM events),
+      auc AS (
+        SELECT event_type,
+          round((sum(CASE WHEN lbl = 1 THEN r ELSE 0 END)
+                 - sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END)
+                   * (sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+                / (sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END)
+                   * CAST(sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS DOUBLE)), 6) AS auc
+        FROM rk GROUP BY 1)
+      SELECT base.event_type, base.aw, wq.wq50, wq.wq90,
+             base.sc_sum, base.sc_cnt, true AS gk_ok, auc.auc
+      FROM base JOIN wq ON base.event_type = wq.event_type
+                JOIN auc ON base.event_type = auc.event_type
+      ORDER BY base.event_type""")),
+
+    // ---- q207: moment-matrix aggregates ---------------------------------
+    // corrMatrix/covarSampMatrix/covarPopMatrix over three derived
+    // numeric columns; one O(N^2)-state buffer vs the N^2 pairwise
+    // aggregate calls the oracle composes. Matrices serialize row-major
+    // through the floor(x*1e6 + 0.5) grid (both engines sit within
+    // ~1e-8 of the true value; the q200 convention).
+    QueryDef("q207_matrix_stats", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        WITH t AS (
+          SELECT event_type, value AS a,
+                 CAST(user_id % 17 AS DOUBLE) AS b,
+                 CAST(event_id % 23 AS DOUBLE) AS c
+          FROM events)
+        SELECT event_type,
+          array_join(transform(corrMatrix(a, b, c),
+            r -> array_join(transform(r, v -> floor(v * 1000000 + 0.5d)), ',')), '|') AS corr_m,
+          array_join(transform(covarPopMatrix(a, b, c),
+            r -> array_join(transform(r, v -> floor(v * 1000000 + 0.5d)), ',')), '|') AS covp_m,
+          array_join(transform(covarSampMatrix(a, b, c),
+            r -> array_join(transform(r, v -> floor(v * 1000000 + 0.5d)), ',')), '|') AS covs_m
+        FROM t GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH t AS (
+        SELECT event_type, value AS a,
+               CAST(user_id % 17 AS DOUBLE) AS b,
+               CAST(event_id % 23 AS DOUBLE) AS c
+        FROM events),
+      m AS (
+        SELECT event_type,
+          corr(a, a) AS raa, corr(a, b) AS rab, corr(a, c) AS rac,
+          corr(b, b) AS rbb, corr(b, c) AS rbc, corr(c, c) AS rcc,
+          covar_pop(a, a) AS paa, covar_pop(a, b) AS pab, covar_pop(a, c) AS pac,
+          covar_pop(b, b) AS pbb, covar_pop(b, c) AS pbc, covar_pop(c, c) AS pcc,
+          covar_samp(a, a) AS saa, covar_samp(a, b) AS sab, covar_samp(a, c) AS sac,
+          covar_samp(b, b) AS sbb, covar_samp(b, c) AS sbc, covar_samp(c, c) AS scc
+        FROM t GROUP BY 1),
+      f AS (
+        SELECT event_type,
+          concat_ws('|',
+            concat_ws(',', CAST(floor(raa * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(rab * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(rac * 1000000 + 0.5) AS BIGINT)),
+            concat_ws(',', CAST(floor(rab * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(rbb * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(rbc * 1000000 + 0.5) AS BIGINT)),
+            concat_ws(',', CAST(floor(rac * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(rbc * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(rcc * 1000000 + 0.5) AS BIGINT))) AS corr_m,
+          concat_ws('|',
+            concat_ws(',', CAST(floor(paa * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(pab * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(pac * 1000000 + 0.5) AS BIGINT)),
+            concat_ws(',', CAST(floor(pab * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(pbb * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(pbc * 1000000 + 0.5) AS BIGINT)),
+            concat_ws(',', CAST(floor(pac * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(pbc * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(pcc * 1000000 + 0.5) AS BIGINT))) AS covp_m,
+          concat_ws('|',
+            concat_ws(',', CAST(floor(saa * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(sab * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(sac * 1000000 + 0.5) AS BIGINT)),
+            concat_ws(',', CAST(floor(sab * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(sbb * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(sbc * 1000000 + 0.5) AS BIGINT)),
+            concat_ws(',', CAST(floor(sac * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(sbc * 1000000 + 0.5) AS BIGINT),
+                           CAST(floor(scc * 1000000 + 0.5) AS BIGINT))) AS covs_m
+        FROM m)
+      SELECT event_type, corr_m, covp_m, covs_m
+      FROM f ORDER BY event_type"""))
   )
 }
