@@ -830,6 +830,41 @@ object Registry {
     ("contingency", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.PairStatsAgg(e(0), e(1), "contingency"),
       "contingency(x, y) - Pearson contingency coefficient sqrt(chi2/(chi2+n))"),
+    // --- presentation / parsing helpers ---------------------------------
+    ("formatreadablesize", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.FormatReadableSize(e.head),
+      "formatReadableSize(x) - '120.56 KiB' style IEC units"),
+    ("formatreadablequantity", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.FormatReadableQuantity(e.head),
+      "formatReadableQuantity(x) - '1.23 million' style"),
+    ("bar", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BarExpr(e(0), e(1), e(2),
+        if (e.length > 3) e(3) else Literal(80.0d)),
+      "bar(x, min, max[, width=80]) - block gauge with eighth partials"),
+    ("extractkeyvaluepairs", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ExtractKeyValuePairs(e.head),
+      "extractKeyValuePairs(s) - map<string,string>, ':' kv and ',;/space' " +
+        "pair delimiters; last duplicate key wins"),
+    ("alphatokens", (e: Seq[Expression]) => {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      ArrayFilter(
+        StringSplit(e.head, Literal("[^a-zA-Z]+"), Literal(-1)),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+    }, "alphaTokens(s) - maximal runs of a-zA-Z"),
+    ("ngrams", (e: Seq[Expression]) => {
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val n = e(1)
+      // guard: sequence(1, 0, 1) raises, so short strings return [] directly
+      If(LessThan(Length(e.head), n),
+        Literal.create(Array.empty[String],
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)),
+        ArrayTransform(
+          Sequence(Literal(1),
+            Add(Subtract(Length(e.head), n), Literal(1)),
+            Some(Literal(1))),
+          LambdaFunction(Substring(e.head, i, n), Seq(i))))
+    }, "ngrams(s, n) - character n-grams in order (empty when len < n)"),
     // --- weighted/approx quantiles, weighted mean, matrix stats ---------
     ("avgweighted", (e: Seq[Expression]) => {
       val num = Cast(Sum(Multiply(Cast(e(0), org.apache.spark.sql.types.DoubleType),

@@ -1090,6 +1090,72 @@ object Round10Queries {
                            CAST(floor(scc * 1000000 + 0.5) AS BIGINT))) AS covs_m
         FROM m)
       SELECT event_type, corr_m, covp_m, covs_m
-      FROM f ORDER BY event_type"""))
+      FROM f ORDER BY event_type""")),
+
+    // ---- q208: presentation + tokenizer dialect -------------------------
+    // formatReadable* gate exactly: the formatter rounds HALF_EVEN on
+    // the exact binary value, matching C/{fmt} printf (and ClickHouse) —
+    // dividing by 1024 produces honest dyadic halves like 703.125, where
+    // Java's HALF_UP %.2f diverges (caught by this gate). bar() legs use integral block counts so the oracle is repeat();
+    // eighth-block partials are pinned in ReadableSpec. The kv map
+    // serializes entry-sorted; the oracle rebuilds the expected pairs
+    // from the same columns without parsing.
+    QueryDef("q208_readable", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        WITH e AS (
+          SELECT event_id,
+            formatReadableSize(value * 1000000) AS sz,
+            formatReadableQuantity(value * value) AS qty,
+            bar(CAST(user_id % 11 AS DOUBLE), 0, 10, 10) AS gauge,
+            array_join(transform(array_sort(map_entries(extractKeyValuePairs(
+              concat('type:', event_type, ', user:u', user_id % 10,
+                     ';score: s', CAST(round(value) AS BIGINT))))),
+              p -> concat(p.key, '=', p.value)), '|') AS kv
+          FROM events),
+        d AS (
+          SELECT doc_id,
+            array_join(alphaTokens(substring(text, 1, 30)), '|') AS toks,
+            array_join(ngrams(substring(text, 1, 12), 3), '|') AS gr3
+          FROM documents)
+        SELECT event_id, sz, qty, gauge, kv, toks, gr3
+        FROM e JOIN d ON d.doc_id = e.event_id % 500
+        ORDER BY event_id""")
+    }, Some("""
+      WITH e AS (
+        SELECT event_id,
+          CASE
+            WHEN value * 1000000 < 1024 THEN printf('%.2f B', value * 1000000)
+            WHEN value * 1000000 < 1024 * 1024
+              THEN printf('%.2f KiB', value * 1000000 / 1024)
+            WHEN value * 1000000 < 1024 * 1024 * 1024
+              THEN printf('%.2f MiB', value * 1000000 / 1024 / 1024)
+            ELSE printf('%.2f GiB', value * 1000000 / 1024 / 1024 / 1024)
+          END AS sz,
+          CASE
+            WHEN value * value < 1000 THEN printf('%.2f', value * value)
+            WHEN value * value < 1000000
+              THEN printf('%.2f thousand', value * value / 1000)
+            WHEN value * value < 1000000000
+              THEN printf('%.2f million', value * value / 1000000)
+            ELSE printf('%.2f billion', value * value / 1000000000)
+          END AS qty,
+          repeat('█', CAST(user_id % 11 AS INT) * 10 // 10) AS gauge,
+          concat('score=s', CAST(round(value) AS BIGINT),
+                 '|type=', event_type, '|user=u', user_id % 10) AS kv
+        FROM events),
+      d AS (
+        SELECT doc_id,
+          array_to_string(list_filter(
+            string_split_regex(substring(text, 1, 30), '[^a-zA-Z]+'),
+            x -> x <> ''), '|') AS toks,
+          array_to_string(list_transform(
+            range(1, CAST(greatest(1, length(substring(text, 1, 12)) - 1) AS BIGINT)),
+            i -> substr(substring(text, 1, 12), CAST(i AS INT), 3)), '|') AS gr3
+        FROM documents)
+      SELECT event_id, sz, qty, gauge, kv, toks, gr3
+      FROM e JOIN d ON d.doc_id = e.event_id % 500
+      ORDER BY event_id"""))
   )
 }
