@@ -1003,6 +1003,20 @@ object Registry {
           "exponentialMovingAverage half-life must be a numeric literal, got: " + other)
       }),
       "exponentialMovingAverage(sortKey, v, halfLife) - EWMA at the latest key"),
+    ("sparkbar", (e: Seq[Expression]) => {
+      def litL(x: Expression, what: String): Long = x match {
+        case Literal(v, org.apache.spark.sql.types.IntegerType |
+                         org.apache.spark.sql.types.LongType |
+                         org.apache.spark.sql.types.ShortType) =>
+          v.asInstanceOf[Number].longValue()
+        case other => throw new IllegalArgumentException(
+          s"sparkbar $what must be an integer literal, got: " + other)
+      }
+      org.apache.spark.sql.graft.SparkbarAgg(e(0), e(1),
+        litL(e(2), "width").toInt,
+        if (e.length > 4) Some((litL(e(3), "minX"), litL(e(4), "maxX"))) else None)
+    }, "sparkbar(x, y, width[, minX, maxX]) - 8-level block sparkline of " +
+      "per-bucket y sums; zero/empty buckets render as spaces"),
     ("largesttrianglethreebuckets", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.LttbAgg(e(0), e(1), e(2) match {
         case Literal(v, org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]

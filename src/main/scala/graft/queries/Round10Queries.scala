@@ -1156,6 +1156,41 @@ object Round10Queries {
         FROM documents)
       SELECT event_id, sz, qty, gauge, kv, toks, gr3
       FROM e JOIN d ON d.doc_id = e.event_id % 500
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // ---- q209: sparkbar ------------------------------------------------
+    // Day-of-month activity sparkline per event type. Explicit bounds
+    // (1, 30) pin the bucket mapping; y = round(value) keeps the bucket
+    // sums integral, so both engines evaluate the identical
+    // ceil(8·s/maxS) ladder on identical doubles. The oracle rebuilds
+    // the string with string_agg over the mapped block characters.
+    QueryDef("q209_sparkbar", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          sparkbar(CAST(dayofmonth(ts) AS BIGINT),
+                   CAST(round(value) AS DOUBLE), 10, 1, 30) AS spark
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH b AS (
+        SELECT event_type,
+               CAST((dayofmonth(ts) - 1) * 10 // 30 AS INT) AS bucket,
+               sum(CAST(round(value) AS BIGINT)) AS s
+        FROM events
+        WHERE dayofmonth(ts) BETWEEN 1 AND 30
+        GROUP BY 1, 2),
+      mx AS (SELECT event_type, max(s) AS ms FROM b GROUP BY 1),
+      cells AS (
+        SELECT g.event_type, g.bucket, coalesce(b.s, 0) AS s, mx.ms
+        FROM (SELECT DISTINCT event_type, gs.range AS bucket
+              FROM b, range(10) gs) g
+        LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = g.bucket
+        JOIN mx ON mx.event_type = g.event_type)
+      SELECT event_type,
+        string_agg(CASE WHEN ms <= 0 OR s <= 0 THEN ' '
+                        ELSE substring('▁▂▃▄▅▆▇█',
+                          CAST(least(8, ceil(8.0 * s / ms)) AS INT), 1)
+                   END, '' ORDER BY bucket) AS spark
+      FROM cells GROUP BY event_type ORDER BY event_type"""))
   )
 }

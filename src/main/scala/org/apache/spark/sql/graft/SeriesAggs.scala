@@ -119,6 +119,66 @@ case class EmaAgg(
     copy(sortKey = l, value = r)
 }
 
+/** `sparkbar(x, y, width[, minX, maxX])` — ClickHouse's sparkline
+  * aggregate: bucket [minX, maxX] (data min/max when omitted) into
+  * `width` cells, sum y per cell, render each cell as one of eight
+  * block characters proportional to the cell's share of the max cell
+  * (empty/zero cells render as a space). Sums run over the SORTED
+  * pairs, so the string is partitioning-exact; the rendering rule is
+  * the deterministic `ceil(8·s/maxS)` ladder (documented — CH's own
+  * rounding is unspecified).
+  */
+case class SparkbarAgg(
+    sortKey: Expression,
+    value: Expression,
+    width: Int,
+    bounds: Option[(Long, Long)],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SeriesPairAgg {
+
+  override def prettyName: String = "sparkbar"
+  override def dataType: DataType = StringType
+
+  private val Blocks = "▁▂▃▄▅▆▇█"
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[(Long, Double)]): Any = {
+    if (buf.isEmpty || width <= 0)
+      return org.apache.spark.unsafe.types.UTF8String.fromString("")
+    val sorted = buf.sortBy(identity)
+    val lo = bounds.map(_._1).getOrElse(sorted.head._1)
+    val hi = bounds.map(_._2).getOrElse(sorted.last._1)
+    val span = math.max(1L, hi - lo + 1)
+    val sums = new Array[Double](width)
+    sorted.foreach { case (k, v) =>
+      if (k >= lo && k <= hi) {
+        val b = math.min(width - 1, ((k - lo) * width / span).toInt)
+        sums(b) += v
+      }
+    }
+    var maxS = 0.0
+    sums.foreach(s => if (s > maxS) maxS = s)
+    val sb = new java.lang.StringBuilder(width)
+    var i = 0
+    while (i < width) {
+      val s = sums(i)
+      if (maxS <= 0.0 || s <= 0.0) sb.append(' ')
+      else {
+        val idx = math.min(8, math.ceil(8.0 * s / maxS).toInt)
+        sb.append(Blocks.charAt(idx - 1))
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SparkbarAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SparkbarAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SparkbarAgg =
+    copy(sortKey = l, value = r)
+}
+
 /** `largestTriangleThreeBuckets(x, y, n)` — Steinarsson's LTTB
   * downsampling (public thesis, 2013; ClickHouse ships it under the same
   * name): keep first and last point, split the middle into n−2 equal

@@ -119,6 +119,24 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getSeq[String](0) == Seq("0:0", "3:100", "7:-50", "9:0"))
   }
 
+  test("sparkbar: ladder levels, spaces for empty, explicit bounds") {
+    // keys 0..3 one per bucket at width 4; sums 1,2,4,8 -> levels
+    // ceil(8s/8) = 1,2,4,8 -> chars 1st, 2nd, 4th, 8th of the ladder
+    spark.sql("""
+      SELECT k, v FROM VALUES (0L,1D),(1L,2D),(2L,4D),(3L,8D) AS t(k, v)""")
+      .createOrReplaceTempView("sb1")
+    assert(spark.sql("SELECT sparkbar(k, v, 4) FROM sb1").head().getString(0)
+      == "▁▂▄█")
+    // explicit bounds widen the axis: data only in the first half
+    assert(spark.sql("SELECT sparkbar(k, v, 8, 0, 7) FROM sb1").head().getString(0)
+      == "▁▂▄█    ")
+    // zero bucket renders as space
+    spark.sql("SELECT k, v FROM VALUES (0L,5D),(1L,0D),(2L,5D) AS t(k, v)")
+      .createOrReplaceTempView("sb2")
+    assert(spark.sql("SELECT sparkbar(k, v, 3) FROM sb2").head().getString(0)
+      == "█ █")
+  }
+
   test("lttb: n >= size or n <= 2 returns the full sorted series") {
     spark.sql("SELECT id AS x, CAST(id * 2 AS DOUBLE) AS y FROM range(4)")
       .createOrReplaceTempView("lt2")
