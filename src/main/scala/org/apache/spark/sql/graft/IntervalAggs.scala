@@ -49,7 +49,7 @@ case class IntervalAgg(
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+  private def asLong(v: Any): Long = Num.toL(v)
 
   override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[(Long, Long)] =
     scala.collection.mutable.ArrayBuffer.empty
@@ -60,6 +60,10 @@ case class IntervalAgg(
     val e = end.eval(input)
     if (s != null && e != null) {
       val sl = asLong(s); val el = asLong(e)
+      // the sweep bit-packs point*2+delta into a Long; fail loudly rather
+      // than silently corrupt event ordering past the packable range
+      require(math.abs(sl) < (1L << 62) && math.abs(el) < (1L << 62),
+        s"$prettyName bounds must be within ±2^62 (got $sl..$el)")
       if (el > sl) buf += ((sl, el))
     }
     buf

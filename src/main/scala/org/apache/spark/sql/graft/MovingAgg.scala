@@ -81,7 +81,7 @@ case class MovingAgg(
     case i: java.lang.Integer => i.longValue()
     case s: java.lang.Short   => s.longValue()
     case b: java.lang.Byte    => b.longValue()
-    case other                => other.asInstanceOf[Number].longValue()
+    case other                => Num.toL(other)
   }
 
   private def valAsDouble(v: Any): Double = v match {

@@ -58,8 +58,8 @@ case class RankStatsAgg(
     val av = a.eval(input)
     val bv = b.eval(input)
     if (av != null && bv != null) {
-      val x = av.asInstanceOf[Number].doubleValue()
-      val y = bv.asInstanceOf[Number].doubleValue()
+      val x = Num.toD(av)
+      val y = Num.toD(bv)
       if (stat != "rank_corr") {
         val g = y.toInt
         require(g == 0 || g == 1, s"$prettyName sample index must be 0 or 1, got $g")

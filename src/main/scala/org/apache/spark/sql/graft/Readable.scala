@@ -24,7 +24,15 @@ object ReadableOps {
     new java.math.BigDecimal(v)
       .setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
 
+  /** CH prints 'inf'/'-inf'/'nan' for non-finite inputs; without this
+    * guard fmt2's BigDecimal(v) throws NumberFormatException and kills
+    * the whole query on a single bad double (ADVICE r10).
+    */
+  private def nonFinite(x: Double): String =
+    if (x.isNaN) "nan" else if (x > 0) "inf" else "-inf"
+
   def formatReadableSize(x: Double): UTF8String = {
+    if (!java.lang.Double.isFinite(x)) return UTF8String.fromString(nonFinite(x))
     var v = math.abs(x)
     var u = 0
     while (v >= 1024.0 && u < SizeUnits.length - 1) { v /= 1024.0; u += 1 }
@@ -33,6 +41,7 @@ object ReadableOps {
   }
 
   def formatReadableQuantity(x: Double): UTF8String = {
+    if (!java.lang.Double.isFinite(x)) return UTF8String.fromString(nonFinite(x))
     var v = math.abs(x)
     var u = 0
     while (v >= 1000.0 && u < QtyUnits.length - 1) { v /= 1000.0; u += 1 }

@@ -48,7 +48,7 @@ abstract class SeriesPairAgg
     val k = sortKey.eval(input)
     val v = value.eval(input)
     if (k != null && v != null)
-      buf += ((k.asInstanceOf[Number].longValue(), v.asInstanceOf[Number].doubleValue()))
+      buf += ((Num.toL(k), Num.toD(v)))
     buf
   }
 

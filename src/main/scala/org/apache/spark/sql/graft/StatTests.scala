@@ -132,8 +132,8 @@ case class TTestAgg(
     val v = value.eval(input)
     val s = sample.eval(input)
     if (v != null && s != null) {
-      val x = v.asInstanceOf[Number].doubleValue()
-      val g = s.asInstanceOf[Number].intValue()
+      val x = Num.toD(v)
+      val g = Num.toI(s)
       require(g == 0 || g == 1, s"$prettyName sample index must be 0 or 1, got $g")
       val off = g * 3
       buf(off) += 1.0; buf(off + 1) += x; buf(off + 2) += x * x
@@ -229,8 +229,8 @@ case class ZTestAgg(
     val v = value.eval(input)
     val s = sample.eval(input)
     if (v != null && s != null) {
-      val x = v.asInstanceOf[Number].doubleValue()
-      val g = s.asInstanceOf[Number].intValue()
+      val x = Num.toD(v)
+      val g = Num.toI(s)
       require(g == 0 || g == 1, s"$prettyName sample index must be 0 or 1, got $g")
       buf(g * 2) += 1.0; buf(g * 2 + 1) += x
     }

@@ -223,7 +223,7 @@ case class TDigestAgg(
 
   override def update(buf: TDigest, input: InternalRow): TDigest = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Number].doubleValue())
+    if (v != null) buf.add(toD(v))
     buf
   }
 

@@ -49,7 +49,7 @@ case class TopK(
 
   private lazy val k: Int = {
     require(kExpr.foldable, s"topK k must be a literal, got $kExpr")
-    kExpr.eval(null).asInstanceOf[Number].intValue()
+    Num.toI(kExpr.eval(null))
   }
 
   private lazy val keyIsString = child.dataType == StringType
@@ -85,7 +85,7 @@ case class TopK(
         case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
         case other => other.toString
       }
-      val inc = w.asInstanceOf[Number].longValue()
+      val inc = Num.toL(w)
       val prev = buf.get(key)
       buf.put(key, if (prev == null) inc else prev + inc)
     }
@@ -190,7 +190,7 @@ case class UniqUpTo(
 
   private lazy val n: Int = {
     require(nExpr.foldable, s"uniqUpTo n must be a literal, got $nExpr")
-    nExpr.eval(null).asInstanceOf[Number].intValue()
+    Num.toI(nExpr.eval(null))
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

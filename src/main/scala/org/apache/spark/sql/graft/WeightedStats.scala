@@ -51,9 +51,9 @@ case class WeightedQuantileAgg(
     val v = value.eval(input)
     val w = weight.eval(input)
     if (v != null && w != null) {
-      val wl = w.asInstanceOf[Number].longValue()
+      val wl = Num.toL(w)
       if (wl > 0) {
-        val key = java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+        val key = java.lang.Double.valueOf(Num.toD(v))
         val prev = buf.get(key)
         buf.put(key, if (prev == null) wl else prev + wl)
       }
@@ -224,7 +224,7 @@ case class MomentMatrixAgg(
     while (i < nc) {
       val v = cols(i).eval(input)
       if (v == null) return buf // rows with any null column are skipped
-      vals(i) = v.asInstanceOf[Number].doubleValue()
+      vals(i) = Num.toD(v)
       i += 1
     }
     buf(0) += 1.0
