@@ -89,7 +89,7 @@ object FnGap {
       "arrayExists", "arrayAll", "arrayFirst", "arrayFirstIndex", "arrayMin",
       "arrayMax", "arraySum", "arrayAvg", "arrayCumSum", "arrayProduct",
       "arrayStringConcat", "range", "emptyArrayUInt64", "arrayCount",
-      "arrayFill", "arrayShuffle", "arrayRotateLeft", "arrayRotateRight"),
+      "arrayFill", "arrayRotateLeft", "arrayRotateRight"),
     "maps" -> Seq("map", "mapKeys", "mapValues", "mapContains", "mapAdd",
       "mapSubtract", "mapFromArrays", "mapFilter", "mapApply", "mapUpdate"),
     "json" -> Seq("JSONExtract", "JSONExtractString", "JSONExtractInt",
@@ -120,20 +120,16 @@ object FnGap {
       "LinfDistance", "LpDistance", "cosineDistance", "dotProduct",
       "L1Norm", "L2Norm", "LinfNorm", "LpNorm", "normalizeL1", "normalizeL2"),
     "geo" -> Seq("greatCircleDistance", "geoDistance", "greatCircleAngle",
-      "pointInPolygon", "geohashEncode", "geohashDecode", "h3ToGeo"),
+      "pointInPolygon", "geohashEncode", "geohashDecode"),
     "nullable" -> Seq("isNull", "isNotNull", "coalesce", "ifNull", "nullIf",
       "assumeNotNull", "toNullable"),
-    "tuples" -> Seq("tuple", "tupleElement", "untuple", "tupleHammingDistance",
+    "tuples" -> Seq("tuple", "tupleElement", "tupleHammingDistance",
       "tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide", "tupleNegate"),
-    "other" -> Seq("hostName", "getMacro", "FQDN", "basename",
-      "visibleWidth", "toTypeName", "blockSize", "byteSize", "materialize",
-      "ignore", "sleep", "currentDatabase", "currentUser", "version",
-      "uptime", "rowNumberInBlock", "rowNumberInAllBlocks", "neighbor",
-      "runningDifference", "runningAccumulate", "transform", "formatReadableSize",
+    "other" -> Seq("basename", "toTypeName", "materialize",
+      "ignore", "currentDatabase", "transform", "formatReadableSize",
       "formatReadableQuantity", "formatReadableDecimalSize", "formatReadableTimeDelta",
       "bar", "sparkbar", "isFinite", "isInfinite", "isNaN", "throwIf",
-      "identity", "indexHint", "countDigits", "errorCodeToName",
-      "extractKeyValuePairs", "getSizeOfEnumType"),
+      "identity", "indexHint", "countDigits", "extractKeyValuePairs"),
     "aggregates" -> Seq("count", "min", "max", "sum", "avg", "any",
       "anyLast", "anyHeavy", "stddevPop", "stddevSamp", "varPop", "varSamp",
       "covarPop", "covarSamp", "corr", "argMin", "argMax", "avgWeighted",
@@ -175,13 +171,26 @@ object FnGap {
     ("uuid", "generateUUIDv4/... — nondeterministic; snowflakeToDateTime-class " +
       "converters would be mechanical adds"),
     ("cluster", "cluster/shardNum/hostName topology — no meaning off ClickHouse"),
+    ("server_state", "hostName/FQDN/getMacro/uptime/version/currentUser/sleep/" +
+      "blockSize/byteSize/visibleWidth/errorCodeToName/getSizeOfEnumType — " +
+      "server/environment introspection; nondeterministic across a fleet"),
+    ("block_local", "neighbor/runningDifference/runningAccumulate/" +
+      "rowNumberInBlock/rowNumberInAllBlocks — CH block-local semantics " +
+      "(results depend on physical block boundaries; CH's own docs point " +
+      "to window functions, which graft serves)"),
     ("introspection", "addressToLine/demangle/tid — native-binary introspection"),
     ("encryption", "encrypt/decrypt/aes_* — key management out of the data plane"),
     ("embedded_dicts", "regionToCity/regionToCountry/... — Yandex geobase relics"),
     ("nlp_experimental", "stem/lemmatize/synonyms — require external model files"),
     ("time_series_experimental", "seriesOutliersDetectTukey/seriesPeriodDetectFFT " +
       "— CH marks experimental; LTTB/EMA/histogram cover the stable set"),
-    ("sequence_next_node", "sequenceNextNode — CH experimental, excluded in SURVEY §15"))
+    ("sequence_next_node", "sequenceNextNode — CH experimental, excluded in SURVEY §15"),
+    ("h3_geo", "h3ToGeo/geoToH3/h3* — require the Uber H3 grid system " +
+      "(CH links libh3); graft's geo dialect covers the distance/geohash/" +
+      "polygon surface"),
+    ("nondeterministic_array", "arrayShuffle — nondeterministic by design"),
+    ("parser_level", "untuple — star-expansion syntax, a parser feature " +
+      "not a function; Spark spells it struct.*"))
 
   /** Spark-builtin aliases: a CH name whose semantics Spark serves under
     * a DIFFERENT builtin spelling the dialect user would find naturally.

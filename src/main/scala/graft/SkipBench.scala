@@ -33,6 +33,11 @@ object SkipBench {
       // small row groups make pruning granular, like CH's 8192 granule:
       // 2M rows / ~128 KB groups ≈ hundreds of granules
       .config("spark.hadoop.parquet.block.size", (256 * 1024).toString)
+      // Spark's default parquet timestamp encoding is INT96, which has NO
+      // column statistics — min/max pruning on a ts sort key is silently
+      // impossible until this is set (first SkipBench run measured exactly
+      // that: stats_min NULL on every ts row group, zero pruning)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.files.openCostInBytes", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,13 +60,20 @@ object SkipBench {
     def write(path: String, df: DataFrame, bloomCol: Option[String]): Unit = {
       if (!new java.io.File(path).exists()) {
         val w = df.coalesce(4).write.mode("overwrite")
+        // ndv is PER ROW-GROUP column chunk (~5.3k rows at 256 KB groups);
+        // sizing it at the corpus's 2M distinct ids once ballooned each
+        // group's bloom to ~2.4 MB and the file 36 -> 416 MB
         bloomCol.fold(w)(c => w
             .option(s"parquet.bloom.filter.enabled#$c", "true")
-            .option(s"parquet.bloom.filter.expected.ndv#$c", "2000000"))
+            .option(s"parquet.bloom.filter.expected.ndv#$c", "8192"))
           .parquet(path)
       }
     }
-    write(s"$root/unsorted", big, None)
+    // honest scramble: the events table arrives roughly time-ordered and
+    // the replication preserves that, so "arrival order" row groups would
+    // still carry narrow ts ranges; ordering by a hash makes every row
+    // group span the full ts range — the true no-layout baseline
+    write(s"$root/unsorted", big.sortWithinPartitions(hash(col("event_id"), col("user_id"))), None)
     write(s"$root/sorted", big.sortWithinPartitions("ts"), None)
     // sortWithinPartitions keeps 4 writer tasks (no extra shuffle); each
     // file covers the full range but its ROW GROUPS are ts-runs, which is
@@ -88,8 +100,10 @@ object SkipBench {
     }
     val dayLo = new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 2)
     val dayHi = new java.sql.Timestamp(dayLo.getTime + 24L * 3600 * 1000)
+    // an EXISTING user from replica copy 5 (copies >= 200 at sf0.1), so
+    // the point predicate has real matches and the bloom's work is honest
     val probeUser = big.select("user_id").orderBy("user_id")
-      .limit(1).collect()(0).getLong(0) + 500000L
+      .limit(1).collect()(0).getLong(0) + 5L * 1000000L
 
     def run(tag: String, path: String, pred: DataFrame => DataFrame): Unit = {
       val df = spark.read.parquet(path)

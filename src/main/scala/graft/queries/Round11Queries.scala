@@ -174,6 +174,264 @@ object Round11Queries {
         FROM sc)
       SELECT w.doc_id, w.lang AS pred, w.nll_micro, w.lang = d.lang AS hit
       FROM win w JOIN documents d USING (doc_id)
-      WHERE w.rk = 1 ORDER BY w.doc_id"""))
+      WHERE w.rk = 1 ORDER BY w.doc_id""")),
+
+    // ---- q214: math/bit/rounding/conversion dialect battery -------------
+    // (FnGap closure, SURVEY §16.) Divergences pinned in the oracle:
+    // DuckDB spells banker's rounding round_even; roundToExp2 derives
+    // from the binary text length (printf %b) — exact integer arithmetic
+    // on both sides; truncate is the shared floor/ceil IEEE formula;
+    // toInt8's wrap is explicit modular arithmetic. lgamma/erf/tgamma
+    // are NOT gated here (libm last-bit drift) — DialectClosureSpec pins
+    // them against reference values instead.
+    QueryDef("q214_math_bits", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          gcd(event_id, 24) AS g, lcm(event_id % 7 + 1, 6) AS l,
+          intExp2(CAST(event_id % 20 AS INT)) AS e2,
+          intExp10(CAST(event_id % 10 AS INT)) AS e10,
+          roundBankers(floor(value * 2) / 2) AS rb,
+          truncate(value, 1) AS tr,
+          roundToExp2(event_id + 1) AS r2,
+          roundDuration(event_id % 40000) AS rd,
+          roundAge(event_id % 100) AS ra,
+          bitAnd(event_id, 2047) AS ba, bitOr(event_id, 15) AS bo,
+          bitXor(event_id, 255) AS bx, bitNot(event_id) AS bn,
+          bitCount(event_id) AS bc,
+          bitHammingDistance(event_id, event_id + 1) AS bh,
+          CAST(bitTest(event_id, 3) AS INT) AS bt,
+          bitTestAll(event_id % 8 + 5, 0, 2) AS bta,
+          countDigits(event_id * 37) AS cd,
+          toInt8(event_id * 3) AS i8,
+          toUInt8(event_id * 3) AS u8,
+          toUInt32(0 - event_id - 1) AS u32,
+          isFinite(value) AS fin
+        FROM events ORDER BY event_id LIMIT 500""")
+    }, Some("""
+      SELECT event_id,
+        gcd(event_id, 24) AS g, lcm(event_id % 7 + 1, 6) AS l,
+        CAST(1::BIGINT << CAST(event_id % 20 AS INT) AS BIGINT) AS e2,
+        CAST(10 ** CAST(event_id % 10 AS INT) AS BIGINT) AS e10,
+        round_even(floor(value * 2) / 2, 0) AS rb,
+        CASE WHEN value * 10 < 0 THEN ceil(value * 10) ELSE floor(value * 10) END / 10 AS tr,
+        CAST(2 ** (length(printf('%b', event_id + 1)) - 1) AS BIGINT) AS r2,
+        CASE WHEN event_id % 40000 < 1 THEN 0
+             WHEN event_id % 40000 < 10 THEN 1 WHEN event_id % 40000 < 30 THEN 10
+             WHEN event_id % 40000 < 60 THEN 30 WHEN event_id % 40000 < 120 THEN 60
+             WHEN event_id % 40000 < 180 THEN 120 WHEN event_id % 40000 < 240 THEN 180
+             WHEN event_id % 40000 < 300 THEN 240 WHEN event_id % 40000 < 600 THEN 300
+             WHEN event_id % 40000 < 1200 THEN 600 WHEN event_id % 40000 < 1800 THEN 1200
+             WHEN event_id % 40000 < 3600 THEN 1800 WHEN event_id % 40000 < 7200 THEN 3600
+             WHEN event_id % 40000 < 18000 THEN 7200 WHEN event_id % 40000 < 36000 THEN 18000
+             ELSE 36000 END AS rd,
+        CASE WHEN event_id % 100 < 1 THEN 0 WHEN event_id % 100 <= 17 THEN 17
+             WHEN event_id % 100 <= 24 THEN 18 WHEN event_id % 100 <= 34 THEN 25
+             WHEN event_id % 100 <= 44 THEN 35 WHEN event_id % 100 <= 54 THEN 45
+             ELSE 55 END AS ra,
+        event_id & 2047 AS ba, event_id | 15 AS bo,
+        xor(event_id, 255::BIGINT) AS bx, ~event_id AS bn,
+        CAST(bit_count(event_id) AS INT) AS bc,
+        CAST(bit_count(xor(event_id, event_id + 1)) AS INT) AS bh,
+        CAST((event_id >> 3) & 1 AS INT) AS bt,
+        ((event_id % 8 + 5) & 5) = 5 AS bta,
+        CAST(length(CAST(abs(event_id * 37) AS VARCHAR)) AS INT) AS cd,
+        CAST(((event_id * 3 + 128) % 256 + 256) % 256 - 128 AS TINYINT) AS i8,
+        CAST(((event_id * 3) % 256 + 256) % 256 AS INT) AS u8,
+        ((0 - event_id - 1) % 4294967296 + 4294967296) % 4294967296 AS u32,
+        isfinite(value) AS fin
+      FROM events ORDER BY event_id LIMIT 500""")),
+
+    // ---- q215: hash + URL dialect battery --------------------------------
+    // SHA-256 is byte-exact cross-engine (lower(hex(...)) vs DuckDB's hex
+    // output); URL parts run graft's functions against hand-built string
+    // arithmetic on a synthetic URL whose shape the oracle knows; \1
+    // backref translation in replaceRegexpOne is exercised on a date
+    // rewrite. halfMD5/javaHash/sipHash are spec-pinned (no DuckDB twin).
+    QueryDef("q215_hash_url", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""
+        WITH u AS (
+          SELECT doc_id,
+            concat('https://www.', source, '.example.com/docs/v', doc_id,
+                   '/page?ref=', doc_id, '&lang=en#top') AS url,
+            substring(text, 1, 16) AS frag
+          FROM documents)
+        SELECT doc_id,
+          lower(hex(SHA256(frag))) AS sha,
+          netloc(url) AS nl,
+          cutWWW(url) AS nw,
+          queryStringAndFragment(url) AS qf,
+          array_join(extractURLParameters(url), '|') AS ps,
+          array_join(extractURLParameterNames(url), '|') AS pn,
+          array_join(URLPathHierarchy(url), '|') AS ph,
+          firstSignificantSubdomain(url) AS fsd,
+          cutToFirstSignificantSubdomain(url) AS cfsd,
+          basename(path(url)) AS bn,
+          appendTrailingCharIfAbsent(frag, '!') AS app,
+          multiSearchFirstPosition(frag, array('the', 'a')) AS mfp,
+          multiSearchFirstIndex(frag, array('zz99', 'a')) AS mfi,
+          replaceRegexpOne(concat('d', doc_id, '-x'), '([a-z])([0-9]+)', '\\2\\1') AS rro
+        FROM u ORDER BY doc_id LIMIT 500""")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          'https://www.' || source || '.example.com/docs/v' || doc_id ||
+            '/page?ref=' || doc_id || '&lang=en#top' AS url,
+          'www.' || source || '.example.com' AS host,
+          '/docs/v' || doc_id || '/page' AS pth,
+          substring(text, 1, 16) AS frag,
+          source
+        FROM documents)
+      SELECT doc_id,
+        sha256(frag) AS sha,
+        host AS nl,
+        'https://' || source || '.example.com' || pth ||
+          '?ref=' || doc_id || '&lang=en#top' AS nw,
+        'ref=' || doc_id || '&lang=en#top' AS qf,
+        'ref=' || doc_id || '|lang=en' AS ps,
+        'ref|lang' AS pn,
+        '/docs/|/docs/v' || doc_id || '/|' || pth || '|' || pth ||
+          '?ref=' || doc_id || '&lang=en#top' AS ph,
+        'example' AS fsd,
+        'example.com' AS cfsd,
+        'page' AS bn,
+        frag || '!' AS app,
+        CAST(CASE WHEN strpos(frag, 'the') = 0 THEN strpos(frag, 'a')
+             WHEN strpos(frag, 'a') = 0 THEN strpos(frag, 'the')
+             ELSE least(strpos(frag, 'the'), strpos(frag, 'a')) END AS INT) AS mfp,
+        CAST(CASE WHEN contains(frag, 'zz99') THEN 1
+             WHEN contains(frag, 'a') THEN 2 ELSE 0 END AS INT) AS mfi,
+        regexp_replace('d' || doc_id || '-x', '([a-z])([0-9]+)', '\2\1') AS rro
+      FROM u ORDER BY doc_id LIMIT 500""")),
+
+    // ---- q216: conversion/date/interval dialect battery ------------------
+    // toDecimal32 is gated on INTEGER-valued doubles (floor first) so the
+    // double->decimal rounding mode (Spark HALF_UP vs DuckDB exact-binary)
+    // can never be consulted — the oracle-parity decimal rule.
+    QueryDef("q216_conv_dates", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          CAST(toDecimal32(floor(value), 2) AS STRING) AS dec2,
+          dateTrunc('day', ts) AS dt,
+          addYears(ts, 1) AS ay,
+          addWeeks(ts, 2) AS aw,
+          subtractYears(ts, 1) AS sy,
+          dateSub('day', 3, ts) AS ds,
+          fromUnixTimestamp(event_id * 3600) AS fu,
+          toRelativeDayNum(ts) AS rdn,
+          ts + toIntervalHour(6) AS ih,
+          ts + toIntervalDay(2) AS idy,
+          ts + toIntervalWeek(1) AS iw,
+          ts + toIntervalMonth(1) AS im,
+          ts + toIntervalYear(1) AS iy,
+          toSecond(ts) AS sec
+        FROM events ORDER BY event_id LIMIT 500""")
+    }, Some("""
+      SELECT event_id,
+        CAST(CAST(floor(value) AS DECIMAL(9,2)) AS VARCHAR) AS dec2,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+        ts + INTERVAL 1 YEAR AS ay,
+        ts + INTERVAL 14 DAY AS aw,
+        ts - INTERVAL 1 YEAR AS sy,
+        ts - INTERVAL 3 DAY AS ds,
+        CAST(to_timestamp(event_id * 3600) AS TIMESTAMP) AS fu,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS rdn,
+        ts + INTERVAL 6 HOUR AS ih,
+        ts + INTERVAL 2 DAY AS idy,
+        ts + INTERVAL 7 DAY AS iw,
+        ts + INTERVAL 1 MONTH AS im,
+        ts + INTERVAL 1 YEAR AS iy,
+        CAST(second(ts) AS INT) AS sec
+      FROM events ORDER BY event_id LIMIT 500""")),
+
+    // ---- q217: vector-norm dialect on INTEGERIZED embeddings -------------
+    // Elements are floored to integer-valued floats first, so every sum is
+    // exact integer arithmetic in double — immune to the summation-order
+    // difference between graft's sequential fold and DuckDB's list_sum.
+    // Lp (fractional pow) is spec-pinned instead (libm last-bit drift).
+    QueryDef("q217_vector_norms", (s, dir) => {
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      s.sql("""
+        WITH v AS (
+          SELECT vec_id,
+            transform(embedding, x -> CAST(floor(x * 8) AS FLOAT)) AS a,
+            transform(embedding, x -> CAST(floor(x * 5) AS FLOAT)) AS b
+          FROM embeddings)
+        SELECT vec_id,
+          L1Distance(a, b) AS l1,
+          L2SquaredDistance(a, b) AS l2s,
+          LinfDistance(a, b) AS linf,
+          L1Norm(a) AS n1,
+          L2SquaredNorm(a) AS n2s,
+          LinfNorm(a) AS ninf
+        FROM v ORDER BY vec_id LIMIT 500""")
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id,
+          [CAST(floor(CAST(x AS DOUBLE) * 8) AS DOUBLE) FOR x IN embedding] AS a,
+          [CAST(floor(CAST(x AS DOUBLE) * 5) AS DOUBLE) FOR x IN embedding] AS b
+        FROM embeddings)
+      SELECT vec_id,
+        list_sum([abs(a[i+1] - b[i+1]) FOR i IN range(len(a))]) AS l1,
+        list_sum([(a[i+1] - b[i+1]) * (a[i+1] - b[i+1]) FOR i IN range(len(a))]) AS l2s,
+        list_max([abs(a[i+1] - b[i+1]) FOR i IN range(len(a))]) AS linf,
+        list_sum([abs(x) FOR x IN a]) AS n1,
+        list_sum([x * x FOR x IN a]) AS n2s,
+        list_max([abs(x) FOR x IN a]) AS ninf
+      FROM v ORDER BY vec_id LIMIT 500""")),
+
+    // ---- q218: collection dialect battery ---------------------------------
+    // Arrays derive from sequence arithmetic so the oracle can BUILD the
+    // expected outputs with list comprehensions; maps gate through sorted
+    // key=value serialization (map iteration order is engine-defined).
+    QueryDef("q218_collections", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        WITH t AS (
+          SELECT event_id,
+            sequence(1, CAST(event_id % 5 AS INT) + 2) AS arr,
+            CAST(event_id % 3 AS INT) + 1 AS k
+          FROM events)
+        SELECT event_id,
+          array_join(arrayPopBack(arr), ',') AS pb,
+          array_join(arrayPopFront(arr), ',') AS pf,
+          array_join(arrayResize(arr, 4, 0), ',') AS rs,
+          arrayProduct(arr) AS pr,
+          array_join(arrayRotateLeft(arr, k), ',') AS rl,
+          array_join(arrayRotateRight(arr, k), ',') AS rr,
+          array_join(arrayEnumerateUniq(concat(arr, arr)), ',') AS eu,
+          hasSubstr(arr, slice(arr, 2, 2)) AS hs,
+          array_join(array_sort(mapKeys(mapAdd(map('a', event_id, 'b', 1),
+            map('b', 10, 'c', 2)))), ',') AS mk,
+          element_at(mapAdd(map('a', event_id, 'b', 1), map('b', 10, 'c', 2)), 'b') AS mb,
+          element_at(mapUpdate(map('a', event_id), map('a', 0 - event_id)), 'a') AS mu,
+          element_at(mapSubtract(map('a', event_id), map('a', 3)), 'a') AS ms
+        FROM t ORDER BY event_id LIMIT 500""")
+    }, Some("""
+      WITH t AS (
+        SELECT event_id,
+          [x FOR x IN range(1, CAST(event_id % 5 AS INT) + 3)] AS arr,
+          CAST(event_id % 3 AS INT) + 1 AS k
+        FROM events)
+      SELECT event_id,
+        array_to_string(arr[1:len(arr)-1], ',') AS pb,
+        array_to_string(arr[2:len(arr)], ',') AS pf,
+        array_to_string(CASE WHEN len(arr) >= 4 THEN arr[1:4]
+          ELSE list_concat(arr, [0 FOR z IN range(4 - len(arr))]) END, ',') AS rs,
+        CAST(list_product([CAST(x AS DOUBLE) FOR x IN arr]) AS DOUBLE) AS pr,
+        array_to_string(list_concat(arr[(k % len(arr)) + 1:len(arr)],
+          arr[1:k % len(arr)]), ',') AS rl,
+        array_to_string(list_concat(
+          arr[((len(arr) - k % len(arr)) % len(arr)) + 1:len(arr)],
+          arr[1:(len(arr) - k % len(arr)) % len(arr)]), ',') AS rr,
+        array_to_string(list_concat([1 FOR z IN arr], [2 FOR z IN arr]), ',') AS eu,
+        true AS hs,
+        'a,b,c' AS mk,
+        CAST(11 AS BIGINT) AS mb,
+        CAST(0 - event_id AS BIGINT) AS mu,
+        CAST(event_id - 3 AS BIGINT) AS ms
+      FROM t ORDER BY event_id LIMIT 500"""))
   )
 }

@@ -637,6 +637,31 @@ object BitmapOps {
   def subBitmap(a: Array[Byte], offset: Long, limit: Long): Array[Byte] =
     de(a).subBitmap(offset, limit).serialize()
 
+  /** CH bitmapSubsetInRange: members in [lo, hi). */
+  def subsetInRange(a: Array[Byte], lo: Long, hi: Long): Array[Byte] = {
+    val bm = new Bitmap32
+    val arr = de(a).toLongArray
+    var i = 0
+    while (i < arr.length) {
+      if (arr(i) >= lo && arr(i) < hi) bm.add(arr(i))
+      i += 1
+    }
+    bm.serialize()
+  }
+
+  /** CH bitmapSubsetLimit: the first `limit` members >= start. */
+  def subsetLimit(a: Array[Byte], start: Long, limit: Long): Array[Byte] = {
+    val bm = new Bitmap32
+    val arr = de(a).toLongArray // ascending (container order)
+    var i = 0
+    var n = 0L
+    while (i < arr.length && n < limit) {
+      if (arr(i) >= start) { bm.add(arr(i)); n += 1 }
+      i += 1
+    }
+    bm.serialize()
+  }
+
   def buildFromArray(arr: ArrayData): Array[Byte] = {
     val bm = new Bitmap32
     var i = 0
@@ -991,4 +1016,46 @@ case class SubBitmap(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** `bitmapSubsetInRange(bm, lo, hi)` — members in [lo, hi) as a bitmap. */
+case class BitmapSubsetInRange(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bitmap_subset_in_range"
+
+  protected override def nullSafeEval(a: Any, lo: Any, hi: Any): Any =
+    BitmapOps.subsetInRange(a.asInstanceOf[Array[Byte]],
+      lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, lo, hi) =>
+      s"org.apache.spark.sql.graft.BitmapOps.subsetInRange($a, $lo, $hi)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(first = a, second = b, third = c)
+}
+
+/** `bitmapSubsetLimit(bm, start, limit)` — first `limit` members >= start. */
+case class BitmapSubsetLimit(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bitmap_subset_limit"
+
+  protected override def nullSafeEval(a: Any, s: Any, l: Any): Any =
+    BitmapOps.subsetLimit(a.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[Long], l.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s, l) =>
+      s"org.apache.spark.sql.graft.BitmapOps.subsetLimit($a, $s, $l)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(first = a, second = b, third = c)
 }

@@ -297,3 +297,141 @@ case class IsIpv4String(child: Expression)
       c => s"org.apache.spark.sql.graft.EncodingOps.isIpv4String($c)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Base58 (Bitcoin alphabet — the public algorithm CH implements),
+  * Morton codes, bitmask decomposition, reinterpret — the encoding
+  * dialect tail. All statics registered via StaticInvoke.
+  */
+object Encoding2Ops {
+  private val B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+  private val B58Rev: Array[Int] = {
+    val r = Array.fill(128)(-1)
+    var i = 0
+    while (i < B58.length) { r(B58.charAt(i)) = i; i += 1 }
+    r
+  }
+
+  def base58Encode(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    if (in.isEmpty) return UTF8String.EMPTY_UTF8
+    var zeros = 0
+    while (zeros < in.length && in(zeros) == 0) zeros += 1
+    // big-number division in base 256 -> base 58 (reference algorithm)
+    val digits = new Array[Int](in.length * 2)
+    var len = 0
+    var i = zeros
+    while (i < in.length) {
+      var carry = in(i) & 0xff
+      var j = 0
+      while (j < len || carry != 0) {
+        if (j < len) carry += digits(j) * 256
+        digits(j) = carry % 58
+        carry /= 58
+        if (j >= len) len = j + 1
+        j += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var z = 0
+    while (z < zeros) { sb.append('1'); z += 1 }
+    var k = len - 1
+    while (k >= 0) { sb.append(B58.charAt(digits(k))); k -= 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def base58Decode(s: UTF8String): UTF8String = {
+    val in = s.toString
+    if (in.isEmpty) return UTF8String.EMPTY_UTF8
+    var zeros = 0
+    while (zeros < in.length && in.charAt(zeros) == '1') zeros += 1
+    val bytes = new Array[Int](in.length)
+    var len = 0
+    var i = zeros
+    while (i < in.length) {
+      val c = in.charAt(i)
+      val d = if (c < 128) B58Rev(c) else -1
+      if (d < 0) throw new IllegalArgumentException(
+        s"base58Decode: invalid character '$c'")
+      var carry = d
+      var j = 0
+      while (j < len || carry != 0) {
+        if (j < len) carry += bytes(j) * 58
+        bytes(j) = carry & 0xff
+        carry >>= 8
+        if (j >= len) len = j + 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](zeros + len)
+    var k = 0
+    while (k < len) { out(zeros + k) = bytes(len - 1 - k).toByte; k += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Morton (Z-order) interleave of two unsigned-32-bit coordinates. */
+  def mortonEncode(x: Long, y: Long): Long = {
+    require(x >= 0 && x <= 0xffffffffL && y >= 0 && y <= 0xffffffffL,
+      s"mortonEncode coordinates must be in [0, 2^32), got ($x, $y)")
+    spread(x) | (spread(y) << 1)
+  }
+
+  private def spread(v0: Long): Long = {
+    var v = v0 & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  private def unspread(v0: Long): Long = {
+    var v = v0 & 0x5555555555555555L
+    v = (v | (v >> 1)) & 0x3333333333333333L
+    v = (v | (v >> 2)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v >> 4)) & 0x00ff00ff00ff00ffL
+    v = (v | (v >> 8)) & 0x0000ffff0000ffffL
+    v = (v | (v >> 16)) & 0x00000000ffffffffL
+    v
+  }
+
+  def mortonDecodeX(z: Long): Long = unspread(z)
+  def mortonDecodeY(z: Long): Long = unspread(z >>> 1)
+
+  /** CH bitmaskToArray: the set powers of two, ascending. */
+  def bitmaskToArray(x0: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var x = x0
+    val out = new scala.collection.mutable.ArrayBuffer[Any](java.lang.Long.bitCount(x))
+    while (x != 0L) {
+      val low = x & -x
+      out += low
+      x ^= low
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def bitmaskToList(x: Long): UTF8String = {
+    val arr = bitmaskToArray(x)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < arr.numElements()) {
+      if (i > 0) sb.append(',')
+      sb.append(arr.getLong(i))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** CH reinterpretAsUInt32: first 4 bytes of the string LITTLE-endian
+    * (missing bytes read as 0).
+    */
+  def reinterpretAsUInt32(s: UTF8String): Long = {
+    val b = s.getBytes
+    var r = 0L
+    var i = 0
+    while (i < 4 && i < b.length) { r |= (b(i) & 0xffL) << (8 * i); i += 1 }
+    r
+  }
+}

@@ -30,6 +30,12 @@ object GeoOps {
     2.0 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /** CH greatCircleAngle: the central angle in DEGREES between two
+    * lon/lat points — the haversine angle without the radius scaling.
+    */
+  def greatCircleAngle(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+    math.toDegrees(greatCircle(lon1, lat1, lon2, lat2) / EarthRadiusM)
+
   /** Ray casting with an explicit on-boundary rule: points ON an edge or
     * vertex count as INSIDE (deterministic — ClickHouse leaves boundary
     * behavior unspecified). Polygon as parallel x/y vertex arrays, closed

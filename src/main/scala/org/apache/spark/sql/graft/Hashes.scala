@@ -1,0 +1,142 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SipHash-2-4 (Aumasson & Bernstein 2012, reference algorithm) — the
+  * hash behind ClickHouse's `sipHash64`/`sipHash128`. CH runs it with
+  * the zero key; [[HashesSpec]] pins this implementation against the
+  * paper's published test vectors (keyed) before trusting the zero-key
+  * configuration. Byte-exact for single STRING arguments — the shape
+  * every sharding/sampling expression in the dialect uses.
+  */
+object SipHash {
+
+  private def rotl(x: Long, b: Int): Long = (x << b) | (x >>> (64 - b))
+
+  /** SipHash-2-4 of `data` under key (k0, k1). */
+  def hash64(k0: Long, k1: Long, data: Array[Byte]): Long = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = 0x646f72616e646f6dL ^ k1
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
+
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+    }
+
+    val n = data.length
+    val end = n - (n % 8)
+    var i = 0
+    while (i < end) {
+      var m = 0L
+      var j = 7
+      while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
+      v3 ^= m
+      round(); round()
+      v0 ^= m
+      i += 8
+    }
+    var b = n.toLong << 56
+    var j = n - end - 1
+    while (j >= 0) { b |= (data(end + j) & 0xffL) << (8 * j); j -= 1 }
+    v3 ^= b
+    round(); round()
+    v0 ^= b
+    v2 ^= 0xff
+    round(); round(); round(); round()
+    v0 ^ v1 ^ v2 ^ v3
+  }
+
+  /** The 128-bit variant (outputs two words, per the reference's
+    * SipHash-2-4-128: v1 ^= 0xee initial, 0xee/0xdd finalization).
+    */
+  def hash128(k0: Long, k1: Long, data: Array[Byte]): (Long, Long) = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = 0x646f72616e646f6dL ^ k1 ^ 0xee
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
+
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+    }
+
+    val n = data.length
+    val end = n - (n % 8)
+    var i = 0
+    while (i < end) {
+      var m = 0L
+      var j = 7
+      while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
+      v3 ^= m
+      round(); round()
+      v0 ^= m
+      i += 8
+    }
+    var b = n.toLong << 56
+    var j = n - end - 1
+    while (j >= 0) { b |= (data(end + j) & 0xffL) << (8 * j); j -= 1 }
+    v3 ^= b
+    round(); round()
+    v0 ^= b
+    v2 ^= 0xee
+    round(); round(); round(); round()
+    val h1 = v0 ^ v1 ^ v2 ^ v3
+    v1 ^= 0xdd
+    round(); round(); round(); round()
+    val h2 = v0 ^ v1 ^ v2 ^ v3
+    (h1, h2)
+  }
+
+  // --- registry-facing statics (CH zero key) ---------------------------
+
+  def sip64(s: UTF8String): Long = hash64(0L, 0L, s.getBytes)
+
+  /** 16 bytes, little-endian words like CH's FixedString(16) output. */
+  def sip128(s: UTF8String): Array[Byte] = {
+    val (a, b) = hash128(0L, 0L, s.getBytes)
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 8) { out(i) = ((a >>> (8 * i)) & 0xff).toByte; i += 1 }
+    while (i < 16) { out(i) = ((b >>> (8 * (i - 8))) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** Multi-arg combination: hash of the length-prefixed concatenation of
+    * per-arg hashes — graft-stable (documented; CH's own multi-arg
+    * combiner differs).
+    */
+  def sip64Combine(prev: Long, next: Long): Long = {
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 8) { b(i) = ((prev >>> (8 * i)) & 0xff).toByte; i += 1 }
+    while (i < 16) { b(i) = ((next >>> (8 * (i - 8))) & 0xff).toByte; i += 1 }
+    hash64(0L, 0L, b)
+  }
+
+  /** (min, max) of the per-gram sip64 hashes — the CH
+    * ngramMinHash/wordShingleMinHash SHAPE (graft-defined bits).
+    */
+  def minMaxHash(grams: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = grams.numElements()
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) {
+        val h = sip64(grams.getUTF8String(i))
+        if (h < mn) mn = h
+        if (h > mx) mx = h
+      }
+      i += 1
+    }
+    if (mn == Long.MaxValue) { mn = 0L; mx = 0L } // empty input
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mn, mx))
+  }
+}

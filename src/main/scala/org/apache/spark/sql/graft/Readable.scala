@@ -49,6 +49,46 @@ object ReadableOps {
     UTF8String.fromString(s"$sign${fmt2(v)}${QtyUnits(u)}")
   }
 
+  private val DecUnits = Array("B", "KB", "MB", "GB", "TB", "PB", "EB")
+
+  /** CH formatReadableDecimalSize: 1000-based units, same 2-decimal
+    * HALF_EVEN formatting as the IEC variant.
+    */
+  def formatReadableDecimalSize(x: Double): UTF8String = {
+    if (!java.lang.Double.isFinite(x)) return UTF8String.fromString(nonFinite(x))
+    var v = math.abs(x)
+    var u = 0
+    while (v >= 1000.0 && u < DecUnits.length - 1) { v /= 1000.0; u += 1 }
+    val sign = if (x < 0) "-" else ""
+    UTF8String.fromString(s"$sign${fmt2(v)} ${DecUnits(u)}")
+  }
+
+  /** CH formatReadableTimeDelta (day-capped subset: days/hours/minutes/
+    * seconds — CH's default max unit is years with 365-day years; this
+    * covers the monitoring shape without inventing calendar arithmetic).
+    * Matches CH's phrasing: comma-separated, singular/plural units,
+    * fractional seconds printed as-is.
+    */
+  def formatReadableTimeDelta(x: Double): UTF8String = {
+    if (!java.lang.Double.isFinite(x)) return UTF8String.fromString(nonFinite(x))
+    val neg = x < 0
+    var rem = math.abs(x)
+    val parts = new scala.collection.mutable.ArrayBuffer[String](4)
+    def emit(n: Long, unit: String): Unit =
+      if (n > 0) parts += s"$n $unit" + (if (n == 1) "" else "s")
+    val days = (rem / 86400.0).toLong; rem -= days * 86400.0
+    val hours = (rem / 3600.0).toLong; rem -= hours * 3600.0
+    val mins = (rem / 60.0).toLong; rem -= mins * 60.0
+    emit(days, "day"); emit(hours, "hour"); emit(mins, "minute")
+    if (rem > 0 || parts.isEmpty) {
+      val s =
+        if (rem == math.rint(rem)) rem.toLong.toString
+        else rem.toString
+      parts += s"$s second" + (if (s == "1") "" else "s")
+    }
+    UTF8String.fromString((if (neg) "-" else "") + parts.mkString(", "))
+  }
+
   private val Eighths = Array("", "▏", "▎", "▍", "▌",
     "▋", "▊", "▉")
 

@@ -247,3 +247,65 @@ case class TDigestAgg(
   override protected def withNewChildrenInternal(l: Expression, r: Expression):
       TDigestAgg = copy(child = l, levels = r)
 }
+
+/** `quantileTDigestWeighted(x, w, level)` — ClickHouse's weighted
+  * t-digest percentile: each value carries an integer repetition weight
+  * (TDigest.add already takes a weight; rows with w <= 0 are skipped).
+  * Same δ and envelope contract as [[TDigestAgg]].
+  */
+case class TDigestWeightedAgg(
+    child: Expression,
+    weight: Expression,
+    levels: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  override def first: Expression = child
+  override def second: Expression = weight
+  override def third: Expression = levels
+  override def prettyName: String = "quantile_tdigest_weighted"
+  override def nullable: Boolean = false
+
+  private lazy val level: Double = {
+    require(levels.foldable, s"quantileTDigestWeighted level must be a literal, got $levels")
+    Num.toD(levels.eval(null))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, weight.dataType) match {
+      case (_: NumericType, _: NumericType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"quantileTDigestWeighted expects numeric (value, weight), got ($a, $b)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): TDigest = new TDigest(200.0)
+
+  override def update(buf: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wd = Num.toD(w)
+      if (wd > 0) buf.add(Num.toD(v), wd)
+    }
+    buf
+  }
+
+  override def merge(b1: TDigest, b2: TDigest): TDigest = { b1.mergeIn(b2); b1 }
+
+  override def eval(buf: TDigest): Any = buf.quantile(level)
+
+  override def serialize(buf: TDigest): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest =
+    TDigest.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): TDigestWeightedAgg = copy(child = a, weight = b, levels = c)
+}
