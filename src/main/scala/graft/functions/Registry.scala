@@ -1790,6 +1790,9 @@ object Registry {
     ("bitmasktolist", (e: Seq[Expression]) =>
       Registry.sie2(StringType, "bitmaskToList", Seq(Cast(e.head, LongType))),
       "bitmaskToList(x) - '1,4,16' style"),
+    ("unbin", (e: Seq[Expression]) =>
+      Registry.sie2(StringType, "unbin", Seq(Cast(e.head, StringType))),
+      "unbin(s) - binary digits to string bytes (leading 0 bits implied)"),
     ("reinterpretasuint32", (e: Seq[Expression]) =>
       Registry.sie2(LongType, "reinterpretAsUInt32", Seq(Cast(e.head, StringType))),
       "reinterpretAsUInt32(s) - first 4 bytes little-endian"),
@@ -1877,7 +1880,14 @@ object Registry {
       "tupleNegate(a)"),
     ("tuplehammingdistance", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.TupleHammingDistance(e(0), e(1)),
-      "tupleHammingDistance(a, b) - count of differing fields"))
+      "tupleHammingDistance(a, b) - count of differing fields"),
+    ("dictgethierarchy", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.DictHierarchyBuilder.buildHierarchy(e),
+      "dictGetHierarchy('dict', 'parentAttr', key) - [key, parent, ...] " +
+        "walked until miss/0/cycle"),
+    ("dictisin", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.DictHierarchyBuilder.buildIsIn(e),
+      "dictIsIn('dict', 'parentAttr', child, ancestor) - ancestor in chain"))
 
   /** CH formatDateTime %-pattern → Java SimpleDateFormat pattern. */
   private[functions] def chFormatToJava(fmt: String): String = {

@@ -120,8 +120,15 @@ object LangId {
     */
   def classify(docs: DataFrame, prof: DataFrame, idCol: String,
       textCol: String, n: Int = 2,
-      penaltyMicro: Long = 15000000L): DataFrame = {
-    val mdl = model(prof, n, penaltyMicro)
+      penaltyMicro: Long = 15000000L): DataFrame =
+    classifyWith(docs, model(prof, n, penaltyMicro), idCol, textCol, n)
+
+  /** Model-reuse form: fit ONCE (model() runs the training job), score
+    * many frames/batches at scan speed — the serving shape (PqIndex's
+    * fit/search split). `model.n` must match `n`.
+    */
+  def classifyWith(docs: DataFrame, mdl: LangScoreModel, idCol: String,
+      textCol: String, n: Int = 2): DataFrame = {
     val langsLit = typedlit(mdl.langs.toSeq)
     scored(docs, mdl, idCol, textCol, n)
       .select(col("id"),

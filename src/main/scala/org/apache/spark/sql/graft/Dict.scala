@@ -94,6 +94,12 @@ object DictCatalog {
 
   def clear(): Unit = dicts.clear()
 
+  private[graft] def nameArg(e: Expression, what: String): String =
+    litString(e, what)
+
+  private[graft] def coerce(d: Dict, key: Expression): Expression =
+    coerceKey(d, key)
+
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, StringType) => s.toString
     case _ => throw new IllegalArgumentException(
@@ -276,4 +282,68 @@ case class DictHas(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(key = newChildren.head)
+}
+
+/** `dictGetHierarchy('dict', 'parentAttr', key)`: the ancestor chain
+  * [key, parent, grandparent, ...] walked through `parentAttr` until a
+  * miss, a null/zero parent, or a CYCLE (seen-set guarded — a corrupt
+  * hierarchy terminates instead of spinning). CH declares the
+  * hierarchical attribute in the dictionary DDL; graft names it
+  * explicitly per call.
+  */
+case class DictGetHierarchy(
+    dictName: String,
+    attrIdx: Int,
+    attrType: DataType,
+    key: Expression,
+    bc: Broadcast[Map[Any, Array[Any]]])
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(key)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "dictGetHierarchy"
+
+  override def eval(input: InternalRow): Any = {
+    val k0 = key.eval(input)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    val seen = new java.util.HashSet[Any]()
+    var k = k0
+    while (k != null && !seen.contains(k) && bc.value.contains(k)) {
+      seen.add(k)
+      out += Num.toL(k)
+      val parent = bc.value(k)(attrIdx)
+      k = parent match {
+        case null => null
+        case p if Num.toL(p) == 0L => null // CH: 0 terminates the walk
+        case p => p
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren.head)
+}
+
+object DictHierarchyBuilder {
+  /** dictGetHierarchy('dict', 'parentAttr', key) */
+  def buildHierarchy(args: Seq[Expression]): Expression = {
+    val d = DictCatalog.get(DictCatalog.nameArg(args(0), "dictGetHierarchy"))
+    val attr = DictCatalog.nameArg(args(1), "dictGetHierarchy parent attribute")
+    val i = d.attrIndex(attr)
+    DictGetHierarchy(d.name, i, d.attrTypes(i),
+      DictCatalog.coerce(d, args(2)), d.bc)
+  }
+
+  /** dictIsIn('dict', 'parentAttr', childKey, ancestorKey): true iff
+    * ancestor appears in child's chain (the child itself counts — CH's
+    * dictIsIn(child, ancestor) contract).
+    */
+  def buildIsIn(args: Seq[Expression]): Expression = {
+    val h = buildHierarchy(args.take(3))
+    org.apache.spark.sql.catalyst.expressions.ArrayContains(
+      h, Cast(args(3), LongType))
+  }
 }

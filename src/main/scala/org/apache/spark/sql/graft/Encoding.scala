@@ -424,6 +424,28 @@ object Encoding2Ops {
     UTF8String.fromString(sb.toString)
   }
 
+  /** CH unbin: '0'/'1' digits to string bytes; a length that is not a
+    * multiple of 8 implies leading 0 bits (the unhex rule in base 2).
+    */
+  def unbin(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    if (in.isEmpty) return UTF8String.EMPTY_UTF8
+    val nBytes = (in.length + 7) / 8
+    val out = new Array[Byte](nBytes)
+    var i = in.length - 1
+    var bit = 0
+    while (i >= 0) {
+      val c = in(i)
+      if (c == '1') out(nBytes - 1 - bit / 8) =
+        (out(nBytes - 1 - bit / 8) | (1 << (bit % 8))).toByte
+      else if (c != '0') throw new IllegalArgumentException(
+        s"unbin: invalid binary digit '${c.toChar}'")
+      bit += 1
+      i -= 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** CH reinterpretAsUInt32: first 4 bytes of the string LITTLE-endian
     * (missing bytes read as 0).
     */

@@ -218,6 +218,9 @@ class DialectClosureSpec extends AnyFunSuite {
       ('a'.toLong | ('b'.toLong << 8) | ('c'.toLong << 16) | ('d'.toLong << 24)))
     assert(s("JSONType('{}')") == "Object" && s("JSONType('3')") == "Int64" &&
       s("JSONType('3.5')") == "Double" && s("JSONType('oops')") == "")
+    assert(s("unbin('0110000101100010')") == "ab")
+    assert(s("unbin('110000101100010')") == "ab") // leading 0 bit implied
+    intercept[Exception] { one("unbin('012')") }
   }
 
   test("tuple arithmetic and hamming") {

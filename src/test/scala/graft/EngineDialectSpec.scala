@@ -89,6 +89,24 @@ class EngineDialectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no attribute"))
   }
 
+  test("dictGetHierarchy / dictIsIn: chain walk, 0-terminator, cycle guard") {
+    // region tree: 1 <- 2 <- 4; 3 is a root; 5/6 form a CYCLE
+    val tree = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 2L),
+      (5L, 6L), (6L, 5L)).toDF("k", "parent")
+    DictCatalog.register(spark, "spec_tree", tree, "k")
+    def chain(k: Long): Seq[Long] =
+      spark.sql(s"SELECT dictGetHierarchy('spec_tree', 'parent', ${k}L) AS h")
+        .collect()(0).getSeq[Long](0).toSeq
+    assert(chain(4L) == Seq(4L, 2L, 1L))
+    assert(chain(1L) == Seq(1L))
+    assert(chain(99L) == Seq()) // miss -> empty chain
+    assert(chain(5L) == Seq(5L, 6L)) // cycle terminates, never spins
+    def isIn(c: Long, a: Long): Boolean =
+      spark.sql(s"SELECT dictIsIn('spec_tree', 'parent', ${c}L, ${a}L) AS b")
+        .collect()(0).getBoolean(0)
+    assert(isIn(4L, 1L) && isIn(4L, 4L) && !isIn(4L, 3L) && !isIn(1L, 4L))
+  }
+
   test("arrayJoin skips empty and null arrays (CH contract)") {
     val df = Seq(
       (1L, Seq("a", "b")),
