@@ -1887,7 +1887,75 @@ object Registry {
         "walked until miss/0/cycle"),
     ("dictisin", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.DictHierarchyBuilder.buildIsIn(e),
-      "dictIsIn('dict', 'parentAttr', child, ancestor) - ancestor in chain"))
+      "dictIsIn('dict', 'parentAttr', child, ancestor) - ancestor in chain"),
+
+    // --- round-11 wave 3: ordered collection + sketch aggregates ---------
+    ("grouparraysorted", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GroupArraySortedAgg(e(0), e(1)),
+      "groupArraySorted(x, n) - the n smallest values, ascending (O(n) state)"),
+    ("grouparraylast", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GroupArrayLastAgg(e(0), e(1), e(2)),
+      "groupArrayLast(sortKey, x, n) - values at the n largest keys, " +
+        "ascending (explicit-sort-key contract)"),
+    ("grouparrayinsertat", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GroupArrayInsertAtAgg(e(0), e(1),
+        if (e.length > 2) e(2) else Literal(null),
+        if (e.length > 3) e(3) else Literal(-1)),
+      "groupArrayInsertAt(x, pos[, default[, size]]) - x at pos, default " +
+        "elsewhere; collisions take the smallest value"),
+    ("grouparraysample", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.GroupArraySampleAgg(e(0), e(1),
+        if (e.length > 2) e(2) else Literal(123456)),
+      "groupArraySample(x, n[, seed]) - deterministic bottom-k-by-hash " +
+        "uniform sample (same sample at any partitioning, unlike CH's " +
+        "row-order reservoir)"),
+    ("histogram", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.HistogramAgg(e(0), e(1)),
+      "histogram(x, N) - adaptive N-bin histogram as array<struct(lo, hi, " +
+        "height)>; bf16-quantized exact state, merge-order-independent " +
+        "(CH's own streaming sketch is order-sensitive)"),
+    ("quantilebfloat16", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.QuantileBF16Agg(e(0),
+        if (e.length > 1) e(1) else Literal(0.5d)),
+      "quantileBFloat16(x[, level]) - type-1 quantile over bfloat16-" +
+        "quantized values; <= 65536-bucket state, merge-order-independent"),
+    ("categoricalinformationvalue", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.CategoricalIVAgg(e(0), e(1)),
+      "categoricalInformationValue(cat, tag) - IV statistic, 1e-8-" +
+        "quantized terms summed exactly"),
+    ("quantiledeterministic", (e: Seq[Expression]) =>
+      new Percentile(e(0), if (e.length > 2) e(2) else Literal(0.5d)),
+      "quantileDeterministic(x, det[, level]) - graft evaluates EXACTLY " +
+        "(the determinator is accepted for CH source compatibility; CH " +
+        "uses it to seed a bounded sample, which exact evaluation subsumes)"),
+    ("extractallgroupsvertical", (e: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        org.apache.spark.sql.graft.RegexVerticalOps.getClass,
+        ArrayType(ArrayType(StringType, containsNull = false),
+          containsNull = false),
+        "extractAllGroupsVertical", e.take(2), returnNullable = false),
+      "extractAllGroupsVertical(s, re) - one inner array per match, " +
+        "holding that match's capture groups"),
+    ("arrayfill", (e: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ArrayFillMask(e(0), e(1)),
+      "arrayFill(mask, arr) - where mask is false the previous kept " +
+        "value carries forward (CH's lambda form takes a precomputed " +
+        "boolean mask here; build it with arrayMap)"),
+    ("jsonextract", (e: Seq[Expression]) => {
+      require(e.length >= 3, "JSONExtract(json, key..., 'TypeName')")
+      val path = Concat(Literal("$") +:
+        e.slice(1, e.length - 1).flatMap(k => Seq(Literal("."), k)))
+      val raw = GetJsonObject(e(0), path)
+      Registry.constString(e.last, "JSONExtract type").toLowerCase match {
+        case "string" => raw
+        case "int64" | "int32" | "int" => Cast(raw, LongType)
+        case "float64" | "double" | "float" => Cast(raw, DoubleType)
+        case "bool" | "boolean" => Cast(raw, BooleanType)
+        case other => throw new IllegalArgumentException(
+          s"JSONExtract: unsupported type '$other' " +
+            "(supported: String, Int64, Float64, Bool)")
+      }
+    }, "JSONExtract(json, key..., 'TypeName') - typed scalar extraction"))
 
   /** CH formatDateTime %-pattern → Java SimpleDateFormat pattern. */
   private[functions] def chFormatToJava(fmt: String): String = {

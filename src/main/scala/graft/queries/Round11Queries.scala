@@ -432,6 +432,50 @@ object Round11Queries {
         CAST(11 AS BIGINT) AS mb,
         CAST(0 - event_id AS BIGINT) AS mu,
         CAST(event_id - 3 AS BIGINT) AS ms
-      FROM t ORDER BY event_id LIMIT 500"""))
+      FROM t ORDER BY event_id LIMIT 500""")),
+
+    // ---- q219: ordered-collection aggregates ------------------------------
+    // groupArraySorted needs no order contract (the value IS the order);
+    // groupArrayLast runs under the explicit-sort-key contract (event_id —
+    // unique, so ties cannot arise and both engines agree exactly). The
+    // n-smallest/n-last sets come from O(n) per-group heaps, never the
+    // group's row count. categoricalInformationValue gates through the
+    // q133 micro-rounding recipe: identical per-category IEEE terms,
+    // rounded to 1e-8 on both engines, summed as exact integers.
+    QueryDef("q219_ordered_collect", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id,
+          array_join(groupArraySorted(CAST(floor(value) AS BIGINT), 3), ',') AS small3,
+          array_join(groupArrayLast(event_id, event_type, 2), ',') AS last2,
+          CAST(round(categoricalInformationValue(event_type,
+            CAST(value > 250 AS INT)) * 100000000) AS BIGINT) AS iv_c
+        FROM events GROUP BY user_id ORDER BY user_id LIMIT 500""")
+    }, Some("""
+      WITH iv AS (
+        SELECT user_id, event_type,
+          count(*) FILTER (value > 250) AS g,
+          count(*) FILTER (value <= 250) AS b
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT user_id, sum(g) AS gt, sum(b) AS bt FROM iv GROUP BY 1),
+      terms AS (
+        SELECT iv.user_id,
+          CAST(round((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) *
+            ln((CAST(g AS DOUBLE) * bt) / (CAST(b AS DOUBLE) * gt)) * 100000000)
+            AS BIGINT) AS t
+        FROM iv JOIN tot ON tot.user_id = iv.user_id
+        WHERE g > 0 AND b > 0 AND gt > 0 AND bt > 0),
+      agg AS (
+        SELECT user_id,
+          array_to_string((list_sort(list(CAST(floor(value) AS BIGINT))))[1:3], ',') AS small3,
+          array_to_string(
+            list(event_type ORDER BY event_id)[
+              greatest(len(list(event_type ORDER BY event_id)) - 1, 1):], ',') AS last2
+        FROM events GROUP BY 1)
+      SELECT agg.user_id, agg.small3, agg.last2,
+        CAST(coalesce((SELECT sum(t) FROM terms WHERE terms.user_id = agg.user_id),
+          0) AS BIGINT) AS iv_c
+      FROM agg ORDER BY agg.user_id LIMIT 500"""))
   )
 }

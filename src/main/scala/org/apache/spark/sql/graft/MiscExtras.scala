@@ -392,3 +392,81 @@ case class FormatCH(children: Seq[Expression]) extends Expression {
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): FormatCH = copy(children = c)
 }
+
+/** CH extractAllGroupsVertical(s, re): one inner array PER MATCH, each
+  * holding that match's capture groups — static over Java regex.
+  */
+object RegexVerticalOps {
+  def extractAllGroupsVertical(s: UTF8String, re: UTF8String): GenericArrayData = {
+    val p = java.util.regex.Pattern.compile(re.toString)
+    val m = p.matcher(s.toString)
+    val groups = m.groupCount()
+    require(groups >= 1, "extractAllGroupsVertical: pattern needs capture groups")
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    while (m.find()) {
+      val row = new Array[Any](groups)
+      var g = 0
+      while (g < groups) {
+        val v = m.group(g + 1)
+        row(g) = if (v == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(v)
+        g += 1
+      }
+      out += new GenericArrayData(row)
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** graft arrayFill(mask, arr): where mask(i) is FALSE, position i takes
+  * the previous kept value (first positions before any TRUE keep their
+  * own value — CH's rule). CH spells this with a lambda
+  * (`arrayFill(x -> cond, arr)`); graft takes the precomputed BOOLEAN
+  * mask (build it with arrayMap), keeping the kernel lambda-free.
+  */
+case class ArrayFillMask(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def prettyName: String = "array_fill"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(BooleanType, _), ArrayType(_, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"arrayFill expects (array<boolean> mask, array values), got ($a, $b)")
+    }
+
+  override def dataType: DataType = right.dataType
+
+  private lazy val elemType = right.dataType.asInstanceOf[ArrayType].elementType
+
+  protected override def nullSafeEval(m: Any, v: Any): Any = {
+    val mask = m.asInstanceOf[ArrayData]
+    val vals = v.asInstanceOf[ArrayData]
+    val n = math.min(mask.numElements(), vals.numElements())
+    val out = new Array[Any](vals.numElements())
+    var i = 0
+    var carry: Any = null
+    var haveCarry = false
+    while (i < out.length) {
+      val keep = i >= n || (!mask.isNullAt(i) && mask.getBoolean(i))
+      val cur = if (vals.isNullAt(i)) null else vals.get(i, elemType)
+      if (keep || !haveCarry) { carry = cur; haveCarry = true; out(i) = cur }
+      else out(i) = carry
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("arrayFill", this, classOf[ArrayFillMask].getName)
+    nullSafeCodeGen(ctx, ev, (m, v) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.kernel($m, $v);")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected). */
+  def kernel(m: Any, v: Any): Any = nullSafeEval(m, v)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -250,6 +250,90 @@ class DialectClosureSpec extends AnyFunSuite {
     assert(math.abs(d("greatCircleAngle(0.0, 0.0, 0.0, 90.0)") - 90.0) < 1e-9)
   }
 
+  test("ordered collection aggregates: O(n) heaps, deterministic ties") {
+    import spark.implicits._
+    Seq((5L, 10L, "e"), (1L, 30L, "a"), (3L, 20L, "c"), (2L, 40L, "b"))
+      .toDF("k", "v", "s").createOrReplaceTempView("oc_t")
+    assert(one("groupArraySorted(v, 2) FROM oc_t").getSeq[Long](0) == Seq(10L, 20L))
+    assert(one("groupArrayLast(k, s, 2) FROM oc_t").getSeq[String](0) == Seq("c", "e"))
+    assert(one("groupArrayLast(k, s, 99) FROM oc_t").getSeq[String](0) ==
+      Seq("a", "b", "c", "e")) // n > group size: all, ascending key
+    // insertAt: explicit positions, default filler, min-wins collision
+    Seq((10L, 0), (30L, 2), (20L, 2)).toDF("v", "p").createOrReplaceTempView("ia_t")
+    assert(one("groupArrayInsertAt(v, p, 0L, 4) FROM ia_t").getSeq[Long](0) ==
+      Seq(10L, 0L, 20L, 0L)) // pos-2 collision -> smallest (20)
+    assert(one("groupArrayInsertAt(v, p) FROM ia_t").getSeq[Long](0).length == 3)
+  }
+
+  test("quantileBFloat16: within the quantization envelope, order-free") {
+    import spark.implicits._
+    (1 to 10000).map(_.toDouble / 7.0).toDF("v").createOrReplaceTempView("bf_t")
+    val q = d("quantileBFloat16(v, 0.5) FROM bf_t")
+    val exact = d("quantileExact(v, 0.5) FROM bf_t")
+    assert(math.abs(q - exact) / exact < 0.004, s"bf16 median $q vs exact $exact")
+    // repartitioning does not move the result (histogram merge is exact)
+    val a = spark.table("bf_t").repartition(1)
+      .selectExpr("quantileBFloat16(v, 0.5)").collect()(0).getDouble(0)
+    val b = spark.table("bf_t").repartition(7)
+      .selectExpr("quantileBFloat16(v, 0.5)").collect()(0).getDouble(0)
+    assert(a == b && a == q)
+  }
+
+  test("groupArraySample: deterministic across partitionings, seed-sensitive") {
+    import spark.implicits._
+    (1 to 1000).map(_.toLong).toDF("v").createOrReplaceTempView("gs_t")
+    val a = spark.table("gs_t").repartition(1)
+      .selectExpr("groupArraySample(v, 10, 7)").collect()(0).getSeq[Long](0)
+    val b = spark.table("gs_t").repartition(8)
+      .selectExpr("groupArraySample(v, 10, 7)").collect()(0).getSeq[Long](0)
+    assert(a == b && a.length == 10 && a.distinct.length == 10)
+    val c = spark.table("gs_t")
+      .selectExpr("groupArraySample(v, 10, 8)").collect()(0).getSeq[Long](0)
+    assert(a != c) // different seed, different sample
+  }
+
+  test("histogram agg: bin invariants, merge-order independence") {
+    import spark.implicits._
+    (1 to 10000).map(_.toDouble).toDF("v").createOrReplaceTempView("hg_t")
+    def bins(parts: Int) = spark.table("hg_t").repartition(parts)
+      .selectExpr("histogram(v, 8) AS h").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val h1 = bins(1); val h8 = bins(8)
+    assert(h1 == h8, "partitioning must not move the histogram")
+    assert(h1.length == 8)
+    assert(math.round(h1.map(_._3).sum) == 10000L) // heights = row count
+    assert(h1.sliding(2).forall(p => p(0)._2 <= p(1)._1 + 1e-9)) // ordered
+    assert(h1.head._1 <= 1.0 && h1.last._2 >= 9961.0) // bf16 envelope
+  }
+
+  test("arrayFill carries values where the mask is false") {
+    assert(one("arrayFill(array(true, false, false, true, false), " +
+      "array(1, 2, 3, 4, 5))").getSeq[Int](0) == Seq(1, 1, 1, 4, 4))
+    // leading false positions keep their own values until the first true
+    assert(one("arrayFill(array(false, false, true), array(7, 8, 9))")
+      .getSeq[Int](0) == Seq(7, 7, 9))
+  }
+
+  test("extractAllGroupsVertical: one row per match") {
+    val r = one("extractAllGroupsVertical('k1=v1, k2=v2', '([a-z0-9]+)=([a-z0-9]+)')")
+      .getSeq[scala.collection.Seq[String]](0).map(_.toSeq)
+    assert(r == Seq(Seq("k1", "v1"), Seq("k2", "v2")))
+    intercept[Exception] { one("extractAllGroupsVertical('x', 'nogroups')") }
+  }
+
+  test("JSONExtract typed and quantileDeterministic") {
+    assert(s("""JSONExtract('{"a": {"b": "x"}}', 'a', 'b', 'String')""") == "x")
+    assert(l("""JSONExtract('{"n": 42}', 'n', 'Int64')""") == 42L)
+    assert(d("""JSONExtract('{"n": 4.5}', 'n', 'Float64')""") == 4.5)
+    assert(b("""JSONExtract('{"n": true}', 'n', 'Bool')"""))
+    intercept[Exception] { one("""JSONExtract('{}', 'a', 'UUID')""") }
+    import spark.implicits._
+    (1 to 100).map(i => (i.toDouble, i * 7L)).toDF("v", "det")
+      .createOrReplaceTempView("qd_t")
+    assert(d("quantileDeterministic(v, det, 0.5) FROM qd_t") == 50.5)
+  }
+
   test("multiSearchFirst* tie and miss semantics") {
     assert(one("multiSearchFirstPosition('hello', array('xx', 'yy'))").getInt(0) == 0)
     assert(one("multiSearchFirstPosition('hello', array('llo', 'ell'))").getInt(0) == 2)
