@@ -113,7 +113,7 @@ object FnGap {
       "bitTestAll", "bitTestAny", "bitCount", "bitHammingDistance"),
     "hash" -> Seq("halfMD5", "MD5", "SHA1", "SHA224", "SHA256", "cityHash64",
       "sipHash64", "sipHash128", "farmHash64", "xxHash32", "xxHash64",
-      "wyHash64", "murmurHash2_64", "murmurHash3_64", "murmurHash3_128",
+      "wyHash64", "murmurHash3_32", "murmurHash2_64", "murmurHash3_64", "murmurHash3_128",
       "javaHash", "hiveHash", "metroHash64", "ngramSimHash", "wordShingleSimHash",
       "ngramMinHash", "wordShingleMinHash"),
     "distance_vector" -> Seq("L1Distance", "L2Distance", "L2SquaredDistance",

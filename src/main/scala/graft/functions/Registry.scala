@@ -1796,6 +1796,12 @@ object Registry {
     ("reinterpretasuint32", (e: Seq[Expression]) =>
       Registry.sie2(LongType, "reinterpretAsUInt32", Seq(Cast(e.head, StringType))),
       "reinterpretAsUInt32(s) - first 4 bytes little-endian"),
+    ("murmurhash3_32", (e: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        org.apache.spark.sql.graft.Murmur3.getClass, LongType, "murmur3_32",
+        Seq(Cast(e.head, StringType)), returnNullable = false),
+      "murmurHash3_32(s) - reference x86_32, seed 0, as UInt32 " +
+        "(verified against Guava's canonical implementation)"),
     ("jsontype", (e: Seq[Expression]) =>
       Registry.si(StringType, "jsonType", e.take(1)),
       "JSONType(s) - Object/Array/String/Int64/Double/Bool/Null; '' invalid"),

@@ -140,3 +140,65 @@ object SipHash {
       Array[Any](mn, mx))
   }
 }
+
+/** MurmurHash3 x86_32 (Appleby's public reference algorithm) over raw
+  * bytes with an explicit seed. Guava (on the Spark classpath) carries
+  * the CANONICAL implementation, which gives an OFFLINE verification
+  * oracle: DialectClosureSpec asserts byte-for-byte agreement with
+  * Guava across lengths (every tail case) and seeds, then
+  * `murmurHash3_32` runs at seed 0 — ClickHouse's configuration.
+  * (Spark's own Murmur3_x86_32 would NOT serve: its byte-tail handling
+  * deliberately deviates from the reference.)
+  */
+object Murmur3 {
+  def x86_32(data: Array[Byte], seed: Int): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = seed
+    val nBlocks = data.length / 4
+    var i = 0
+    while (i < nBlocks) {
+      var k1 = (data(i * 4) & 0xff) | ((data(i * 4 + 1) & 0xff) << 8) |
+        ((data(i * 4 + 2) & 0xff) << 16) | ((data(i * 4 + 3) & 0xff) << 24)
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    // tail
+    var k1 = 0
+    val tail = nBlocks * 4
+    (data.length & 3) match {
+      case 3 =>
+        k1 ^= (data(tail + 2) & 0xff) << 16
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 2 =>
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 1 =>
+        k1 ^= data(tail) & 0xff
+      case _ =>
+    }
+    if ((data.length & 3) != 0) {
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+    }
+    // finalization
+    h1 ^= data.length
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** CH murmurHash3_32: seed 0 over the UTF-8 bytes, as UInt32. */
+  def murmur3_32(s: UTF8String): Long = x86_32(s.getBytes, 0) & 0xffffffffL
+}

@@ -43,6 +43,22 @@ class DialectClosureSpec extends AnyFunSuite {
     assert(l("wordShingleSimHash('a b c')") != 0L)
   }
 
+  test("murmur3 x86_32 agrees with Guava's canonical implementation") {
+    import org.apache.spark.sql.graft.Murmur3
+    // Guava (on the Spark classpath) implements CANONICAL murmur3_32 —
+    // the offline verification oracle across lengths incl. every tail
+    // case and seeds. (Spark's own Murmur3_x86_32 would NOT do: its
+    // byte-tail handling deliberately deviates from the reference.)
+    for (len <- 0 to 17; seed <- Seq(0, 42, 12345)) {
+      val data = Array.tabulate[Byte](len)(i => (i * 31 + 7).toByte)
+      val want = com.google.common.hash.Hashing.murmur3_32_fixed(seed)
+        .hashBytes(data).asInt()
+      assert(Murmur3.x86_32(data, seed) == want, s"len=$len seed=$seed")
+    }
+    assert(l("murmurHash3_32('abc')") >= 0L) // UInt32 range
+    assert(l("murmurHash3_32('abc')") == l("murmurHash3_32('abc')"))
+  }
+
   test("IPv6: RFC 5952 canonical round-trips") {
     assert(s("IPv6NumToString(IPv6StringToNum('2001:DB8:0:0:8:800:200C:417A'))") ==
       "2001:db8::8:800:200c:417a") // RFC 5952 §4 example
