@@ -1,0 +1,562 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ClickHouse SQL TEXT compatibility: accept the clause-level CH-isms the
+  * reference's LLM emits as raw SQL — `PREWHERE`, `LIMIT n BY cols`,
+  * `SAMPLE k/n [OFFSET m/n]`, trailing `FORMAT X` / `SETTINGS ...`,
+  * `GLOBAL IN/JOIN`, `==` — by rewriting them onto standard Spark SQL
+  * before parsing. Two entry points share one rewriter:
+  *
+  *   - [[ChSql.sql]] — imperative (`ChSql.sql(spark, text)`), works on
+  *     any session including the driver's;
+  *   - `graft.plans.GraftExtensions` injects a delegating parser, so
+  *     sessions built with `spark.sql.extensions` accept the dialect
+  *     directly through `spark.sql(text)`.
+  *
+  * The rewriter is a real TOKENIZER (quotes, comments, nesting depth),
+  * not regexes — a clause inside a string literal is never touched, and
+  * anything out of scope fails LOUDLY rather than mis-rewriting:
+  * `WITH FILL` points to SelectDialect.withFill (spine generation needs
+  * a plan, not a text edit), `LIMIT BY` inside a subquery is rejected,
+  * `SAMPLE` requires a registered sampling key (CH reads it from the
+  * table DDL; graft registers it via [[ChSql.registerSampleKey]]).
+  *
+  * Semantics mapping (all gated q220/q221):
+  *   - PREWHERE p [WHERE w]  →  WHERE (p) [AND (w)] — PREWHERE is CH's
+  *     early-filter hint; Spark's optimizer already pushes predicates to
+  *     the scan, so the hint's WORK is native and only the word needs
+  *     translating.
+  *   - LIMIT n BY c1..ck  →  row_number() window over (c1..ck) ordered
+  *     by the query's ORDER BY (or the BY columns), kept <= n — the
+  *     SelectDialect.limitBy plan, produced from text.
+  *   - SAMPLE k/n [OFFSET m/n]  →  the deterministic key-hash bucket
+  *     predicate of SelectDialect.sampleByKey, injected as a PREWHERE
+  *     (which then merges into WHERE).
+  */
+object ChSql {
+
+  // ---- lexer ----------------------------------------------------------
+
+  private final val WS = 0
+  private final val WORD = 1
+  private final val NUM = 2
+  private final val STR = 3
+  private final val SYM = 4
+
+  private[operators] final case class Tok(text: String, kind: Int, depth: Int) {
+    def isWord(w: String): Boolean = kind == WORD && text.equalsIgnoreCase(w)
+  }
+
+  private[operators] def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    var depth = 0
+    val n = s.length
+    def isWordStart(c: Char) = c.isLetter || c == '_'
+    def isWordPart(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) {
+        val j = i
+        while (i < n && s.charAt(i).isWhitespace) i += 1
+        out += Tok(s.substring(j, i), WS, depth)
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        val j = i
+        while (i < n && s.charAt(i) != '\n') i += 1
+        out += Tok(s.substring(j, i), WS, depth)
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val j = i
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+        out += Tok(s.substring(j, i), WS, depth)
+      } else if (c == '\'') {
+        val j = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = s.charAt(i)
+          if (d == '\\' && i + 1 < n) i += 2
+          else if (d == '\'' && i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+          else if (d == '\'') { i += 1; done = true }
+          else i += 1
+        }
+        out += Tok(s.substring(j, i), STR, depth)
+      } else if (c == '"' || c == '`') {
+        val q = c
+        val j = i
+        i += 1
+        while (i < n && s.charAt(i) != q) i += 1
+        i = math.min(n, i + 1)
+        out += Tok(s.substring(j, i), STR, depth)
+      } else if (isWordStart(c)) {
+        val j = i
+        while (i < n && isWordPart(s.charAt(i))) i += 1
+        out += Tok(s.substring(j, i), WORD, depth)
+      } else if (c.isDigit ||
+          (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val j = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+          s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+          ((s.charAt(i) == '+' || s.charAt(i) == '-') && i > j &&
+            (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
+        out += Tok(s.substring(j, i), NUM, depth)
+      } else if (c == '(') {
+        depth += 1
+        out += Tok("(", SYM, depth) // the paren carries the INNER depth
+        i += 1
+      } else if (c == ')') {
+        out += Tok(")", SYM, depth)
+        depth -= 1
+        i += 1
+      } else {
+        // multi-char symbols first
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (Seq("==", "<=", ">=", "!=", "<>", "||", "::", "->").contains(two)) {
+          out += Tok(two, SYM, depth)
+          i += 2
+        } else {
+          out += Tok(c.toString, SYM, depth)
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def render(toks: Seq[Tok]): String = toks.map(_.text).mkString
+
+  private def nextNonWs(toks: Vector[Tok], from: Int): Int = {
+    var i = from
+    while (i < toks.length && toks(i).kind == WS) i += 1
+    i
+  }
+
+  private def prevNonWs(toks: Vector[Tok], from: Int): Int = {
+    var i = from
+    while (i >= 0 && toks(i).kind == WS) i -= 1
+    i
+  }
+
+  /** Clause-boundary keywords that terminate a predicate at its depth. */
+  private val Stops = Set("WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
+    "LIMIT", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW", "QUALIFY",
+    "FORMAT")
+
+  private def stopIndex(toks: Vector[Tok], from: Int, depth: Int): Int = {
+    var i = from
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == SYM && t.text == ")" && t.depth == depth) return i
+      if (t.kind == WORD && t.depth == depth &&
+        Stops.contains(t.text.toUpperCase)) return i
+      i += 1
+    }
+    toks.length
+  }
+
+  // ---- passes ---------------------------------------------------------
+
+  /** Trailing `FORMAT X` and `SETTINGS ...` at depth 0 are CH transport/
+    * tuning directives with no Spark meaning — stripped (the format is
+    * returned so a caller can route the WRITER; SourceCatalog owns the
+    * format implementations).
+    */
+  private def stripTail(toks0: Vector[Tok]): (Vector[Tok], Option[String]) = {
+    var toks = toks0
+    // trailing semicolon
+    val last = prevNonWs(toks, toks.length - 1)
+    if (last >= 0 && toks(last).text == ";") toks = toks.patch(last, Nil, 1)
+    var fmt: Option[String] = None
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.kind == WORD && t.depth == 0 &&
+            t.text.equalsIgnoreCase("FORMAT")) {
+          val v = nextNonWs(toks, i + 1)
+          // FORMAT must be followed by a bare format word and then end
+          if (v < toks.length && toks(v).kind == WORD &&
+              nextNonWs(toks, v + 1) >= toks.length) {
+            fmt = Some(toks(v).text)
+            toks = toks.take(i)
+            changed = true
+          }
+        } else if (t.kind == WORD && t.depth == 0 &&
+            t.text.equalsIgnoreCase("SETTINGS")) {
+          // only the `SETTINGS name = value` directive shape (a column
+          // ALIASED "settings" must not truncate the query)
+          val a = nextNonWs(toks, i + 1)
+          val b = if (a < toks.length) nextNonWs(toks, a + 1) else toks.length
+          if (a < toks.length && toks(a).kind == WORD &&
+              b < toks.length && toks(b).text == "=") {
+            toks = toks.take(i) // SETTINGS ... runs to end of statement
+            changed = true
+          }
+        }
+        i += 1
+      }
+    }
+    (toks, fmt)
+  }
+
+  private def dropGlobal(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("GLOBAL")) {
+        val j = nextNonWs(toks, i + 1)
+        if (j < toks.length && (toks(j).isWord("IN") || toks(j).isWord("NOT") ||
+            toks(j).isWord("ANY") || toks(j).isWord("ALL") ||
+            toks(j).isWord("JOIN") || toks(j).isWord("LEFT") ||
+            toks(j).isWord("INNER"))) {
+          toks = toks.patch(i, Nil, j - i) // GLOBAL + whitespace
+        } else i += 1
+      } else i += 1
+    }
+    toks
+  }
+
+  private def eqeq(toks: Vector[Tok]): Vector[Tok] =
+    toks.map(t => if (t.kind == SYM && t.text == "==") t.copy(text = "=") else t)
+
+  private def rejectWithFill(toks: Vector[Tok]): Unit = {
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).isWord("WITH")) {
+        val j = nextNonWs(toks, i + 1)
+        // `WITH fill AS (...)` / `WITH fill(...)` is a CTE named "fill",
+        // not the CH clause — only the clause form is rejected
+        val k = if (j < toks.length) nextNonWs(toks, j + 1) else toks.length
+        val isCte = k < toks.length &&
+          (toks(k).isWord("AS") || toks(k).text == "(")
+        if (j < toks.length && toks(j).isWord("FILL") && !isCte)
+          throw new UnsupportedOperationException(
+            "ORDER BY ... WITH FILL needs spine generation, not a text " +
+              "rewrite — use graft.operators.SelectDialect.withFill / " +
+              "withFillInterpolate")
+      }
+      i += 1
+    }
+  }
+
+  /** Table → sampling key column (the CH `SAMPLE BY` DDL analog). */
+  private val sampleKeys = new TrieMap[String, String]
+  def registerSampleKey(table: String, keyCol: String): Unit =
+    sampleKeys.put(table.toLowerCase, keyCol)
+
+  /** `FROM t [AS a] SAMPLE k/n [OFFSET m/n]` → `PREWHERE <bucket pred>`
+    * (merged into WHERE by the prewhere pass).
+    */
+  private def sampleToPrewhere(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("SAMPLE") && {
+        // the clause form is always `SAMPLE <num>` — a COLUMN named
+        // "sample" (SELECT sample FROM t) must pass through untouched
+        val a = nextNonWs(toks, i + 1)
+        a < toks.length && toks(a).kind == NUM
+      }) {
+        val d = toks(i).depth
+        // table name: the first word after the nearest same-depth FROM
+        var f = i - 1
+        while (f >= 0 && !(toks(f).isWord("FROM") && toks(f).depth == d)) f -= 1
+        require(f >= 0, "ChSql: SAMPLE without a FROM clause")
+        val tIdx = nextNonWs(toks, f + 1)
+        require(tIdx < toks.length && toks(tIdx).kind == WORD,
+          "ChSql: SAMPLE requires a plain table reference " +
+            "(subquery sampling: add the predicate inside the subquery)")
+        val table = toks(tIdx).text.toLowerCase
+        val key = sampleKeys.getOrElse(table, throw new IllegalArgumentException(
+          s"ChSql: no sampling key registered for table '$table' — call " +
+            "ChSql.registerSampleKey(table, keyCol) (the CH SAMPLE BY DDL analog)"))
+        // parse k/n [OFFSET m/n]
+        def fraction(at: Int): (Long, Long, Int) = {
+          val a = nextNonWs(toks, at)
+          require(a < toks.length && toks(a).kind == NUM,
+            "ChSql: SAMPLE expects k/n fractions")
+          val slash = nextNonWs(toks, a + 1)
+          if (slash < toks.length && toks(slash).text == "/") {
+            val b = nextNonWs(toks, slash + 1)
+            require(b < toks.length && toks(b).kind == NUM,
+              "ChSql: SAMPLE expects k/n fractions")
+            (toks(a).text.toLong, toks(b).text.toLong, b + 1)
+          } else {
+            // decimal ratio like 0.1 → scale to /1000000
+            val r = BigDecimal(toks(a).text)
+            require(r > 0 && r < 1, s"ChSql: SAMPLE ratio must be in (0,1), got $r")
+            ((r * 1000000).toLong, 1000000L, a + 1)
+          }
+        }
+        val (num, den, afterK) = fraction(i + 1)
+        var end = afterK
+        var off = 0L
+        val oIdx = nextNonWs(toks, afterK)
+        if (oIdx < toks.length && toks(oIdx).isWord("OFFSET")) {
+          val (m, den2, afterO) = fraction(oIdx + 1)
+          require(den2 == den,
+            s"ChSql: SAMPLE and OFFSET denominators must match ($den vs $den2)")
+          off = m
+          end = afterO
+        }
+        require(num > 0 && num < den, "ChSql: SAMPLE k/n requires 0 < k < n")
+        // the SelectDialect.sampleByKey arithmetic, as SQL text
+        val bucket = s"pmod(pmod(CAST($key AS BIGINT) * 2654435761, " +
+          s"4294967296), $den)"
+        val lo = off % den
+        val hi = lo + num
+        val pred =
+          if (hi <= den) s"($bucket >= $lo AND $bucket < $hi)"
+          else s"($bucket >= $lo OR $bucket < ${hi % den})"
+        toks = toks.patch(i,
+          lex(s"PREWHERE $pred ").map(t => t.copy(depth = t.depth + d)),
+          end - i)
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** `[LEFT] ARRAY JOIN e1 AS a1 [, e2 AS a2 ...]` → `LATERAL VIEW
+    * explode/posexplode` chain, position-preserving (the clause sits in
+    * FROM position in both dialects). Multi-array clauses zip by
+    * position like CH: the first array drives via `posexplode`, the
+    * rest index into it (`(e)[pos]` — null-pads where CH would error on
+    * unequal lengths; documented divergence). `LEFT ARRAY JOIN` keeps
+    * empty-array rows via `explode_outer`, yielding NULL elements where
+    * CH yields the type default (documented divergence — null is the
+    * Spark-native "absent"). An item WITHOUT an alias is rejected
+    * loudly: in CH the element shadows the source column, which a text
+    * rewrite cannot reproduce (Spark would see an ambiguous reference).
+    */
+  private def arrayJoin(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var uid = 0
+    var scan = 0
+    while (scan < toks.length) {
+      val t = toks(scan)
+      val isClause = t.isWord("ARRAY") && {
+        val j = nextNonWs(toks, scan + 1)
+        j < toks.length && toks(j).isWord("JOIN") && toks(j).depth == t.depth
+      }
+      if (isClause) {
+        val d = t.depth
+        val jIdx = nextNonWs(toks, scan + 1)
+        val p = prevNonWs(toks, scan - 1)
+        val isLeft = p >= 0 && toks(p).isWord("LEFT") && toks(p).depth == d
+        val start = if (isLeft) p else scan
+        // items run to the next same-depth clause keyword / join / ')'
+        // join-starter words end the item list only when they BEGIN a
+        // join clause (an expression may legitimately contain the word
+        // `array`, e.g. `ARRAY JOIN array(a, b) AS x`)
+        val joinish = Set("JOIN", "ARRAY", "OUTER", "SEMI", "ANTI")
+        def startsJoin(at: Int): Boolean = toks(at).text.toUpperCase match {
+          case "JOIN" | "LATERAL" => true
+          case "ARRAY" | "LEFT" | "RIGHT" | "INNER" | "FULL" | "CROSS" =>
+            val nx = nextNonWs(toks, at + 1)
+            nx < toks.length && toks(nx).kind == WORD &&
+              joinish.contains(toks(nx).text.toUpperCase)
+          case w => Stops.contains(w)
+        }
+        var end = jIdx + 1
+        while (end < toks.length && !(toks(end).depth == d &&
+          ((toks(end).kind == SYM && toks(end).text == ")") ||
+            (toks(end).kind == WORD && startsJoin(end))))) end += 1
+        // split items on same-depth commas
+        val items = Vector.newBuilder[(String, String)] // (expr, alias)
+        var itemStart = jIdx + 1
+        def addItem(upTo: Int): Unit = {
+          val item = toks.slice(itemStart, upTo)
+          // top-level AS within the item
+          val asIdx = item.indexWhere(x => x.depth == d && x.isWord("AS"))
+          require(asIdx >= 0,
+            "ChSql: ARRAY JOIN items need an alias (ARRAY JOIN arr AS x) — " +
+              "CH's element-shadows-column form has no Spark equivalent")
+          val expr = render(item.take(asIdx)).trim
+          val alias = render(item.drop(asIdx + 1)).trim
+          require(expr.nonEmpty && alias.nonEmpty,
+            s"ChSql: malformed ARRAY JOIN item '${render(item).trim}'")
+          items += ((expr, alias))
+        }
+        var k = jIdx + 1
+        while (k < end) {
+          if (toks(k).kind == SYM && toks(k).text == "," && toks(k).depth == d) {
+            addItem(k); itemStart = k + 1
+          }
+          k += 1
+        }
+        addItem(end)
+        val its = items.result()
+        val o = if (isLeft) "_outer" else ""
+        val text =
+          if (its.length == 1) {
+            val (e, a) = its.head
+            s" LATERAL VIEW explode$o(($e)) __aj$uid AS $a "
+          } else {
+            val pos = s"__aj_pos$uid"
+            val (e0, a0) = its.head
+            val headLv = s" LATERAL VIEW posexplode$o(($e0)) __aj$uid AS $pos, $a0 "
+            val tailLv = its.tail.zipWithIndex.map { case ((e, a), i) =>
+              s"LATERAL VIEW explode(array(($e)[$pos])) __aj${uid}_$i AS $a "
+            }.mkString
+            headLv + tailLv
+          }
+        uid += 1
+        toks = toks.patch(start, lex(text).map(x => x.copy(depth = x.depth + d)),
+          end - start)
+        scan = start + 1
+      } else scan += 1
+    }
+    toks
+  }
+
+  private def mergePrewhere(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var guard = 0
+    var found = true
+    while (found && guard < 32) {
+      found = false
+      guard += 1
+      var i = 0
+      while (i < toks.length && !found) {
+        if (toks(i).isWord("PREWHERE")) {
+          found = true
+          val d = toks(i).depth
+          val predEnd = stopIndex(toks, i + 1, d)
+          val pred = render(toks.slice(i + 1, predEnd)).trim
+          if (predEnd < toks.length && toks(predEnd).depth == d &&
+              (toks(predEnd).isWord("WHERE") || toks(predEnd).isWord("PREWHERE"))) {
+            // merge with the following WHERE/PREWHERE predicate; a merged
+            // PREWHERE pair stays PREWHERE so the loop converges on WHERE
+            val kw = if (toks(predEnd).isWord("WHERE")) "WHERE" else "PREWHERE"
+            val whereEnd = stopIndex(toks, predEnd + 1, d)
+            val wpred = render(toks.slice(predEnd + 1, whereEnd)).trim
+            toks = toks.patch(i,
+              lex(s"$kw ($pred) AND ($wpred) ").map(t => t.copy(depth = t.depth + d)),
+              whereEnd - i)
+          } else {
+            toks = toks.patch(i,
+              lex(s"WHERE ($pred) ").map(t => t.copy(depth = t.depth + d)),
+              predEnd - i)
+          }
+        }
+        i += 1
+      }
+    }
+    require(guard < 32, "ChSql: PREWHERE rewrite did not converge")
+    toks
+  }
+
+  /** Depth-0 `ORDER BY o LIMIT n BY c1..ck [LIMIT m]` → windowed wrap. */
+  private def limitBy(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    // find LIMIT <n> BY
+    var li = -1; var n = ""
+    var i = 0
+    while (i < toks.length && li < 0) {
+      if (toks(i).kind == WORD && toks(i).text.equalsIgnoreCase("LIMIT")) {
+        val a = nextNonWs(toks, i + 1)
+        val b = if (a < toks.length) nextNonWs(toks, a + 1) else toks.length
+        if (a < toks.length && toks(a).kind == NUM &&
+            b < toks.length && toks(b).isWord("BY")) {
+          require(toks(i).depth == 0,
+            "ChSql: LIMIT n BY inside a subquery is not supported — " +
+              "rewrite the subquery with SelectDialect.limitBy")
+          li = i
+          n = toks(a).text
+        }
+      }
+      i += 1
+    }
+    if (li < 0) return toks
+    val byStart = nextNonWs(toks,
+      nextNonWs(toks, nextNonWs(toks, li + 1) + 1) + 1)
+    val byEnd = stopIndex(toks, byStart, 0)
+    val byCols = render(toks.slice(byStart, byEnd)).trim
+    // trailing plain LIMIT m (optional)
+    var tailLimit = ""
+    var afterBy = byEnd
+    if (byEnd < toks.length && toks(byEnd).isWord("LIMIT")) {
+      val m = nextNonWs(toks, byEnd + 1)
+      require(m < toks.length && toks(m).kind == NUM,
+        "ChSql: expected LIMIT <m> after LIMIT n BY cols")
+      tailLimit = s" LIMIT ${toks(m).text}"
+      afterBy = m + 1
+    }
+    require(nextNonWs(toks, afterBy) >= toks.length,
+      "ChSql: LIMIT n BY must be the final clause (after ORDER BY)")
+    // depth-0 ORDER BY clause (immediately before the LIMIT BY, if any)
+    var oi = -1
+    i = 0
+    while (i < li) {
+      if (toks(i).kind == WORD && toks(i).depth == 0 &&
+        toks(i).text.equalsIgnoreCase("ORDER")) oi = i
+      i += 1
+    }
+    val (orderExprs, orderClause, coreEnd) =
+      if (oi >= 0) {
+        val after = nextNonWs(toks, oi + 1)
+        require(after < toks.length && toks(after).isWord("BY"),
+          "ChSql: ORDER not followed by BY")
+        val oe = render(toks.slice(after + 1, li)).trim
+        (oe, s" ORDER BY $oe", oi)
+      } else (byCols, "", li)
+    // the ORDER BY / BY columns may reference SOURCE columns the user's
+    // select list drops (CH allows it); when the query has no GROUP BY,
+    // run the window over `SELECT * FROM <from-tail>` so every source
+    // column is visible, and re-apply the user's select list outside.
+    // With GROUP BY, the post-aggregate rows ARE the source — wrap whole.
+    val hasGroup = toks.take(li).exists(t =>
+      t.depth == 0 && (t.isWord("GROUP") || t.isWord("HAVING") ||
+        t.isWord("DISTINCT")))
+    val out =
+      if (hasGroup) {
+        val core = render(toks.take(coreEnd)).trim
+        s"SELECT * EXCEPT (__gb_rn) FROM (" +
+          s"SELECT *, row_number() OVER (PARTITION BY $byCols ORDER BY $orderExprs) " +
+          s"AS __gb_rn FROM ($core) AS __gb_t) AS __gb_l WHERE __gb_rn <= $n" +
+          orderClause + tailLimit
+      } else {
+        // split depth-0 SELECT <list> FROM <tail>
+        val selIdx = nextNonWs(toks, 0)
+        require(selIdx < toks.length && toks(selIdx).isWord("SELECT"),
+          "ChSql: LIMIT n BY expects a SELECT statement")
+        var fi = selIdx + 1
+        while (fi < coreEnd && !(toks(fi).isWord("FROM") && toks(fi).depth == 0)) fi += 1
+        require(fi < coreEnd, "ChSql: LIMIT n BY could not find the FROM clause")
+        val selectList = render(toks.slice(selIdx + 1, fi)).trim
+        val fromTail = render(toks.slice(fi, coreEnd)).trim // includes FROM
+        s"SELECT $selectList FROM (" +
+          s"SELECT *, row_number() OVER (PARTITION BY $byCols ORDER BY $orderExprs) " +
+          s"AS __gb_rn $fromTail) AS __gb_l WHERE __gb_rn <= $n" +
+          orderClause + tailLimit
+      }
+    lex(out)
+  }
+
+  // ---- public API ----------------------------------------------------
+
+  final case class Rewritten(sql: String, format: Option[String])
+
+  def rewriteWithFormat(text: String): Rewritten = {
+    val t0 = lex(text)
+    rejectWithFill(t0)
+    val (t1, fmt) = stripTail(t0)
+    val t2 = eqeq(dropGlobal(t1))
+    val t3 = arrayJoin(sampleToPrewhere(t2))
+    val t4 = mergePrewhere(t3)
+    val t5 = limitBy(t4)
+    Rewritten(render(t5), fmt)
+  }
+
+  def rewrite(text: String): String = rewriteWithFormat(text).sql
+
+  def sql(spark: SparkSession, text: String): DataFrame =
+    spark.sql(rewrite(text))
+}

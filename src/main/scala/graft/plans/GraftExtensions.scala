@@ -14,5 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.injectable.foreach(ext.injectFunction)
     ext.injectResolutionRule(RewriteMustHaveColumns.apply)
+    // CH clause dialect (PREWHERE / LIMIT BY / SAMPLE / FORMAT / GLOBAL)
+    // straight through spark.sql — see graft.operators.ChSql
+    ext.injectParser((_, delegate) => new ChDialectParser(delegate))
   }
 }

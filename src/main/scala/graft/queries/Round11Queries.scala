@@ -476,6 +476,91 @@ object Round11Queries {
       SELECT agg.user_id, agg.small3, agg.last2,
         CAST(coalesce((SELECT sum(t) FROM terms WHERE terms.user_id = agg.user_id),
           0) AS BIGINT) AS iv_c
-      FROM agg ORDER BY agg.user_id LIMIT 500"""))
+      FROM agg ORDER BY agg.user_id LIMIT 500""")),
+
+    // ---- q220: RAW ClickHouse SQL text through ChSql ---------------------
+    // The reference's LLM emits ClickHouse SQL; this gates the clause
+    // rewriter end-to-end on one realistic text: PREWHERE merging into
+    // WHERE, `==`, GLOBAL IN, LIMIT n BY under ORDER BY, a trailing
+    // FORMAT directive — against a DuckDB oracle written in standard SQL.
+    QueryDef("q220_chsql_text", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      graft.operators.ChSql.sql(s, """
+        SELECT user_id, event_id, value
+        FROM events
+        PREWHERE value > 100
+        WHERE event_type == 'purchase'
+          AND user_id GLOBAL IN (SELECT user_id FROM events
+                                 PREWHERE event_type == 'click')
+        ORDER BY user_id, value DESC, event_id
+        LIMIT 2 BY user_id
+        LIMIT 500
+        FORMAT JSONEachRow""")
+    }, Some("""
+      SELECT user_id, event_id, value FROM events
+      WHERE value > 100 AND event_type = 'purchase'
+        AND user_id IN (SELECT user_id FROM events WHERE event_type = 'click')
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY value DESC, event_id) <= 2
+      ORDER BY user_id, value DESC, event_id
+      LIMIT 500""")),
+
+    // ---- q221: CH SAMPLE clause through ChSql ----------------------------
+    // SAMPLE k/n [OFFSET m/n] rewrites to the deterministic key-hash
+    // bucket predicate (SelectDialect.sampleByKey's arithmetic — portable
+    // IEEE/integer ops, so DuckDB can replicate it exactly). The two
+    // offset slices must be disjoint; the oracle checks the SAME slices.
+    QueryDef("q221_chsql_sample", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      graft.operators.ChSql.registerSampleKey("events", "user_id")
+      val s1 = graft.operators.ChSql.sql(s, """
+        SELECT user_id, event_id FROM events SAMPLE 1/4
+        WHERE event_type == 'view'""")
+      val s2 = graft.operators.ChSql.sql(s, """
+        SELECT user_id, event_id FROM events SAMPLE 1/4 OFFSET 2/4
+        WHERE event_type == 'view'""")
+      s1.withColumn("slice", org.apache.spark.sql.functions.lit(0))
+        .unionAll(s2.withColumn("slice",
+          org.apache.spark.sql.functions.lit(2)))
+        .orderBy("slice", "event_id")
+        .limit(500)
+    }, Some("""
+      WITH b AS (
+        SELECT user_id, event_id, event_type,
+          ((CAST(user_id AS BIGINT) * 2654435761) % 4294967296) % 4 AS bucket
+        FROM events)
+      SELECT user_id, event_id, slice FROM (
+        SELECT user_id, event_id, 0 AS slice FROM b
+        WHERE bucket >= 0 AND bucket < 1 AND event_type = 'view'
+        UNION ALL
+        SELECT user_id, event_id, 2 AS slice FROM b
+        WHERE bucket >= 2 AND bucket < 3 AND event_type = 'view')
+      ORDER BY slice, event_id LIMIT 500""")),
+
+    // ---- q222: CH ARRAY JOIN clause through ChSql ------------------------
+    // The FROM-position clause CH users reach for constantly: explode an
+    // array expression (here a registered dialect function, splitByChar)
+    // into rows, composed with PREWHERE in the same text. Rewrites to
+    // LATERAL VIEW explode — Spark's native generator path (codegen'd,
+    // no shuffle added; the groupBy below is the only exchange).
+    QueryDef("q222_chsql_array_join", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      graft.operators.ChSql.sql(s, """
+        SELECT lang, token, count(*) AS c
+        FROM documents
+        ARRAY JOIN splitByChar(' ', text) AS token
+        PREWHERE n_chars > 200
+        WHERE token != ''
+        GROUP BY lang, token
+        ORDER BY c DESC, lang, token
+        LIMIT 200""")
+    }, Some("""
+      SELECT lang, token, count(*) AS c FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE n_chars > 200) u
+      WHERE token <> ''
+      GROUP BY lang, token
+      ORDER BY c DESC, lang, token
+      LIMIT 200"""))
   )
 }
