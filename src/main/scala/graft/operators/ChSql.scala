@@ -40,11 +40,11 @@ object ChSql {
 
   // ---- lexer ----------------------------------------------------------
 
-  private final val WS = 0
-  private final val WORD = 1
-  private final val NUM = 2
-  private final val STR = 3
-  private final val SYM = 4
+  private[operators] final val WS = 0
+  private[operators] final val WORD = 1
+  private[operators] final val NUM = 2
+  private[operators] final val STR = 3
+  private[operators] final val SYM = 4
 
   private[operators] final case class Tok(text: String, kind: Int, depth: Int) {
     def isWord(w: String): Boolean = kind == WORD && text.equalsIgnoreCase(w)
@@ -127,15 +127,15 @@ object ChSql {
     out.result()
   }
 
-  private def render(toks: Seq[Tok]): String = toks.map(_.text).mkString
+  private[operators] def render(toks: Seq[Tok]): String = toks.map(_.text).mkString
 
-  private def nextNonWs(toks: Vector[Tok], from: Int): Int = {
+  private[operators] def nextNonWs(toks: Vector[Tok], from: Int): Int = {
     var i = from
     while (i < toks.length && toks(i).kind == WS) i += 1
     i
   }
 
-  private def prevNonWs(toks: Vector[Tok], from: Int): Int = {
+  private[operators] def prevNonWs(toks: Vector[Tok], from: Int): Int = {
     var i = from
     while (i >= 0 && toks(i).kind == WS) i -= 1
     i

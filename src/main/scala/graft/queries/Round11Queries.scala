@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.HashEmbedder
 
 /** Round-11 battery: the encoding/bit/IP scalar dialect (hex/unhex,
   * base64 family, bitShift family, IPv4 family — the everyday ClickHouse
@@ -536,6 +537,91 @@ object Round11Queries {
         SELECT user_id, event_id, 2 AS slice FROM b
         WHERE bucket >= 2 AND bucket < 3 AND event_type = 'view')
       ORDER BY slice, event_id LIMIT 500""")),
+
+    // ---- q223: CH DDL lifecycle through ChDdl ----------------------------
+    // The reference app creates its tables with raw ClickHouse DDL
+    // (private_knowledge_base.py:22-31) and mutates them with ALTER; this
+    // gates the whole statement surface end-to-end on one lifecycle:
+    // CREATE (ReplacingMergeTree + CONSTRAINT), INSERT SELECT x2 with
+    // overlapping sort keys (last insert wins), ALTER DELETE WHERE
+    // mutation, OPTIMIZE FINAL, then a FINAL read — against a DuckDB
+    // oracle that computes the same net state in pure SQL.
+    QueryDef("q223_chddl_lifecycle", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q223").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE chat.kb (
+             entity_id String, file_name String, body String,
+             user_id String, n_chars Int64,
+             CONSTRAINT chars_nonneg CHECK n_chars >= 0
+           ) ENGINE = ReplacingMergeTree ORDER BY entity_id""")
+      x("""INSERT INTO chat.kb
+           SELECT concat('doc_', CAST(doc_id AS STRING)), source, text,
+                  lang, n_chars FROM documents""")
+      x("""INSERT INTO chat.kb
+           SELECT concat('doc_', CAST(doc_id AS STRING)), 'v2', upper(text),
+                  lang, n_chars FROM documents PREWHERE doc_id % 7 == 0""")
+      x("ALTER TABLE chat.kb DELETE WHERE user_id == 'de'")
+      x("OPTIMIZE TABLE chat.kb FINAL")
+      x("""SELECT entity_id, file_name, user_id, n_chars
+           FROM chat_kb ORDER BY entity_id LIMIT 500""")
+    }, Some("""
+      WITH v2 AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS entity_id,
+               'v2' AS file_name, lang AS user_id, n_chars
+        FROM documents WHERE doc_id % 7 = 0),
+      base AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS entity_id,
+               source AS file_name, lang AS user_id, n_chars
+        FROM documents),
+      merged AS (
+        SELECT * FROM v2
+        UNION ALL
+        SELECT * FROM base WHERE entity_id NOT IN (SELECT entity_id FROM v2))
+      SELECT entity_id, file_name, user_id, n_chars FROM merged
+      WHERE user_id <> 'de'
+      ORDER BY entity_id LIMIT 500""")),
+
+    // ---- q224: DDL-declared vector index, full-ef => exact ---------------
+    // The reference's MSTG vector index, reached the way its users reach
+    // it: declared in CREATE TABLE, built over the FINAL view
+    // ([[graft.operators.ChDdl.buildVectorIndex]] -> GraphAnn), string
+    // sort keys joined back through the xxhash64 surrogate. Full ef makes
+    // the serve exhaustive, so DuckDB's brute-force cosine gates it
+    // hash-exact (q114's convention).
+    QueryDef("q224_chddl_vector_index", (s, dir) => {
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q224").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE vkb (
+             id String, vector Array(Float32),
+             CONSTRAINT dim CHECK length(vector) = 64,
+             VECTOR INDEX vidx vector TYPE MSTG('metric_type=Cosine')
+           ) ENGINE = ReplacingMergeTree ORDER BY id""")
+      x("""INSERT INTO vkb
+           SELECT concat('v', CAST(vec_id AS STRING)), embedding
+           FROM embeddings""")
+      val (g, frame) = graft.operators.ChDdl.buildVectorIndex(cat, "vkb", "vidx")
+      g.topKDF(s, HashEmbedder.embed("distributed vector search engine"),
+          10, ef = g.rows.toInt)
+        .join(frame.select(col("__vid").as("vec_id"), col("id")), "vec_id")
+        .orderBy(col("dist"), col("id"))
+        .select(col("id"), round(col("dist"), 6).as("dist"))
+    }, Some {
+      val qLit = HashEmbedder.sqlArrayLiteral(
+        HashEmbedder.embed("distributed vector search engine"))
+      s"""
+      SELECT 'v' || CAST(vec_id AS VARCHAR) AS id,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM embeddings
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])),
+               'v' || CAST(vec_id AS VARCHAR)
+      LIMIT 10"""
+    }),
 
     // ---- q222: CH ARRAY JOIN clause through ChSql ------------------------
     // The FROM-position clause CH users reach for constantly: explode an

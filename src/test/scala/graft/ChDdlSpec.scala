@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Catalog, ChDdl, ChSql}
+
+/** The reference app's own DDL texts, end-to-end: CREATE TABLE with
+  * MergeTree engines / CONSTRAINT CHECK / VECTOR INDEX, INSERT
+  * VALUES+SELECT, ALTER mutations, OPTIMIZE FINAL, TTL, SAMPLE BY.
+  * The first test parses the ChatArXiv DDL VERBATIM from
+  * `/root/reference/app/backend/constants/myscale_tables.py:24-37`.
+  */
+class ChDdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat(tag: String) =
+    Catalog(spark, Files.createTempDirectory(tag).toString)
+
+  test("parses the reference ChatArXiv DDL verbatim") {
+    val (d, _) = ChDdl.parseCreate("""
+      CREATE TABLE default.ChatArXiv (
+          `abstract` String,
+          `id` String,
+          `vector` Array(Float32),
+          `metadata` Object('JSON'),
+          `pubdate` DateTime,
+          `title` String,
+          `categories` Array(String),
+          `authors` Array(String),
+          `comment` String,
+          `primary_category` String,
+          VECTOR INDEX vec_idx vector TYPE MSTG('fp16_storage=1', 'metric_type=Cosine', 'disk_mode=3'),
+          CONSTRAINT vec_len CHECK length(vector) = 768)
+      ENGINE = ReplacingMergeTree ORDER BY id""")
+    assert(d.name == "default.ChatArXiv")
+    assert(d.replacing && d.versionCol.isEmpty)
+    assert(d.orderBy == Seq("id"))
+    assert(d.columns.map(_.name) == Seq("abstract", "id", "vector",
+      "metadata", "pubdate", "title", "categories", "authors", "comment",
+      "primary_category"))
+    val byName = d.columns.map(c => c.name -> c.dataType).toMap
+    assert(byName("vector") == ArrayType(FloatType, containsNull = false))
+    assert(byName("metadata") == StringType) // JSON stored verbatim
+    assert(byName("pubdate") == TimestampType)
+    assert(byName("categories") == ArrayType(StringType, containsNull = false))
+    assert(d.vectorIndexes == Seq(ChDdl.VectorIndexSpec("vec_idx", "vector",
+      "MSTG", Map("fp16_storage" -> "1", "metric_type" -> "Cosine",
+        "disk_mode" -> "3"))))
+    assert(d.constraints == Seq(("vec_len", "length(vector) = 768")))
+    // engine-parenthesized + explicit version + partition/sample/ttl
+    val (d2, ine) = ChDdl.parseCreate("""
+      CREATE TABLE IF NOT EXISTS m.t (
+        k UInt32, v Nullable(Float64), day Date, ver UInt64,
+        tag LowCardinality(String) DEFAULT 'none'
+      ) ENGINE = ReplicatedReplacingMergeTree(ver)
+        PARTITION BY day ORDER BY (k, day) SAMPLE BY k
+        TTL day + INTERVAL 30 DAY SETTINGS index_granularity = 8192""")
+    assert(ine && d2.replacing && d2.versionCol.contains("ver"))
+    assert(d2.orderBy == Seq("k", "day") && d2.partitionBy == Seq("day"))
+    assert(d2.sampleBy.contains("k"))
+    assert(d2.ttl.contains(("day", "INTERVAL 30 DAY")))
+    assert(d2.columns.find(_.name == "v").get.nullable)
+    assert(d2.columns.find(_.name == "tag").get.default.contains("'none'"))
+  }
+
+  test("lifecycle: create, insert, FINAL dedup, delete, optimize (reference private_kb DDL)") {
+    val cat = freshCat("chddl_kb")
+    // verbatim shape from private_knowledge_base.py:22-31 (dim shrunk to 4)
+    ChDdl.execute(cat, """
+      CREATE TABLE IF NOT EXISTS chat.private_kb(
+          entity_id String,
+          file_name String,
+          text String,
+          user_id String,
+          created_by DateTime,
+          vector Array(Float32),
+          CONSTRAINT cons_vec_len CHECK length(vector) = 4,
+          VECTOR INDEX vidx vector TYPE MSTG('metric_type=Cosine')
+      ) ENGINE = ReplacingMergeTree ORDER BY entity_id""")
+    ChDdl.execute(cat, """
+      INSERT INTO chat.private_kb VALUES
+        ('e1', 'a.pdf', 'first text', 'u1', '2024-01-01 10:00:00', [1.0, 0.0, 0.0, 0.0]),
+        ('e2', 'a.pdf', 'second text', 'u1', '2024-01-01 10:00:00', [0.0, 1.0, 0.0, 0.0])""")
+    // same sort key again: ReplacingMergeTree keeps the LAST insert
+    ChDdl.execute(cat, """
+      INSERT INTO chat.private_kb VALUES
+        ('e1', 'b.pdf', 'first text v2', 'u1', '2024-01-02 10:00:00', [0.5, 0.5, 0.0, 0.0])""")
+    val v = ChDdl.view(cat, "chat.private_kb").orderBy("entity_id")
+    val rows = v.select("entity_id", "file_name", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("e1", "b.pdf", "first text v2"),
+      ("e2", "a.pdf", "second text")))
+    // parquet round-trips list elements as nullable; element TYPE is the contract
+    assert(v.schema("vector").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    // SELECT through execute: FINAL view auto-registered (db_table name)
+    val c = ChDdl.execute(cat,
+      "SELECT count(*) AS c FROM chat_private_kb WHERE user_id == 'u1'")
+      .collect()(0).getLong(0)
+    assert(c == 2L)
+    // CH mutation
+    ChDdl.execute(cat, "ALTER TABLE chat.private_kb DELETE WHERE entity_id = 'e2'")
+    assert(ChDdl.view(cat, "chat.private_kb").count() == 1L)
+    // OPTIMIZE FINAL materializes the merge: raw row count collapses
+    ChDdl.execute(cat, "OPTIMIZE TABLE chat.private_kb FINAL")
+    assert(cat.readRaw("chat.private_kb").count() == 1L)
+    // constraint violated -> loud failure, nothing appended
+    val before = cat.readRaw("chat.private_kb").count()
+    val ex = intercept[IllegalArgumentException] {
+      ChDdl.execute(cat,
+        "INSERT INTO chat.private_kb VALUES ('e9', 'x', 'y', 'u2', '2024-01-01 00:00:00', [1.0, 2.0])")
+    }
+    assert(ex.getMessage.contains("cons_vec_len"))
+    assert(cat.readRaw("chat.private_kb").count() == before)
+  }
+
+  test("INSERT SELECT, DEFAULT columns, explicit version column, UPDATE mutation") {
+    val cat = freshCat("chddl_ins")
+    ChDdl.execute(cat, """
+      CREATE TABLE prices (
+        sku String, price Float64, currency String DEFAULT 'USD', ver UInt64
+      ) ENGINE = ReplacingMergeTree(ver) ORDER BY sku""")
+    ChDdl.execute(cat,
+      "INSERT INTO prices (sku, price, ver) VALUES ('a', 10.0, 1), ('b', 20.0, 1)")
+    // explicit version column governs, not insert order: ver=0 LOSES
+    ChDdl.execute(cat,
+      "INSERT INTO prices (sku, price, ver) VALUES ('a', 99.0, 0)")
+    val v0 = ChDdl.view(cat, "prices").orderBy("sku")
+      .select("sku", "price", "currency").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(v0 == Seq(("a", 10.0, "USD"), ("b", 20.0, "USD")))
+    // INSERT SELECT through the CH dialect
+    Seq(("c", 30.0)).toDF("s", "p").createOrReplaceTempView("chddl_src")
+    ChDdl.execute(cat,
+      "INSERT INTO prices (sku, price, ver) SELECT s, p, 2 FROM chddl_src PREWHERE p > 0")
+    assert(ChDdl.view(cat, "prices").count() == 3L)
+    ChDdl.execute(cat,
+      "ALTER TABLE prices UPDATE price = price * 2, currency = 'EUR' WHERE sku == 'b'")
+    val b = ChDdl.view(cat, "prices").filter($"sku" === "b").collect()(0)
+    assert(b.getAs[Double]("price") == 40.0 && b.getAs[String]("currency") == "EUR")
+  }
+
+  test("SAMPLE BY auto-registers the ChSql sampling key; TTL purges") {
+    val cat = freshCat("chddl_sb")
+    ChDdl.execute(cat, """
+      CREATE TABLE ev (uid UInt32, ts DateTime, val Float64)
+      ENGINE = MergeTree ORDER BY (uid, ts) SAMPLE BY uid
+      TTL ts + INTERVAL 30 DAY""")
+    val ins = (0 until 200).map(u =>
+      s"($u, '2024-03-0${1 + u % 5} 00:00:00', ${u * 1.5})").mkString(", ")
+    ChDdl.execute(cat, s"INSERT INTO ev VALUES $ins")
+    val slices = (0 until 4).map { o =>
+      ChDdl.execute(cat,
+        s"SELECT count(*) AS c FROM ev SAMPLE 1/4 OFFSET $o/4")
+        .collect()(0).getLong(0)
+    }
+    assert(slices.sum == 200L && slices.forall(_ > 0))
+    ChDdl.applyTtl(cat, "ev", to_timestamp(lit("2024-04-03 00:00:00")))
+    // rows with ts older than now - 30d (i.e. before 03-04) purged
+    assert(ChDdl.view(cat, "ev").count() ==
+      (0 until 200).count(u => 1 + u % 5 >= 4).toLong)
+  }
+
+  test("DDL-declared vector index builds and serves exactly at full ef") {
+    val cat = freshCat("chddl_vi")
+    ChDdl.execute(cat, """
+      CREATE TABLE kb (id String, vector Array(Float32),
+        CONSTRAINT len CHECK length(vector) = 8,
+        VECTOR INDEX vidx vector TYPE MSTG('metric_type=Cosine'))
+      ENGINE = ReplacingMergeTree ORDER BY id""")
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat())
+      s"('d$i', [${v.mkString(", ")}])"
+    }
+    ChDdl.execute(cat, s"INSERT INTO kb VALUES ${rows.mkString(", ")}")
+    val (g, frame) = ChDdl.buildVectorIndex(cat, "kb", "vidx")
+    val q = Array.fill(8)(0.5f)
+    val top = g.topKDF(spark, q, 5, ef = g.rows.toInt)
+      .join(frame.select($"__vid".as("vec_id"), $"id"), "vec_id")
+      .orderBy("dist").select("id").collect().map(_.getString(0)).toSeq
+    // brute-force oracle over the same FINAL view
+    val brute = ChDdl.view(cat, "kb").select($"id", $"vector").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val dot = v.zip(q).map { case (a, b) => a.toDouble * b }.sum
+        val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(q.map(x => x.toDouble * x).sum)
+        (r.getString(0), 1.0 - dot / (na * nb))
+      }.sortBy(_._2).take(5).map(_._1).toSeq
+    assert(top == brute)
+  }
+
+  test("loud failures: unsupported types, engines, ALTER forms, inline FORMAT payloads") {
+    val cat = freshCat("chddl_err")
+    intercept[IllegalArgumentException] {
+      ChDdl.parseCreate("CREATE TABLE t (x AggregateFunction(sum, UInt64)) ENGINE = MergeTree ORDER BY x")
+    }
+    intercept[IllegalArgumentException] {
+      ChDdl.parseCreate("CREATE TABLE t (x UInt32) ENGINE = SummingMergeTree ORDER BY x")
+    }
+    intercept[UnsupportedOperationException] {
+      ChDdl.parseCreate("CREATE TABLE t (x UInt32, y UInt32 MATERIALIZED x * 2) ENGINE = MergeTree ORDER BY x")
+    }
+    ChDdl.execute(cat, "CREATE TABLE tt (x UInt32) ENGINE = MergeTree ORDER BY x")
+    intercept[UnsupportedOperationException] {
+      ChDdl.execute(cat, "ALTER TABLE tt ADD COLUMN y UInt32")
+    }
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, "INSERT INTO tt FORMAT JSONEachRow {\"x\": 1}")
+    }
+    // string literals with brackets survive INSERT VALUES token rewrite
+    ChDdl.execute(cat, "CREATE TABLE ts (s String, a Array(UInt8)) ENGINE = MergeTree ORDER BY s")
+    ChDdl.execute(cat, "INSERT INTO ts VALUES ('x[1]', [1, 2])")
+    val r = ChDdl.view(cat, "ts").collect()(0)
+    assert(r.getString(0) == "x[1]" && r.getSeq[Short](1) == Seq(1, 2))
+  }
+}
