@@ -127,6 +127,16 @@ final case class Catalog(spark: SparkSession, root: String) {
   def compact(table: String, key: Seq[String], versionCol: String): Unit =
     writeReplacing(table, read(table, key, versionCol))
 
+  /** Replace a table's contents with a frame DERIVED FROM ITSELF
+    * (write-to-tmp-then-swap — reading and overwriting the same parquet
+    * path in one job is undefined in Spark). The engine-specific merge
+    * compactions use this: [[compact]] is the replacing form;
+    * [[graft.operators.ChDdl]]'s SummingMergeTree OPTIMIZE passes its
+    * grouped-sum view here.
+    */
+  def replaceContents(table: String, df: DataFrame): Unit =
+    writeReplacing(table, df)
+
   /** ClickHouse `ALTER TABLE .. DROP PARTITION` on a table created with
     * `partitionBy`: remove one partition directory outright — no scan,
     * no rewrite, the O(1) bulk-delete that makes date-partitioned

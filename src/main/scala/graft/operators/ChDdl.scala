@@ -45,8 +45,12 @@ import ChSql.{Tok, WORD, NUM, STR, SYM, lex, render, nextNonWs}
   *   - `ALTER TABLE t DELETE WHERE p` / `UPDATE a = e, ... WHERE p` —
   *     CH mutations → [[Catalog.deleteWhere]]/[[Catalog.updateWhere]].
   *   - `OPTIMIZE TABLE t [FINAL]` → [[Catalog.compact]] (the
-  *     replacing-merge made physical).
-  *   - `TRUNCATE TABLE t`, `DROP TABLE [IF EXISTS] t`.
+  *     replacing-merge made physical; on a materialized view, the
+  *     SummingMergeTree merge made physical).
+  *   - `CREATE MATERIALIZED VIEW v ENGINE = SummingMergeTree ORDER BY k
+  *     [POPULATE] AS SELECT ...` — CH's insert-trigger semantics (see
+  *     [[MatViewDef]]).
+  *   - `TRUNCATE TABLE t`, `DROP TABLE|VIEW [IF EXISTS] t`.
   *   - anything else → [[ChSql.sql]] (the SELECT dialect), with every
   *     registered table exposed as a replacing-merged temp view.
   *
@@ -83,6 +87,24 @@ object ChDdl {
     def schema: StructType =
       StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable)))
   }
+
+  /** A `CREATE MATERIALIZED VIEW ... ENGINE = SummingMergeTree ORDER BY
+    * keys [POPULATE] AS SELECT ...` — CH's insert-trigger semantics: the
+    * SELECT runs over each INSERTED BLOCK (one graft INSERT statement =
+    * one block), never over the whole base; its result appends to the
+    * view's own storage. Reads merge with SummingMergeTree semantics
+    * (group by the ORDER BY key, sum every other column — all non-key
+    * columns must be numeric, enforced loudly). Divergences, documented:
+    * rows whose summed columns are all zero are KEPT (CH deletes them,
+    * but only when a merge happens to run — timing-dependent, while this
+    * engine is deterministic); ALTER mutations on the base do NOT
+    * propagate (same as CH); POPULATE here is exact (single-process — no
+    * concurrent-insert loss window to worry about).
+    */
+  final case class MatViewDef(name: String, orderBy: Seq[String],
+    selectText: String, baseTable: String)
+
+  private val mvDefs = new TrieMap[String, MatViewDef]
 
   /** Synthetic per-INSERT-statement version column backing the
     * ReplacingMergeTree "last insert wins" rule when the DDL names no
@@ -442,7 +464,15 @@ object ChDdl {
     val head = if (i0 < toks.length && toks(i0).kind == WORD)
       toks(i0).text.toUpperCase else ""
     head match {
-      case "CREATE" => createTable(cat, text)
+      case "CREATE" =>
+        val n = nextNonWs(toks, i0 + 1)
+        if (n < toks.length && toks(n).isWord("MATERIALIZED"))
+          createMatView(cat, text)
+        else if (n < toks.length && toks(n).isWord("VIEW"))
+          throw new UnsupportedOperationException(
+            "ChDdl: plain CREATE VIEW is not supported — use CREATE " +
+              "MATERIALIZED VIEW, or register a Spark temp view")
+        else createTable(cat, text)
       case "INSERT" => insert(cat, toks, i0)
       case "ALTER" => alter(cat, toks, i0)
       case "OPTIMIZE" => optimize(cat, toks, i0)
@@ -452,8 +482,11 @@ object ChDdl {
         cat.create(t, emptyFrame(spark, d), d.partitionBy)
         emptyResult(spark)
       case "DROP" =>
-        var i = skipWord(toks, i0, "DROP", "TABLE")
-        i = nextNonWs(toks, i)
+        var i = nextNonWs(toks, i0 + 1)
+        require(i < toks.length &&
+          (toks(i).isWord("TABLE") || toks(i).isWord("VIEW")),
+          "ChDdl: expected DROP TABLE or DROP VIEW")
+        i = nextNonWs(toks, i + 1)
         if (i < toks.length && toks(i).isWord("IF")) {
           i = nextNonWs(toks, i + 1); require(toks(i).isWord("EXISTS"),
             "ChDdl: expected DROP TABLE IF EXISTS")
@@ -461,13 +494,19 @@ object ChDdl {
         }
         val (t, _) = tableNameAt(toks, i)
         defs.remove(key(cat, t)); seqs.remove(key(cat, t))
+        mvDefs.remove(key(cat, t))
         emptyResult(spark)
       case _ =>
         // SELECT / WITH / anything query-shaped: expose registered
-        // tables as FINAL views, then run through the SELECT dialect
+        // tables (and materialized views, merged) as FINAL views, then
+        // run through the SELECT dialect
         defs.snapshot().foreach { case (k, d) =>
           if (k.startsWith(cat.root + "::") && tableExists(cat, d.name))
             view(cat, d.name).createOrReplaceTempView(viewName(d.name))
+        }
+        mvDefs.snapshot().foreach { case (k, m) =>
+          if (k.startsWith(cat.root + "::") && tableExists(cat, m.name))
+            matViewFinal(cat, m.name).createOrReplaceTempView(viewName(m.name))
         }
         ChSql.sql(spark, text)
     }
@@ -545,6 +584,170 @@ object ChDdl {
     d.sampleBy.foreach(sb => ChSql.registerSampleKey(d.name, sb))
     d.sampleBy.foreach(sb => ChSql.registerSampleKey(viewName(d.name), sb))
     emptyResult(cat.spark)
+  }
+
+  // ---- materialized views ----------------------------------------------
+
+  private val mvBindSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Rewrite the stored AS-SELECT so its base-table references (the word
+    * after FROM/JOIN, at any depth — subqueries included) point at a
+    * bound temp view holding one inserted block. Token-level: a column
+    * that shares the base's name is never after FROM/JOIN and survives.
+    */
+  private def bindBase(selectText: String, base: String, bound: String): String = {
+    val parts = base.split("\\.")
+    var toks = lex(selectText)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("FROM") || toks(i).isWord("JOIN")) {
+        val a = nextNonWs(toks, i + 1)
+        if (a < toks.length && (toks(a).kind == WORD || toks(a).kind == STR)) {
+          if (parts.length == 1 && unq(toks(a).text).equalsIgnoreCase(parts(0)))
+            toks = toks.updated(a, toks(a).copy(text = bound, kind = WORD))
+          else if (parts.length == 2 && unq(toks(a).text).equalsIgnoreCase(parts(0))) {
+            val dot = nextNonWs(toks, a + 1)
+            val b = if (dot < toks.length) nextNonWs(toks, dot + 1) else toks.length
+            if (dot < toks.length && toks(dot).text == "." && b < toks.length &&
+                unq(toks(b).text).equalsIgnoreCase(parts(1)))
+              toks = toks.patch(a,
+                Vector(toks(a).copy(text = bound, kind = WORD)), b - a + 1)
+          }
+        }
+      }
+      i += 1
+    }
+    render(toks)
+  }
+
+  /** Run a matview's AS-SELECT over one source frame (an inserted block,
+    * or the base FINAL view for POPULATE).
+    */
+  private def runMvSelect(cat: Catalog, m: MatViewDef, src: DataFrame): DataFrame = {
+    val bound = s"__mv_src_${mvBindSeq.incrementAndGet()}"
+    src.createOrReplaceTempView(bound)
+    ChSql.sql(cat.spark, bindBase(m.selectText, m.baseTable, bound))
+  }
+
+  def parseCreateMatView(text: String): (MatViewDef, Boolean, Boolean) = {
+    val toks = lex(text)
+    var i = nextNonWs(toks, 0)
+    def word(at: Int): String = { require(at < toks.length &&
+      (toks(at).kind == WORD || toks(at).kind == STR),
+      s"ChDdl: expected identifier near '${render(toks.drop(at)).take(40)}'")
+      unq(toks(at).text) }
+    def eat(w: String): Unit = {
+      require(i < toks.length && toks(i).isWord(w),
+        s"ChDdl: expected $w near '${render(toks.drop(i)).take(40)}'")
+      i = nextNonWs(toks, i + 1)
+    }
+    eat("CREATE"); eat("MATERIALIZED"); eat("VIEW")
+    var ifNotExists = false
+    if (toks(i).isWord("IF")) {
+      eat("IF"); eat("NOT"); eat("EXISTS"); ifNotExists = true
+    }
+    val (name, afterName) = tableNameAt(toks, i)
+    i = afterName
+    if (i < toks.length && toks(i).isWord("TO"))
+      throw new UnsupportedOperationException(
+        "ChDdl: CREATE MATERIALIZED VIEW ... TO <table> routing is not " +
+          "supported — the view owns its storage; SELECT from the view")
+    eat("ENGINE")
+    require(i < toks.length && toks(i).text == "=", "ChDdl: expected ENGINE = ...")
+    i = nextNonWs(toks, i + 1)
+    val engine = word(i)
+    require(engine.equalsIgnoreCase("SummingMergeTree"),
+      s"ChDdl: materialized-view engine $engine not supported — " +
+        "SummingMergeTree only (AggregatingMergeTree states are served " +
+        "by graft MatView/Projections programmatically)")
+    i = nextNonWs(toks, i + 1)
+    if (i < toks.length && toks(i).text == "(") { // engine args: none valid
+      val c = nextNonWs(toks, i + 1)
+      require(c < toks.length && toks(c).text == ")",
+        "ChDdl: SummingMergeTree(columns...) partial-sum column lists are " +
+          "not supported — every non-key column is summed")
+      i = nextNonWs(toks, c + 1)
+    }
+    eat("ORDER"); eat("BY")
+    // key list runs to POPULATE / AS
+    var e = i
+    while (e < toks.length && !(toks(e).depth == 0 &&
+      (toks(e).isWord("POPULATE") || toks(e).isWord("AS")))) e += 1
+    val keyTxt = render(toks.slice(i, e)).trim
+    val body = if (keyTxt.startsWith("(") && keyTxt.endsWith(")"))
+      keyTxt.substring(1, keyTxt.length - 1) else keyTxt
+    val orderBy = body.split(",").map(s => unq(s.trim)).toSeq
+    require(orderBy.nonEmpty && orderBy.forall(_.nonEmpty),
+      "ChDdl: materialized view needs ORDER BY keys")
+    i = e
+    var populate = false
+    if (i < toks.length && toks(i).isWord("POPULATE")) {
+      populate = true; i = nextNonWs(toks, i + 1)
+    }
+    require(i < toks.length && toks(i).isWord("AS"),
+      "ChDdl: materialized view needs AS SELECT ...")
+    i = nextNonWs(toks, i + 1)
+    val selToks = toks.drop(i)
+    val selectText = render(selToks).trim
+    require(selToks.nonEmpty && (selToks.head.isWord("SELECT") ||
+      selToks.head.isWord("WITH")),
+      "ChDdl: expected AS SELECT ...")
+    // base table: the first depth-0 FROM of the select
+    var f = 0
+    while (f < selToks.length && !(selToks(f).isWord("FROM") &&
+      selToks(f).depth == 0)) f += 1
+    require(f < selToks.length,
+      "ChDdl: could not find the view's FROM clause")
+    val (base, _) = tableNameAt(selToks.toVector, nextNonWs(selToks.toVector, f + 1))
+    (MatViewDef(name, orderBy, selectText, base), ifNotExists, populate)
+  }
+
+  def createMatView(cat: Catalog, text: String): DataFrame = {
+    val (m, ifNotExists, populate) = parseCreateMatView(text)
+    val k = key(cat, m.name)
+    if (mvDefs.contains(k) || tableExists(cat, m.name)) {
+      require(ifNotExists,
+        s"ChDdl: materialized view ${m.name} already exists (no IF NOT EXISTS)")
+      if (!mvDefs.contains(k)) mvDefs.put(k, m)
+      return emptyResult(cat.spark)
+    }
+    require(!defs.contains(k),
+      s"ChDdl: ${m.name} already names a table")
+    // source of the initial storage: the whole base FINAL view when
+    // POPULATE, its empty slice (schema only) otherwise — CH semantics:
+    // without POPULATE, rows inserted before the view exist are absent
+    val src = if (populate) view(cat, m.baseTable)
+              else view(cat, m.baseTable).limit(0)
+    val initial = runMvSelect(cat, m, src)
+    m.orderBy.foreach(kc => require(initial.columns.contains(kc),
+      s"ChDdl: ORDER BY key '$kc' is not a column of the view's SELECT"))
+    mvDefs.put(k, m)
+    // the schema-only (no POPULATE) frame must repartition(1): an empty
+    // multi-partition write emits zero parquet files and the table would
+    // read back schemaless; a POPULATE backfill keeps its natural layout
+    cat.create(m.name, if (populate) initial else initial.repartition(1))
+    emptyResult(cat.spark)
+  }
+
+  /** The merged (SummingMergeTree FINAL) read of a materialized view:
+    * group by the ORDER BY key, sum every other column, declared column
+    * order and types preserved.
+    */
+  def matViewFinal(cat: Catalog, name: String): DataFrame = {
+    val m = mvDefs.getOrElse(key(cat, name), throw new IllegalArgumentException(
+      s"ChDdl: unknown materialized view '$name'"))
+    val raw = cat.readRaw(m.name)
+    val others = raw.schema.fields.filterNot(f => m.orderBy.contains(f.name))
+    val nonNum = others.filterNot(_.dataType.isInstanceOf[NumericType])
+    require(nonNum.isEmpty,
+      s"ChDdl: SummingMergeTree sums every non-key column — non-numeric " +
+        s"column(s) ${nonNum.map(_.name).mkString(", ")} are not summable; " +
+        "add them to ORDER BY or drop them from the SELECT")
+    require(others.nonEmpty,
+      s"ChDdl: materialized view ${m.name} has no summable columns")
+    val aggs = others.map(f => sum(col(f.name)).cast(f.dataType).as(f.name))
+    raw.groupBy(m.orderBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(raw.columns.map(col).toSeq: _*)
   }
 
   /** The CH `SELECT ... FROM t FINAL` read: replacing engines dedup by
@@ -643,6 +846,13 @@ object ChDdl {
       aligned = aligned.withColumn(SeqCol, lit(seq.incrementAndGet()))
     }
     cat.append(d.name, aligned)
+    // CH materialized-view trigger semantics: each view's SELECT runs
+    // over the INSERTED BLOCK only (never the whole base), its result
+    // appended to the view's own storage
+    mvDefs.snapshot().foreach { case (k, m) =>
+      if (k.startsWith(cat.root + "::") && m.baseTable.equalsIgnoreCase(t))
+        cat.append(m.name, runMvSelect(cat, m, aligned))
+    }
     emptyResult(spark)
   }
 
@@ -712,10 +922,16 @@ object ChDdl {
   private def optimize(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {
     var i = skipWord(toks, i0, "OPTIMIZE", "TABLE")
     val (t, after) = tableNameAt(toks, i)
-    val d = tableDef(cat, t)
     // FINAL keyword optional; compaction IS the final merge
-    if (d.replacing && d.orderBy.nonEmpty)
-      cat.compact(d.name, d.orderBy, versionColOf(d))
+    mvDefs.get(key(cat, t)) match {
+      case Some(_) =>
+        // SummingMergeTree merge made physical: one row per key on disk
+        cat.replaceContents(t, matViewFinal(cat, t))
+      case None =>
+        val d = tableDef(cat, t)
+        if (d.replacing && d.orderBy.nonEmpty)
+          cat.compact(d.name, d.orderBy, versionColOf(d))
+    }
     emptyResult(cat.spark)
   }
 

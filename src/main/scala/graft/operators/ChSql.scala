@@ -6,9 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** ClickHouse SQL TEXT compatibility: accept the clause-level CH-isms the
   * reference's LLM emits as raw SQL — `PREWHERE`, `LIMIT n BY cols`,
-  * `SAMPLE k/n [OFFSET m/n]`, trailing `FORMAT X` / `SETTINGS ...`,
-  * `GLOBAL IN/JOIN`, `==` — by rewriting them onto standard Spark SQL
-  * before parsing. Two entry points share one rewriter:
+  * `SAMPLE k/n [OFFSET m/n]`, `GROUP BY ... WITH TOTALS`, trailing
+  * `FORMAT X` / `SETTINGS ...`, `GLOBAL IN/JOIN`, `==` — by rewriting
+  * them onto standard Spark SQL before parsing. Two entry points share
+  * one rewriter:
   *
   *   - [[ChSql.sql]] — imperative (`ChSql.sql(spark, text)`), works on
   *     any session including the driver's;
@@ -416,6 +417,64 @@ object ChSql {
     toks
   }
 
+  /** `GROUP BY <keys> WITH TOTALS` → `GROUP BY GROUPING SETS ((<keys>),
+    * ())` — Spark's (and DuckDB's) native spelling of "the per-group rows
+    * plus one grand-total row with NULL keys" (`SelectDialect.withTotals`
+    * is the plan form of the same mapping; this is the text form, same
+    * NULL-keys convention). `WITH ROLLUP` / `WITH CUBE` pass through —
+    * Spark parses those postfixes natively. `HAVING` alongside
+    * `WITH TOTALS` is rejected loudly: CH's `totals_mode` setting decides
+    * whether the totals row sees HAVING-eliminated groups, which a text
+    * rewrite cannot honor — filter in an outer query instead. A CTE
+    * named `totals` (`WITH totals AS (...)`) is not the clause and
+    * passes through.
+    */
+  private def withTotals(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("WITH")) {
+        val j = nextNonWs(toks, i + 1)
+        val k = if (j < toks.length) nextNonWs(toks, j + 1) else toks.length
+        val isCte = k < toks.length &&
+          (toks(k).isWord("AS") || toks(k).text == "(")
+        if (j < toks.length && toks(j).isWord("TOTALS") && !isCte) {
+          val d = toks(i).depth
+          var g = i - 1
+          while (g >= 0 && !(toks(g).isWord("GROUP") && toks(g).depth == d)) g -= 1
+          require(g >= 0, "ChSql: WITH TOTALS without a GROUP BY")
+          val by = nextNonWs(toks, g + 1)
+          require(by < toks.length && toks(by).isWord("BY"),
+            "ChSql: GROUP not followed by BY")
+          require(toks.slice(by + 1, i).forall(t => !(t.depth == d &&
+            t.kind == WORD && Stops.contains(t.text.toUpperCase))),
+            "ChSql: WITH TOTALS must directly follow its GROUP BY key list")
+          // HAVING can only follow the GROUP BY clause it modifies — scan
+          // forward within this SELECT block (stop at set-op or ')')
+          var h = k
+          while (h < toks.length && !(toks(h).depth == d &&
+              ((toks(h).kind == SYM && toks(h).text == ")") ||
+                toks(h).isWord("UNION") || toks(h).isWord("INTERSECT") ||
+                toks(h).isWord("EXCEPT")))) {
+            require(!(toks(h).depth == d && toks(h).isWord("HAVING")),
+              "ChSql: WITH TOTALS combined with HAVING depends on CH's " +
+                "totals_mode — filter in an outer SELECT instead")
+            h += 1
+          }
+          val keys = render(toks.slice(by + 1, i)).trim
+          require(keys.nonEmpty, "ChSql: WITH TOTALS needs GROUP BY keys")
+          toks = toks.patch(g,
+            lex(s"GROUP BY GROUPING SETS (($keys), ()) ")
+              .map(t => t.copy(depth = t.depth + d)),
+            (k min toks.length) - g)
+          i = g
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
   private def mergePrewhere(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var guard = 0
@@ -549,7 +608,7 @@ object ChSql {
     rejectWithFill(t0)
     val (t1, fmt) = stripTail(t0)
     val t2 = eqeq(dropGlobal(t1))
-    val t3 = arrayJoin(sampleToPrewhere(t2))
+    val t3 = withTotals(arrayJoin(sampleToPrewhere(t2)))
     val t4 = mergePrewhere(t3)
     val t5 = limitBy(t4)
     Rewritten(render(t5), fmt)

@@ -647,6 +647,64 @@ object Round11Queries {
       WHERE token <> ''
       GROUP BY lang, token
       ORDER BY c DESC, lang, token
-      LIMIT 200"""))
+      LIMIT 200""")),
+
+    // ---- q225: GROUP BY ... WITH TOTALS through ChSql ---------------------
+    // CH's per-group-rows-plus-grand-total clause → GROUPING SETS
+    // ((keys), ()) — the NULL-keyed totals row convention both Spark and
+    // DuckDB share natively. Exercised alongside PREWHERE and `==` on one
+    // text; decimal-cast sums keep the totals row (the largest
+    // re-association) bit-exact.
+    QueryDef("q225_chsql_with_totals", (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      graft.operators.ChSql.sql(s, """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        PREWHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        WHERE l_discount == 0.05
+        GROUP BY l_returnflag, l_linestatus WITH TOTALS
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01' AND l_discount = 0.05
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- q226: CREATE MATERIALIZED VIEW through ChDdl ---------------------
+    // CH matview = an INSERT TRIGGER: the AS SELECT runs over each
+    // inserted block only, and reads merge with SummingMergeTree
+    // semantics (sum every non-key column). The gate pins the trigger
+    // contract: rows inserted BEFORE the view exists are absent (no
+    // POPULATE), both later blocks land, OPTIMIZE FINAL materializes the
+    // merge, and the read after it is identical. Oracle: DuckDB
+    // aggregates the same two post-create slices directly.
+    QueryDef("q226_chddl_matview", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q226").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE docs (
+             doc_id Int64, lang String, source String, n_chars Int64
+           ) ENGINE = MergeTree ORDER BY doc_id""")
+      // pre-view block: must NOT appear in the view (CH trigger contract)
+      x("INSERT INTO docs SELECT doc_id, lang, source, n_chars FROM documents PREWHERE doc_id % 3 == 0")
+      x("""CREATE MATERIALIZED VIEW lang_stats
+           ENGINE = SummingMergeTree ORDER BY (lang, source)
+           AS SELECT lang, source, count(*) AS docs,
+                     sum(n_chars) AS chars
+              FROM docs GROUP BY lang, source""")
+      x("INSERT INTO docs SELECT doc_id, lang, source, n_chars FROM documents PREWHERE doc_id % 3 == 1")
+      x("INSERT INTO docs SELECT doc_id, lang, source, n_chars FROM documents PREWHERE doc_id % 3 == 2")
+      x("OPTIMIZE TABLE lang_stats FINAL")
+      x("""SELECT lang, source, docs, chars FROM lang_stats
+           ORDER BY lang, source""")
+    }, Some("""
+      SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents WHERE doc_id % 3 IN (1, 2)
+      GROUP BY lang, source
+      ORDER BY lang, source"""))
   )
 }

@@ -219,4 +219,50 @@ class ChDdlSpec extends AnyFunSuite {
     val r = ChDdl.view(cat, "ts").collect()(0)
     assert(r.getString(0) == "x[1]" && r.getSeq[Short](1) == Seq(1, 2))
   }
+
+  test("materialized view: insert-trigger semantics, POPULATE, OPTIMIZE, drop") {
+    val cat = freshCat("chddl_mv")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE ev (k String, n Int64) ENGINE = MergeTree ORDER BY k")
+    x("INSERT INTO ev VALUES ('a', 1), ('b', 10)") // pre-view: invisible
+    x("""CREATE MATERIALIZED VIEW ev_sum ENGINE = SummingMergeTree
+         ORDER BY k AS SELECT k, count(*) AS c, sum(n) AS s
+         FROM ev GROUP BY k""")
+    x("INSERT INTO ev VALUES ('a', 2), ('a', 3)")
+    x("INSERT INTO ev VALUES ('a', 4), ('b', 20)")
+    def mv() = ChDdl.matViewFinal(cat, "ev_sum").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv() == Seq(("a", 3L, 9L), ("b", 1L, 20L))) // pre-view block absent
+    // two partial rows for 'a' on disk (one per block) until OPTIMIZE
+    assert(cat.readRaw("ev_sum").filter("k = 'a'").count() == 2L)
+    x("OPTIMIZE TABLE ev_sum FINAL")
+    assert(cat.readRaw("ev_sum").filter("k = 'a'").count() == 1L)
+    assert(mv() == Seq(("a", 3L, 9L), ("b", 1L, 20L))) // merge is a no-op read-wise
+    // the view is SELECT-able through execute's fall-through, merged
+    val sel = ChDdl.execute(cat,
+      "SELECT k, c, s FROM ev_sum ORDER BY k").collect()
+    assert(sel.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 3L, 9L), ("b", 1L, 20L)))
+    // POPULATE backfills the CURRENT base contents
+    x("""CREATE MATERIALIZED VIEW ev_all ENGINE = SummingMergeTree
+         ORDER BY k POPULATE AS SELECT k, sum(n) AS s FROM ev GROUP BY k""")
+    val all = ChDdl.matViewFinal(cat, "ev_all").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("a", 10L), ("b", 30L)))
+    x("DROP VIEW ev_sum")
+    intercept[IllegalArgumentException] { ChDdl.matViewFinal(cat, "ev_sum") }
+    // loud contracts
+    intercept[UnsupportedOperationException] {
+      ChDdl.parseCreateMatView(
+        "CREATE MATERIALIZED VIEW m TO tgt ENGINE = SummingMergeTree ORDER BY k AS SELECT k FROM ev")
+    }
+    intercept[IllegalArgumentException] { // AggregatingMergeTree → Projections
+      ChDdl.parseCreateMatView(
+        "CREATE MATERIALIZED VIEW m ENGINE = AggregatingMergeTree ORDER BY k AS SELECT k FROM ev")
+    }
+    x("""CREATE MATERIALIZED VIEW bad ENGINE = SummingMergeTree
+         ORDER BY k AS SELECT k, max(cast(n AS String)) AS lbl FROM ev GROUP BY k""")
+    val e = intercept[IllegalArgumentException] { ChDdl.matViewFinal(cat, "bad") }
+    assert(e.getMessage.contains("not summable"))
+  }
 }

@@ -169,6 +169,40 @@ class ChSqlSpec extends AnyFunSuite {
     assert(sc == 7.0)
   }
 
+  test("WITH TOTALS: grouping-sets rewrite, guards, CTE false-positive") {
+    t
+    // per-group rows plus one NULL-keyed grand-total row
+    val r = ChSql.sql(spark,
+      "SELECT grp, count(*) AS c, CAST(sum(w) AS BIGINT) AS sw FROM chsql_t " +
+        "GROUP BY grp WITH TOTALS ORDER BY grp NULLS FIRST")
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (None, 6L, 2100L), (Some("a"), 3L, 600L), (Some("b"), 2L, 900L),
+      (Some("c"), 1L, 600L)))
+    // inside a subquery (depth > 0) rewrites at its own depth
+    val sub = ChSql.sql(spark,
+      "SELECT count(*) AS n FROM (SELECT grp, sum(w) AS sw FROM chsql_t " +
+        "GROUP BY grp WITH TOTALS) x").collect()(0).getLong(0)
+    assert(sub == 4L)
+    // a CTE named totals is NOT the clause
+    val cte = ChSql.sql(spark,
+      "WITH totals AS (SELECT id FROM chsql_t WHERE id > 4) " +
+        "SELECT count(*) AS c FROM totals").collect()(0).getLong(0)
+    assert(cte == 2L)
+    // HAVING alongside WITH TOTALS depends on CH totals_mode: loud
+    val e = intercept[IllegalArgumentException] {
+      ChSql.rewrite("SELECT grp FROM chsql_t GROUP BY grp WITH TOTALS HAVING count(*) > 1")
+    }
+    assert(e.getMessage.contains("totals_mode"))
+    // TOTALS without GROUP BY: loud
+    intercept[IllegalArgumentException] {
+      ChSql.rewrite("SELECT 1 WITH TOTALS")
+    }
+    // WITH ROLLUP passes through untouched (Spark-native postfix)
+    assert(ChSql.rewrite("SELECT grp, count(*) FROM chsql_t GROUP BY grp WITH ROLLUP")
+      .contains("WITH ROLLUP"))
+  }
+
   test("ChDialectParser: statement entry points rewrite, identifiers pass through") {
     // spark.sql.extensions is a STATIC conf (fixed at SparkContext
     // creation), so the injected path can't be exercised on the shared
