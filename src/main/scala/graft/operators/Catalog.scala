@@ -29,14 +29,17 @@ final case class Catalog(spark: SparkSession, root: String) {
 
   private def path(table: String) = s"$root/$table"
 
+  private def opts(table: String) =
+    Catalog.writeOptions.getOrElse(path(table), Map.empty[String, String])
+
   def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+    val w = df.write.mode("overwrite").options(opts(table))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
     invalidateProjections(table)
   }
 
   def append(table: String, df: DataFrame): Unit = {
-    df.write.mode("append").parquet(path(table))
+    df.write.mode("append").options(opts(table)).parquet(path(table))
     invalidateProjections(table)
   }
 
@@ -82,7 +85,7 @@ final case class Catalog(spark: SparkSession, root: String) {
   private def writeReplacing(table: String, df: DataFrame): Unit = {
     val parts = partitionColsOf(table)
     val tmp = path(table) + "__tmp"
-    val w = df.write.mode("overwrite")
+    val w = df.write.mode("overwrite").options(opts(table))
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
     replaceDir(tmp, path(table))
     invalidateProjections(table)
@@ -196,4 +199,21 @@ final case class Catalog(spark: SparkSession, root: String) {
     rm(Paths.get(to))
     Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
   }
+}
+
+object Catalog {
+  /** Per-table-path parquet writer options — the CH data-skipping-index
+    * analog made physical ([[graft.operators.ChDdl]] registers
+    * `parquet.bloom.filter.enabled#col` / `expected.ndv#col` here from
+    * `INDEX ... TYPE bloom_filter` DDL; PLANS "Data skipping" has the
+    * measured 5.3× row-group pruning). EVERY write path consults the
+    * registry — including the deleteWhere/updateWhere/compact rewrites —
+    * so a mutation never silently drops the table's skip indexes.
+    */
+  private[operators] val writeOptions =
+    new scala.collection.concurrent.TrieMap[String, Map[String, String]]
+
+  def registerWriteOptions(tablePath: String, options: Map[String, String]): Unit =
+    if (options.nonEmpty) writeOptions.put(tablePath, options)
+    else writeOptions.remove(tablePath)
 }

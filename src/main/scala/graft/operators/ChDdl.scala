@@ -69,6 +69,13 @@ object ChDdl {
   final case class VectorIndexSpec(name: String, column: String,
     indexType: String, params: Map[String, String])
 
+  /** CH data-skipping index (`INDEX name col TYPE minmax|set|
+    * bloom_filter`): minmax is parquet row-group stats (recorded, free);
+    * bloom_filter/set become parquet column bloom filters on every write.
+    */
+  final case class SkipIndexSpec(name: String, column: String,
+    indexType: String, fpp: Option[Double])
+
   final case class ColumnDef(name: String, dataType: DataType,
     nullable: Boolean, default: Option[String])
 
@@ -83,7 +90,8 @@ object ChDdl {
     sampleBy: Option[String],
     ttl: Option[(String, String)],      // (tsCol, interval expr text)
     constraints: Seq[(String, String)], // (name, CHECK expr text)
-    vectorIndexes: Seq[VectorIndexSpec]) {
+    vectorIndexes: Seq[VectorIndexSpec],
+    skipIndexes: Seq[SkipIndexSpec] = Nil) {
     def schema: StructType =
       StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable)))
   }
@@ -264,6 +272,7 @@ object ChDdl {
     val columns = Vector.newBuilder[ColumnDef]
     val constraints = Vector.newBuilder[(String, String)]
     val vindexes = Vector.newBuilder[VectorIndexSpec]
+    val sindexes = Vector.newBuilder[SkipIndexSpec]
 
     splitTop(toks, open + 1, close, 1).foreach { case (from, to) =>
       var k = nextNonWs(toks, from)
@@ -304,13 +313,36 @@ object ChDdl {
         vindexes += VectorIndexSpec(iname, colName, itype, params.result())
       } else if (toks(k).isWord("INDEX") &&
           toks.slice(k + 1, to).exists(x => x.depth == 1 && x.isWord("TYPE"))) {
-        // CH data-skipping index DDL (`INDEX name expr TYPE minmax|set|
-        // bloom_filter GRANULARITY n`): parquet row-group statistics
-        // already provide the minmax behavior on the sort key (PLANS
-        // "data-skipping evidence"); accepted and recorded nowhere — no
-        // physical artifact needed. A COLUMN named `index` lacks the
-        // TYPE keyword and falls through to the column branch.
-        ()
+        // CH data-skipping index DDL (`INDEX name col TYPE minmax|set(N)|
+        // bloom_filter[(fpp)] [GRANULARITY n]`). Mapping measured in
+        // PLANS "Data skipping": `minmax` is what parquet row-group
+        // statistics already provide (recorded, no physical artifact);
+        // `bloom_filter` and `set` become PARQUET COLUMN BLOOM FILTERS —
+        // registered as writer options on the table path, consulted by
+        // every Catalog write including mutation rewrites. NDV defaults
+        // to 8192 PER ROW GROUP (≈ CH's index_granularity; the PLANS
+        // soak shows corpus-level ndv balloons the file 11×). A COLUMN
+        // named `index` lacks the TYPE keyword and falls through to the
+        // column branch.
+        k = nextNonWs(toks, k + 1)
+        val iname = word(k); k = nextNonWs(toks, k + 1)
+        val colName = word(k); k = nextNonWs(toks, k + 1)
+        require(toks(k).isWord("TYPE"),
+          s"ChDdl: skip index $iname over an EXPRESSION is not supported " +
+            "— materialize the expression as a column and index that")
+        k = nextNonWs(toks, k + 1)
+        val itype = word(k).toLowerCase
+        require(Set("minmax", "set", "bloom_filter").contains(itype),
+          s"ChDdl: unsupported skip index type '$itype'")
+        // bloom_filter(fpp) / set(N): one optional numeric argument
+        var fpp: Option[Double] = None
+        val pIdx = nextNonWs(toks, k + 1)
+        if (pIdx < to && toks(pIdx).text == "(") {
+          val v = nextNonWs(toks, pIdx + 1)
+          if (v < to && toks(v).kind == NUM && itype == "bloom_filter")
+            fpp = Some(toks(v).text.toDouble)
+        }
+        sindexes += SkipIndexSpec(iname, colName, itype, fpp)
       } else {
         // column: name Type [DEFAULT expr] [CODEC(...)] [TTL ...] [COMMENT s]
         val cname = word(k)
@@ -443,7 +475,7 @@ object ChDdl {
         "are served by graft.operators.Projections matviews")
     (ChTableDef(name, columns.result(), engine, replacing, versionCol,
       orderBy, partitionBy, sampleBy, ttl, constraints.result(),
-      vindexes.result()), ifNotExists)
+      vindexes.result(), sindexes.result()), ifNotExists)
   }
 
   private def unqStr(s: String): String =
@@ -495,6 +527,7 @@ object ChDdl {
         val (t, _) = tableNameAt(toks, i)
         defs.remove(key(cat, t)); seqs.remove(key(cat, t))
         mvDefs.remove(key(cat, t))
+        Catalog.registerWriteOptions(s"${cat.root}/$t", Map.empty)
         emptyResult(spark)
       case _ =>
         // SELECT / WITH / anything query-shaped: expose registered
@@ -564,6 +597,27 @@ object ChDdl {
 
   def createTable(cat: Catalog, text: String): DataFrame = {
     val (d, ifNotExists) = parseCreate(text)
+    // bloom_filter/set skip indexes → parquet column blooms on EVERY
+    // write to this table (including mutation rewrites); registered
+    // before the first write so the initial layout already carries them
+    val bloomOpts = d.skipIndexes
+      .filter(si => si.indexType == "bloom_filter" || si.indexType == "set")
+      .flatMap { si =>
+        require(d.columns.exists(_.name == si.column),
+          s"ChDdl: skip index ${si.name} references unknown column '${si.column}'")
+        // dictionary encoding is disabled on the indexed column:
+        // parquet-mr SKIPS bloom emission for fully-dictionary-encoded
+        // chunks (the dictionary already answers point predicates), so a
+        // declared bloom would silently never materialize below the
+        // dictionary-size threshold — and a column someone declares a
+        // bloom_filter index on is high-cardinality by intent (CH docs
+        // give the same guidance), where the dictionary lapses anyway
+        Seq(s"parquet.bloom.filter.enabled#${si.column}" -> "true",
+          s"parquet.bloom.filter.expected.ndv#${si.column}" -> "8192",
+          s"parquet.enable.dictionary#${si.column}" -> "false") ++
+          si.fpp.map(f => s"parquet.bloom.filter.fpp#${si.column}" -> f.toString)
+      }.toMap
+    Catalog.registerWriteOptions(s"${cat.root}/${d.name}", bloomOpts)
     val k = key(cat, d.name)
     if (defs.contains(k) || tableExists(cat, d.name)) {
       require(ifNotExists,
@@ -804,23 +858,13 @@ object ChDdl {
     require(src.columns.length == cols.length,
       s"ChDdl: INSERT column count mismatch — statement names ${cols.length}, " +
         s"source provides ${src.columns.length}")
-    // align by position onto the declared columns; cast targets are
-    // nullability-widened (Spark refuses ARRAY<T> nullable-element ->
-    // non-null-element casts, and parquet always reads elements nullable)
-    def widen(dt: DataType): DataType = dt match {
-      case ArrayType(e, _) => ArrayType(widen(e), containsNull = true)
-      case MapType(k, v, _) => MapType(widen(k), widen(v), valueContainsNull = true)
-      case StructType(fs) =>
-        StructType(fs.map(f => f.copy(dataType = widen(f.dataType), nullable = true)))
-      case other => other
-    }
     val provided = cols.zip(src.columns).toMap
     val byName = d.columns.map { c =>
       provided.get(c.name) match {
-        case Some(srcCol) => src.col(srcCol).cast(widen(c.dataType)).as(c.name)
+        case Some(srcCol) => src.col(srcCol).cast(widenType(c.dataType)).as(c.name)
         case None => c.default match {
-          case Some(dflt) => expr(dflt).cast(widen(c.dataType)).as(c.name)
-          case None => lit(null).cast(widen(c.dataType)).as(c.name)
+          case Some(dflt) => expr(dflt).cast(widenType(c.dataType)).as(c.name)
+          case None => lit(null).cast(widenType(c.dataType)).as(c.name)
         }
       }
     }
@@ -854,6 +898,18 @@ object ChDdl {
         cat.append(m.name, runMvSelect(cat, m, aligned))
     }
     emptyResult(spark)
+  }
+
+  /** Nullability-widened cast target: Spark refuses ARRAY<T>
+    * nullable-element -> non-null-element casts, and parquet always
+    * reads elements nullable.
+    */
+  private def widenType(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(widenType(e), containsNull = true)
+    case MapType(k, v, _) => MapType(widenType(k), widenType(v), valueContainsNull = true)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = widenType(f.dataType), nullable = true)))
+    case other => other
   }
 
   private def normalize(e: String): String = ChSql.rewrite(e)
@@ -890,12 +946,97 @@ object ChDdl {
       val pred = render(toks.drop(wd + 1)).trim
       cat.updateWhere(d.name, expr(normalize(pred)), assigns.toMap)
       emptyResult(spark)
+    } else if (toks(i).isWord("ADD") && {
+      val n = nextNonWs(toks, i + 1)
+      n < toks.length && toks(n).isWord("COLUMN")
+    }) {
+      // ADD COLUMN name Type [DEFAULT expr] — CH materializes the column
+      // lazily per part; this engine rewrites eagerly (one job, the same
+      // total work CH's mutation does, paid up front for determinism)
+      i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1)
+      val cname = unq(toks(i).text)
+      require(!d.columns.exists(_.name == cname),
+        s"ChDdl: column '$cname' already exists on ${d.name}")
+      i = nextNonWs(toks, i + 1)
+      var typeEnd = i
+      while (typeEnd < toks.length && !(toks(typeEnd).kind == WORD &&
+        toks(typeEnd).depth == 0 &&
+        toks(typeEnd).text.equalsIgnoreCase("DEFAULT"))) typeEnd += 1
+      val typeText = render(toks.slice(i, typeEnd)).trim
+      require(typeText.nonEmpty, s"ChDdl: ADD COLUMN '$cname' missing a type")
+      val (dt, nullable) = chTypeText(typeText)
+      val default =
+        if (typeEnd < toks.length)
+          Some(render(toks.drop(typeEnd + 1)).trim)
+        else None
+      val value = default match {
+        case Some(e) => expr(normalize(e)).cast(widenType(dt))
+        case None => lit(null).cast(widenType(dt))
+      }
+      defs.put(key(cat, t), d.copy(columns =
+        d.columns :+ ColumnDef(cname, dt, nullable || default.isEmpty, default)))
+      cat.replaceContents(d.name, cat.readRaw(d.name).withColumn(cname, value))
+      emptyResult(spark)
+    } else if (toks(i).isWord("DROP") && {
+      val n = nextNonWs(toks, i + 1)
+      n < toks.length && toks(n).isWord("COLUMN")
+    }) {
+      i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1)
+      val cname = unq(toks(i).text)
+      require(d.columns.exists(_.name == cname),
+        s"ChDdl: no column '$cname' on ${d.name}")
+      require(!d.orderBy.contains(cname) && !d.partitionBy.contains(cname) &&
+        !d.versionCol.contains(cname),
+        s"ChDdl: cannot DROP key/version column '$cname'")
+      defs.put(key(cat, t), d.copy(columns = d.columns.filterNot(_.name == cname)))
+      cat.replaceContents(d.name, cat.readRaw(d.name).drop(cname))
+      emptyResult(spark)
+    } else if (toks(i).isWord("RENAME") && {
+      val n = nextNonWs(toks, i + 1)
+      n < toks.length && toks(n).isWord("COLUMN")
+    }) {
+      i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1)
+      val from = unq(toks(i).text)
+      i = nextNonWs(toks, i + 1)
+      require(i < toks.length && toks(i).isWord("TO"),
+        "ChDdl: expected RENAME COLUMN a TO b")
+      i = nextNonWs(toks, i + 1)
+      val to = unq(toks(i).text)
+      require(d.columns.exists(_.name == from),
+        s"ChDdl: no column '$from' on ${d.name}")
+      require(!d.columns.exists(_.name == to),
+        s"ChDdl: column '$to' already exists on ${d.name}")
+      require(!d.orderBy.contains(from) && !d.partitionBy.contains(from) &&
+        !d.versionCol.contains(from),
+        s"ChDdl: cannot RENAME key/version column '$from' — constraints " +
+          "and sort keys reference it by name")
+      defs.put(key(cat, t), d.copy(columns = d.columns.map(c =>
+        if (c.name == from) c.copy(name = to) else c)))
+      cat.replaceContents(d.name, cat.readRaw(d.name).withColumnRenamed(from, to))
+      emptyResult(spark)
+    } else if (toks(i).isWord("MODIFY") && {
+      val n = nextNonWs(toks, i + 1)
+      n < toks.length && toks(n).isWord("COLUMN")
+    }) {
+      // MODIFY COLUMN name NewType — a cast rewrite (CH's mutation)
+      i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1)
+      val cname = unq(toks(i).text)
+      require(d.columns.exists(_.name == cname),
+        s"ChDdl: no column '$cname' on ${d.name}")
+      val typeText = render(toks.drop(i + 1)).trim
+      require(typeText.nonEmpty, s"ChDdl: MODIFY COLUMN '$cname' missing a type")
+      val (dt, nullable) = chTypeText(typeText)
+      defs.put(key(cat, t), d.copy(columns = d.columns.map(c =>
+        if (c.name == cname) c.copy(dataType = dt, nullable = nullable) else c)))
+      cat.replaceContents(d.name, cat.readRaw(d.name)
+        .withColumn(cname, col(cname).cast(widenType(dt))))
+      emptyResult(spark)
     } else if (toks(i).isWord("ADD")) {
       i = nextNonWs(toks, i + 1)
       if (!toks(i).isWord("VECTOR"))
         throw new UnsupportedOperationException(
-          "ChDdl: only ALTER TABLE ... ADD VECTOR INDEX is supported — " +
-            "schema changes go through CREATE + INSERT SELECT")
+          "ChDdl: only ALTER TABLE ... ADD VECTOR INDEX / ADD|DROP|RENAME|" +
+            "MODIFY COLUMN are supported")
       i = nextNonWs(toks, i + 1)
       require(toks(i).isWord("INDEX"), "ChDdl: expected ADD VECTOR INDEX")
       i = nextNonWs(toks, i + 1)

@@ -705,6 +705,34 @@ object Round11Queries {
       SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
       FROM documents WHERE doc_id % 3 IN (1, 2)
       GROUP BY lang, source
-      ORDER BY lang, source"""))
+      ORDER BY lang, source""")),
+
+    // ---- q227: ALTER TABLE column DDL through ChDdl -----------------------
+    // The schema-evolution mutations a CH user runs between reloads:
+    // ADD COLUMN with DEFAULT (pre-existing rows get the default —
+    // CH materializes lazily per part, this engine rewrites eagerly in
+    // one job, same total work, deterministic), RENAME, MODIFY (type
+    // cast), DROP. Oracle recomputes the net schema state directly.
+    QueryDef("q227_chddl_alter_columns", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q227").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE d (doc_id Int64, lang String, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id""")
+      x("""INSERT INTO d SELECT doc_id, lang, n_chars
+           FROM documents PREWHERE doc_id % 2 == 0""")
+      x("ALTER TABLE d ADD COLUMN flagged UInt8 DEFAULT 0")
+      x("""INSERT INTO d (doc_id, lang, n_chars, flagged)
+           SELECT doc_id, lang, n_chars, 1
+           FROM documents PREWHERE doc_id % 2 == 1""")
+      x("ALTER TABLE d RENAME COLUMN n_chars TO len")
+      x("ALTER TABLE d MODIFY COLUMN len Int32")
+      x("ALTER TABLE d DROP COLUMN lang")
+      x("SELECT doc_id, len, flagged FROM d ORDER BY doc_id LIMIT 500")
+    }, Some("""
+      SELECT doc_id, CAST(n_chars AS INTEGER) AS len,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS SMALLINT) AS flagged
+      FROM documents ORDER BY doc_id LIMIT 500"""))
   )
 }

@@ -207,8 +207,8 @@ class ChDdlSpec extends AnyFunSuite {
       ChDdl.parseCreate("CREATE TABLE t (x UInt32, y UInt32 MATERIALIZED x * 2) ENGINE = MergeTree ORDER BY x")
     }
     ChDdl.execute(cat, "CREATE TABLE tt (x UInt32) ENGINE = MergeTree ORDER BY x")
-    intercept[UnsupportedOperationException] {
-      ChDdl.execute(cat, "ALTER TABLE tt ADD COLUMN y UInt32")
+    intercept[UnsupportedOperationException] { // not a supported ALTER action
+      ChDdl.execute(cat, "ALTER TABLE tt FREEZE PARTITION '2024'")
     }
     intercept[IllegalArgumentException] {
       ChDdl.execute(cat, "INSERT INTO tt FORMAT JSONEachRow {\"x\": 1}")
@@ -218,6 +218,76 @@ class ChDdlSpec extends AnyFunSuite {
     ChDdl.execute(cat, "INSERT INTO ts VALUES ('x[1]', [1, 2])")
     val r = ChDdl.view(cat, "ts").collect()(0)
     assert(r.getString(0) == "x[1]" && r.getSeq[Short](1) == Seq(1, 2))
+  }
+
+  test("ALTER COLUMN family: add-with-default backfills, rename, modify, drop, guards") {
+    val cat = freshCat("chddl_alter")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE t (id Int64, v Float64) ENGINE = MergeTree ORDER BY id")
+    x("INSERT INTO t VALUES (1, 1.5), (2, 2.5)")
+    x("ALTER TABLE t ADD COLUMN tag String DEFAULT 'old'")
+    x("INSERT INTO t VALUES (3, 3.5, 'new')")
+    val rows = ChDdl.view(cat, "t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(rows == Seq((1L, "old"), (2L, "old"), (3L, "new"))) // backfill
+    x("ALTER TABLE t RENAME COLUMN v TO score")
+    x("ALTER TABLE t MODIFY COLUMN score Int32")
+    assert(ChDdl.view(cat, "t").orderBy("id").collect()
+      .map(_.getInt(1)).toSeq == Seq(1, 2, 3)) // cast applied
+    x("ALTER TABLE t DROP COLUMN tag")
+    assert(ChDdl.view(cat, "t").columns.toSeq == Seq("id", "score"))
+    // the updated def governs later INSERTs (3 columns would now fail —
+    // the VALUES alias arity mismatch surfaces as a parse error)
+    intercept[Exception] { x("INSERT INTO t VALUES (4, 5, 'x')") }
+    x("INSERT INTO t VALUES (4, 5)")
+    assert(ChDdl.view(cat, "t").count() == 4L)
+    // guards: duplicate add, key-column drop/rename, unknown modify
+    intercept[IllegalArgumentException] { x("ALTER TABLE t ADD COLUMN score Int32") }
+    intercept[IllegalArgumentException] { x("ALTER TABLE t DROP COLUMN id") }
+    intercept[IllegalArgumentException] { x("ALTER TABLE t RENAME COLUMN id TO id2") }
+    intercept[IllegalArgumentException] { x("ALTER TABLE t MODIFY COLUMN nope Int32") }
+  }
+
+  test("skip-index DDL: bloom_filter lands in the parquet footer, survives mutations") {
+    val cat = freshCat("chddl_skip")
+    val x = ChDdl.execute(cat, _: String)
+    x("""CREATE TABLE sk (
+           id Int64, user String, v Int64,
+           INDEX u_bloom user TYPE bloom_filter(0.01) GRANULARITY 1,
+           INDEX v_mm v TYPE minmax GRANULARITY 1
+         ) ENGINE = MergeTree ORDER BY id""")
+    val d = ChDdl.tableDef(cat, "sk")
+    assert(d.skipIndexes.map(si => (si.name, si.indexType)).toSet ==
+      Set(("u_bloom", "bloom_filter"), ("v_mm", "minmax")))
+    x("INSERT INTO sk SELECT id, concat('u', CAST(id % 50 AS STRING)), id * 7 " +
+      "FROM range(1000)")
+    // a mutation rewrite must preserve the bloom (the registry is
+    // consulted by writeReplacing too)
+    x("ALTER TABLE sk DELETE WHERE id % 10 == 9")
+
+    import scala.jdk.CollectionConverters._
+    def blooms(): Seq[(String, Boolean)] = {
+      val dir = java.nio.file.Paths.get(cat.root, "sk")
+      val f = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val block = rdr.getRowGroups.get(0)
+        block.getColumns.asScala.toSeq.map { c =>
+          (c.getPath.toDotString,
+            rdr.getBloomFilterDataReader(block).readBloomFilter(c) != null)
+        }
+      } finally rdr.close()
+    }
+    val byCol = blooms().toMap
+    assert(byCol("user"), "bloom filter missing on the indexed column")
+    assert(!byCol("id") && !byCol("v"),
+      "bloom filters must exist ONLY on the indexed column")
+    // minmax is parquet-native: row-group stats exist regardless (free)
+    assert(ChDdl.view(cat, "sk").count() == 900L)
   }
 
   test("materialized view: insert-trigger semantics, POPULATE, OPTIMIZE, drop") {
