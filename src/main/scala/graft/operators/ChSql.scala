@@ -226,6 +226,46 @@ object ChSql {
   private def eqeq(toks: Vector[Tok]): Vector[Tok] =
     toks.map(t => if (t.kind == SYM && t.text == "==") t.copy(text = "=") else t)
 
+  /** `FROM t [AS a] FINAL` / `JOIN t FINAL` → the keyword strips: graft
+    * table views are ALWAYS the merged (FINAL) read — [[graft.operators
+    * .ChDdl.view]] dedups ReplacingMergeTree sort keys at registration,
+    * so the modifier's work is already done and only the word must go
+    * (Spark would parse it as a second alias). Only the exact position
+    * CH allows is touched — the bare word directly after a table
+    * reference (with optional alias) following FROM/JOIN; a column or
+    * alias named `final` anywhere else survives. Divergence, documented:
+    * against a temp view that is NOT a merged registration the keyword
+    * is a silent no-op (graft has no unmerged read to offer there).
+    */
+  private def stripFinal(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("FROM") || toks(i).isWord("JOIN")) {
+        var a = nextNonWs(toks, i + 1)
+        // table ref: word [. word]
+        if (a < toks.length && (toks(a).kind == WORD || toks(a).kind == STR) &&
+            !toks(a).isWord("SELECT")) {
+          var e = nextNonWs(toks, a + 1)
+          if (e < toks.length && toks(e).text == ".") {
+            e = nextNonWs(toks, e + 1)
+            if (e < toks.length && toks(e).kind == WORD) e = nextNonWs(toks, e + 1)
+          }
+          // optional [AS] alias — but a bare FINAL here IS the modifier,
+          // not an alias (CH reserves it in this position)
+          if (e < toks.length && toks(e).isWord("AS")) {
+            e = nextNonWs(toks, e + 1)
+            if (e < toks.length && toks(e).kind == WORD) e = nextNonWs(toks, e + 1)
+          }
+          if (e < toks.length && toks(e).isWord("FINAL") && toks(e).depth == toks(i).depth)
+            toks = toks.patch(e, Nil, 1)
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
   private def rejectWithFill(toks: Vector[Tok]): Unit = {
     var i = 0
     while (i < toks.length - 1) {
@@ -607,7 +647,7 @@ object ChSql {
     val t0 = lex(text)
     rejectWithFill(t0)
     val (t1, fmt) = stripTail(t0)
-    val t2 = eqeq(dropGlobal(t1))
+    val t2 = stripFinal(eqeq(dropGlobal(t1)))
     val t3 = withTotals(arrayJoin(sampleToPrewhere(t2)))
     val t4 = mergePrewhere(t3)
     val t5 = limitBy(t4)

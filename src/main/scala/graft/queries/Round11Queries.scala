@@ -565,7 +565,7 @@ object Round11Queries {
       x("ALTER TABLE chat.kb DELETE WHERE user_id == 'de'")
       x("OPTIMIZE TABLE chat.kb FINAL")
       x("""SELECT entity_id, file_name, user_id, n_chars
-           FROM chat_kb ORDER BY entity_id LIMIT 500""")
+           FROM chat_kb FINAL ORDER BY entity_id LIMIT 500""")
     }, Some("""
       WITH v2 AS (
         SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS entity_id,

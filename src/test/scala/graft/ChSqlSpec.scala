@@ -169,6 +169,26 @@ class ChSqlSpec extends AnyFunSuite {
     assert(sc == 7.0)
   }
 
+  test("FROM ... FINAL strips in table position only") {
+    t
+    val r = ChSql.sql(spark,
+      "SELECT count(*) AS c FROM chsql_t FINAL WHERE id > 2").collect()(0).getLong(0)
+    assert(r == 4L)
+    // with an AS alias before the modifier
+    val r2 = ChSql.sql(spark,
+      "SELECT x.id FROM chsql_t AS x FINAL ORDER BY x.id LIMIT 1").collect()(0).getLong(0)
+    assert(r2 == 1L)
+    // a column named final is untouched (not in table position)
+    Seq((1L, 9L)).toDF("id", "final").createOrReplaceTempView("chsql_f")
+    val c = ChSql.sql(spark,
+      "SELECT final FROM chsql_f WHERE id == 1").collect()(0).getLong(0)
+    assert(c == 9L)
+    // dotted table ref + FINAL inside a subquery depth
+    val sub = ChSql.sql(spark,
+      "SELECT count(*) AS n FROM (SELECT id FROM chsql_t FINAL) q").collect()(0).getLong(0)
+    assert(sub == 6L)
+  }
+
   test("WITH TOTALS: grouping-sets rewrite, guards, CTE false-positive") {
     t
     // per-group rows plus one NULL-keyed grand-total row
