@@ -508,6 +508,51 @@ object ChDdl {
       case "INSERT" => insert(cat, toks, i0)
       case "ALTER" => alter(cat, toks, i0)
       case "OPTIMIZE" => optimize(cat, toks, i0)
+      case "RENAME" =>
+        var i = skipWord(toks, i0, "RENAME", "TABLE")
+        val (from, afterFrom) = tableNameAt(toks, i)
+        i = nextNonWs(toks, afterFrom)
+        require(i < toks.length && toks(i).isWord("TO"),
+          "ChDdl: expected RENAME TABLE a TO b")
+        val (to, _) = tableNameAt(toks, nextNonWs(toks, i + 1))
+        renameTable(cat, from, to)
+        emptyResult(spark)
+      case "EXCHANGE" =>
+        var i = skipWord(toks, i0, "EXCHANGE", "TABLES")
+        val (a, afterA) = tableNameAt(toks, i)
+        i = nextNonWs(toks, afterA)
+        require(i < toks.length && toks(i).isWord("AND"),
+          "ChDdl: expected EXCHANGE TABLES a AND b")
+        val (b, _) = tableNameAt(toks, nextNonWs(toks, i + 1))
+        // the blue/green swap: rename through a temp slot, all-metadata
+        val tmp = s"__xchg_${mvBindSeq.incrementAndGet()}"
+        renameTable(cat, a, tmp)
+        renameTable(cat, b, a)
+        renameTable(cat, tmp, b)
+        emptyResult(spark)
+      case "SHOW" =>
+        val n = nextNonWs(toks, i0 + 1)
+        require(n < toks.length && toks(n).isWord("TABLES"),
+          "ChDdl: only SHOW TABLES is supported")
+        import spark.implicits._
+        val prefix = cat.root + "::"
+        val rows =
+          defs.snapshot().collect { case (k, d) if k.startsWith(prefix) =>
+            (d.name, d.engine)
+          }.toSeq ++
+          mvDefs.snapshot().collect { case (k, m) if k.startsWith(prefix) =>
+            (m.name, "MaterializedView")
+          }
+        rows.toSeq.sortBy(_._1).toDF("name", "engine")
+      case "DESCRIBE" | "DESC" =>
+        var i = nextNonWs(toks, i0 + 1)
+        if (i < toks.length && toks(i).isWord("TABLE")) i = nextNonWs(toks, i + 1)
+        val (t, _) = tableNameAt(toks, i)
+        import spark.implicits._
+        val d = tableDef(cat, t)
+        d.columns.map(c => (c.name, c.dataType.sql,
+          if (c.nullable) "Nullable" else "", c.default.getOrElse("")))
+          .toDF("name", "type", "nullable", "default")
       case "TRUNCATE" =>
         val t = tableNameAt(toks, nextNonWs(toks, skipWord(toks, i0, "TRUNCATE", "TABLE")))._1
         val d = tableDef(cat, t)
@@ -595,7 +640,126 @@ object ChDdl {
   private def versionColOf(d: ChTableDef): String =
     d.versionCol.getOrElse(SeqCol)
 
+  /** `RENAME TABLE a TO b`: an all-metadata move (directory rename + def
+    * re-key — no data job), the blue/green swap primitive. Materialized
+    * views that trigger on the OLD name stop matching, exactly as CH's
+    * name-bound matviews do — recreate the view over the new name.
+    */
+  def renameTable(cat: Catalog, from: String, to: String): Unit = {
+    val kFrom = key(cat, from); val kTo = key(cat, to)
+    require(!defs.contains(kTo) && !mvDefs.contains(kTo) && !tableExists(cat, to),
+      s"ChDdl: RENAME target '$to' already exists")
+    require(defs.contains(kFrom) || mvDefs.contains(kFrom),
+      s"ChDdl: unknown table '$from'")
+    if (tableExists(cat, from))
+      java.nio.file.Files.move(java.nio.file.Paths.get(cat.root, from),
+        java.nio.file.Paths.get(cat.root, to))
+    defs.remove(kFrom).foreach(d => defs.put(kTo, d.copy(name = to)))
+    mvDefs.remove(kFrom).foreach(m => mvDefs.put(kTo, m.copy(name = to)))
+    seqs.remove(kFrom).foreach(s => seqs.put(kTo, s))
+    Catalog.writeOptions.remove(s"${cat.root}/$from")
+      .foreach(o => Catalog.writeOptions.put(s"${cat.root}/$to", o))
+    defs.get(kTo).flatMap(_.sampleBy).foreach { sb =>
+      ChSql.registerSampleKey(to, sb)
+      ChSql.registerSampleKey(viewName(to), sb)
+    }
+  }
+
+  /** `CREATE TABLE t ENGINE = E [ORDER BY k] [PARTITION BY p] AS
+    * SELECT ...` — CTAS: schema inferred from the SELECT (run through
+    * the dialect with all registered tables visible as FINAL views),
+    * result written as the initial contents.
+    */
+  private def createTableAs(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {
+    var i = skipWord(toks, i0, "CREATE", "TABLE")
+    var ifNotExists = false
+    if (i < toks.length && toks(i).isWord("IF")) {
+      i = nextNonWs(toks, i + 1)
+      require(i < toks.length && toks(i).isWord("NOT"), "ChDdl: expected IF NOT EXISTS")
+      i = nextNonWs(toks, i + 1)
+      require(i < toks.length && toks(i).isWord("EXISTS"), "ChDdl: expected IF NOT EXISTS")
+      i = nextNonWs(toks, i + 1)
+      ifNotExists = true
+    }
+    val (name, afterName) = tableNameAt(toks, i)
+    i = afterName
+    var engine = "MergeTree"
+    var orderBy = Seq.empty[String]
+    var partitionBy = Seq.empty[String]
+    var selStart = -1
+    def clauseEnd(from: Int): Int = {
+      val stops = Set("ENGINE", "ORDER", "PARTITION", "AS")
+      var e = from
+      while (e < toks.length && !(toks(e).kind == WORD && toks(e).depth == 0 &&
+        stops.contains(toks(e).text.toUpperCase))) e += 1
+      e
+    }
+    def keyList(from: Int, to: Int): Seq[String] = {
+      val txt = render(toks.slice(from, to)).trim
+      val body = if (txt.startsWith("(") && txt.endsWith(")"))
+        txt.substring(1, txt.length - 1) else txt
+      if (body.trim.isEmpty) Nil else body.split(",").map(s => unq(s.trim)).toSeq
+    }
+    while (i < toks.length && selStart < 0) {
+      toks(i).text.toUpperCase match {
+        case "ENGINE" =>
+          i = nextNonWs(toks, i + 1)
+          require(toks(i).text == "=", "ChDdl: expected ENGINE = ...")
+          i = nextNonWs(toks, i + 1)
+          engine = unq(toks(i).text)
+          i = nextNonWs(toks, i + 1)
+        case "ORDER" =>
+          i = nextNonWs(toks, i + 1)
+          require(toks(i).isWord("BY"), "ChDdl: ORDER not followed by BY")
+          val e = clauseEnd(nextNonWs(toks, i + 1))
+          orderBy = keyList(nextNonWs(toks, i + 1), e); i = e
+        case "PARTITION" =>
+          i = nextNonWs(toks, i + 1)
+          require(toks(i).isWord("BY"), "ChDdl: PARTITION not followed by BY")
+          val e = clauseEnd(nextNonWs(toks, i + 1))
+          partitionBy = keyList(nextNonWs(toks, i + 1), e); i = e
+        case "AS" => selStart = nextNonWs(toks, i + 1)
+        case other => throw new IllegalArgumentException(
+          s"ChDdl: unexpected CTAS clause '$other' — supported: ENGINE, " +
+            "ORDER BY, PARTITION BY, AS SELECT")
+      }
+    }
+    require(selStart > 0 && selStart < toks.length,
+      "ChDdl: CREATE TABLE without a column list needs AS SELECT ...")
+    val k = key(cat, name)
+    if (defs.contains(k) || tableExists(cat, name)) {
+      require(ifNotExists,
+        s"ChDdl: table $name already exists (no IF NOT EXISTS)")
+      return emptyResult(cat.spark)
+    }
+    require(!engine.toLowerCase.contains("replacing"),
+      "ChDdl: CTAS onto ReplacingMergeTree is not supported — declare " +
+        "the column list (the version column needs a declared type)")
+    // the SELECT runs through execute's fall-through (FINAL views bound)
+    val result = execute(cat, render(toks.drop(selStart)))
+    val columns = result.schema.fields.map(f =>
+      ColumnDef(f.name, f.dataType, f.nullable, None)).toSeq
+    val d = ChTableDef(name, columns, engine, replacing = false, None,
+      orderBy, partitionBy, None, None, Nil, Nil)
+    defs.put(k, d)
+    seqs.put(k, new java.util.concurrent.atomic.AtomicLong(0L))
+    cat.create(name, result.withColumn(SeqCol, lit(0L)), partitionBy)
+    emptyResult(cat.spark)
+  }
+
   def createTable(cat: Catalog, text: String): DataFrame = {
+    // two CREATE TABLE forms: a column list '(' after the name, or CTAS
+    val toks0 = lex(text)
+    var ci = skipWord(toks0, nextNonWs(toks0, 0), "CREATE", "TABLE")
+    if (ci < toks0.length && toks0(ci).isWord("IF")) {
+      ci = nextNonWs(toks0, ci + 1) // NOT
+      ci = nextNonWs(toks0, ci + 1) // EXISTS
+      ci = nextNonWs(toks0, ci + 1)
+    }
+    val (_, afterName) = tableNameAt(toks0, ci)
+    if (!(afterName < toks0.length && toks0(afterName).text == "("))
+      return createTableAs(cat, toks0, nextNonWs(toks0, 0))
+
     val (d, ifNotExists) = parseCreate(text)
     // bloom_filter/set skip indexes → parquet column blooms on EVERY
     // write to this table (including mutation rewrites); registered

@@ -733,6 +733,30 @@ object Round11Queries {
     }, Some("""
       SELECT doc_id, CAST(n_chars AS INTEGER) AS len,
              CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS SMALLINT) AS flagged
-      FROM documents ORDER BY doc_id LIMIT 500"""))
+      FROM documents ORDER BY doc_id LIMIT 500""")),
+
+    // ---- q228: CTAS + RENAME blue/green swap through ChDdl ----------------
+    // The deploy pattern CH users actually run: build the next table
+    // version with CREATE TABLE ... AS SELECT (schema inferred from the
+    // dialect SELECT), then swap it in with the all-metadata
+    // RENAME/EXCHANGE — zero data movement at the swap. The read after
+    // the swap is the gate.
+    QueryDef("q228_chddl_ctas_swap", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q228").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE live ENGINE = MergeTree ORDER BY lang AS
+           SELECT lang, count(*) AS docs FROM documents GROUP BY lang""")
+      x("""CREATE TABLE next ENGINE = MergeTree ORDER BY lang AS
+           SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+           FROM documents PREWHERE n_chars > 100 GROUP BY lang""")
+      x("EXCHANGE TABLES live AND next")
+      x("DROP TABLE next")
+      x("SELECT lang, docs, chars FROM live FINAL ORDER BY lang")
+    }, Some("""
+      SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents WHERE n_chars > 100
+      GROUP BY lang ORDER BY lang"""))
   )
 }

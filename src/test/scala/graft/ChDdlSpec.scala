@@ -290,6 +290,40 @@ class ChDdlSpec extends AnyFunSuite {
     assert(ChDdl.view(cat, "sk").count() == 900L)
   }
 
+  test("CTAS, RENAME TABLE, EXCHANGE TABLES, SHOW, DESCRIBE") {
+    val cat = freshCat("chddl_ctas")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE src (id Int64, v Int64) ENGINE = MergeTree ORDER BY id")
+    x("INSERT INTO src VALUES (1, 10), (2, 20), (3, 30)")
+    // CTAS: schema inferred from the SELECT, dialect accepted in it
+    x("CREATE TABLE big ENGINE = MergeTree ORDER BY id AS " +
+      "SELECT id, v * 2 AS v2 FROM src PREWHERE id >= 2")
+    assert(ChDdl.view(cat, "big").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 40L), (3L, 60L)))
+    // a CTAS table accepts further INSERTs under its inferred schema
+    x("INSERT INTO big VALUES (9, 99)")
+    assert(ChDdl.view(cat, "big").count() == 3L)
+    // RENAME: all-metadata move; old name gone, data intact
+    x("RENAME TABLE big TO big2")
+    assert(ChDdl.view(cat, "big2").count() == 3L)
+    intercept[IllegalArgumentException] { ChDdl.view(cat, "big") }
+    // EXCHANGE: atomic swap
+    x("CREATE TABLE tiny ENGINE = MergeTree ORDER BY id AS SELECT id, v AS v2 FROM src PREWHERE id == 1")
+    x("EXCHANGE TABLES big2 AND tiny")
+    assert(ChDdl.view(cat, "big2").count() == 1L)
+    assert(ChDdl.view(cat, "tiny").count() == 3L)
+    // SHOW TABLES lists this catalog's tables; DESCRIBE gives the def
+    val names = x("SHOW TABLES").collect().map(_.getString(0)).toSeq
+    assert(names.contains("src") && names.contains("big2") && names.contains("tiny"))
+    val desc = x("DESCRIBE TABLE src").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("id", "BIGINT"), ("v", "BIGINT")))
+    // loud: CTAS onto Replacing needs a declared version type
+    intercept[IllegalArgumentException] {
+      x("CREATE TABLE r ENGINE = ReplacingMergeTree ORDER BY id AS SELECT id FROM src")
+    }
+    intercept[IllegalArgumentException] { x("RENAME TABLE tiny TO src") }
+  }
+
   test("materialized view: insert-trigger semantics, POPULATE, OPTIMIZE, drop") {
     val cat = freshCat("chddl_mv")
     val x = ChDdl.execute(cat, _: String)
