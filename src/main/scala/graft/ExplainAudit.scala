@@ -60,6 +60,17 @@ object ExplainAudit {
     // ordered-collection aggregates: ONE aggregation exchange + sort
     audit("q219_ordered_collect", maxExchanges = 3,
       mustContain = Seq("partial_"))
+    // WITH TOTALS → GROUPING SETS: ONE Expand + ONE aggregation pass
+    // (partial before the exchange), never the naive UNION of two
+    // aggregates — at 100 TB that union would double the scan
+    audit("q225_chsql_with_totals", maxExchanges = 2,
+      mustContain = Seq("Expand", "partial_"),
+      mustNotContain = Seq("Join", "Union"))
+    // ARRAY JOIN → Generate (explode), never a join; one agg exchange,
+    // top-k via TakeOrdered (no global-sort exchange)
+    audit("q222_chsql_array_join", maxExchanges = 2,
+      mustContain = Seq("Generate", "partial_"),
+      mustNotContain = Seq("Join"))
 
     println(if (failures == 0) "ALL PLAN AUDITS PASS"
       else s"$failures AUDIT FAILURE(S)")
