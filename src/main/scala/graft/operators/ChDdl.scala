@@ -586,7 +586,38 @@ object ChDdl {
           if (k.startsWith(cat.root + "::") && tableExists(cat, m.name))
             matViewFinal(cat, m.name).createOrReplaceTempView(viewName(m.name))
         }
-        ChSql.sql(spark, text)
+        // CH introspection: `system.parts` (per-part storage facts from
+        // Catalog.parts — name/bytes/modified per parquet file) and
+        // `system.tables` (the registered defs). Bound lazily, and the
+        // dotted reference re-tokenized to the view name — a STRING
+        // containing "system.parts" is a STR token and survives.
+        var qToks = toks
+        var i = 0
+        var bound = Set.empty[String]
+        while (i < qToks.length) {
+          if (qToks(i).isWord("system") && {
+            val dot = nextNonWs(qToks, i + 1)
+            dot < qToks.length && qToks(dot).text == "." && {
+              val w = nextNonWs(qToks, dot + 1)
+              w < qToks.length && (qToks(w).isWord("parts") || qToks(w).isWord("tables"))
+            }
+          }) {
+            val dot = nextNonWs(qToks, i + 1)
+            val w = nextNonWs(qToks, dot + 1)
+            val which = qToks(w).text.toLowerCase
+            if (!bound.contains(which)) {
+              bound += which
+              if (which == "parts")
+                cat.parts().createOrReplaceTempView("system_parts")
+              else
+                execute(cat, "SHOW TABLES").createOrReplaceTempView("system_tables")
+            }
+            qToks = qToks.patch(i,
+              Vector(qToks(i).copy(text = s"system_$which")), w - i + 1)
+          }
+          i += 1
+        }
+        ChSql.sql(spark, render(qToks))
     }
   }
 

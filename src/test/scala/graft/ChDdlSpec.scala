@@ -324,6 +324,25 @@ class ChDdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { x("RENAME TABLE tiny TO src") }
   }
 
+  test("system.parts / system.tables introspection through the fall-through") {
+    val cat = freshCat("chddl_sys")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE a (id Int64) ENGINE = MergeTree ORDER BY id")
+    x("CREATE TABLE b (id Int64) ENGINE = ReplacingMergeTree ORDER BY id")
+    x("INSERT INTO a VALUES (1), (2)")
+    x("INSERT INTO b VALUES (3)")
+    val parts = x("""SELECT table, count(*) AS files, sum(bytes) AS b
+                     FROM system.parts GROUP BY table ORDER BY table""").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(parts.forall(_.getLong(2) > 0L))
+    val tbls = x("SELECT name, engine FROM system.tables ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tbls == Seq(("a", "MergeTree"), ("b", "ReplacingMergeTree")))
+    // the dotted form inside a string literal is untouched
+    val lit = x("SELECT 'system.parts' AS s").collect()(0).getString(0)
+    assert(lit == "system.parts")
+  }
+
   test("materialized view: insert-trigger semantics, POPULATE, OPTIMIZE, drop") {
     val cat = freshCat("chddl_mv")
     val x = ChDdl.execute(cat, _: String)
