@@ -206,6 +206,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch into a ChDdl table: the matview trigger fires per micro-batch") {
+    import graft.operators.{Catalog, ChDdl}
+    val dir = stageDir()
+    val root = Files.createTempDirectory("graft-chddl-stream").toString
+    val cat = Catalog(spark, root)
+    val x = ChDdl.execute(cat, _: String)
+    x("""CREATE TABLE ev_live (event_id Int64, user_id Int64, value Float64)
+         ENGINE = MergeTree ORDER BY event_id""")
+    x("""CREATE MATERIALIZED VIEW ev_mv ENGINE = SummingMergeTree
+         ORDER BY user_id
+         AS SELECT user_id, count(*) AS n FROM ev_live GROUP BY user_id""")
+    val ckpt = Files.createTempDirectory("graft-ckpt-chddl").toString
+    val q = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each micro-batch is one CH insert block: bind it as a view and
+        // route it through the statement surface — the matview trigger
+        // runs over THIS block only (MvSoak measures that contract).
+        // foreachBatch hands a CLONED session; the catalog (same root, so
+        // the same ChDdl defs) must execute on it to see the view
+        batch.createOrReplaceTempView("__stream_block")
+        ChDdl.execute(Catalog(batch.sparkSession, root),
+          "INSERT INTO ev_live SELECT event_id, user_id, value FROM __stream_block")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val events = Tables.events(spark, TestSpark.sf)
+      assert(ChDdl.view(cat, "ev_live").count() === events.count())
+      // matview (merged) equals the batch groupBy twin
+      val mv = ChDdl.matViewFinal(cat, "ev_mv")
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val twin = events.groupBy("user_id").count()
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(mv.toSeq === twin.toSeq)
+    } finally q.stop()
+  }
+
   test("foreachBatch replay is idempotent: re-committing a version never duplicates") {
     import graft.operators.MvccCatalog
     // foreachBatch delivers at-least-once; the sink upgrades it to
