@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** ClickHouse SQL TEXT compatibility: accept the clause-level CH-isms the
   * reference's LLM emits as raw SQL — `PREWHERE`, `LIMIT n BY cols`,
@@ -639,6 +639,116 @@ object ChSql {
     lex(out)
   }
 
+  // ---- WITH FILL (executing entry point only) -------------------------
+
+  /** A parsed depth-0 `ORDER BY axis WITH FILL [FROM a] [TO b] [STEP s]
+    * [INTERPOLATE (c, ...)] [LIMIT n]` tail; `inner` is the query with
+    * the whole ORDER BY ... tail removed.
+    */
+  final case class FillSpec(inner: String, axis: String,
+    from: Option[String], to: Option[String], step: Option[String],
+    interpolate: Seq[String], limit: Option[Int])
+
+  /** Extract the CH `WITH FILL` tail. Only the EXECUTING entry point
+    * ([[ChSql.sql]]) honors it — spine generation needs a plan, so the
+    * text-only [[ChSql.rewrite]] keeps rejecting the clause loudly (the
+    * injected-parser path included). Contract matches
+    * SelectDialect.withFillInterpolate: single bare ASC axis, bare
+    * INTERPOLATE columns (compounding `AS expr` forms are sequential by
+    * definition — rejected), the tail must end the statement (an
+    * optional final LIMIT allowed).
+    */
+  private[operators] def extractFill(text: String): Option[FillSpec] = {
+    val toks = lex(text)
+    var wi = -1
+    var i = 0
+    while (i < toks.length && wi < 0) {
+      if (toks(i).isWord("WITH") && toks(i).depth == 0) {
+        val j = nextNonWs(toks, i + 1)
+        val k = if (j < toks.length) nextNonWs(toks, j + 1) else toks.length
+        val isCte = k < toks.length &&
+          (toks(k).isWord("AS") || toks(k).text == "(")
+        if (j < toks.length && toks(j).isWord("FILL") && !isCte) wi = i
+      }
+      i += 1
+    }
+    if (wi < 0) return None
+    // the ORDER BY this tail modifies
+    var oi = wi - 1
+    while (oi >= 0 && !(toks(oi).isWord("ORDER") && toks(oi).depth == 0)) oi -= 1
+    require(oi >= 0, "ChSql: WITH FILL without a depth-0 ORDER BY")
+    val by = nextNonWs(toks, oi + 1)
+    require(by < toks.length && toks(by).isWord("BY"),
+      "ChSql: ORDER not followed by BY")
+    val axisToks = toks.slice(by + 1, wi)
+    require(!axisToks.exists(t => t.kind == SYM && t.text == "," && t.depth == 0),
+      "ChSql: WITH FILL supports a single ORDER BY axis column")
+    require(!axisToks.exists(_.isWord("DESC")),
+      "ChSql: WITH FILL DESC axes are not supported — fill ascending and " +
+        "ORDER BY ... DESC in an outer SELECT")
+    val axis = render(axisToks.filterNot(_.isWord("ASC"))).trim
+    require(axis.nonEmpty && lex(axis).count(_.kind != WS) == 1,
+      s"ChSql: WITH FILL axis must be a bare column, got '$axis' — " +
+        "alias the expression in the SELECT list first")
+    // clause tail after FILL
+    val stops = Set("FROM", "TO", "STEP", "INTERPOLATE", "LIMIT")
+    var p = nextNonWs(toks, nextNonWs(toks, wi + 1) + 1)
+    var from: Option[String] = None
+    var to: Option[String] = None
+    var step: Option[String] = None
+    var interpolate = Seq.empty[String]
+    var limit: Option[Int] = None
+    def exprEnd(q: Int): Int = {
+      var e = q
+      while (e < toks.length && !(toks(e).kind == WORD && toks(e).depth == 0 &&
+        stops.contains(toks(e).text.toUpperCase))) e += 1
+      e
+    }
+    while (p < toks.length) {
+      toks(p).text.toUpperCase match {
+        case "FROM" =>
+          val e = exprEnd(nextNonWs(toks, p + 1))
+          from = Some(render(toks.slice(nextNonWs(toks, p + 1), e)).trim); p = e
+        case "TO" =>
+          val e = exprEnd(nextNonWs(toks, p + 1))
+          to = Some(render(toks.slice(nextNonWs(toks, p + 1), e)).trim); p = e
+        case "STEP" =>
+          val e = exprEnd(nextNonWs(toks, p + 1))
+          step = Some(render(toks.slice(nextNonWs(toks, p + 1), e)).trim); p = e
+        case "INTERPOLATE" =>
+          val open = nextNonWs(toks, p + 1)
+          require(open < toks.length && toks(open).text == "(",
+            "ChSql: INTERPOLATE needs a (column, ...) list")
+          var q = open + 1
+          val cols = Vector.newBuilder[String]
+          while (q < toks.length && toks(q).text != ")") {
+            require(!toks(q).isWord("AS"),
+              "ChSql: INTERPOLATE (c AS expr) compounding forms are " +
+                "sequential by definition — not supported; bare columns " +
+                "carry the last observed value forward")
+            if (toks(q).kind == WORD || toks(q).kind == STR)
+              cols += { val t = toks(q).text
+                if (t.length >= 2 && (t.head == '`' || t.head == '"')) t.substring(1, t.length - 1) else t }
+            q += 1
+          }
+          interpolate = cols.result(); p = nextNonWs(toks, q + 1)
+        case "LIMIT" =>
+          val n = nextNonWs(toks, p + 1)
+          require(n < toks.length && toks(n).kind == NUM,
+            "ChSql: expected LIMIT <n> after WITH FILL")
+          limit = Some(toks(n).text.toInt)
+          p = nextNonWs(toks, n + 1)
+          require(p >= toks.length,
+            "ChSql: WITH FILL ... LIMIT must end the statement")
+        case other => throw new IllegalArgumentException(
+          s"ChSql: unexpected token '$other' in WITH FILL tail")
+      }
+      if (p < toks.length) p = nextNonWs(toks, p)
+    }
+    Some(FillSpec(render(toks.take(oi)).trim, axis, from, to, step,
+      interpolate, limit))
+  }
+
   // ---- public API ----------------------------------------------------
 
   final case class Rewritten(sql: String, format: Option[String])
@@ -657,5 +767,29 @@ object ChSql {
   def rewrite(text: String): String = rewriteWithFormat(text).sql
 
   def sql(spark: SparkSession, text: String): DataFrame =
-    spark.sql(rewrite(text))
+    extractFill(text) match {
+      case None => spark.sql(rewrite(text))
+      case Some(f) =>
+        import org.apache.spark.sql.functions.{col, expr, lit}
+        import org.apache.spark.sql.types._
+        val inner = sql(spark, f.inner) // recursive: other clauses apply
+        val axisType = inner.schema(f.axis).dataType
+        // non-interpolated gap columns take CH type defaults
+        val fillMap = inner.schema.fields
+          .filterNot(fd => fd.name == f.axis || f.interpolate.contains(fd.name))
+          .map { fd =>
+            fd.dataType match {
+              case _: NumericType => fd.name -> lit(0).cast(fd.dataType)
+              case StringType => fd.name -> lit("")
+              case BooleanType => fd.name -> lit(false)
+              case dt => fd.name -> lit(null).cast(dt)
+            }
+          }.toMap
+        val step = f.step.map(s => expr(s)).getOrElse(lit(1))
+        val cast: String => Column = s => expr(s).cast(axisType)
+        val filled = SelectDialect.withFillInterpolate(inner, f.axis, step,
+          fillMap, f.interpolate, Seq.empty,
+          from = f.from.map(cast), to = f.to.map(cast))
+        f.limit.fold(filled)(filled.limit)
+    }
 }

@@ -66,14 +66,26 @@ object SelectDialect {
     */
   def withFillInterpolate(df: DataFrame, axisCol: String, step: Column,
       fill: Map[String, Column], interpolate: Seq[String],
-      series: Seq[String] = Seq.empty): DataFrame = {
+      series: Seq[String] = Seq.empty,
+      from: Option[Column] = None, to: Option[Column] = None): DataFrame = {
+    // spine bounds: CH `WITH FILL FROM a TO b` literals override the
+    // data min/max; TO is EXCLUSIVE (CH semantics), the data-derived
+    // max stays inclusive. Rows whose axis value is OFF the step grid
+    // are kept (CH interleaves them): the spine unions the grid with
+    // the observed axis values, so the left join can never drop data.
     val spineAgg =
       if (series.isEmpty) df.agg(min(col(axisCol)).as("__lo"), max(col(axisCol)).as("__hi"))
       else df.groupBy(series.map(col): _*)
         .agg(min(col(axisCol)).as("__lo"), max(col(axisCol)).as("__hi"))
-    val spine = spineAgg.select(
-      series.map(col) :+ explode(sequence(col("__lo"), col("__hi"), step)).as(axisCol): _*)
-    val joined = spine.join(df, series :+ axisCol, "left")
+    val lo = from.getOrElse(col("__lo"))
+    val hi = to.getOrElse(col("__hi"))
+    var spine = spineAgg.select(
+      series.map(col) :+ explode(sequence(lo, hi, step)).as(axisCol): _*)
+    to.foreach(t => spine = spine.filter(col(axisCol) < t))
+    val gridded = spine
+      .union(df.select((series.map(col) :+ col(axisCol)): _*))
+      .distinct()
+    val joined = gridded.join(df, series :+ axisCol, "left")
     val filled = fill.foldLeft(joined) {
       case (acc, (c, dflt)) => acc.withColumn(c, coalesce(col(c), dflt))
     }

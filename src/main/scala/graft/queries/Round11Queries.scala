@@ -757,6 +757,42 @@ object Round11Queries {
     }, Some("""
       SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
       FROM documents WHERE n_chars > 100
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang""")),
+
+    // ---- q229: WITH FILL raw-text form through ChSql ----------------------
+    // The monitoring-dashboard shape as the LLM would emit it: a sparse
+    // daily series densified by ORDER BY ... WITH FILL STEP INTERVAL,
+    // counts gap-filling to the type default and the peak column
+    // carrying forward via INTERPOLATE. The executing entry point honors
+    // the clause (q165/q212 gate the plan form; this gates the TEXT
+    // path); ChSql.rewrite alone still rejects it loudly.
+    QueryDef("q229_chsql_with_fill", (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      graft.operators.ChSql.sql(s, """
+        SELECT day, cnt, peak FROM (
+          SELECT date_trunc('DAY', ts) AS day, count(*) AS cnt,
+                 max(value) AS peak
+          FROM events
+          PREWHERE event_type == 'purchase' AND user_id % 17 == 3
+          GROUP BY date_trunc('DAY', ts)) x
+        ORDER BY day WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (peak)""")
+    }, Some("""
+      WITH agg AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS cnt,
+               CAST(max(value) AS DOUBLE) AS peak
+        FROM events WHERE event_type = 'purchase' AND user_id % 17 = 3
+        GROUP BY 1),
+      spine AS (
+        SELECT unnest(generate_series((SELECT min(day) FROM agg),
+                                      (SELECT max(day) FROM agg),
+                                      INTERVAL 1 DAY)) AS day),
+      joined AS (
+        SELECT s.day, coalesce(a.cnt, 0) AS cnt, a.peak AS p
+        FROM spine s LEFT JOIN agg a USING (day))
+      SELECT day, CAST(cnt AS BIGINT) AS cnt,
+             last_value(p IGNORE NULLS) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS peak
+      FROM joined ORDER BY day"""))
   )
 }

@@ -223,6 +223,40 @@ class ChSqlSpec extends AnyFunSuite {
       .contains("WITH ROLLUP"))
   }
 
+  test("WITH FILL text form: FROM/TO/STEP/INTERPOLATE through the executing entry") {
+    t
+    Seq((2L, 10L, "a"), (6L, 30L, "b"), (7L, 70L, "x"))
+      .toDF("axis", "v", "s").createOrReplaceTempView("chsql_fill")
+    // grid 0,2,4,6,8 (TO 10 exclusive) + off-grid row 7 kept interleaved;
+    // v gap-fills to 0 (type default), s carries forward (INTERPOLATE)
+    val r = ChSql.sql(spark,
+      "SELECT axis, v, s FROM chsql_fill ORDER BY axis " +
+        "WITH FILL FROM 0 TO 10 STEP 2 INTERPOLATE (s)")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(r == Seq((0L, 0L, null), (2L, 10L, "a"), (4L, 0L, "a"),
+      (6L, 30L, "b"), (7L, 70L, "x"), (8L, 0L, "x")))
+    // no FROM/TO: data min..max inclusive; trailing LIMIT applies after
+    val r2 = ChSql.sql(spark,
+      "SELECT axis, v FROM chsql_fill ORDER BY axis WITH FILL LIMIT 4")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r2 == Seq((2L, 10L), (3L, 0L), (4L, 0L), (5L, 0L)))
+    // text-only rewrite keeps rejecting (spine needs a plan)
+    intercept[UnsupportedOperationException] {
+      ChSql.rewrite("SELECT axis FROM chsql_fill ORDER BY axis WITH FILL")
+    }
+    // loud contracts: multi-key axis, DESC, compounding INTERPOLATE
+    intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "SELECT axis, v FROM chsql_fill ORDER BY axis, v WITH FILL")
+    }
+    intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "SELECT axis FROM chsql_fill ORDER BY axis DESC WITH FILL")
+    }
+    intercept[IllegalArgumentException] {
+      ChSql.sql(spark,
+        "SELECT axis, v FROM chsql_fill ORDER BY axis WITH FILL INTERPOLATE (v AS v + 1)")
+    }
+  }
+
   test("ChDialectParser: statement entry points rewrite, identifiers pass through") {
     // spark.sql.extensions is a STATIC conf (fixed at SparkContext
     // creation), so the injected path can't be exercised on the shared
