@@ -594,6 +594,29 @@ object Registry {
     ("uniq", (e: Seq[Expression]) =>
       new HyperLogLogPlusPlus(e.head, Literal(0.02d)),
       "uniq(x) - approximate distinct count (HLL++, ~2% rel. error)"),
+    // ---- -State combinators (AggregatingMergeTree matview storage) ----
+    // Deterministic, oracle-able state encodings (NOT CH's binary
+    // states): uniqExactState = the sorted distinct-value array (CH's
+    // uniqExact state IS the value set), avgState = (sum, count) struct,
+    // sum/count/min/max states are their own partials. ChDdl merges
+    // these column-wise at matview read (SURVEY §16.3).
+    ("uniqexactstate", (e: Seq[Expression]) =>
+      SortArray(CollectSet(e.head).toAggregateExpression(), Literal(true)),
+      "uniqExactState(x) - mergeable exact-distinct state (sorted value set)"),
+    ("sumstate", (e: Seq[Expression]) => Sum(e.head),
+      "sumState(x) - mergeable sum partial"),
+    ("countstate", (e: Seq[Expression]) =>
+      Count(if (e.isEmpty) Seq(Literal(1)) else e),
+      "countState([x]) - mergeable count partial"),
+    ("minstate", (e: Seq[Expression]) => Min(e.head),
+      "minState(x) - mergeable min partial"),
+    ("maxstate", (e: Seq[Expression]) => Max(e.head),
+      "maxState(x) - mergeable max partial"),
+    ("avgstate", (e: Seq[Expression]) =>
+      CreateNamedStruct(Seq(
+        Literal("s"), Sum(e.head).toAggregateExpression(),
+        Literal("c"), Count(e.head).toAggregateExpression())),
+      "avgState(x) - mergeable mean state (sum, count struct)"),
     ("any", (e: Seq[Expression]) => First(e.head, ignoreNulls = true),
       "any(x) - ClickHouse first-encountered value (non-deterministic order)"),
     ("anylast", (e: Seq[Expression]) => Last(e.head, ignoreNulls = true),

@@ -110,7 +110,9 @@ object ChDdl {
     * concurrent-insert loss window to worry about).
     */
   final case class MatViewDef(name: String, orderBy: Seq[String],
-    selectText: String, baseTable: String)
+    selectText: String, baseTable: String,
+    engine: String = "SummingMergeTree",
+    states: Map[String, String] = Map.empty) // colName -> state kind
 
   private val mvDefs = new TrieMap[String, MatViewDef]
 
@@ -584,7 +586,7 @@ object ChDdl {
         }
         mvDefs.snapshot().foreach { case (k, m) =>
           if (k.startsWith(cat.root + "::") && tableExists(cat, m.name))
-            matViewFinal(cat, m.name).createOrReplaceTempView(viewName(m.name))
+            matViewFinalized(cat, m.name).createOrReplaceTempView(viewName(m.name))
         }
         // CH introspection: `system.parts` (per-part storage facts from
         // Catalog.parts — name/bytes/modified per parquet file) and
@@ -905,10 +907,10 @@ object ChDdl {
     require(i < toks.length && toks(i).text == "=", "ChDdl: expected ENGINE = ...")
     i = nextNonWs(toks, i + 1)
     val engine = word(i)
-    require(engine.equalsIgnoreCase("SummingMergeTree"),
+    require(engine.equalsIgnoreCase("SummingMergeTree") ||
+      engine.equalsIgnoreCase("AggregatingMergeTree"),
       s"ChDdl: materialized-view engine $engine not supported — " +
-        "SummingMergeTree only (AggregatingMergeTree states are served " +
-        "by graft MatView/Projections programmatically)")
+        "SummingMergeTree or AggregatingMergeTree")
     i = nextNonWs(toks, i + 1)
     if (i < toks.length && toks(i).text == "(") { // engine args: none valid
       val c = nextNonWs(toks, i + 1)
@@ -948,7 +950,35 @@ object ChDdl {
     require(f < selToks.length,
       "ChDdl: could not find the view's FROM clause")
     val (base, _) = tableNameAt(selToks.toVector, nextNonWs(selToks.toVector, f + 1))
-    (MatViewDef(name, orderBy, selectText, base), ifNotExists, populate)
+    // AggregatingMergeTree: map each -State select item's alias to its
+    // state kind so reads know the per-column merge rule
+    val StateFns = Map("uniqexactstate" -> "uniq", "sumstate" -> "sum",
+      "countstate" -> "count", "minstate" -> "min", "maxstate" -> "max",
+      "avgstate" -> "avg")
+    val states = Map.newBuilder[String, String]
+    if (engine.equalsIgnoreCase("AggregatingMergeTree")) {
+      val sv = selToks.toVector
+      val items = splitTop(sv, nextNonWs(sv, 1), f, 0)
+      items.foreach { case (from, to) =>
+        val item = sv.slice(from, to)
+        val fnIdx = item.indexWhere(t => t.kind == WORD &&
+          StateFns.contains(t.text.toLowerCase))
+        if (fnIdx >= 0) {
+          val asIdx = item.lastIndexWhere(t => t.depth == 0 && t.isWord("AS"))
+          require(asIdx > fnIdx,
+            s"ChDdl: -State select items need an alias " +
+              s"(${render(item).trim} AS name)")
+          val alias = unq(render(item.drop(asIdx + 1)).trim)
+          states += (alias -> StateFns(item(fnIdx).text.toLowerCase))
+        }
+      }
+      require(states.result().nonEmpty,
+        "ChDdl: an AggregatingMergeTree view needs at least one -State " +
+          "select item (uniqExactState/sumState/countState/minState/" +
+          "maxState/avgState)")
+    }
+    (MatViewDef(name, orderBy, selectText, base, engine, states.result()),
+      ifNotExists, populate)
   }
 
   def createMatView(cat: Catalog, text: String): DataFrame = {
@@ -978,25 +1008,77 @@ object ChDdl {
     emptyResult(cat.spark)
   }
 
-  /** The merged (SummingMergeTree FINAL) read of a materialized view:
-    * group by the ORDER BY key, sum every other column, declared column
-    * order and types preserved.
+  /** The merged FINAL read of a materialized view: group by the ORDER BY
+    * key and merge every other column by the engine's rule — Summing
+    * sums; Aggregating applies the per-column -State merge recorded at
+    * CREATE (uniq = distinct-union of the sorted value sets, avg = sum
+    * the (s, c) struct fields, sum/count/min/max = their own partials).
+    * Declared column order and types preserved. The merge is associative
+    * and idempotent on merged output, so OPTIMIZE may materialize it and
+    * later blocks keep merging.
     */
   def matViewFinal(cat: Catalog, name: String): DataFrame = {
     val m = mvDefs.getOrElse(key(cat, name), throw new IllegalArgumentException(
       s"ChDdl: unknown materialized view '$name'"))
     val raw = cat.readRaw(m.name)
     val others = raw.schema.fields.filterNot(f => m.orderBy.contains(f.name))
-    val nonNum = others.filterNot(_.dataType.isInstanceOf[NumericType])
-    require(nonNum.isEmpty,
-      s"ChDdl: SummingMergeTree sums every non-key column — non-numeric " +
-        s"column(s) ${nonNum.map(_.name).mkString(", ")} are not summable; " +
-        "add them to ORDER BY or drop them from the SELECT")
     require(others.nonEmpty,
-      s"ChDdl: materialized view ${m.name} has no summable columns")
-    val aggs = others.map(f => sum(col(f.name)).cast(f.dataType).as(f.name))
+      s"ChDdl: materialized view ${m.name} has no mergeable columns")
+    val aggs: Seq[Column] =
+      if (m.engine.equalsIgnoreCase("AggregatingMergeTree")) {
+        others.toSeq.map { f =>
+          m.states.get(f.name) match {
+            case Some("uniq") =>
+              array_sort(array_distinct(flatten(collect_list(col(f.name)))))
+                .as(f.name)
+            case Some("avg") =>
+              val st = f.dataType.asInstanceOf[StructType]
+              struct(
+                sum(col(f.name).getField("s")).cast(st("s").dataType).as("s"),
+                sum(col(f.name).getField("c")).cast(st("c").dataType).as("c"))
+                .as(f.name)
+            case Some("sum") | Some("count") =>
+              sum(col(f.name)).cast(f.dataType).as(f.name)
+            case Some("min") => min(col(f.name)).as(f.name)
+            case Some("max") => max(col(f.name)).as(f.name)
+            case other => throw new IllegalArgumentException(
+              s"ChDdl: column '${f.name}' of ${m.name} has no -State rule " +
+                s"($other) — AggregatingMergeTree selects must wrap every " +
+                "non-key column in a -State combinator")
+          }
+        }
+      } else {
+        val nonNum = others.filterNot(_.dataType.isInstanceOf[NumericType])
+        require(nonNum.isEmpty,
+          s"ChDdl: SummingMergeTree sums every non-key column — non-numeric " +
+            s"column(s) ${nonNum.map(_.name).mkString(", ")} are not summable; " +
+            "add them to ORDER BY or drop them from the SELECT")
+        others.toSeq.map(f => sum(col(f.name)).cast(f.dataType).as(f.name))
+      }
     raw.groupBy(m.orderBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(raw.columns.map(col).toSeq: _*)
+  }
+
+  /** The FINALIZED read of an AggregatingMergeTree view: merged states
+    * converted to their values (uniq → cardinality, avg → s/c in double,
+    * the rest are already final). CH makes readers write -Merge
+    * combinators; this engine pre-finalizes the registered view — the
+    * value a dashboard query wants (documented divergence). Summing
+    * views finalize to themselves.
+    */
+  def matViewFinalized(cat: Catalog, name: String): DataFrame = {
+    val m = mvDefs.getOrElse(key(cat, name), throw new IllegalArgumentException(
+      s"ChDdl: unknown materialized view '$name'"))
+    val merged = matViewFinal(cat, name)
+    if (!m.engine.equalsIgnoreCase("AggregatingMergeTree")) merged
+    else merged.select(merged.columns.toSeq.map { c =>
+      m.states.get(c) match {
+        case Some("uniq") => size(col(c)).cast("long").as(c)
+        case Some("avg") =>
+          (col(c).getField("s").cast("double") / col(c).getField("c")).as(c)
+        case _ => col(c)
+      }
+    }: _*)
   }
 
   /** The CH `SELECT ... FROM t FINAL` read: replacing engines dedup by

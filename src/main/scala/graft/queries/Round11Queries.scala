@@ -793,6 +793,41 @@ object Round11Queries {
              last_value(p IGNORE NULLS) OVER (
                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW) AS peak
-      FROM joined ORDER BY day"""))
+      FROM joined ORDER BY day""")),
+
+    // ---- q230: AggregatingMergeTree matview through ChDdl -----------------
+    // The -State/-Merge path: exact-distinct and mean states merge
+    // ACROSS insert blocks (sources overlap between the two blocks, so a
+    // summed per-block count(distinct) would over-count — the state
+    // must carry the value set), OPTIMIZE FINAL materializes merged
+    // state, and the read finalizes (uniq → cardinality, avg → s/c).
+    // Oracle: DuckDB aggregates the union of both blocks directly.
+    QueryDef("q230_chddl_agg_matview", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q230").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE docs (doc_id Int64, lang String, source String,
+           n_chars Int64) ENGINE = MergeTree ORDER BY doc_id""")
+      x("""CREATE MATERIALIZED VIEW lang_states
+           ENGINE = AggregatingMergeTree ORDER BY lang
+           AS SELECT lang, uniqExactState(source) AS srcs,
+                     avgState(n_chars) AS mean_chars,
+                     maxState(n_chars) AS max_chars,
+                     countState(doc_id) AS n
+              FROM docs GROUP BY lang""")
+      x("""INSERT INTO docs SELECT doc_id, lang, source, n_chars
+           FROM documents PREWHERE doc_id % 2 == 0""")
+      x("""INSERT INTO docs SELECT doc_id, lang, source, n_chars
+           FROM documents PREWHERE doc_id % 2 == 1""")
+      x("OPTIMIZE TABLE lang_states FINAL")
+      x("SELECT lang, srcs, mean_chars, max_chars, n FROM lang_states ORDER BY lang")
+    }, Some("""
+      SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS srcs,
+             CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(n_chars)
+               AS mean_chars,
+             max(n_chars) AS max_chars,
+             CAST(count(doc_id) AS BIGINT) AS n
+      FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

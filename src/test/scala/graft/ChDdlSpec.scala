@@ -343,6 +343,44 @@ class ChDdlSpec extends AnyFunSuite {
     assert(lit == "system.parts")
   }
 
+  test("AggregatingMergeTree matview: -State merge across blocks, OPTIMIZE, finalize") {
+    val cat = freshCat("chddl_aggmv")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE ev (k String, u Int64, v Int64) ENGINE = MergeTree ORDER BY k")
+    x("""CREATE MATERIALIZED VIEW st ENGINE = AggregatingMergeTree
+         ORDER BY k AS SELECT k, uniqExactState(u) AS users,
+           avgState(v) AS mean_v, sumState(v) AS sum_v,
+           minState(v) AS min_v, countState(v) AS n
+         FROM ev GROUP BY k""")
+    // u=1 appears in BOTH blocks for 'a': exact-distinct must dedup
+    // across blocks, which a summed count(distinct) cannot do
+    x("INSERT INTO ev VALUES ('a', 1, 10), ('a', 2, 20), ('b', 5, 5)")
+    x("INSERT INTO ev VALUES ('a', 1, 30), ('a', 3, 40), ('b', 5, 7)")
+    def fin() = ChDdl.matViewFinalized(cat, "st").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val expect = Seq(("a", 3L, 25.0, 100L, 10L, 4L), ("b", 1L, 6.0, 12L, 5L, 2L))
+    assert(fin() == expect)
+    // two state rows per key until OPTIMIZE; identical finalize after
+    assert(cat.readRaw("st").filter("k = 'a'").count() == 2L)
+    x("OPTIMIZE TABLE st FINAL")
+    assert(cat.readRaw("st").filter("k = 'a'").count() == 1L)
+    assert(fin() == expect)
+    // further inserts keep merging with the OPTIMIZE-materialized state
+    x("INSERT INTO ev VALUES ('a', 9, 50)")
+    assert(fin().head == (("a", 4L, 30.0, 150L, 10L, 5L)))
+    // SELECT fall-through serves the FINALIZED view
+    val sel = ChDdl.execute(cat, "SELECT k, users FROM st ORDER BY k").collect()
+    assert(sel.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 4L), ("b", 1L)))
+    // loud: non-key column without a -State rule
+    x("""CREATE MATERIALIZED VIEW bad2 ENGINE = AggregatingMergeTree
+         ORDER BY k AS SELECT k, uniqExactState(u) AS users, sum(v) AS s
+         FROM ev GROUP BY k""")
+    val e = intercept[IllegalArgumentException] { ChDdl.matViewFinal(cat, "bad2") }
+    assert(e.getMessage.contains("-State"))
+  }
+
   test("materialized view: insert-trigger semantics, POPULATE, OPTIMIZE, drop") {
     val cat = freshCat("chddl_mv")
     val x = ChDdl.execute(cat, _: String)
