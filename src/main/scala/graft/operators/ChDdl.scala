@@ -589,10 +589,13 @@ object ChDdl {
             matViewFinalized(cat, m.name).createOrReplaceTempView(viewName(m.name))
         }
         // CH introspection: `system.parts` (per-part storage facts from
-        // Catalog.parts — name/bytes/modified per parquet file) and
-        // `system.tables` (the registered defs). Bound lazily, and the
-        // dotted reference re-tokenized to the view name — a STRING
-        // containing "system.parts" is a STR token and survives.
+        // Catalog.parts — name/bytes/modified per parquet file),
+        // `system.tables` (the registered defs), `system.columns` (the
+        // column lattice of every registered def), `system.query_log`
+        // (the QueryLog listener's ring). Bound lazily, and the dotted
+        // reference re-tokenized to the view name — a STRING containing
+        // "system.parts" is a STR token and survives.
+        val sysTables = Set("parts", "tables", "columns", "query_log")
         var qToks = toks
         var i = 0
         var bound = Set.empty[String]
@@ -601,7 +604,8 @@ object ChDdl {
             val dot = nextNonWs(qToks, i + 1)
             dot < qToks.length && qToks(dot).text == "." && {
               val w = nextNonWs(qToks, dot + 1)
-              w < qToks.length && (qToks(w).isWord("parts") || qToks(w).isWord("tables"))
+              w < qToks.length && qToks(w).kind == WORD &&
+                sysTables.contains(qToks(w).text.toLowerCase)
             }
           }) {
             val dot = nextNonWs(qToks, i + 1)
@@ -609,10 +613,24 @@ object ChDdl {
             val which = qToks(w).text.toLowerCase
             if (!bound.contains(which)) {
               bound += which
-              if (which == "parts")
-                cat.parts().createOrReplaceTempView("system_parts")
-              else
-                execute(cat, "SHOW TABLES").createOrReplaceTempView("system_tables")
+              val v = which match {
+                case "parts" => cat.parts()
+                case "tables" => execute(cat, "SHOW TABLES")
+                case "query_log" => QueryLog.log(spark)
+                case "columns" =>
+                  import spark.implicits._
+                  val prefix = cat.root + "::"
+                  defs.snapshot().toSeq.collect {
+                    case (k, d) if k.startsWith(prefix) =>
+                      d.columns.zipWithIndex.map { case (c, pos) =>
+                        (d.name, c.name, pos + 1, c.dataType.sql,
+                          c.nullable, c.default.getOrElse(""))
+                      }
+                  }.flatten.sortBy(r => (r._1, r._3))
+                    .toDF("table", "name", "position", "type",
+                      "nullable", "default_expression")
+              }
+              v.createOrReplaceTempView(s"system_$which")
             }
             qToks = qToks.patch(i,
               Vector(qToks(i).copy(text = s"system_$which")), w - i + 1)

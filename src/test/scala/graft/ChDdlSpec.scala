@@ -341,6 +341,17 @@ class ChDdlSpec extends AnyFunSuite {
     // the dotted form inside a string literal is untouched
     val lit = x("SELECT 'system.parts' AS s").collect()(0).getString(0)
     assert(lit == "system.parts")
+    // system.columns: the column lattice of every registered def
+    val cols = x("""SELECT table, name, type FROM system.columns
+                    WHERE table = 'a' ORDER BY position""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(cols == Seq(("a", "id", "BIGINT")))
+    // system.query_log: the listener ring is queryable through the text
+    graft.operators.QueryLog.install(spark)
+    x("SELECT count(*) AS warm FROM a") // something to log
+    val logged = x("SELECT count(*) AS n FROM system.query_log")
+      .collect()(0).getLong(0)
+    assert(logged > 0L)
   }
 
   test("AggregatingMergeTree matview: -State merge across blocks, OPTIMIZE, finalize") {
