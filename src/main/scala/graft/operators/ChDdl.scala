@@ -125,6 +125,12 @@ object ChDdl {
 
   private val defs = new TrieMap[String, ChTableDef]
   private val seqs = new TrieMap[String, java.util.concurrent.atomic.AtomicLong]
+  /** Registered database namespaces (CREATE/DROP DATABASE, SHOW
+    * DATABASES). Dotted table names auto-namespace without registration
+    * (the reference's `chat.kb` shape works bare); the registry is the
+    * bookkeeping DROP DATABASE and SHOW need.
+    */
+  private val databases = new TrieMap[String, Unit]
 
   private def key(cat: Catalog, table: String) = cat.root + "::" + table.toLowerCase
 
@@ -500,7 +506,23 @@ object ChDdl {
     head match {
       case "CREATE" =>
         val n = nextNonWs(toks, i0 + 1)
-        if (n < toks.length && toks(n).isWord("MATERIALIZED"))
+        if (n < toks.length && toks(n).isWord("DATABASE")) {
+          var i = nextNonWs(toks, n + 1)
+          var ifNotExists = false
+          if (i < toks.length && toks(i).isWord("IF")) {
+            i = nextNonWs(toks, i + 1); require(toks(i).isWord("NOT"),
+              "ChDdl: expected IF NOT EXISTS")
+            i = nextNonWs(toks, i + 1); require(toks(i).isWord("EXISTS"),
+              "ChDdl: expected IF NOT EXISTS")
+            i = nextNonWs(toks, i + 1)
+            ifNotExists = true
+          }
+          val db = unq(toks(i).text)
+          require(ifNotExists || !databases.contains(key(cat, db)),
+            s"ChDdl: database $db already exists (no IF NOT EXISTS)")
+          databases.put(key(cat, db), ())
+          emptyResult(spark)
+        } else if (n < toks.length && toks(n).isWord("MATERIALIZED"))
           createMatView(cat, text)
         else if (n < toks.length && toks(n).isWord("VIEW"))
           throw new UnsupportedOperationException(
@@ -534,18 +556,35 @@ object ChDdl {
         emptyResult(spark)
       case "SHOW" =>
         val n = nextNonWs(toks, i0 + 1)
-        require(n < toks.length && toks(n).isWord("TABLES"),
-          "ChDdl: only SHOW TABLES is supported")
         import spark.implicits._
         val prefix = cat.root + "::"
-        val rows =
-          defs.snapshot().collect { case (k, d) if k.startsWith(prefix) =>
-            (d.name, d.engine)
-          }.toSeq ++
-          mvDefs.snapshot().collect { case (k, m) if k.startsWith(prefix) =>
-            (m.name, "MaterializedView")
+        if (n < toks.length && toks(n).isWord("DATABASES")) {
+          databases.snapshot().keysIterator
+            .collect { case k if k.startsWith(prefix) => k.drop(prefix.length) }
+            .toSeq.sorted.toDF("name")
+        } else {
+          require(n < toks.length && toks(n).isWord("TABLES"),
+            "ChDdl: only SHOW TABLES / SHOW DATABASES are supported")
+          // optional FROM|IN db filter
+          val f = nextNonWs(toks, n + 1)
+          val dbFilter: Option[String] =
+            if (f < toks.length && (toks(f).isWord("FROM") || toks(f).isWord("IN")))
+              Some(unq(toks(nextNonWs(toks, f + 1)).text).toLowerCase)
+            else None
+          def inDb(name: String): Boolean = dbFilter.forall { db =>
+            name.toLowerCase.startsWith(db + ".")
           }
-        rows.toSeq.sortBy(_._1).toDF("name", "engine")
+          val rows =
+            defs.snapshot().collect {
+              case (k, d) if k.startsWith(prefix) && inDb(d.name) =>
+                (d.name, d.engine)
+            }.toSeq ++
+            mvDefs.snapshot().collect {
+              case (k, m) if k.startsWith(prefix) && inDb(m.name) =>
+                (m.name, "MaterializedView")
+            }
+          rows.toSeq.sortBy(_._1).toDF("name", "engine")
+        }
       case "DESCRIBE" | "DESC" =>
         var i = nextNonWs(toks, i0 + 1)
         if (i < toks.length && toks(i).isWord("TABLE")) i = nextNonWs(toks, i + 1)
@@ -562,20 +601,41 @@ object ChDdl {
         emptyResult(spark)
       case "DROP" =>
         var i = nextNonWs(toks, i0 + 1)
-        require(i < toks.length &&
-          (toks(i).isWord("TABLE") || toks(i).isWord("VIEW")),
-          "ChDdl: expected DROP TABLE or DROP VIEW")
+        require(i < toks.length && (toks(i).isWord("TABLE") ||
+          toks(i).isWord("VIEW") || toks(i).isWord("DATABASE")),
+          "ChDdl: expected DROP TABLE, DROP VIEW or DROP DATABASE")
+        val isDb = toks(i).isWord("DATABASE")
         i = nextNonWs(toks, i + 1)
         if (i < toks.length && toks(i).isWord("IF")) {
           i = nextNonWs(toks, i + 1); require(toks(i).isWord("EXISTS"),
-            "ChDdl: expected DROP TABLE IF EXISTS")
+            "ChDdl: expected DROP ... IF EXISTS")
           i = nextNonWs(toks, i + 1)
         }
-        val (t, _) = tableNameAt(toks, i)
-        defs.remove(key(cat, t)); seqs.remove(key(cat, t))
-        mvDefs.remove(key(cat, t))
-        Catalog.registerWriteOptions(s"${cat.root}/$t", Map.empty)
-        emptyResult(spark)
+        if (isDb) {
+          // CH DROP DATABASE removes the tables and their data
+          val db = unq(toks(i).text)
+          databases.remove(key(cat, db))
+          val p = key(cat, db + ".")
+          (defs.snapshot().keysIterator ++ mvDefs.snapshot().keysIterator)
+            .filter(_.startsWith(p)).toSeq.distinct.foreach { k =>
+              val name = k.drop((cat.root + "::").length)
+              defs.remove(k); mvDefs.remove(k); seqs.remove(k)
+              Catalog.registerWriteOptions(s"${cat.root}/$name", Map.empty)
+              val dir = java.nio.file.Paths.get(cat.root, name)
+              if (java.nio.file.Files.exists(dir)) {
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+                  .reverse.foreach(java.nio.file.Files.delete)
+              }
+            }
+          emptyResult(spark)
+        } else {
+          val (t, _) = tableNameAt(toks, i)
+          defs.remove(key(cat, t)); seqs.remove(key(cat, t))
+          mvDefs.remove(key(cat, t))
+          Catalog.registerWriteOptions(s"${cat.root}/$t", Map.empty)
+          emptyResult(spark)
+        }
       case _ =>
         // SELECT / WITH / anything query-shaped: expose registered
         // tables (and materialized views, merged) as FINAL views, then

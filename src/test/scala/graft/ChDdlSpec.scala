@@ -392,6 +392,31 @@ class ChDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("-State"))
   }
 
+  test("CREATE/DROP DATABASE, SHOW DATABASES, SHOW TABLES FROM db") {
+    val cat = freshCat("chddl_db")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE DATABASE analytics")
+    x("CREATE DATABASE IF NOT EXISTS analytics") // idempotent form
+    intercept[IllegalArgumentException] { x("CREATE DATABASE analytics") }
+    assert(x("SHOW DATABASES").collect().map(_.getString(0)).toSeq ==
+      Seq("analytics"))
+    x("CREATE TABLE analytics.a (id Int64) ENGINE = MergeTree ORDER BY id")
+    x("CREATE TABLE analytics.b (id Int64) ENGINE = MergeTree ORDER BY id")
+    x("CREATE TABLE loose (id Int64) ENGINE = MergeTree ORDER BY id")
+    x("INSERT INTO analytics.a VALUES (1)")
+    val inDb = x("SHOW TABLES FROM analytics").collect()
+      .map(_.getString(0)).toSeq
+    assert(inDb == Seq("analytics.a", "analytics.b"))
+    assert(x("SHOW TABLES").collect().length == 3)
+    // DROP DATABASE removes the tables AND their data directories
+    val dataDir = java.nio.file.Paths.get(cat.root, "analytics.a")
+    assert(java.nio.file.Files.exists(dataDir))
+    x("DROP DATABASE analytics")
+    assert(!java.nio.file.Files.exists(dataDir))
+    assert(x("SHOW TABLES").collect().map(_.getString(0)).toSeq == Seq("loose"))
+    intercept[IllegalArgumentException] { ChDdl.view(cat, "analytics.a") }
+  }
+
   test("materialized view: insert-trigger semantics, POPULATE, OPTIMIZE, drop") {
     val cat = freshCat("chddl_mv")
     val x = ChDdl.execute(cat, _: String)
