@@ -50,7 +50,11 @@ import ChSql.{Tok, WORD, NUM, STR, SYM, lex, render, nextNonWs}
   *   - `CREATE MATERIALIZED VIEW v ENGINE = SummingMergeTree ORDER BY k
   *     [POPULATE] AS SELECT ...` — CH's insert-trigger semantics (see
   *     [[MatViewDef]]).
-  *   - `TRUNCATE TABLE t`, `DROP TABLE|VIEW [IF EXISTS] t`.
+  *   - `TRUNCATE TABLE t`, `DROP TABLE|VIEW [IF EXISTS] t`,
+  *     `CREATE TABLE ... AS SELECT` (CTAS), `RENAME TABLE a TO b`,
+  *     `EXCHANGE TABLES a AND b`, `CREATE|DROP DATABASE`,
+  *     `SHOW DATABASES|TABLES [FROM db]`, `DESCRIBE [TABLE] t`, and
+  *     the `system.parts|tables|columns|query_log` introspection views.
   *   - anything else → [[ChSql.sql]] (the SELECT dialect), with every
   *     registered table exposed as a replacing-merged temp view.
   *
