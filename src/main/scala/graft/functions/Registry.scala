@@ -1825,6 +1825,12 @@ object Registry {
         Seq(Cast(e.head, StringType)), returnNullable = false),
       "murmurHash3_32(s) - reference x86_32, seed 0, as UInt32 " +
         "(verified against Guava's canonical implementation)"),
+    ("murmurhash3_128", (e: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        org.apache.spark.sql.graft.Murmur3.getClass, BinaryType, "murmur3_128",
+        Seq(Cast(e.head, StringType)), returnNullable = false),
+      "murmurHash3_128(s) - canonical x64_128 (Guava direct), seed 0, " +
+        "16 bytes (h1, h2 little-endian)"),
     ("jsontype", (e: Seq[Expression]) =>
       Registry.si(StringType, "jsonType", e.take(1)),
       "JSONType(s) - Object/Array/String/Int64/Double/Bool/Null; '' invalid"),

@@ -201,4 +201,14 @@ object Murmur3 {
 
   /** CH murmurHash3_32: seed 0 over the UTF-8 bytes, as UInt32. */
   def murmur3_32(s: UTF8String): Long = x86_32(s.getBytes, 0) & 0xffffffffL
+
+  /** CH murmurHash3_128: MurmurHash3 x64_128 at seed 0 over the UTF-8
+    * bytes, 16 bytes out (h1 then h2, little-endian — CH memcpys the two
+    * u64s the same way). No port at all here: Guava's murmur3_128 on the
+    * Spark classpath IS the canonical implementation (verified against
+    * Appleby's reference vectors upstream), called directly — the same
+    * offline-oracle standard that admitted murmurHash3_32.
+    */
+  def murmur3_128(s: UTF8String): Array[Byte] =
+    com.google.common.hash.Hashing.murmur3_128(0).hashBytes(s.getBytes).asBytes()
 }

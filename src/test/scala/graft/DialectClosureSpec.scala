@@ -57,6 +57,16 @@ class DialectClosureSpec extends AnyFunSuite {
     }
     assert(l("murmurHash3_32('abc')") >= 0L) // UInt32 range
     assert(l("murmurHash3_32('abc')") == l("murmurHash3_32('abc')"))
+    // murmurHash3_128: no port at all — Guava's canonical x64_128 called
+    // directly; pin the registration contract (16 bytes, seed 0 over
+    // UTF-8, hex composition, CH's h1-then-h2 little-endian layout)
+    val m128 = one("murmurHash3_128('foo')").getAs[Array[Byte]](0)
+    assert(m128.length == 16)
+    assert(m128.toSeq == com.google.common.hash.Hashing.murmur3_128(0)
+      .hashString("foo", java.nio.charset.StandardCharsets.UTF_8)
+      .asBytes().toSeq)
+    assert(s("hex(murmurHash3_128('foo'))").length == 32)
+    assert(s("hex(murmurHash3_128(''))") != s("hex(murmurHash3_128('x'))"))
   }
 
   test("IPv6: RFC 5952 canonical round-trips") {
