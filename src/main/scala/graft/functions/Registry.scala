@@ -1656,8 +1656,22 @@ object Registry {
     ("sha256", (e: Seq[Expression]) => Registry.si(BinaryType, "sha256",
       e.take(1)), "SHA256(s) - 32 raw bytes (hex() to print)"),
     ("hivehash", (e: Seq[Expression]) => HiveHash(e), "hiveHash(x...)"),
-    ("xxhash64", (e: Seq[Expression]) => new XxHash64(e),
-      "xxHash64(x...) - Spark's xxhash64 (seed 42, not CH bytes)"),
+    // CH-exact bytes via lz4-java's canonical xxHash (seed 0 over the
+    // UTF-8 string bytes); multi-arg falls back to Spark's xxhash64
+    // (seed 42, Spark row encoding) which the Column API keeps anyway
+    ("xxhash64", (e: Seq[Expression]) =>
+      if (e.length == 1)
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          org.apache.spark.sql.graft.Murmur3.getClass, LongType, "xxHash64ch",
+          Seq(Cast(e.head, StringType)), returnNullable = false)
+      else new XxHash64(e),
+      "xxHash64(s) - canonical xxHash64, seed 0 over string bytes (CH " +
+        "bytes; multi-arg = Spark's seed-42 row hash)"),
+    ("xxhash32", (e: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        org.apache.spark.sql.graft.Murmur3.getClass, LongType, "xxHash32",
+        Seq(Cast(e.head, StringType)), returnNullable = false),
+      "xxHash32(s) - canonical xxHash32, seed 0 over string bytes, as UInt32"),
     ("ngramsimhash", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.SimHash64(Registry.ngramsExpr(e.head, Literal(4))),
       "ngramSimHash(s) - simhash over 4-grams (graft bits, not CH's)"),

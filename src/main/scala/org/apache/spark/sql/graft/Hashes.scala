@@ -211,4 +211,27 @@ object Murmur3 {
     */
   def murmur3_128(s: UTF8String): Array[Byte] =
     com.google.common.hash.Hashing.murmur3_128(0).hashBytes(s.getBytes).asBytes()
+
+  /** CH xxHash32/xxHash64: Yann Collet's xxHash at seed 0 over the
+    * UTF-8 bytes. No port: lz4-java on the Spark classpath carries the
+    * canonical pure-Java implementation (upstream-verified against the
+    * reference vectors) — the same offline-oracle standard as the
+    * murmur3 pair. Instances are stateless and thread-safe. (Spark's
+    * own `xxhash64` uses seed 42 with Spark's type-specific row
+    * encoding — different bytes by design; the Column function keeps
+    * those semantics, the CH dialect name gets CH's.)
+    */
+  private val xxFactory = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+  private val xx32 = xxFactory.hash32()
+  private val xx64 = xxFactory.hash64()
+
+  def xxHash32(s: UTF8String): Long = {
+    val b = s.getBytes
+    xx32.hash(b, 0, b.length, 0) & 0xffffffffL
+  }
+
+  def xxHash64ch(s: UTF8String): Long = {
+    val b = s.getBytes
+    xx64.hash(b, 0, b.length, 0)
+  }
 }

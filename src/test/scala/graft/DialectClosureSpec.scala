@@ -67,6 +67,15 @@ class DialectClosureSpec extends AnyFunSuite {
       .asBytes().toSeq)
     assert(s("hex(murmurHash3_128('foo'))").length == 32)
     assert(s("hex(murmurHash3_128(''))") != s("hex(murmurHash3_128('x'))"))
+    // xxHash32/xxHash64 (lz4-java canonical): pinned to the PUBLISHED
+    // xxHash reference vectors (xxHash spec/README, seed 0)
+    assert(l("xxHash32('')") == 0x02CC5D05L)
+    assert(l("xxHash32('Nobody inspects the spammish repetition')") == 0xE2293B2FL)
+    assert(l("xxHash64('')") == 0xEF46DB3751D8E999L)
+    assert(l("xxHash64('Nobody inspects the spammish repetition')") ==
+      0xFBCEA83C8A378BF1L)
+    // multi-arg keeps Spark's seed-42 row-hash semantics
+    assert(l("xxHash64('a', 'b')") == l("xxhash64('a', 'b')"))
   }
 
   test("IPv6: RFC 5952 canonical round-trips") {
