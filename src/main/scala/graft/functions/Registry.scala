@@ -1672,6 +1672,13 @@ object Registry {
         org.apache.spark.sql.graft.Murmur3.getClass, LongType, "xxHash32",
         Seq(Cast(e.head, StringType)), returnNullable = false),
       "xxHash32(s) - canonical xxHash32, seed 0 over string bytes, as UInt32"),
+    ("farmfingerprint64", (e: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        org.apache.spark.sql.graft.Murmur3.getClass, LongType,
+        "farmFingerprint64", Seq(Cast(e.head, StringType)),
+        returnNullable = false),
+      "farmFingerprint64(s) - canonical FarmHash Fingerprint64 (Guava " +
+        "direct) over string bytes"),
     ("ngramsimhash", (e: Seq[Expression]) =>
       org.apache.spark.sql.graft.SimHash64(Registry.ngramsExpr(e.head, Literal(4))),
       "ngramSimHash(s) - simhash over 4-grams (graft bits, not CH's)"),

@@ -234,4 +234,13 @@ object Murmur3 {
     val b = s.getBytes
     xx64.hash(b, 0, b.length, 0)
   }
+
+  /** CH farmFingerprint64: FarmHash Fingerprint64 over the UTF-8 bytes
+    * — Guava's farmHashFingerprint64 IS the canonical implementation
+    * (upstream-verified). CH's farmHash64 (farmhash::Hash64, a
+    * DIFFERENT function that is seed/platform-tuned) remains excluded.
+    */
+  def farmFingerprint64(s: UTF8String): Long =
+    com.google.common.hash.Hashing.farmHashFingerprint64()
+      .hashBytes(s.getBytes).asLong()
 }

@@ -76,6 +76,11 @@ class DialectClosureSpec extends AnyFunSuite {
       0xFBCEA83C8A378BF1L)
     // multi-arg keeps Spark's seed-42 row-hash semantics
     assert(l("xxHash64('a', 'b')") == l("xxhash64('a', 'b')"))
+    // farmFingerprint64: Guava's canonical FarmHash Fingerprint64
+    assert(l("farmFingerprint64('abc')") ==
+      com.google.common.hash.Hashing.farmHashFingerprint64()
+        .hashString("abc", java.nio.charset.StandardCharsets.UTF_8).asLong())
+    assert(l("farmFingerprint64('')") != l("farmFingerprint64('x')"))
   }
 
   test("IPv6: RFC 5952 canonical round-trips") {
