@@ -501,6 +501,28 @@ object ChDdl {
     * frame; SELECTs return their result (with all registered tables
     * visible as replacing-merged views — CH `FINAL` semantics).
     */
+  /** Execute a multi-statement script (top-level `;` separated — the
+    * shape a CH client sends from a .sql file; semicolons inside string
+    * literals or parens are lexed, never split on). Returns the LAST
+    * statement's frame.
+    */
+  def executeScript(cat: Catalog, script: String): DataFrame = {
+    val toks = lex(script)
+    val stmts = Vector.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == SYM && toks(i).text == ";" && toks(i).depth == 0) {
+        stmts += render(toks.slice(start, i)); start = i + 1
+      }
+      i += 1
+    }
+    stmts += render(toks.slice(start, toks.length))
+    val nonEmpty = stmts.result().map(_.trim).filter(_.nonEmpty)
+    require(nonEmpty.nonEmpty, "ChDdl: empty script")
+    nonEmpty.map(execute(cat, _)).last
+  }
+
   def execute(cat: Catalog, text: String): DataFrame = {
     val spark = cat.spark
     val toks = lex(text)
@@ -536,6 +558,29 @@ object ChDdl {
       case "INSERT" => insert(cat, toks, i0)
       case "ALTER" => alter(cat, toks, i0)
       case "OPTIMIZE" => optimize(cat, toks, i0)
+      case "DELETE" =>
+        // CH lightweight delete (`DELETE FROM t WHERE p`) — same
+        // rewrite as the ALTER mutation here (parquet has no mask
+        // column to defer through; the semantics are identical)
+        var i = skipWord(toks, i0, "DELETE", "FROM")
+        val (t, after) = tableNameAt(toks, i)
+        i = nextNonWs(toks, after)
+        require(i < toks.length && toks(i).isWord("WHERE"),
+          "ChDdl: DELETE FROM needs WHERE (TRUNCATE empties a table)")
+        val d = tableDef(cat, t)
+        cat.deleteWhere(d.name, expr(normalize(render(toks.drop(i + 1)).trim)))
+        emptyResult(spark)
+      case "EXPLAIN" =>
+        // CH EXPLAIN [PLAN|PIPELINE|...] stmt → the Spark physical plan
+        // of the statement's frame, one line per row
+        var i = nextNonWs(toks, i0 + 1)
+        if (i < toks.length && (toks(i).isWord("PLAN") ||
+            toks(i).isWord("PIPELINE") || toks(i).isWord("AST") ||
+            toks(i).isWord("SYNTAX"))) i = nextNonWs(toks, i + 1)
+        val target = execute(cat, render(toks.drop(i)))
+        import spark.implicits._
+        target.queryExecution.executedPlan.toString
+          .linesIterator.toSeq.toDF("explain")
       case "RENAME" =>
         var i = skipWord(toks, i0, "RENAME", "TABLE")
         val (from, afterFrom) = tableNameAt(toks, i)
@@ -1372,6 +1417,21 @@ object ChDdl {
       defs.put(key(cat, t), d.copy(columns = d.columns.map(c =>
         if (c.name == from) c.copy(name = to) else c)))
       cat.replaceContents(d.name, cat.readRaw(d.name).withColumnRenamed(from, to))
+      emptyResult(spark)
+    } else if (toks(i).isWord("MODIFY") && {
+      val n = nextNonWs(toks, i + 1)
+      n < toks.length && toks(n).isWord("TTL")
+    }) {
+      // MODIFY TTL tsCol + INTERVAL n UNIT — re-declare the table TTL;
+      // applyTtl performs the physical purge on demand (q187/q188's
+      // explicit-merge convention)
+      i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1)
+      val t0 = render(toks.drop(i)).trim
+      val plus = t0.indexOf('+')
+      require(plus > 0, s"ChDdl: unsupported TTL shape '$t0' — " +
+        "expected <tsColumn> + INTERVAL n UNIT")
+      defs.put(key(cat, t), d.copy(ttl =
+        Some((unq(t0.substring(0, plus).trim), t0.substring(plus + 1).trim))))
       emptyResult(spark)
     } else if (toks(i).isWord("MODIFY") && {
       val n = nextNonWs(toks, i + 1)

@@ -392,6 +392,36 @@ class ChDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("-State"))
   }
 
+  test("DELETE FROM, EXPLAIN, MODIFY TTL, multi-statement scripts") {
+    val cat = freshCat("chddl_misc")
+    // a .sql-file-shaped script: the splitter is token-level, so the
+    // semicolon inside a string literal survives
+    val last = ChDdl.executeScript(cat, """
+      CREATE TABLE s (id Int64, tag String, ts DateTime)
+        ENGINE = MergeTree ORDER BY id;
+      INSERT INTO s VALUES
+        (1, 'a;b', timestamp'2024-01-01 00:00:00'),
+        (2, 'c', timestamp'2024-03-01 00:00:00'),
+        (3, 'd', timestamp'2024-06-01 00:00:00');
+      DELETE FROM s WHERE id == 2;
+      SELECT id, tag FROM s ORDER BY id
+    """)
+    assert(last.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a;b"), (3L, "d")))
+    // EXPLAIN returns the physical plan as rows
+    val plan = ChDdl.execute(cat, "EXPLAIN SELECT count(*) AS c FROM s")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+    // MODIFY TTL re-declares; applyTtl purges physically
+    ChDdl.execute(cat, "ALTER TABLE s MODIFY TTL ts + INTERVAL 3 MONTH")
+    ChDdl.applyTtl(cat, "s",
+      org.apache.spark.sql.functions.lit("2024-06-15 00:00:00").cast("timestamp"))
+    assert(ChDdl.view(cat, "s").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    intercept[IllegalArgumentException] { // DELETE without WHERE: loud
+      ChDdl.execute(cat, "DELETE FROM s")
+    }
+  }
+
   test("CREATE/DROP DATABASE, SHOW DATABASES, SHOW TABLES FROM db") {
     val cat = freshCat("chddl_db")
     val x = ChDdl.execute(cat, _: String)
