@@ -91,9 +91,57 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(table)
   }
 
-  /** DELETE WHERE cond: rewrite as keep-complement overwrite. */
+  /** Partition-pruned mutation core: when the table has a single-level
+    * partition layout, rewrite ONLY the partitions that contain matching
+    * rows — every other partition's files are untouched on disk (CH
+    * mutations have the same property: parts without matches are never
+    * rewritten). At 100 TB this is the difference between a mutation
+    * costing O(matched partitions) and O(table). Falls back to the full
+    * keep-complement rewrite for unpartitioned/nested layouts, and for
+    * partition values whose directory encoding is non-trivial (escaped
+    * characters, nulls) — correctness first, pruning where it's provably
+    * the same bytes.
+    */
+  private def mutatePruned(table: String, cond: Column)
+      (transform: DataFrame => DataFrame): Unit = {
+    import java.nio.file._
+    val parts = partitionColsOf(table)
+    val full = () => writeReplacing(table, transform(spark.read.parquet(path(table))))
+    if (parts.length != 1) { full(); return }
+    val pc = parts.head
+    val cur = spark.read.parquet(path(table))
+    // the affected-partition list is bounded by the partition count —
+    // small by the same argument that makes partitioning useful
+    val affected = cur.filter(cond).select(col(pc)).distinct()
+      .collect().map(_.get(0))
+    if (affected.isEmpty) return // no matches: zero bytes rewritten
+    val safe = affected.forall(v => v != null && v.toString.nonEmpty &&
+      v.toString.forall(ch => ch.isLetterOrDigit || ch == '-' || ch == '_' ||
+        ch == '.'))
+    if (!safe) { full(); return }
+    val dirOf = (v: Any) => s"$pc=${v.toString}"
+    val existing = affected.filter(v =>
+      Files.exists(Paths.get(path(table), dirOf(v))))
+    if (existing.length != affected.length) { full(); return } // unexpected layout
+    val slice = cur.filter(col(pc).isin(affected: _*))
+    val out = transform(slice)
+    val tmp = path(table) + "__mut"
+    out.write.mode("overwrite").options(opts(table)).partitionBy(pc).parquet(tmp)
+    affected.foreach { v =>
+      val src = Paths.get(tmp, dirOf(v))
+      val dst = Paths.get(path(table), dirOf(v))
+      if (Files.exists(src)) replaceDir(src.toString, dst.toString)
+      else rmTree(dst) // every row of this partition was deleted
+    }
+    rmTree(Paths.get(tmp))
+    invalidateProjections(table)
+  }
+
+  /** DELETE WHERE cond: keep-complement rewrite of the AFFECTED
+    * partitions only (see [[mutatePruned]]).
+    */
   def deleteWhere(table: String, cond: Column): Unit =
-    writeReplacing(table, spark.read.parquet(path(table)).filter(!cond))
+    mutatePruned(table, cond)(_.filter(!cond))
 
   /** ClickHouse `ALTER TABLE .. UPDATE col = expr WHERE cond` (a
     * "mutation"): rewrite matching rows in place, leave the rest
@@ -103,17 +151,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     * it matches.
     */
   def updateWhere(table: String, cond: Column,
-      assignments: Map[String, Column]): Unit = {
-    val cur = spark.read.parquet(path(table))
+      assignments: Map[String, Column]): Unit =
     // one SELECT so every RHS sees the OLD row (CH mutation semantics,
-    // even when one assignment references another updated column)
-    val updated = cur.select(cur.columns.toIndexedSeq.map { c =>
-      assignments.get(c)
-        .map(v => when(cond, v).otherwise(col(c)).as(c))
-        .getOrElse(col(c))
-    }: _*)
-    writeReplacing(table, updated)
-  }
+    // even when one assignment references another updated column);
+    // partition-pruned like deleteWhere
+    mutatePruned(table, cond) { cur =>
+      cur.select(cur.columns.toIndexedSeq.map { c =>
+        assignments.get(c)
+          .map(v => when(cond, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
 
   /** ClickHouse `TTL <tsCol> + INTERVAL n <unit>` row expiry: drop rows
     * whose ts is older than `now - ttl`. CH applies TTL at merge time;
@@ -190,13 +238,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     rows.toDF("table", "part_name", "bytes", "modified")
   }
 
-  private def replaceDir(from: String, to: String): Unit = {
+  private def rmTree(p: java.nio.file.Path): Unit = {
     import java.nio.file._
     import scala.jdk.CollectionConverters._
-    def rm(p: Path): Unit = if (Files.exists(p)) {
+    if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-    rm(Paths.get(to))
+  }
+
+  private def replaceDir(from: String, to: String): Unit = {
+    import java.nio.file._
+    rmTree(Paths.get(to))
     Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
   }
 }

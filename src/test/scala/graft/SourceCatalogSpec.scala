@@ -113,6 +113,45 @@ class SourceCatalogSpec extends AnyFunSuite {
     assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("Catalog: mutations rewrite ONLY the affected partitions") {
+    val root = Files.createTempDirectory("graft-cat-mut").toString
+    val cat = Catalog(spark, root)
+    val df = (1L to 90L).map(i => (i, s"d${i % 3}", i * 10.0))
+      .toDF("id", "day", "v")
+    cat.create("t", df, partitionBy = Seq("day"))
+    def files(day: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(root, "t", s"day=$day")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val d1Before = files("d1")
+    val d2Before = files("d2")
+    // delete rows in d0 only: d1/d2 files must be BYTE-UNTOUCHED
+    cat.deleteWhere("t", col("day") === "d0" && col("id") <= 30L)
+    assert(files("d1") == d1Before && files("d2") == d2Before)
+    assert(cat.readRaw("t").count() == 80) // 10 of 30 d0 rows matched...
+    // (ids 3,6,...,30 in d0: exactly the 10 multiples of 3 <= 30)
+    // update rows in d1 only: again no touch elsewhere
+    val d2Mid = files("d2")
+    cat.updateWhere("t", col("day") === "d1", Map("v" -> lit(-1.0)))
+    assert(files("d2") == d2Mid)
+    assert(cat.readRaw("t").filter(col("v") === -1.0).count() == 30)
+    // a full-partition delete removes the directory outright
+    cat.deleteWhere("t", col("day") === "d2")
+    assert(!new java.io.File(s"$root/t/day=d2").exists())
+    assert(cat.readRaw("t").count() == 50)
+    // no-match mutation rewrites ZERO bytes
+    val d1Mid = files("d1")
+    cat.deleteWhere("t", col("day") === "nope")
+    assert(files("d1") == d1Mid)
+    // predicates off the partition key still work (all partitions match)
+    cat.deleteWhere("t", col("id") % 10L === 0L)
+    assert(cat.readRaw("t").count() == 45)
+  }
+
   test("JsonEachRow PERMISSIVE mode: malformed lines become null rows, not failures") {
     val dir = Files.createTempDirectory("graft-badjson").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/bad.jsonl"),
