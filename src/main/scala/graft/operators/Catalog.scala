@@ -38,8 +38,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(table)
   }
 
-  def append(table: String, df: DataFrame): Unit = {
-    df.write.mode("append").options(opts(table)).parquet(path(table))
+  /** Append rows. `partitionBy` (the table's declared layout) must be
+    * passed for partitioned tables whose directories may not exist yet —
+    * an empty partitioned create writes no `col=value` dirs, so layout
+    * detection alone would write a broken mixed (flat + partitioned)
+    * structure; when omitted, the on-disk layout governs.
+    */
+  def append(table: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val parts = if (partitionBy.nonEmpty) partitionBy else partitionColsOf(table)
+    val w = df.write.mode("append").options(opts(table))
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path(table))
     invalidateProjections(table)
   }
 
@@ -151,17 +160,23 @@ final case class Catalog(spark: SparkSession, root: String) {
     * it matches.
     */
   def updateWhere(table: String, cond: Column,
-      assignments: Map[String, Column]): Unit =
+      assignments: Map[String, Column]): Unit = {
     // one SELECT so every RHS sees the OLD row (CH mutation semantics,
-    // even when one assignment references another updated column);
-    // partition-pruned like deleteWhere
-    mutatePruned(table, cond) { cur =>
+    // even when one assignment references another updated column)
+    def apply(cur: DataFrame): DataFrame =
       cur.select(cur.columns.toIndexedSeq.map { c =>
         assignments.get(c)
           .map(v => when(cond, v).otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }: _*)
-    }
+    // an assignment that rewrites the PARTITION column moves rows across
+    // directories — the pruned per-directory swap cannot express that,
+    // so it takes the full rewrite (CH outright forbids mutating key
+    // columns; ChDdl rejects it at the statement surface)
+    if (partitionColsOf(table).exists(assignments.contains))
+      writeReplacing(table, apply(spark.read.parquet(path(table))))
+    else mutatePruned(table, cond)(apply)
+  }
 
   /** ClickHouse `TTL <tsCol> + INTERVAL n <unit>` row expiry: drop rows
     * whose ts is older than `now - ttl`. CH applies TTL at merge time;

@@ -952,10 +952,12 @@ object ChDdl {
       cat.create(d.name, emptyFrame(cat.spark, d), d.partitionBy)
     }
     // resume the implicit version from what the table dir already holds
+    // (hasData, not dir existence: an empty partitioned table has no
+    // parquet files to read a max from)
     val start =
-      if (d.versionCol.isEmpty && tableExists(cat, d.name)) {
+      if (d.versionCol.isEmpty && hasData(cat, d.name)) {
         val df = cat.readRaw(d.name)
-        if (df.isEmpty) 0L
+        if (df.isEmpty || !df.columns.contains(SeqCol)) 0L
         else df.agg(max(col(SeqCol))).collect()(0).getLong(0)
       } else 0L
     seqs.put(k, new java.util.concurrent.atomic.AtomicLong(start))
@@ -1213,11 +1215,31 @@ object ChDdl {
     */
   def view(cat: Catalog, table: String): DataFrame = {
     val d = tableDef(cat, table)
+    // an empty PARTITIONED table has no `col=value` dirs and no parquet
+    // files to infer from (the empty create writes none) — serve the
+    // declared schema directly until the first insert lands
+    if (!hasData(cat, d.name)) {
+      val spark = cat.spark
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.schema)
+    }
     val base =
       if (d.replacing && d.orderBy.nonEmpty)
         cat.read(d.name, d.orderBy, versionColOf(d))
       else cat.readRaw(d.name)
-    if (d.versionCol.isEmpty) base.drop(SeqCol) else base
+    // Hive-style partitioned reads move the partition column to the END
+    // of the inferred schema — re-project to the DECLARED column order
+    // so reads are layout-independent
+    (if (d.versionCol.isEmpty) base.drop(SeqCol) else base)
+      .select(d.columns.map(c => col(c.name)): _*)
+  }
+
+  private def hasData(cat: Catalog, table: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(cat.root, table)
+    java.nio.file.Files.exists(dir) &&
+      java.nio.file.Files.walk(dir).iterator().asScala.exists(p =>
+        p.getFileName.toString.endsWith(".parquet"))
   }
 
   private def insert(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {
@@ -1293,7 +1315,7 @@ object ChDdl {
         new java.util.concurrent.atomic.AtomicLong(0L))
       aligned = aligned.withColumn(SeqCol, lit(seq.incrementAndGet()))
     }
-    cat.append(d.name, aligned)
+    cat.append(d.name, aligned, d.partitionBy)
     // CH materialized-view trigger semantics: each view's SELECT runs
     // over the INSERTED BLOCK only (never the whole base), its result
     // appended to the view's own storage
@@ -1347,6 +1369,11 @@ object ChDdl {
           require(eq > 0, s"ChDdl: malformed UPDATE assignment '$s'")
           unq(s.substring(0, eq).trim) -> expr(normalize(s.substring(eq + 1).trim))
       }
+      val protectedCols = (d.orderBy ++ d.partitionBy ++ d.versionCol).toSet
+      val hit = assigns.map(_._1).filter(protectedCols.contains)
+      require(hit.isEmpty,
+        s"ChDdl: ALTER UPDATE cannot mutate key/partition/version " +
+          s"column(s) ${hit.mkString(", ")} (CH forbids the same)")
       val pred = render(toks.drop(wd + 1)).trim
       cat.updateWhere(d.name, expr(normalize(pred)), assigns.toMap)
       emptyResult(spark)

@@ -828,6 +828,33 @@ object Round11Queries {
                AS mean_chars,
              max(n_chars) AS max_chars,
              CAST(count(doc_id) AS BIGINT) AS n
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- q231: partition-pruned mutations through the DDL surface ---------
+    // The retention shape at 100 TB: a lang-partitioned table mutated by
+    // ALTER DELETE (whole partition → directory drop), DELETE FROM
+    // (partial, one partition → one partition rewritten; MutationSoak
+    // measures 31× vs the full rewrite) and an UPDATE on another — the
+    // final read gates the net state vs DuckDB recomputing it directly.
+    QueryDef("q231_chddl_partition_mutations", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q231").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE d (doc_id Int64, lang String, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id PARTITION BY lang""")
+      x("INSERT INTO d SELECT doc_id, lang, n_chars FROM documents")
+      x("ALTER TABLE d DELETE WHERE lang == 'de'")          // whole partition
+      x("DELETE FROM d WHERE lang == 'en' AND doc_id % 4 == 0") // partial
+      x("ALTER TABLE d UPDATE n_chars = n_chars + 1000000 WHERE lang == 'fr'")
+      x("""SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d GROUP BY lang ORDER BY lang""")
+    }, Some("""
+      SELECT lang, count(*) AS docs,
+             CAST(sum(CASE WHEN lang = 'fr' THEN n_chars + 1000000
+                           ELSE n_chars END) AS BIGINT) AS chars
+      FROM documents
+      WHERE lang <> 'de' AND NOT (lang = 'en' AND doc_id % 4 = 0)
+      GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -422,6 +422,34 @@ class ChDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("PARTITION BY tables: layout on disk, pruned mutations, key-update guard") {
+    val cat = freshCat("chddl_part")
+    val x = ChDdl.execute(cat, _: String)
+    x("""CREATE TABLE p (id Int64, day String, v Int64)
+         ENGINE = MergeTree ORDER BY id PARTITION BY day""")
+    // empty partitioned table is readable (declared schema, zero rows)
+    assert(ChDdl.view(cat, "p").columns.toSeq == Seq("id", "day", "v"))
+    assert(ChDdl.view(cat, "p").count() == 0L)
+    x("INSERT INTO p VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+    // inserts land Hive-style (the dropPartition/pruned-mutation layout)
+    assert(new java.io.File(s"${cat.root}/p/day=a").exists())
+    x("INSERT INTO p VALUES (4, 'b', 40)")
+    assert(ChDdl.view(cat, "p").count() == 4L)
+    // whole-partition ALTER DELETE drops the directory
+    x("ALTER TABLE p DELETE WHERE day == 'a'")
+    assert(!new java.io.File(s"${cat.root}/p/day=a").exists())
+    assert(ChDdl.view(cat, "p").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 4L))
+    // partition/key columns are update-protected (CH forbids the same)
+    val e = intercept[IllegalArgumentException] {
+      x("ALTER TABLE p UPDATE day = 'z' WHERE id == 2")
+    }
+    assert(e.getMessage.contains("key/partition"))
+    x("ALTER TABLE p UPDATE v = v + 1 WHERE day == 'b'")
+    assert(ChDdl.view(cat, "p").orderBy("id").collect().map(_.getLong(2)).toSeq ==
+      Seq(21L, 41L))
+  }
+
   test("CREATE/DROP DATABASE, SHOW DATABASES, SHOW TABLES FROM db") {
     val cat = freshCat("chddl_db")
     val x = ChDdl.execute(cat, _: String)
