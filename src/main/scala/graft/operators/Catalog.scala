@@ -60,17 +60,94 @@ final case class Catalog(spark: SparkSession, root: String) {
   private def invalidateProjections(table: String): Unit =
     org.apache.spark.sql.graft.ProjectionCatalog.invalidate(path(table))
 
-  /** Last-writer-wins view over the append history. */
+  /** Last-writer-wins view over the append history. Deletion masks apply
+    * BEFORE the window: a lightweight-deleted newest version must not win
+    * — the surviving older version resurfaces, exactly what CH's FINAL
+    * read does once `_row_exists` filters the masked row out of the merge.
+    */
   def read(table: String, key: Seq[String], versionCol: String): DataFrame = {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(desc(versionCol))
-    spark.read.parquet(path(table))
+    readRaw(table)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  def readRaw(table: String): DataFrame = spark.read.parquet(path(table))
+  def readRaw(table: String): DataFrame =
+    applyMask(table, spark.read.parquet(path(table)))
+
+  // ---- lightweight deletes (deletion-vector mask sidecar) ---------------
+
+  private def deletesDir(table: String) = path(table) + "/_deletes"
+
+  /** True when the table carries deletion-mask entries. */
+  def hasDeletes(table: String): Boolean = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(deletesDir(table))
+    Files.isDirectory(d) && Files.walk(d).iterator().asScala.exists(p =>
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+  }
+
+  /** ClickHouse lightweight `DELETE FROM t WHERE p` semantics: record the
+    * matching rows' (file, row position) in a `_deletes` mask sidecar
+    * instead of rewriting data parts — CH writes a `_row_exists` mask
+    * column with the same effect. Cost: one scan to FIND matches plus
+    * O(matches) mask bytes WRITTEN; zero data bytes rewritten, so a
+    * high-QPS delete workload inside one partition never pays a partition
+    * rewrite (MaskSoak measures the gap vs the pruned rewrite). Every
+    * read path applies the mask via a broadcast hash LEFT ANTI join on
+    * (file, pos) — the mask side is O(deleted rows), the cost CH pays
+    * too. Masks accumulate until a heavy rewrite of the same rows
+    * materializes them (OPTIMIZE / compact / ALTER mutations — CH: until
+    * the part merges). The sidecar directory is `_`-prefixed, which
+    * Spark's file listing and partition discovery skip, so it can never
+    * be read as data.
+    */
+  def deleteWhereLight(table: String, cond: Column): Unit = {
+    val hits = spark.read.parquet(path(table)).filter(cond).select(
+      col("_metadata.file_path").as("file"),
+      col("_metadata.row_index").as("pos"))
+    hits.write.mode("append").parquet(deletesDir(table))
+    invalidateProjections(table)
+  }
+
+  /** Anti-join a raw parquet scan against the table's mask sidecar.
+    * Already-masked rows re-matched by a later [[deleteWhereLight]] only
+    * produce duplicate (file, pos) entries, which the anti-join absorbs.
+    */
+  private def applyMask(table: String, scan: DataFrame): DataFrame =
+    if (!hasDeletes(table)) scan
+    else {
+      val m = spark.read.parquet(deletesDir(table))
+        .select(col("file").as("__mask_file"), col("pos").as("__mask_pos"))
+      scan
+        .withColumn("__mask_file", col("_metadata.file_path"))
+        .withColumn("__mask_pos", col("_metadata.row_index"))
+        .join(broadcast(m), Seq("__mask_file", "__mask_pos"), "left_anti")
+        .drop("__mask_file", "__mask_pos")
+    }
+
+  /** Drop mask entries pointing into rewritten partition directories: the
+    * rewrite read through the mask, so those entries are applied, and the
+    * fresh files carry new UUID names a stale entry can never match —
+    * this is sidecar hygiene, not correctness. Entries for untouched
+    * partitions stay live.
+    */
+  private def dropMaskUnder(table: String, dirs: Seq[String]): Unit =
+    if (dirs.nonEmpty && hasDeletes(table)) {
+      import java.nio.file.Paths
+      val m = spark.read.parquet(deletesDir(table))
+      val keep = m.filter(!dirs.map(d => col("file").contains(s"/$d/"))
+        .reduce(_ || _))
+      if (keep.isEmpty) rmTree(Paths.get(deletesDir(table)))
+      else {
+        val tmp = path(table) + "__mask_tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        replaceDir(tmp, deletesDir(table))
+      }
+    }
 
   /** Partition columns of a table as laid out on disk (nested
     * `col=value` directory levels, outermost first). Rewrite paths
@@ -91,6 +168,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     }.toSeq
   }
 
+  /** Full-table rewrite-and-swap. The swap removes the old table dir
+    * INCLUDING any `_deletes` mask sidecar — callers always derive `df`
+    * from a masked read, so the swap is also the mask materialization
+    * point (the CH merge that folds `_row_exists` into the part).
+    */
   private def writeReplacing(table: String, df: DataFrame): Unit = {
     val parts = partitionColsOf(table)
     val tmp = path(table) + "__tmp"
@@ -115,10 +197,12 @@ final case class Catalog(spark: SparkSession, root: String) {
       (transform: DataFrame => DataFrame): Unit = {
     import java.nio.file._
     val parts = partitionColsOf(table)
-    val full = () => writeReplacing(table, transform(spark.read.parquet(path(table))))
+    // masked read everywhere: a heavy mutation must see the net state the
+    // lightweight deletes established (and its rewrite materializes them)
+    val full = () => writeReplacing(table, transform(readRaw(table)))
     if (parts.length != 1) { full(); return }
     val pc = parts.head
-    val cur = spark.read.parquet(path(table))
+    val cur = readRaw(table)
     // the affected-partition list is bounded by the partition count —
     // small by the same argument that makes partitioning useful
     val affected = cur.filter(cond).select(col(pc)).distinct()
@@ -143,6 +227,7 @@ final case class Catalog(spark: SparkSession, root: String) {
       else rmTree(dst) // every row of this partition was deleted
     }
     rmTree(Paths.get(tmp))
+    dropMaskUnder(table, affected.map(dirOf).toSeq)
     invalidateProjections(table)
   }
 
@@ -174,7 +259,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     // so it takes the full rewrite (CH outright forbids mutating key
     // columns; ChDdl rejects it at the statement surface)
     if (partitionColsOf(table).exists(assignments.contains))
-      writeReplacing(table, apply(spark.read.parquet(path(table))))
+      writeReplacing(table, apply(readRaw(table)))
     else mutatePruned(table, cond)(apply)
   }
 
@@ -243,7 +328,10 @@ final case class Catalog(spark: SparkSession, root: String) {
         .flatMap { t =>
           Files.walk(t).iterator().asScala
             .filter(p => Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet"))
+              p.getFileName.toString.endsWith(".parquet") &&
+              // deletion-mask sidecars are mutation state, not parts (CH
+              // surfaces mutations in system.mutations, not system.parts)
+              !rootPath.relativize(p).toString.split('/').exists(_.startsWith("_")))
             .map { p =>
               (t.getFileName.toString, rootPath.relativize(p).toString,
                 Files.size(p),

@@ -43,7 +43,12 @@ import ChSql.{Tok, WORD, NUM, STR, SYM, lex, render, nextNonWs}
   *     constraints checked, then appended with a monotonic statement
   *     sequence (the ReplacingMergeTree implicit version).
   *   - `ALTER TABLE t DELETE WHERE p` / `UPDATE a = e, ... WHERE p` —
-  *     CH mutations → [[Catalog.deleteWhere]]/[[Catalog.updateWhere]].
+  *     CH mutations (heavy part rewrites, partition-pruned) →
+  *     [[Catalog.deleteWhere]]/[[Catalog.updateWhere]]; `DELETE FROM t
+  *     WHERE p` — CH's LIGHTWEIGHT delete → [[Catalog.deleteWhereLight]]
+  *     (a `_row_exists`-style deletion-vector mask: O(matches), zero
+  *     data bytes rewritten, applied by every read until OPTIMIZE or a
+  *     heavy mutation materializes it).
   *   - `OPTIMIZE TABLE t [FINAL]` → [[Catalog.compact]] (the
   *     replacing-merge made physical; on a materialized view, the
   *     SummingMergeTree merge made physical).
@@ -559,16 +564,18 @@ object ChDdl {
       case "ALTER" => alter(cat, toks, i0)
       case "OPTIMIZE" => optimize(cat, toks, i0)
       case "DELETE" =>
-        // CH lightweight delete (`DELETE FROM t WHERE p`) — same
-        // rewrite as the ALTER mutation here (parquet has no mask
-        // column to defer through; the semantics are identical)
+        // CH lightweight delete (`DELETE FROM t WHERE p`): writes a
+        // deletion-vector mask sidecar — O(matches), zero data bytes
+        // rewritten, exactly CH's `_row_exists` semantics. The heavy
+        // part-rewrite stays on `ALTER TABLE .. DELETE WHERE` (the CH
+        // mutation); OPTIMIZE materializes accumulated masks.
         var i = skipWord(toks, i0, "DELETE", "FROM")
         val (t, after) = tableNameAt(toks, i)
         i = nextNonWs(toks, after)
         require(i < toks.length && toks(i).isWord("WHERE"),
           "ChDdl: DELETE FROM needs WHERE (TRUNCATE empties a table)")
         val d = tableDef(cat, t)
-        cat.deleteWhere(d.name, expr(normalize(render(toks.drop(i + 1)).trim)))
+        cat.deleteWhereLight(d.name, expr(normalize(render(toks.drop(i + 1)).trim)))
         emptyResult(spark)
       case "EXPLAIN" =>
         // CH EXPLAIN [PLAN|PIPELINE|...] stmt → the Spark physical plan
@@ -1518,6 +1525,10 @@ object ChDdl {
         val d = tableDef(cat, t)
         if (d.replacing && d.orderBy.nonEmpty)
           cat.compact(d.name, d.orderBy, versionColOf(d))
+        // plain MergeTree: OPTIMIZE is the merge that folds lightweight-
+        // delete masks into the parts (CH's _row_exists materialization)
+        else if (cat.hasDeletes(d.name))
+          cat.replaceContents(d.name, cat.readRaw(d.name))
     }
     emptyResult(cat.spark)
   }

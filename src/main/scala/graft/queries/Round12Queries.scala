@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 gated queries: deletion-vector lightweight deletes and the
+  * rest of the r11 verdict's runway, each hash-exact vs a DuckDB oracle
+  * recomputing the same net state.
+  */
+object Round12Queries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q232: lightweight deletes (deletion-vector masks) ---------------
+    // CH's `DELETE FROM t WHERE p` writes a `_row_exists` mask instead of
+    // rewriting parts (reference deletes while serving:
+    // `app/backend/chat_bot/private_knowledge_base.py:93-99,136-138`).
+    // Here: two composed lightweight deletes (zero data bytes rewritten —
+    // MaskSpec pins byte-untouchedness) + a heavy UPDATE mutation that
+    // must read through the masks, then the net state gated vs DuckDB
+    // recomputing it directly. No OPTIMIZE before the read: the MASKED
+    // read path is what's gated.
+    QueryDef("q232_lightweight_delete_mask", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q232").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE d (doc_id Int64, lang String, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id PARTITION BY lang""")
+      x("INSERT INTO d SELECT doc_id, lang, n_chars FROM documents")
+      x("DELETE FROM d WHERE doc_id % 4 == 0")                  // cross-partition mask
+      x("DELETE FROM d WHERE lang == 'en' AND n_chars < 600")   // composes with the first
+      x("ALTER TABLE d UPDATE n_chars = n_chars + 1000000 WHERE lang == 'fr'")
+      x("""SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d GROUP BY lang ORDER BY lang""")
+    }, Some("""
+      SELECT lang, count(*) AS docs,
+             CAST(sum(CASE WHEN lang = 'fr' THEN n_chars + 1000000
+                           ELSE n_chars END) AS BIGINT) AS chars
+      FROM documents
+      WHERE NOT (doc_id % 4 = 0) AND NOT (lang = 'en' AND n_chars < 600)
+      GROUP BY lang ORDER BY lang"""))
+  )
+}
