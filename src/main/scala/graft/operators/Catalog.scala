@@ -182,16 +182,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(table)
   }
 
-  /** Partition-pruned mutation core: when the table has a single-level
-    * partition layout, rewrite ONLY the partitions that contain matching
-    * rows — every other partition's files are untouched on disk (CH
-    * mutations have the same property: parts without matches are never
-    * rewritten). At 100 TB this is the difference between a mutation
-    * costing O(matched partitions) and O(table). Falls back to the full
-    * keep-complement rewrite for unpartitioned/nested layouts, and for
-    * partition values whose directory encoding is non-trivial (escaped
-    * characters, nulls) — correctness first, pruning where it's provably
-    * the same bytes.
+  /** Partition-pruned mutation core: rewrite ONLY the leaf partition
+    * directories that contain matching rows — every other partition's
+    * files are untouched on disk (CH mutations have the same property:
+    * parts without matches are never rewritten). Works on ANY partition
+    * depth (single `day=` or composite `day=/lang=` retention layouts —
+    * the affected unit is the LEAF directory, i.e. one value tuple). At
+    * 100 TB this is the difference between a mutation costing O(matched
+    * leaves) and O(table). Falls back to the full keep-complement rewrite
+    * for unpartitioned tables and for partition values whose directory
+    * encoding is non-trivial (escaped characters, nulls) — correctness
+    * first, pruning where it's provably the same bytes.
     */
   private def mutatePruned(table: String, cond: Column)
       (transform: DataFrame => DataFrame): Unit = {
@@ -200,35 +201,58 @@ final case class Catalog(spark: SparkSession, root: String) {
     // masked read everywhere: a heavy mutation must see the net state the
     // lightweight deletes established (and its rewrite materializes them)
     val full = () => writeReplacing(table, transform(readRaw(table)))
-    if (parts.length != 1) { full(); return }
-    val pc = parts.head
+    if (parts.isEmpty) { full(); return }
     val cur = readRaw(table)
-    // the affected-partition list is bounded by the partition count —
-    // small by the same argument that makes partitioning useful
-    val affected = cur.filter(cond).select(col(pc)).distinct()
-      .collect().map(_.get(0))
+    // the affected-leaf list is bounded by the partition count — small by
+    // the same argument that makes partitioning useful
+    val affected: Array[Seq[Any]] = cur.filter(cond)
+      .select(parts.map(col): _*).distinct()
+      .collect().map(r => parts.indices.map(r.get))
     if (affected.isEmpty) return // no matches: zero bytes rewritten
-    val safe = affected.forall(v => v != null && v.toString.nonEmpty &&
+    val safe = affected.forall(_.forall(v => v != null && v.toString.nonEmpty &&
       v.toString.forall(ch => ch.isLetterOrDigit || ch == '-' || ch == '_' ||
-        ch == '.'))
+        ch == '.')))
     if (!safe) { full(); return }
-    val dirOf = (v: Any) => s"$pc=${v.toString}"
-    val existing = affected.filter(v =>
-      Files.exists(Paths.get(path(table), dirOf(v))))
+    val dirOf = (vs: Seq[Any]) =>
+      parts.zip(vs).map { case (c, v) => s"$c=${v.toString}" }.mkString("/")
+    val existing = affected.filter(vs =>
+      Files.exists(Paths.get(path(table), dirOf(vs))))
     if (existing.length != affected.length) { full(); return } // unexpected layout
-    val slice = cur.filter(col(pc).isin(affected: _*))
+    val slice = cur.filter(affected.map(vs =>
+      parts.zip(vs).map { case (c, v) => col(c) === lit(v) }
+        .reduce(_ && _)).reduce(_ || _))
     val out = transform(slice)
     val tmp = path(table) + "__mut"
-    out.write.mode("overwrite").options(opts(table)).partitionBy(pc).parquet(tmp)
-    affected.foreach { v =>
-      val src = Paths.get(tmp, dirOf(v))
-      val dst = Paths.get(path(table), dirOf(v))
+    out.write.mode("overwrite").options(opts(table))
+      .partitionBy(parts: _*).parquet(tmp)
+    affected.foreach { vs =>
+      val src = Paths.get(tmp, dirOf(vs))
+      val dst = Paths.get(path(table), dirOf(vs))
       if (Files.exists(src)) replaceDir(src.toString, dst.toString)
-      else rmTree(dst) // every row of this partition was deleted
+      else { // every row of this leaf was deleted
+        rmTree(dst)
+        // an ancestor left empty would break later layout detection
+        // (partitionColsOf descends the first `col=` child it finds)
+        dropEmptyAncestors(dst.getParent, Paths.get(path(table)))
+      }
     }
     rmTree(Paths.get(tmp))
     dropMaskUnder(table, affected.map(dirOf).toSeq)
     invalidateProjections(table)
+  }
+
+  private def dropEmptyAncestors(from: java.nio.file.Path,
+      stopAt: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    var d = from
+    while (d != null && d.startsWith(stopAt) && d != stopAt &&
+        Files.isDirectory(d) && {
+          val s = Files.list(d)
+          try !s.iterator().hasNext finally s.close()
+        }) {
+      Files.delete(d)
+      d = d.getParent
+    }
   }
 
   /** DELETE WHERE cond: keep-complement rewrite of the AFFECTED

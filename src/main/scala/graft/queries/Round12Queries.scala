@@ -40,6 +40,35 @@ object Round12Queries {
                            ELSE n_chars END) AS BIGINT) AS chars
       FROM documents
       WHERE NOT (doc_id % 4 = 0) AND NOT (lang = 'en' AND n_chars < 600)
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang""")),
+
+    // ---- q233: nested-layout partition-pruned mutations -------------------
+    // The two-axis retention scheme (day=/lang= at 100 TB; here lang=/b=):
+    // mutations rewrite only the matched LEAF directories — whole-subtree
+    // ALTER DELETE drops dirs and cleans emptied ancestors, a partial
+    // leaf delete rewrites one leaf, an UPDATE another (SourceCatalogSpec
+    // pins byte-untouchedness of every other leaf; MutationSoak measures
+    // the cost ratio). Net state gated vs DuckDB recomputing it.
+    QueryDef("q233_nested_partition_mutations", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q233").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE d (doc_id Int64, lang String, b Int64, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id PARTITION BY (lang, b)""")
+      x("INSERT INTO d SELECT doc_id, lang, doc_id % 3 AS b, n_chars FROM documents")
+      x("ALTER TABLE d DELETE WHERE lang == 'de'")              // whole subtree
+      x("ALTER TABLE d DELETE WHERE lang == 'en' AND b == 1 AND n_chars < 600") // one leaf, partial
+      x("ALTER TABLE d UPDATE n_chars = n_chars + 1000000 WHERE lang == 'fr' AND b == 2")
+      x("""SELECT lang, b, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d GROUP BY lang, b ORDER BY lang, b""")
+    }, Some("""
+      SELECT lang, doc_id % 3 AS b, count(*) AS docs,
+             CAST(sum(CASE WHEN lang = 'fr' AND doc_id % 3 = 2
+                           THEN n_chars + 1000000 ELSE n_chars END) AS BIGINT) AS chars
+      FROM documents
+      WHERE lang <> 'de'
+        AND NOT (lang = 'en' AND doc_id % 3 = 1 AND n_chars < 600)
+      GROUP BY lang, doc_id % 3 ORDER BY lang, b"""))
   )
 }
