@@ -65,6 +65,27 @@ object MutationSoak {
     // TTL expiry on a day-partitioned table rides the same pruning
     val (_, wTtl) = timed(cat.deleteWhere("part", col("day").isin("d0", "d1")))
     println(f"2-of-$days-partition retention delete: $wTtl%5.2f s")
+
+    // NESTED day=/lang= layout (round 12): cost ∝ matched LEAF dirs, not
+    // the table — one leaf of day*langs; before round 12 this fell back
+    // to the full rewrite
+    val langs = 4
+    val nested = spark.range(rows).select(
+      col("id"),
+      concat(lit("d"), (col("id") % days)).as("day"),
+      concat(lit("l"), (col("id") % langs)).as("lang"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+      .repartition(days * langs, col("day"), col("lang"))
+    val (_, wn) = timed(cat.create("nest", nested, partitionBy = Seq("day", "lang")))
+    println(f"nested table: $rows rows, ${days * langs} day*lang leaves; " +
+      f"create=$wn%5.1f s")
+    val leafPred = col("day") === "d7" && col("lang") === "l1" && col("id") % 2 === 0
+    val (_, wLeaf) = timed(cat.deleteWhere("nest", leafPred))
+    println(f"one-leaf (1/${days * langs}) delete: $wLeaf%5.2f s " +
+      f"(vs $wFull%5.2f s full-rewrite twin, ${wFull / wLeaf}%4.1fx)")
+    val (_, wSub) = timed(cat.deleteWhere("nest", col("day") === "d3"))
+    println(f"whole-day subtree delete ($langs leaves + ancestor): $wSub%5.2f s")
+    assert(!new java.io.File(s"$root/nest/day=d3").exists())
     spark.stop()
   }
 }
