@@ -617,6 +617,29 @@ object Registry {
         Literal("s"), Sum(e.head).toAggregateExpression(),
         Literal("c"), Count(e.head).toAggregateExpression())),
       "avgState(x) - mergeable mean state (sum, count struct)"),
+    // quantileExactState(x, q): state = the sorted value MULTISET plus the
+    // level (CH's quantileExact state is also the full value array — the
+    // O(rows-per-key) cost is CH's own). Merge = multiset union
+    // (flatten + sort); finalize = type-1 inverse CDF (smallest v with
+    // cum count >= q*n, = DuckDB quantile_disc — CH's nearest-rank rule
+    // differs by at most one rank; documented divergence for exactness).
+    ("quantileexactstate", (e: Seq[Expression]) =>
+      CreateNamedStruct(Seq(
+        Literal("vs"), SortArray(CollectList(e(0)).toAggregateExpression(),
+          Literal(true)),
+        Literal("q"), Literal(Registry.constDouble(e(1), "quantileExactState")))),
+      "quantileExactState(x, q) - mergeable exact-quantile state (sorted multiset + level)"),
+    // topKState(x, k): state = the exact value->count pair array sorted by
+    // value plus k. CH's topK state is a bounded space-saving sketch; the
+    // exact pair table is the dialect's documented exactness-for-size
+    // trade (same as the exact topK aggregate, q163). Merge = sum counts
+    // per value; finalize = k most frequent, count desc then value asc.
+    ("topkstate", (e: Seq[Expression]) =>
+      CreateNamedStruct(Seq(
+        Literal("vs"), org.apache.spark.sql.graft.CountPairs(e(0))
+          .toAggregateExpression(),
+        Literal("k"), Literal(Registry.constInt(e(1), "topKState").toLong))),
+      "topKState(x, k) - mergeable exact top-k state (value->count pairs + k)"),
     ("any", (e: Seq[Expression]) => First(e.head, ignoreNulls = true),
       "any(x) - ClickHouse first-encountered value (non-deterministic order)"),
     ("anylast", (e: Seq[Expression]) => Last(e.head, ignoreNulls = true),
@@ -2054,6 +2077,14 @@ object Registry {
     case Literal(l: Long, _) => l.toInt
     case _ => throw new IllegalArgumentException(
       s"$fn parameter must be an integer literal, got $e")
+  }
+
+  // SQL numeric literals like 0.5 parse as Decimal, not Double
+  private def constDouble(e: Expression, fn: String): Double = e match {
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(n: Number, _) => n.doubleValue()
+    case _ => throw new IllegalArgumentException(
+      s"$fn parameter must be a numeric literal, got $e")
   }
 
   /** StaticInvoke shorthands for the round-11 kernel objects (codegen'd

@@ -1090,7 +1090,8 @@ object ChDdl {
     // state kind so reads know the per-column merge rule
     val StateFns = Map("uniqexactstate" -> "uniq", "sumstate" -> "sum",
       "countstate" -> "count", "minstate" -> "min", "maxstate" -> "max",
-      "avgstate" -> "avg")
+      "avgstate" -> "avg", "quantileexactstate" -> "quantile",
+      "topkstate" -> "topk")
     val states = Map.newBuilder[String, String]
     if (engine.equalsIgnoreCase("AggregatingMergeTree")) {
       val sv = selToks.toVector
@@ -1111,7 +1112,7 @@ object ChDdl {
       require(states.result().nonEmpty,
         "ChDdl: an AggregatingMergeTree view needs at least one -State " +
           "select item (uniqExactState/sumState/countState/minState/" +
-          "maxState/avgState)")
+          "maxState/avgState/quantileExactState/topKState)")
     }
     (MatViewDef(name, orderBy, selectText, base, engine, states.result()),
       ifNotExists, populate)
@@ -1177,6 +1178,19 @@ object ChDdl {
               sum(col(f.name)).cast(f.dataType).as(f.name)
             case Some("min") => min(col(f.name)).as(f.name)
             case Some("max") => max(col(f.name)).as(f.name)
+            case Some("quantile") => // multiset union; the level is constant
+              struct(
+                array_sort(flatten(collect_list(col(f.name).getField("vs"))))
+                  .as("vs"),
+                min(col(f.name).getField("q")).as("q")).as(f.name)
+            case Some("topk") => // sum counts per value; k is constant
+              struct(
+                org.apache.spark.sql.graft.Bridge.toColumn(
+                  org.apache.spark.sql.graft.MergeCountPairs(
+                    org.apache.spark.sql.graft.Bridge.toExpr(
+                      col(f.name).getField("vs"))).toAggregateExpression())
+                  .as("vs"),
+                min(col(f.name).getField("k")).as("k")).as(f.name)
             case other => throw new IllegalArgumentException(
               s"ChDdl: column '${f.name}' of ${m.name} has no -State rule " +
                 s"($other) — AggregatingMergeTree selects must wrap every " +
@@ -1212,6 +1226,26 @@ object ChDdl {
         case Some("uniq") => size(col(c)).cast("long").as(c)
         case Some("avg") =>
           (col(c).getField("s").cast("double") / col(c).getField("c")).as(c)
+        case Some("quantile") =>
+          // type-1 inverse CDF over the merged multiset: the element at
+          // rank ceil(q*n) (>= 1) — DuckDB quantile_disc semantics
+          element_at(col(c).getField("vs"),
+            greatest(lit(1),
+              ceil(col(c).getField("q") * size(col(c).getField("vs")))
+                .cast("int"))).as(c)
+        case Some("topk") =>
+          // k most frequent values, count desc then value asc (the exact
+          // topK family's deterministic tie order, q163)
+          transform(
+            slice(
+              array_sort(col(c).getField("vs"), (a, b) =>
+                when(a.getField("c") > b.getField("c"), -1)
+                  .when(a.getField("c") < b.getField("c"), 1)
+                  .when(a.getField("v") < b.getField("v"), -1)
+                  .when(a.getField("v") > b.getField("v"), 1)
+                  .otherwise(0)),
+              lit(1), col(c).getField("k").cast("int")),
+            p => p.getField("v")).as(c)
         case _ => col(c)
       }
     }: _*)

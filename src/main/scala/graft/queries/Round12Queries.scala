@@ -69,6 +69,63 @@ object Round12Queries {
       FROM documents
       WHERE lang <> 'de'
         AND NOT (lang = 'en' AND doc_id % 3 = 1 AND n_chars < 600)
-      GROUP BY lang, doc_id % 3 ORDER BY lang, b"""))
+      GROUP BY lang, doc_id % 3 ORDER BY lang, b""")),
+
+    // ---- q234: quantile/topK -State matview widening ----------------------
+    // The order-statistic states Summing cannot express and per-block
+    // aggregation gets WRONG (a median of per-block medians is not the
+    // median; a union of per-block top-3 lists is not the top-3):
+    // quantileExactState carries the sorted value multiset, topKState the
+    // exact value->count pairs, merged across three overlapping insert
+    // blocks with an OPTIMIZE FINAL in the middle (materialize + keep
+    // merging). Oracle: DuckDB computes rank-ceil(q*n) and top-3
+    // (count desc, value asc) over the union directly.
+    QueryDef("q234_chddl_quantile_topk_states", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q234").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE docs (doc_id Int64, lang String, source String,
+           n_chars Int64) ENGINE = MergeTree ORDER BY doc_id""")
+      x("""CREATE MATERIALIZED VIEW lang_stats
+           ENGINE = AggregatingMergeTree ORDER BY lang
+           AS SELECT lang, quantileExactState(n_chars, 0.5) AS med_chars,
+                     topKState(source, 3) AS top_srcs,
+                     countState(doc_id) AS n
+              FROM docs GROUP BY lang""")
+      x("""INSERT INTO docs SELECT doc_id, lang, source, n_chars
+           FROM documents PREWHERE doc_id % 3 == 0""")
+      x("""INSERT INTO docs SELECT doc_id, lang, source, n_chars
+           FROM documents PREWHERE doc_id % 3 == 1""")
+      x("OPTIMIZE TABLE lang_stats FINAL")
+      x("""INSERT INTO docs SELECT doc_id, lang, source, n_chars
+           FROM documents PREWHERE doc_id % 3 == 2""")
+      x("""SELECT lang, med_chars,
+                  arrayStringConcat(top_srcs, ',') AS top_srcs, n
+           FROM lang_stats ORDER BY lang""")
+    }, Some("""
+      WITH r AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+               count(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents),
+      med AS (
+        SELECT lang, n_chars AS med_chars FROM r
+        WHERE rk = CAST(ceil(0.5 * cnt) AS BIGINT)),
+      c AS (
+        SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang, source,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, source) AS rk
+        FROM c),
+      tops AS (
+        SELECT lang, string_agg(source, ',' ORDER BY rk) AS top_srcs
+        FROM ranked WHERE rk <= 3 GROUP BY lang),
+      ns AS (
+        SELECT lang, CAST(count(doc_id) AS BIGINT) AS n
+        FROM documents GROUP BY lang)
+      SELECT med.lang, med.med_chars, tops.top_srcs, ns.n
+      FROM med JOIN tops ON med.lang = tops.lang JOIN ns ON med.lang = ns.lang
+      ORDER BY med.lang"""))
   )
 }

@@ -392,6 +392,41 @@ class ChDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("-State"))
   }
 
+  test("AggregatingMergeTree: quantileExactState/topKState merge across blocks") {
+    val cat = freshCat("chddl_qtkmv")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE ev (k String, src String, v Int64) ENGINE = MergeTree ORDER BY k")
+    x("""CREATE MATERIALIZED VIEW st ENGINE = AggregatingMergeTree
+         ORDER BY k AS SELECT k, quantileExactState(v, 0.5) AS med,
+           topKState(src, 2) AS top2
+         FROM ev GROUP BY k""")
+    // data chosen so PER-BLOCK answers are wrong: block medians are 2 and
+    // 100 (true median of the union: 3); block top-2 are [x,y] and [z,y]
+    // (true: z has 3, then the x/y tie at 2 breaks to x)
+    x("INSERT INTO ev VALUES ('a', 'x', 1), ('a', 'x', 2), ('a', 'y', 3)")
+    x("INSERT INTO ev VALUES ('a', 'y', 100), ('a', 'z', 101), ('a', 'z', 1), ('a', 'z', 2)")
+    def fin() = ChDdl.matViewFinalized(cat, "st").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList)).toSeq
+    // 7 values sorted: 1,1,2,2,3,100,101; rank ceil(0.5*7)=4 -> 2
+    assert(fin() == Seq(("a", 2L, List("z", "x"))))
+    x("OPTIMIZE TABLE st FINAL")
+    assert(cat.readRaw("st").count() == 1L)
+    assert(fin() == Seq(("a", 2L, List("z", "x"))))
+    // merging continues after materialization: three more 'y' rows push
+    // y to 5 (top), and the median of 10 values (rank 5) becomes 3
+    x("INSERT INTO ev VALUES ('a', 'y', 3), ('a', 'y', 200), ('a', 'y', 300)")
+    assert(fin() == Seq(("a", 3L, List("y", "z"))))
+    // the SELECT fall-through serves the finalized view
+    val sel = ChDdl.execute(cat,
+      "SELECT k, med, arrayStringConcat(top2, ',') AS t FROM st").collect()
+    assert(sel.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("a", 3L, "y,z")))
+    // loud: parameters must be literals
+    intercept[Exception] {
+      ChDdl.execute(cat, "SELECT topKState(src, v) AS t FROM ev").collect()
+    }
+  }
+
   test("DELETE FROM, EXPLAIN, MODIFY TTL, multi-statement scripts") {
     val cat = freshCat("chddl_misc")
     // a .sql-file-shaped script: the splitter is token-level, so the
