@@ -36,6 +36,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *   - SAMPLE k/n [OFFSET m/n]  →  the deterministic key-hash bucket
   *     predicate of SelectDialect.sampleByKey, injected as a PREWHERE
   *     (which then merges into WHERE).
+  *   - SETTINGS max_threads / max_memory_usage  →  a per-STATEMENT Spark
+  *     conf scope on the executing entry point (shuffle.partitions /
+  *     autoBroadcastJoinThreshold; set for the statement, restored
+  *     after — the statement executes eagerly inside the scope). Other
+  *     settings names are stripped and recorded, as before.
   */
 object ChSql {
 
@@ -162,16 +167,21 @@ object ChSql {
   // ---- passes ---------------------------------------------------------
 
   /** Trailing `FORMAT X` and `SETTINGS ...` at depth 0 are CH transport/
-    * tuning directives with no Spark meaning — stripped (the format is
-    * returned so a caller can route the WRITER; SourceCatalog owns the
-    * format implementations).
+    * tuning directives with no Spark PLAN meaning — removed from the
+    * statement text. The format is returned so a caller can route the
+    * WRITER (SourceCatalog owns the format implementations); the
+    * settings pairs are returned so the EXECUTING entry point can map
+    * the ones with a faithful Spark analog onto a per-statement conf
+    * scope ([[ChSql.sql]]; unmapped names are recorded and dropped).
     */
-  private def stripTail(toks0: Vector[Tok]): (Vector[Tok], Option[String]) = {
+  private def stripTail(toks0: Vector[Tok])
+      : (Vector[Tok], Option[String], Seq[(String, String)]) = {
     var toks = toks0
     // trailing semicolon
     val last = prevNonWs(toks, toks.length - 1)
     if (last >= 0 && toks(last).text == ";") toks = toks.patch(last, Nil, 1)
     var fmt: Option[String] = None
+    val settings = Vector.newBuilder[(String, String)]
     var changed = true
     while (changed) {
       changed = false
@@ -196,6 +206,26 @@ object ChSql {
           val b = if (a < toks.length) nextNonWs(toks, a + 1) else toks.length
           if (a < toks.length && toks(a).kind == WORD &&
               b < toks.length && toks(b).text == "=") {
+            // parse `name = value [, name = value]*` to end of statement
+            var p = a
+            var ok = true
+            while (ok && p < toks.length) {
+              val eq = nextNonWs(toks, p + 1)
+              val v = if (eq < toks.length) nextNonWs(toks, eq + 1) else toks.length
+              if (toks(p).kind == WORD && eq < toks.length &&
+                  toks(eq).text == "=" && v < toks.length &&
+                  (toks(v).kind == WORD || toks(v).kind == NUM ||
+                    toks(v).kind == STR)) {
+                val raw = toks(v).text
+                val value = if (toks(v).kind == STR && raw.length >= 2)
+                  raw.substring(1, raw.length - 1) else raw
+                settings += (toks(p).text.toLowerCase -> value)
+                val c = nextNonWs(toks, v + 1)
+                if (c < toks.length && toks(c).text == ",")
+                  p = nextNonWs(toks, c + 1)
+                else { ok = false } // end of list (tail beyond it is CH-only syntax; stripped)
+              } else ok = false
+            }
             toks = toks.take(i) // SETTINGS ... runs to end of statement
             changed = true
           }
@@ -203,7 +233,7 @@ object ChSql {
         i += 1
       }
     }
-    (toks, fmt)
+    (toks, fmt, settings.result())
   }
 
   private def dropGlobal(toks0: Vector[Tok]): Vector[Tok] = {
@@ -751,24 +781,78 @@ object ChSql {
 
   // ---- public API ----------------------------------------------------
 
-  final case class Rewritten(sql: String, format: Option[String])
+  final case class Rewritten(sql: String, format: Option[String],
+    settings: Seq[(String, String)] = Nil)
 
   def rewriteWithFormat(text: String): Rewritten = {
     val t0 = lex(text)
     rejectWithFill(t0)
-    val (t1, fmt) = stripTail(t0)
+    val (t1, fmt, settings) = stripTail(t0)
     val t2 = stripFinal(eqeq(dropGlobal(t1)))
     val t3 = withTotals(arrayJoin(sampleToPrewhere(t2)))
     val t4 = mergePrewhere(t3)
     val t5 = limitBy(t4)
-    Rewritten(render(t5), fmt)
+    Rewritten(render(t5), fmt, settings)
   }
 
   def rewrite(text: String): String = rewriteWithFormat(text).sql
 
+  /** CH settings with a faithful per-statement Spark conf analog
+    * (r11 verdict item 4 — carry the tuning INTENT instead of stripping):
+    * `max_threads` is CH's per-query parallelism knob → the per-query
+    * parallelism conf `spark.sql.shuffle.partitions`; `max_memory_usage`
+    * bounds per-query memory → `spark.sql.autoBroadcastJoinThreshold`,
+    * the conf that bounds the one memory hazard a single Spark statement
+    * can opt into (a broadcast build side). Anything else has no
+    * per-statement Spark meaning and is stripped as before.
+    */
+  private val SettingConfs = Map(
+    "max_threads" -> "spark.sql.shuffle.partitions",
+    "max_memory_usage" -> "spark.sql.autoBroadcastJoinThreshold")
+
+  /** Observability for specs: the session conf values as READ inside the
+    * most recent settings scope (proof the conf was in force during the
+    * statement), alongside the raw pairs that had no mapping.
+    */
+  @volatile var lastSettingsScope: Map[String, String] = Map.empty
+  @volatile var lastDroppedSettings: Seq[(String, String)] = Nil
+
+  /** Run `body` with the statement's mapped settings set on the session
+    * conf, restoring (or unsetting) the previous values after. The scope
+    * ends when this returns, so the statement must EXECUTE inside it —
+    * [[sql]] materializes via localCheckpoint (the returned frame is the
+    * pinned result, independent of the restored conf). That eager
+    * execution is the price of per-STATEMENT scoping on a lazy engine,
+    * and only statements carrying mapped SETTINGS pay it — CH settings
+    * are per-statement by definition.
+    */
+  private def withSettingsScope[T](spark: SparkSession,
+      settings: Seq[(String, String)])(body: => T): T = {
+    val confs = settings.flatMap { case (k, v) => SettingConfs.get(k).map(_ -> v) }
+    lastDroppedSettings = settings.filterNot(s => SettingConfs.contains(s._1))
+    if (confs.isEmpty) body
+    else {
+      val prev = confs.map { case (ck, _) => ck -> spark.conf.getOption(ck) }
+      try {
+        confs.foreach { case (ck, v) => spark.conf.set(ck, v) }
+        lastSettingsScope = confs.map { case (ck, _) => ck -> spark.conf.get(ck) }.toMap
+        body
+      } finally prev.foreach {
+        case (ck, Some(v)) => spark.conf.set(ck, v)
+        case (ck, None) => spark.conf.unset(ck)
+      }
+    }
+  }
+
   def sql(spark: SparkSession, text: String): DataFrame =
     extractFill(text) match {
-      case None => spark.sql(rewrite(text))
+      case None =>
+        val r = rewriteWithFormat(text)
+        if (!r.settings.exists(s => SettingConfs.contains(s._1)))
+          spark.sql(r.sql)
+        else withSettingsScope(spark, r.settings) {
+          spark.sql(r.sql).localCheckpoint()
+        }
       case Some(f) =>
         import org.apache.spark.sql.functions.{col, expr, lit}
         import org.apache.spark.sql.types._

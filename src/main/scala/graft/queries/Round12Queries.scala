@@ -126,6 +126,32 @@ object Round12Queries {
         FROM documents GROUP BY lang)
       SELECT med.lang, med.med_chars, tops.top_srcs, ns.n
       FROM med JOIN tops ON med.lang = tops.lang JOIN ns ON med.lang = ns.lang
-      ORDER BY med.lang"""))
+      ORDER BY med.lang""")),
+
+    // ---- q235: SETTINGS carry per-statement Spark conf intent -------------
+    // CH tuning statements (`SETTINGS max_threads = N, max_memory_usage =
+    // B`) now map onto a per-statement conf scope (shuffle partitions /
+    // broadcast threshold — set for the statement, restored after;
+    // ChSqlSpec pins the scope mechanics). The gate: a join+aggregate
+    // executed UNDER the scope is hash-exact vs the plain oracle —
+    // settings tune, they must never change results.
+    QueryDef("q235_chsql_settings_scope", (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      graft.operators.ChSql.sql(s, """
+        SELECT c.c_mktsegment AS seg, count(*) AS n,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS rev
+        FROM orders o
+        INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        PREWHERE o.o_orderstatus == 'F'
+        GROUP BY c.c_mktsegment
+        ORDER BY seg
+        SETTINGS max_threads = 7, max_memory_usage = 64000000, optimize_read_in_order = 1""")
+    }, Some("""
+      SELECT c.c_mktsegment AS seg, count(*) AS n,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY c.c_mktsegment ORDER BY seg"""))
   )
 }

@@ -100,6 +100,34 @@ class ChSqlSpec extends AnyFunSuite {
     assert(g == Seq(4L, 5L))
   }
 
+  test("SETTINGS max_threads/max_memory_usage scope the session conf per statement") {
+    t
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val r = ChSql.sql(spark, """SELECT grp, count(*) AS c FROM chsql_t
+      GROUP BY grp ORDER BY grp
+      SETTINGS max_threads = 7, max_memory_usage = 123456, optimize_read_in_order = 1""")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    // the conf was IN FORCE during the statement (read back inside the
+    // scope, where the statement executed eagerly)...
+    assert(ChSql.lastSettingsScope ==
+      Map("spark.sql.shuffle.partitions" -> "7",
+        "spark.sql.autoBroadcastJoinThreshold" -> "123456"))
+    // ...and restored after
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == beforeB)
+    // unmapped names are recorded, not silently vanished
+    assert(ChSql.lastDroppedSettings == Seq("optimize_read_in_order" -> "1"))
+    // results identical to the unscoped twin
+    assert(r == ChSql.sql(spark,
+      "SELECT grp, count(*) AS c FROM chsql_t GROUP BY grp ORDER BY grp")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq)
+    // a column aliased `settings` still never truncates the query
+    val alias = ChSql.sql(spark,
+      "SELECT count(*) AS settings FROM chsql_t").collect()(0).getLong(0)
+    assert(alias == 6L)
+  }
+
   test("string literals are inviolable; loud failures for out-of-scope") {
     t
     // the words inside the literal must survive untouched
