@@ -402,14 +402,26 @@ object ChSql {
     * unequal lengths; documented divergence). `LEFT ARRAY JOIN` keeps
     * empty-array rows via `explode_outer`, yielding NULL elements where
     * CH yields the type default (documented divergence — null is the
-    * Spark-native "absent"). An item WITHOUT an alias is rejected
-    * loudly: in CH the element shadows the source column, which a text
-    * rewrite cannot reproduce (Spark would see an ambiguous reference).
+    * Spark-native "absent").
+    *
+    * CH's ALIAS-LESS form (`ARRAY JOIN arr` — the element SHADOWS the
+    * source column) is supported for bare columns at statement depth: the
+    * element gets a fresh internal alias and the FROM clause is wrapped in
+    * a re-projection subquery (`SELECT * EXCEPT (arr), __aj_shN AS arr`),
+    * so every outer clause — select list, WHERE, GROUP BY, ORDER BY —
+    * sees the ELEMENT under the column's name, exactly CH's scoping. A
+    * shadowed `SELECT *` surfaces the element at the END of the schema
+    * (CH keeps the original position; documented divergence). Genuinely
+    * ambiguous forms stay loud: expression items without an alias, and
+    * the shadow form inside a subquery or CTE statement.
     */
   private def arrayJoin(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var uid = 0
     var scan = 0
+    val shadows = Vector.newBuilder[(String, String)] // source col -> element alias
+    var shadowN = 0
+    val posCols = Vector.newBuilder[String] // depth-0 posexplode pos columns
     while (scan < toks.length) {
       val t = toks(scan)
       val isClause = t.isWord("ARRAY") && {
@@ -446,14 +458,29 @@ object ChSql {
           val item = toks.slice(itemStart, upTo)
           // top-level AS within the item
           val asIdx = item.indexWhere(x => x.depth == d && x.isWord("AS"))
-          require(asIdx >= 0,
-            "ChSql: ARRAY JOIN items need an alias (ARRAY JOIN arr AS x) — " +
-              "CH's element-shadows-column form has no Spark equivalent")
-          val expr = render(item.take(asIdx)).trim
-          val alias = render(item.drop(asIdx + 1)).trim
-          require(expr.nonEmpty && alias.nonEmpty,
-            s"ChSql: malformed ARRAY JOIN item '${render(item).trim}'")
-          items += ((expr, alias))
+          if (asIdx < 0) {
+            // the alias-less shadow form: only a BARE COLUMN at statement
+            // depth is resolvable by the re-projection wrapper
+            val words = item.filter(_.kind != WS)
+            require(words.length == 1 && words.head.kind == WORD,
+              "ChSql: ARRAY JOIN expression items need an alias " +
+                "(ARRAY JOIN expr AS x) — only a bare column may shadow " +
+                "(ARRAY JOIN arr)")
+            require(d == 0,
+              "ChSql: alias-less ARRAY JOIN inside a subquery is not " +
+                "supported — alias the element (ARRAY JOIN arr AS x)")
+            val colName = words.head.text
+            val alias = s"__aj_sh$shadowN"
+            shadowN += 1
+            shadows += (colName -> alias)
+            items += ((colName, alias))
+          } else {
+            val expr = render(item.take(asIdx)).trim
+            val alias = render(item.drop(asIdx + 1)).trim
+            require(expr.nonEmpty && alias.nonEmpty,
+              s"ChSql: malformed ARRAY JOIN item '${render(item).trim}'")
+            items += ((expr, alias))
+          }
         }
         var k = jIdx + 1
         while (k < end) {
@@ -471,6 +498,7 @@ object ChSql {
             s" LATERAL VIEW explode$o(($e)) __aj$uid AS $a "
           } else {
             val pos = s"__aj_pos$uid"
+            if (d == 0) posCols += pos
             val (e0, a0) = its.head
             val headLv = s" LATERAL VIEW posexplode$o(($e0)) __aj$uid AS $pos, $a0 "
             val tailLv = its.tail.zipWithIndex.map { case ((e, a), i) =>
@@ -484,7 +512,30 @@ object ChSql {
         scan = start + 1
       } else scan += 1
     }
-    toks
+    val sh = shadows.result()
+    if (sh.isEmpty) return toks
+    // shadow wrapper: hold ONLY the FROM clause (with its lateral views)
+    // in a subquery that re-projects each element alias onto the shadowed
+    // column's name — every outer clause then resolves the element, which
+    // is CH's shadowing scope (WHERE/GROUP BY/ORDER BY all see elements)
+    val selIdx = nextNonWs(toks, 0)
+    require(selIdx < toks.length && toks(selIdx).isWord("SELECT"),
+      "ChSql: alias-less ARRAY JOIN expects a plain SELECT statement — " +
+        "in CTE forms alias the element (ARRAY JOIN arr AS x)")
+    var fi = selIdx + 1
+    while (fi < toks.length && !(toks(fi).isWord("FROM") && toks(fi).depth == 0)) fi += 1
+    require(fi < toks.length,
+      "ChSql: alias-less ARRAY JOIN could not find the FROM clause")
+    val fromEnd = stopIndex(toks, fi + 1, 0)
+    val selectList = render(toks.slice(selIdx + 1, fi)).trim
+    val fromTail = render(toks.slice(fi, fromEnd)).trim // includes FROM
+    val rest = render(toks.slice(fromEnd, toks.length)).trim
+    // drop the source columns (shadowed), the internal element aliases
+    // (re-projected under the source names), and posexplode's pos columns
+    val except = (sh.map(_._1) ++ sh.map(_._2) ++ posCols.result()).mkString(", ")
+    val reproject = sh.map { case (c, a) => s"$a AS $c" }.mkString(", ")
+    lex(s"SELECT $selectList FROM (SELECT * EXCEPT ($except), $reproject " +
+      s"$fromTail) __ajsh" + (if (rest.isEmpty) "" else s" $rest"))
   }
 
   /** `GROUP BY <keys> WITH TOTALS` → `GROUP BY GROUPING SETS ((<keys>),

@@ -152,6 +152,36 @@ object Round12Queries {
              CAST(sum(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS rev
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE o.o_orderstatus = 'F'
-      GROUP BY c.c_mktsegment ORDER BY seg"""))
+      GROUP BY c.c_mktsegment ORDER BY seg""")),
+
+    // ---- q236: alias-less ARRAY JOIN (element shadows the column) ---------
+    // CH's bare form `ARRAY JOIN words`: after the clause, `words` means
+    // the ELEMENT in every outer clause — select list, WHERE, GROUP BY.
+    // The rewriter re-projects the exploded element onto the source
+    // column's name in a FROM-only wrapper subquery (q222 keeps gating the
+    // aliased form; ChSqlSpec pins mixed/multi/LEFT shadow cases and the
+    // still-loud expression/subquery forms).
+    QueryDef("q236_chsql_array_join_shadow", (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .select("doc_id", "lang", "words")
+        .createOrReplaceTempView("docw")
+      graft.operators.ChSql.sql(s, """
+        SELECT lang, words, count(*) AS c
+        FROM docw
+        ARRAY JOIN words
+        PREWHERE lang != 'de'
+        WHERE words != ''
+        GROUP BY lang, words
+        ORDER BY c DESC, lang, words
+        LIMIT 200""")
+    }, Some("""
+      SELECT lang, words, count(*) AS c FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS words
+        FROM documents WHERE lang <> 'de') u
+      WHERE words <> ''
+      GROUP BY lang, words
+      ORDER BY c DESC, lang, words
+      LIMIT 200"""))
   )
 }

@@ -179,9 +179,58 @@ class ChSqlSpec extends AnyFunSuite {
         "ORDER BY id, tag LIMIT 1 BY id")
       .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
     assert(c == Seq((1L, "x"), (2L, "z")))
-    // no alias → loud failure (element-shadows-column has no Spark analog)
+    // expression without alias → loud (only a bare column may shadow)
     intercept[IllegalArgumentException] {
-      ChSql.rewrite("SELECT tags FROM chsql_aj ARRAY JOIN tags")
+      ChSql.rewrite("SELECT v FROM chsql_aj ARRAY JOIN arrayConcat(tags, tags)")
+    }
+  }
+
+  test("alias-less ARRAY JOIN: the element shadows the source column") {
+    t
+    Seq((1L, Seq("x", "y"), Seq(10, 20)), (2L, Seq("z"), Seq(30)),
+      (3L, Seq.empty[String], Seq.empty[Int]))
+      .toDF("id", "tags", "ns").createOrReplaceTempView("chsql_aj")
+    // the CH shadow form: `tags` below means the ELEMENT everywhere —
+    // select list, WHERE, ORDER BY
+    val r = ChSql.sql(spark,
+      "SELECT id, tags FROM chsql_aj ARRAY JOIN tags ORDER BY id, tags")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(r == Seq((1L, "x"), (1L, "y"), (2L, "z")))
+    // WHERE sees the element, not the array
+    val w = ChSql.sql(spark,
+      "SELECT id, ns FROM chsql_aj ARRAY JOIN ns WHERE ns > 15 ORDER BY ns")
+      .collect().map(x => (x.getLong(0), x.getInt(1))).toSeq
+    assert(w == Seq((1L, 20), (2L, 30)))
+    // multi-array zip with both shadowed; GROUP BY sees elements
+    val z = ChSql.sql(spark,
+      "SELECT tags, CAST(sum(ns) AS BIGINT) AS s FROM chsql_aj " +
+        "ARRAY JOIN tags, ns GROUP BY tags ORDER BY tags")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(z == Seq(("x", 10L), ("y", 20L), ("z", 30L)))
+    // mixed aliased + shadowed items in one clause
+    val m = ChSql.sql(spark,
+      "SELECT id, t, ns FROM chsql_aj ARRAY JOIN tags AS t, ns " +
+        "WHERE id == 1 ORDER BY t")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSeq
+    assert(m == Seq((1L, "x", 10), (1L, "y", 20)))
+    // SELECT * never leaks internal pos/shadow columns
+    val cols = ChSql.sql(spark,
+      "SELECT * FROM chsql_aj ARRAY JOIN tags, ns WHERE id == 2").columns.toSeq
+    assert(cols.sorted == Seq("id", "ns", "tags"))
+    // LEFT shadow form keeps the empty-array row
+    val l = ChSql.sql(spark,
+      "SELECT id, tags FROM chsql_aj LEFT ARRAY JOIN tags ORDER BY id, tags")
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)))).toSeq
+    assert(l.last == ((3L, None)))
+    // composes with the downstream passes (PREWHERE merge, LIMIT BY)
+    val c = ChSql.sql(spark,
+      "SELECT id, tags FROM chsql_aj ARRAY JOIN tags PREWHERE id < 3 " +
+        "ORDER BY id, tags LIMIT 1 BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(c == Seq((1L, "x"), (2L, "z")))
+    // still loud where shadowing is genuinely ambiguous: subquery depth
+    intercept[IllegalArgumentException] {
+      ChSql.rewrite("SELECT * FROM (SELECT tags FROM chsql_aj ARRAY JOIN tags) q")
     }
   }
 
