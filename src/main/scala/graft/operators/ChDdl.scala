@@ -579,15 +579,27 @@ object ChDdl {
         emptyResult(spark)
       case "EXPLAIN" =>
         // CH EXPLAIN [PLAN|PIPELINE|...] stmt → the Spark physical plan
-        // of the statement's frame, one line per row
+        // of the statement's frame, one line per row;
+        // EXPLAIN INDEXES = 1 stmt → the granule-pruning report (CH's
+        // indexes=1: per conjunct, how many row groups each physical
+        // index keeps — partition dirs, row-group minmax, column blooms)
         var i = nextNonWs(toks, i0 + 1)
-        if (i < toks.length && (toks(i).isWord("PLAN") ||
-            toks(i).isWord("PIPELINE") || toks(i).isWord("AST") ||
-            toks(i).isWord("SYNTAX"))) i = nextNonWs(toks, i + 1)
-        val target = execute(cat, render(toks.drop(i)))
-        import spark.implicits._
-        target.queryExecution.executedPlan.toString
-          .linesIterator.toSeq.toDF("explain")
+        if (i < toks.length && toks(i).isWord("INDEXES")) {
+          val eq = nextNonWs(toks, i + 1)
+          val v = if (eq < toks.length) nextNonWs(toks, eq + 1) else toks.length
+          require(eq < toks.length && toks(eq).text == "=" &&
+            v < toks.length && toks(v).text == "1",
+            "ChDdl: expected EXPLAIN INDEXES = 1 <select>")
+          explainIndexes(cat, toks.drop(nextNonWs(toks, v + 1)).toVector)
+        } else {
+          if (i < toks.length && (toks(i).isWord("PLAN") ||
+              toks(i).isWord("PIPELINE") || toks(i).isWord("AST") ||
+              toks(i).isWord("SYNTAX"))) i = nextNonWs(toks, i + 1)
+          val target = execute(cat, render(toks.drop(i)))
+          import spark.implicits._
+          target.queryExecution.executedPlan.toString
+            .linesIterator.toSeq.toDF("explain")
+        }
       case "RENAME" =>
         var i = skipWord(toks, i0, "RENAME", "TABLE")
         val (from, afterFrom) = tableNameAt(toks, i)
@@ -1545,6 +1557,67 @@ object ChDdl {
     } else throw new UnsupportedOperationException(
       s"ChDdl: unsupported ALTER action '${toks(i).text}' — supported: " +
         "DELETE WHERE, UPDATE ... WHERE, ADD VECTOR INDEX")
+  }
+
+  /** CH `EXPLAIN indexes = 1 SELECT ... FROM t [PREWHERE p] [WHERE w]`:
+    * per simple conjunct, the granule (row-group) accounting of every
+    * physical index — partition directories, row-group minmax statistics,
+    * registered column blooms — via [[SkipStats]], read from the same
+    * footers execution's pushdown uses. Conjuncts that are not
+    * `col OP literal` report index 'none' with every granule kept: the
+    * honest "no metadata-level pruning", never a silent drop.
+    */
+  private def explainIndexes(cat: Catalog, stmt: Vector[Tok]): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    var f = 0
+    while (f < stmt.length && !(stmt(f).isWord("FROM") && stmt(f).depth == 0)) f += 1
+    require(f < stmt.length, "ChDdl: EXPLAIN INDEXES = 1 needs a FROM clause")
+    val (t, _) = tableNameAt(stmt, nextNonWs(stmt, f + 1))
+    val d = tableDef(cat, t)
+    val dir = java.nio.file.Paths.get(cat.root, d.name).toString
+    // depth-0 WHERE/PREWHERE regions, split on depth-0 AND
+    val clauseStops = Set("WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
+      "LIMIT", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "FORMAT")
+    val ands = Vector.newBuilder[Vector[Tok]]
+    var i = 0
+    while (i < stmt.length) {
+      if (stmt(i).depth == 0 &&
+          (stmt(i).isWord("WHERE") || stmt(i).isWord("PREWHERE"))) {
+        var e = i + 1
+        while (e < stmt.length && !(stmt(e).depth == 0 && stmt(e).kind == WORD &&
+          clauseStops.contains(stmt(e).text.toUpperCase))) e += 1
+        var s = i + 1
+        var j = i + 1
+        while (j <= e) {
+          if (j == e || (stmt(j).depth == 0 && stmt(j).isWord("AND"))) {
+            ands += stmt.slice(s, j).filter(_.kind != ChSql.WS)
+            s = j + 1
+          }
+          j += 1
+        }
+        i = e
+      } else i += 1
+    }
+    val ops = Map("=" -> "=", "==" -> "=", "!=" -> "!=", "<>" -> "!=",
+      "<" -> "<", "<=" -> "<=", ">" -> ">", ">=" -> ">=")
+    val (parsed, unparsed) = ands.result().filter(_.nonEmpty).partition { c =>
+      c.length == 3 && c(0).kind == WORD && c(1).kind == SYM &&
+        ops.contains(c(1).text) && (c(2).kind == NUM || c(2).kind == STR)
+    }
+    val rows = SkipStats.explain(spark, dir, parsed.map(c =>
+      SkipStats.Conjunct(unq(c(0).text), ops(c(1).text), c(2).text))) ++ {
+      if (unparsed.isEmpty) Nil
+      else {
+        val (g, fl) = SkipStats.totals(spark, dir)
+        unparsed.map(c => SkipStats.IndexRow("none", "",
+          c.map(_.text).mkString(" "), g, g, fl, fl))
+      }
+    }
+    rows.map(r => (r.index, r.column, r.condition, r.granulesTotal,
+      r.granulesKept, r.filesTotal, r.filesKept))
+      .toDF("index", "column", "condition", "granules_total",
+        "granules_kept", "files_total", "files_kept")
   }
 
   private def optimize(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {

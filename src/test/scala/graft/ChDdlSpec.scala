@@ -427,6 +427,43 @@ class ChDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPLAIN INDEXES = 1: partition, minmax and bloom granule accounting") {
+    val cat = freshCat("chddl_expidx")
+    val x = ChDdl.execute(cat, _: String)
+    x("""CREATE TABLE e (id Int64, u String, day String,
+         INDEX ub u TYPE bloom_filter) ENGINE = MergeTree ORDER BY id
+         PARTITION BY day""")
+    // four one-file inserts with disjoint id ranges: 4 granules, 2 per day
+    def block(lo: Long, day: String, needle: Option[Long]): Unit = {
+      spark.range(lo, lo + 1000).coalesce(1).selectExpr("id",
+        needle.fold("concat('u', id)")(n =>
+          s"CASE WHEN id = $n THEN 'needle' ELSE concat('u', id) END") + " AS u",
+        s"'$day' AS day").createOrReplaceTempView("expidx_src")
+      x("INSERT INTO e SELECT id, u, day FROM expidx_src")
+    }
+    block(0, "d0", None); block(1000, "d0", None)
+    block(2000, "d1", Some(2500L)); block(3000, "d1", None)
+    def rows(sql: String) = ChDdl.execute(cat, sql).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    // partition-directory pruning: 2 of 4 granules under day=d1
+    assert(rows("EXPLAIN INDEXES = 1 SELECT count(*) AS c FROM e WHERE day == 'd1'")
+      == Seq(("partition", "day = 'd1'", 4L, 2L)))
+    // row-group minmax on the sort key: one insert's range matches
+    assert(rows("EXPLAIN INDEXES = 1 SELECT id FROM e WHERE id < 1000")
+      == Seq(("minmax", "id < 1000", 4L, 1L)))
+    // bloom on the indexed non-key column: the needle lives in ONE file;
+    // minmax over random-ish strings keeps more, the bloom prunes to it
+    val b = rows("EXPLAIN INDEXES = 1 SELECT id FROM e PREWHERE u == 'needle'")
+    assert(b.head._1 == "minmax" && b.head._3 == 4L)
+    val bloom = b.find(_._1 == "bloom_filter").get
+    assert(bloom._4 >= 1L && bloom._4 < bloom._3) // pruned, no false negative
+    // multi-conjunct: one row per conjunct; unsupported shapes are honest
+    val m = rows("EXPLAIN INDEXES = 1 SELECT id FROM e " +
+      "WHERE day == 'd1' AND id >= 3000 AND id % 2 == 0")
+    assert(m.map(_._1) == Seq("partition", "minmax", "none"))
+    assert(m(0)._4 == 2L && m(1)._4 == 1L && m(2)._4 == 4L)
+  }
+
   test("DELETE FROM, EXPLAIN, MODIFY TTL, multi-statement scripts") {
     val cat = freshCat("chddl_misc")
     // a .sql-file-shaped script: the splitter is token-level, so the
