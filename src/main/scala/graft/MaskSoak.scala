@@ -92,6 +92,21 @@ object MaskSoak {
       f"clean=$rClean%5.2f s (${rMasked / rClean}%4.2fx overhead, " +
       f"${cat.readRaw("light").count()} rows served)")
 
+    // lightweight UPDATE (patch parts): same economics on the write side,
+    // one broadcast join per outstanding batch on the read side
+    val upPred = col("id") % 50000 === 3 // cross-partition, pruning can't help
+    val bytesBeforeU = dirBytes(s"$root/light")
+    val (_, wUpL) = timed(cat.updateWhereLight("light", upPred,
+      Map("payload" -> lit("patched"))))
+    val patchBytes = dirBytes(s"$root/light") - bytesBeforeU
+    val (_, wUpH) = timed(cat.updateWhere("pruned", upPred,
+      Map("payload" -> lit("patched"))))
+    println(f"cross-partition update (${rows / 50000} matches): " +
+      f"patch=$wUpL%5.2f s ($patchBytes bytes written) vs " +
+      f"partition-rewrite=$wUpH%5.2f s (${wUpH / wUpL}%4.1fx)")
+    val (_, rPatched) = timed(agg("light"))
+    println(f"aggregate with mask+patch outstanding: $rPatched%5.2f s")
+
     // the deferred rewrite, paid once at OPTIMIZE time
     val (_, wOpt) = timed(cat.replaceContents("light", cat.readRaw("light")))
     assert(!cat.hasDeletes("light"))

@@ -75,7 +75,20 @@ final case class Catalog(spark: SparkSession, root: String) {
   }
 
   def readRaw(table: String): DataFrame =
-    applyMask(table, spark.read.parquet(path(table)))
+    readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
+
+  /** Raw scan with the physical row identity (file path, row position)
+    * attached, deletion masks anti-joined away and outstanding update
+    * patches applied — the one source every read AND every mutation
+    * predicate evaluates against (a `DELETE WHERE status = 'closed'`
+    * must see a status a lightweight update patched in).
+    */
+  private def readTagged(table: String): DataFrame = {
+    val scan = spark.read.parquet(path(table))
+      .withColumn(Catalog.FileCol, col("_metadata.file_path"))
+      .withColumn(Catalog.PosCol, col("_metadata.row_index"))
+    applyPatches(table, applyMask(table, scan))
+  }
 
   // ---- lightweight deletes (deletion-vector mask sidecar) ---------------
 
@@ -106,48 +119,135 @@ final case class Catalog(spark: SparkSession, root: String) {
     * be read as data.
     */
   def deleteWhereLight(table: String, cond: Column): Unit = {
-    val hits = spark.read.parquet(path(table)).filter(cond).select(
-      col("_metadata.file_path").as("file"),
-      col("_metadata.row_index").as("pos"))
+    val hits = readTagged(table).filter(cond).select(
+      col(Catalog.FileCol).as("file"), col(Catalog.PosCol).as("pos"))
     hits.write.mode("append").parquet(deletesDir(table))
     invalidateProjections(table)
   }
 
-  /** Anti-join a raw parquet scan against the table's mask sidecar.
-    * Already-masked rows re-matched by a later [[deleteWhereLight]] only
-    * produce duplicate (file, pos) entries, which the anti-join absorbs.
-    */
+  /** Anti-join a tagged scan against the table's mask sidecar. */
   private def applyMask(table: String, scan: DataFrame): DataFrame =
     if (!hasDeletes(table)) scan
     else {
       val m = spark.read.parquet(deletesDir(table))
-        .select(col("file").as("__mask_file"), col("pos").as("__mask_pos"))
-      scan
-        .withColumn("__mask_file", col("_metadata.file_path"))
-        .withColumn("__mask_pos", col("_metadata.row_index"))
-        .join(broadcast(m), Seq("__mask_file", "__mask_pos"), "left_anti")
-        .drop("__mask_file", "__mask_pos")
+        .select(col("file").as(Catalog.FileCol), col("pos").as(Catalog.PosCol))
+      scan.join(broadcast(m), Seq(Catalog.FileCol, Catalog.PosCol), "left_anti")
     }
 
-  /** Drop mask entries pointing into rewritten partition directories: the
-    * rewrite read through the mask, so those entries are applied, and the
-    * fresh files carry new UUID names a stale entry can never match —
-    * this is sidecar hygiene, not correctness. Entries for untouched
-    * partitions stay live.
-    */
-  private def dropMaskUnder(table: String, dirs: Seq[String]): Unit =
-    if (dirs.nonEmpty && hasDeletes(table)) {
-      import java.nio.file.Paths
-      val m = spark.read.parquet(deletesDir(table))
-      val keep = m.filter(!dirs.map(d => col("file").contains(s"/$d/"))
-        .reduce(_ || _))
-      if (keep.isEmpty) rmTree(Paths.get(deletesDir(table)))
-      else {
-        val tmp = path(table) + "__mask_tmp"
-        keep.write.mode("overwrite").parquet(tmp)
-        replaceDir(tmp, deletesDir(table))
-      }
+  // ---- lightweight updates (patch-part sidecar) --------------------------
+
+  private def patchesDir(table: String) = path(table) + "/_patches"
+
+  /** True when the table carries outstanding update patches. */
+  def hasPatches(table: String): Boolean = patchBatches(table).nonEmpty
+
+  /** Outstanding patch batch directories, in application order. */
+  private def patchBatches(table: String): Seq[java.nio.file.Path] = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(patchesDir(table))
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("seq="))
+        .toSeq.sortBy(_.getFileName.toString.stripPrefix("seq=").toLong)
+      finally s.close()
     }
+  }
+
+  /** ClickHouse lightweight `UPDATE t SET a = e WHERE p` (25.x "patch
+    * parts"): materialize the assignments for the MATCHING rows into a
+    * `_patches/seq=N` sidecar batch — O(matches) written, zero data
+    * bytes rewritten — applied at read time as one broadcast join per
+    * outstanding batch in sequence order (CH reads pay the same
+    * patch-merge until the part merges; OPTIMIZE and heavy mutations
+    * fold patches in here too). RHS expressions see the CURRENT row
+    * (masks + earlier patches applied), values are cast to the column's
+    * declared type at write. Partition-column assignments are rejected:
+    * reads prune by directory BEFORE patches apply, so a patched
+    * partition value would serve wrong prunes — use the heavy
+    * [[updateWhere]] (which CH also demands for key columns).
+    */
+  def updateWhereLight(table: String, cond: Column,
+      assignments: Map[String, Column]): Unit = {
+    require(assignments.nonEmpty, "lightweight update needs assignments")
+    val parts = partitionColsOf(table)
+    val hit = parts.filter(assignments.contains)
+    require(hit.isEmpty,
+      s"lightweight update cannot assign partition column(s) " +
+        s"${hit.mkString(", ")} — use the heavy updateWhere rewrite")
+    val cur = readTagged(table)
+    val hits = cur.filter(cond).select(
+      col(Catalog.FileCol).as("file") +: col(Catalog.PosCol).as("pos") +:
+        assignments.toSeq.sortBy(_._1).map { case (c, v) =>
+          v.cast(cur.schema(c).dataType).as(c)
+        }: _*)
+    val seq = patchBatches(table).lastOption
+      .map(_.getFileName.toString.stripPrefix("seq=").toLong + 1).getOrElse(0L)
+    hits.write.mode("overwrite").parquet(s"${patchesDir(table)}/seq=$seq")
+    invalidateProjections(table)
+  }
+
+  /** Apply outstanding patch batches in sequence order: one broadcast
+    * LEFT join per batch on (file, pos), assigned columns replaced where
+    * the batch hits (a patch may legitimately set NULL — replacement is
+    * hit-gated, never coalesce). Later batches overwrite earlier ones on
+    * the rows/columns they share, which is exactly sequential
+    * application because batch values are MATERIALIZED at write time.
+    */
+  private def applyPatches(table: String, df0: DataFrame): DataFrame =
+    patchBatches(table).foldLeft(df0) { (df, dir) =>
+      val p = spark.read.parquet(dir.toString)
+      val assigned = p.columns.filterNot(c => c == "file" || c == "pos").toSeq
+      val pr = p.select(
+        col("file").as(Catalog.FileCol) +: col("pos").as(Catalog.PosCol) +:
+          lit(true).as("__patch_hit") +:
+          assigned.map(c => col(c).as(s"__patch_$c")): _*)
+      df.join(broadcast(pr), Seq(Catalog.FileCol, Catalog.PosCol), "left")
+        .select(df.columns.toIndexedSeq.map { c =>
+          if (assigned.contains(c))
+            when(col("__patch_hit"), col(s"__patch_$c")).otherwise(col(c)).as(c)
+          else col(c)
+        }: _*)
+    }
+
+  /** Drop mask and patch entries pointing into rewritten partition
+    * directories: the rewrite read through both sidecars, so those
+    * entries are applied, and the fresh files carry new UUID names a
+    * stale entry can never match — this is sidecar hygiene, not
+    * correctness. Entries for untouched partitions stay live.
+    */
+  private def dropSidecarsUnder(table: String, dirs: Seq[String]): Unit =
+    if (dirs.nonEmpty) {
+      import java.nio.file.Paths
+      val gone = !dirs.map(d => col("file").contains(s"/$d/")).reduce(_ || _)
+      if (hasDeletes(table)) {
+        val keep = spark.read.parquet(deletesDir(table)).filter(gone)
+        if (keep.isEmpty) rmTree(Paths.get(deletesDir(table)))
+        else {
+          val tmp = path(table) + "__mask_tmp"
+          keep.write.mode("overwrite").parquet(tmp)
+          replaceDir(tmp, deletesDir(table))
+        }
+      }
+      patchBatches(table).foreach { b =>
+        val keep = spark.read.parquet(b.toString).filter(gone)
+        if (keep.isEmpty) rmTree(b)
+        else {
+          val tmp = path(table) + "__patch_tmp"
+          keep.write.mode("overwrite").parquet(tmp)
+          replaceDir(tmp, b.toString)
+        }
+      }
+      if (hasPatchDirButNoBatches(table))
+        rmTree(Paths.get(patchesDir(table)))
+    }
+
+  private def hasPatchDirButNoBatches(table: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(patchesDir(table))) &&
+      patchBatches(table).isEmpty
 
   /** Partition columns of a table as laid out on disk (nested
     * `col=value` directory levels, outermost first). Rewrite paths
@@ -237,7 +337,7 @@ final case class Catalog(spark: SparkSession, root: String) {
       }
     }
     rmTree(Paths.get(tmp))
-    dropMaskUnder(table, affected.map(dirOf).toSeq)
+    dropSidecarsUnder(table, affected.map(dirOf).toSeq)
     invalidateProjections(table)
   }
 
@@ -380,6 +480,10 @@ final case class Catalog(spark: SparkSession, root: String) {
 }
 
 object Catalog {
+  /** Internal row-identity columns threaded through tagged reads. */
+  private[operators] val FileCol = "__graft_file"
+  private[operators] val PosCol = "__graft_pos"
+
   /** Per-table-path parquet writer options — the CH data-skipping-index
     * analog made physical ([[graft.operators.ChDdl]] registers
     * `parquet.bloom.filter.enabled#col` / `expected.ndv#col` here from

@@ -48,7 +48,10 @@ import ChSql.{Tok, WORD, NUM, STR, SYM, lex, render, nextNonWs}
   *     WHERE p` — CH's LIGHTWEIGHT delete → [[Catalog.deleteWhereLight]]
   *     (a `_row_exists`-style deletion-vector mask: O(matches), zero
   *     data bytes rewritten, applied by every read until OPTIMIZE or a
-  *     heavy mutation materializes it).
+  *     heavy mutation materializes it); `UPDATE t SET a = e WHERE p` —
+  *     CH's LIGHTWEIGHT update (25.x patch parts) →
+  *     [[Catalog.updateWhereLight]] (same O(matches) economics, one
+  *     broadcast join per outstanding batch at read).
   *   - `OPTIMIZE TABLE t [FINAL]` → [[Catalog.compact]] (the
   *     replacing-merge made physical; on a materialized view, the
   *     SummingMergeTree merge made physical).
@@ -576,6 +579,41 @@ object ChDdl {
           "ChDdl: DELETE FROM needs WHERE (TRUNCATE empties a table)")
         val d = tableDef(cat, t)
         cat.deleteWhereLight(d.name, expr(normalize(render(toks.drop(i + 1)).trim)))
+        emptyResult(spark)
+      case "UPDATE" =>
+        // CH lightweight UPDATE (`UPDATE t SET a = e, ... WHERE p`, the
+        // 25.x patch-parts statement): writes an update-patch sidecar —
+        // O(matches), zero data bytes rewritten, applied by every read
+        // until OPTIMIZE or a heavy mutation folds it in. The heavy part
+        // rewrite stays on `ALTER TABLE ... UPDATE` (the CH mutation).
+        var i = nextNonWs(toks, i0 + 1)
+        val (t, after) = tableNameAt(toks, i)
+        val d = tableDef(cat, t)
+        i = nextNonWs(toks, after)
+        require(i < toks.length && toks(i).isWord("SET"),
+          "ChDdl: expected UPDATE <table> SET a = expr [, ...] WHERE p")
+        var wd = -1
+        var w = i + 1
+        while (w < toks.length && wd < 0) {
+          if (toks(w).isWord("WHERE") && toks(w).depth == 0) wd = w
+          w += 1
+        }
+        require(wd > 0, "ChDdl: UPDATE needs WHERE (patch the whole " +
+          "table explicitly with WHERE 1 = 1 if that is really meant)")
+        val assigns = splitTop(toks, nextNonWs(toks, i + 1), wd, 0).map {
+          case (from, to) =>
+            val s = render(toks.slice(from, to))
+            val eq = s.indexOf('=')
+            require(eq > 0, s"ChDdl: malformed UPDATE assignment '$s'")
+            unq(s.substring(0, eq).trim) -> expr(normalize(s.substring(eq + 1).trim))
+        }
+        val protectedCols = (d.orderBy ++ d.partitionBy ++ d.versionCol).toSet
+        val hit = assigns.map(_._1).filter(protectedCols.contains)
+        require(hit.isEmpty,
+          s"ChDdl: UPDATE cannot mutate key/partition/version column(s) " +
+            s"${hit.mkString(", ")} (CH forbids the same)")
+        cat.updateWhereLight(d.name,
+          expr(normalize(render(toks.drop(wd + 1)).trim)), assigns.toMap)
         emptyResult(spark)
       case "EXPLAIN" =>
         // CH EXPLAIN [PLAN|PIPELINE|...] stmt → the Spark physical plan
@@ -1292,7 +1330,9 @@ object ChDdl {
     val dir = java.nio.file.Paths.get(cat.root, table)
     java.nio.file.Files.exists(dir) &&
       java.nio.file.Files.walk(dir).iterator().asScala.exists(p =>
-        p.getFileName.toString.endsWith(".parquet"))
+        p.getFileName.toString.endsWith(".parquet") &&
+          // sidecar (_deletes/_patches) parquet is mutation state, not data
+          !dir.relativize(p).toString.split('/').exists(_.startsWith("_")))
   }
 
   private def insert(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {
@@ -1633,8 +1673,9 @@ object ChDdl {
         if (d.replacing && d.orderBy.nonEmpty)
           cat.compact(d.name, d.orderBy, versionColOf(d))
         // plain MergeTree: OPTIMIZE is the merge that folds lightweight-
-        // delete masks into the parts (CH's _row_exists materialization)
-        else if (cat.hasDeletes(d.name))
+        // delete masks and update patches into the parts (CH's
+        // _row_exists / patch-part materialization)
+        else if (cat.hasDeletes(d.name) || cat.hasPatches(d.name))
           cat.replaceContents(d.name, cat.readRaw(d.name))
     }
     emptyResult(cat.spark)

@@ -182,6 +182,39 @@ object Round12Queries {
       WHERE words <> ''
       GROUP BY lang, words
       ORDER BY c DESC, lang, words
-      LIMIT 200"""))
+      LIMIT 200""")),
+
+    // ---- q237: lightweight UPDATE (patch parts) ---------------------------
+    // CH 25.x `UPDATE t SET ... WHERE` writes patch parts instead of
+    // rewriting data. Two sequential patches — the second's predicate AND
+    // RHS evaluate over the FIRST patch's values — then a lightweight
+    // DELETE whose predicate sees both patches, read with zero data bytes
+    // rewritten anywhere (MaskSpec pins byte-untouchedness). Oracle:
+    // DuckDB applies the same three steps as chained CTEs.
+    QueryDef("q237_lightweight_update_patch", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q237").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE d (doc_id Int64, lang String, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id PARTITION BY lang""")
+      x("INSERT INTO d SELECT doc_id, lang, n_chars FROM documents")
+      x("UPDATE d SET n_chars = n_chars + 1000 WHERE doc_id % 7 == 0")
+      x("UPDATE d SET n_chars = n_chars * 2 WHERE n_chars >= 1500")
+      x("DELETE FROM d WHERE n_chars > 2600")
+      x("""SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d GROUP BY lang ORDER BY lang""")
+    }, Some("""
+      WITH p1 AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents),
+      p2 AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_chars >= 1500 THEN n_chars * 2 ELSE n_chars END AS n_chars
+        FROM p1)
+      SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM p2 WHERE NOT (n_chars > 2600)
+      GROUP BY lang ORDER BY lang"""))
   )
 }

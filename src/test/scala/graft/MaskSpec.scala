@@ -133,6 +133,82 @@ class MaskSpec extends AnyFunSuite {
       .select("s").as[String].collect().toSeq == Seq("old", "keep"))
   }
 
+  test("lightweight update: data files untouched, values patched at read") {
+    val cat = freshCat("patch1")
+    cat.create("t", docs(3000).repartition(3, col("lang")), Seq("lang"))
+    val before = dataFiles(cat, "t")
+    cat.updateWhereLight("t", col("id") % 10 === 0, Map("n" -> (col("n") + 5000)))
+    assert(dataFiles(cat, "t") == before) // zero data bytes rewritten
+    assert(cat.hasPatches("t"))
+    val rows = cat.readRaw("t").collect()
+    assert(rows.length == 3000)
+    assert(rows.filter(_.getAs[Long]("id") % 10 == 0)
+      .forall(_.getAs[Long]("n") >= 5000))
+    assert(rows.filter(_.getAs[Long]("id") % 10 != 0)
+      .forall(_.getAs[Long]("n") < 100))
+  }
+
+  test("lightweight update RHS sees the CURRENT state; batches compose") {
+    val cat = freshCat("patch2")
+    cat.create("t", docs(100))
+    cat.updateWhereLight("t", col("id") < 50, Map("n" -> (col("n") + 1000)))
+    // second batch computes over the FIRST patch's values
+    cat.updateWhereLight("t", col("n") >= 1000, Map("n" -> (col("n") + 1000)))
+    val n7 = cat.readRaw("t").filter(col("id") === 7).select("n").as[Long].head()
+    assert(n7 == 7 * 7 % 100 + 2000)
+    // a delete's predicate sees the patched value too
+    cat.deleteWhereLight("t", col("n") >= 2000)
+    assert(cat.readRaw("t").count() == 50)
+    // a patch may set NULL for real (hit-gated replacement, not coalesce)
+    val cat2 = freshCat("patch2b")
+    cat2.create("s", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    cat2.updateWhereLight("s", col("id") === 1,
+      Map("s" -> lit(null).cast("string")))
+    assert(cat2.readRaw("s").orderBy("id").select("s").collect()
+      .map(r => Option(r.getString(0))).toSeq == Seq(None, Some("b")))
+  }
+
+  test("heavy mutation folds patches on affected leaves, keeps the rest") {
+    val cat = freshCat("patch3")
+    cat.create("t", docs(3000).repartition(3, col("lang")), Seq("lang"))
+    cat.updateWhereLight("t", col("id") % 5 === 0, Map("n" -> lit(7777L)))
+    val expect = cat.readRaw("t").orderBy("id").collect().toSeq
+    // heavy delete on l2 only: rewrites l2 WITH patches applied, drops
+    // l2's patch entries, keeps l0/l1 patches live
+    cat.deleteWhere("t", col("lang") === "l2" && col("id") % 2 === 1)
+    assert(cat.hasPatches("t"))
+    val after = cat.readRaw("t").orderBy("id").collect().toSeq
+    assert(after == expect.filterNot(r =>
+      r.getAs[String]("lang") == "l2" && r.getAs[Long]("id") % 2 == 1))
+    assert(after.filter(r => r.getAs[Long]("id") % 5 == 0)
+      .forall(_.getAs[Long]("n") == 7777L))
+    // partition-column assignment is rejected loudly
+    intercept[IllegalArgumentException] {
+      cat.updateWhereLight("t", col("id") === 1, Map("lang" -> lit("xx")))
+    }
+  }
+
+  test("ChDdl UPDATE statement: patch route, guards, OPTIMIZE folds") {
+    val cat = freshCat("patch4")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE t (id Int64, lang String, n Int64) ENGINE = MergeTree ORDER BY id PARTITION BY lang")
+    docs(900).createOrReplaceTempView("patch4_src")
+    x("INSERT INTO t SELECT id, lang, n FROM patch4_src")
+    val before = dataFiles(cat, "t")
+    x("UPDATE t SET n = n + 100000 WHERE id % 3 == 0")
+    assert(dataFiles(cat, "t") == before) // statement is lightweight
+    assert(cat.hasPatches("t"))
+    val expect = ChDdl.execute(cat, "SELECT id, n FROM t ORDER BY id").collect().toSeq
+    assert(expect.count(_.getLong(1) >= 100000) == 300)
+    x("OPTIMIZE TABLE t FINAL")
+    assert(!cat.hasPatches("t"))
+    assert(ChDdl.execute(cat, "SELECT id, n FROM t ORDER BY id").collect().toSeq == expect)
+    // key/partition columns are protected at the statement surface
+    intercept[IllegalArgumentException] { x("UPDATE t SET lang = 'xx' WHERE id == 1") }
+    intercept[IllegalArgumentException] { x("UPDATE t SET id = 0 WHERE id == 1") }
+    intercept[IllegalArgumentException] { x("UPDATE t SET n = 0") } // no WHERE
+  }
+
   test("appends after a delete are untouched by old masks") {
     val cat = freshCat("mask7")
     cat.create("t", docs(100))
