@@ -465,6 +465,43 @@ final case class Catalog(spark: SparkSession, root: String) {
     rows.toDF("table", "part_name", "bytes", "modified")
   }
 
+  /** ClickHouse `system.mutations` analog: the OUTSTANDING lightweight
+    * mutation state per table — deletion-mask and update-patch sidecars
+    * (kind, batches, rows, bytes). CH rows carry `is_done`; here a row
+    * exists only while undone — OPTIMIZE and heavy mutations fold the
+    * sidecars in and the rows disappear, which is the signal an operator
+    * polls for.
+    */
+  def mutations(): DataFrame = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val rootPath = Paths.get(root)
+    def bytes(p: Path): Long = Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    val rows: Seq[(String, String, Long, Long, Long)] =
+      if (!Files.isDirectory(rootPath)) Nil
+      else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
+        .flatMap { t =>
+          val table = t.getFileName.toString
+          val del =
+            if (!hasDeletes(table)) Nil
+            else {
+              val d = Paths.get(deletesDir(table))
+              Seq((table, "delete_mask", 1L,
+                spark.read.parquet(d.toString).count(), bytes(d)))
+            }
+          val pat = patchBatches(table) match {
+            case Nil => Nil
+            case bs => Seq((table, "update_patch", bs.size.toLong,
+              bs.map(b => spark.read.parquet(b.toString).count()).sum,
+              bytes(Paths.get(patchesDir(table)))))
+          }
+          del ++ pat
+        }.toSeq.sortBy(r => (r._1, r._2))
+    rows.toDF("table", "kind", "batches", "rows", "bytes")
+  }
+
   private def rmTree(p: java.nio.file.Path): Unit = {
     import java.nio.file._
     import scala.jdk.CollectionConverters._

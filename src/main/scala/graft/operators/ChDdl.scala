@@ -62,7 +62,8 @@ import ChSql.{Tok, WORD, NUM, STR, SYM, lex, render, nextNonWs}
   *     `CREATE TABLE ... AS SELECT` (CTAS), `RENAME TABLE a TO b`,
   *     `EXCHANGE TABLES a AND b`, `CREATE|DROP DATABASE`,
   *     `SHOW DATABASES|TABLES [FROM db]`, `DESCRIBE [TABLE] t`, and
-  *     the `system.parts|tables|columns|query_log` introspection views.
+  *     the `system.parts|tables|columns|query_log|mutations`
+  *     introspection views.
   *   - anything else → [[ChSql.sql]] (the SELECT dialect), with every
   *     registered table exposed as a replacing-merged temp view.
   *
@@ -761,7 +762,8 @@ object ChDdl {
         // (the QueryLog listener's ring). Bound lazily, and the dotted
         // reference re-tokenized to the view name — a STRING containing
         // "system.parts" is a STR token and survives.
-        val sysTables = Set("parts", "tables", "columns", "query_log")
+        val sysTables = Set("parts", "tables", "columns", "query_log",
+          "mutations")
         var qToks = toks
         var i = 0
         var bound = Set.empty[String]
@@ -783,6 +785,9 @@ object ChDdl {
                 case "parts" => cat.parts()
                 case "tables" => execute(cat, "SHOW TABLES")
                 case "query_log" => QueryLog.log(spark)
+                // outstanding lightweight-mutation sidecars (a row exists
+                // only while undone — the CH is_done poll, inverted)
+                case "mutations" => cat.mutations()
                 case "columns" =>
                   import spark.implicits._
                   val prefix = cat.root + "::"

@@ -198,11 +198,19 @@ class MaskSpec extends AnyFunSuite {
     x("UPDATE t SET n = n + 100000 WHERE id % 3 == 0")
     assert(dataFiles(cat, "t") == before) // statement is lightweight
     assert(cat.hasPatches("t"))
+    // system.mutations surfaces the outstanding sidecars while undone
+    x("DELETE FROM t WHERE id == 1")
+    val mut = ChDdl.execute(cat,
+      "SELECT kind, batches, rows FROM system.mutations ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mut == Seq(("delete_mask", 1L, 1L), ("update_patch", 1L, 300L)))
     val expect = ChDdl.execute(cat, "SELECT id, n FROM t ORDER BY id").collect().toSeq
     assert(expect.count(_.getLong(1) >= 100000) == 300)
     x("OPTIMIZE TABLE t FINAL")
     assert(!cat.hasPatches("t"))
     assert(ChDdl.execute(cat, "SELECT id, n FROM t ORDER BY id").collect().toSeq == expect)
+    // folded mutations leave system.mutations (the is_done signal)
+    assert(ChDdl.execute(cat, "SELECT * FROM system.mutations").count() == 0)
     // key/partition columns are protected at the statement surface
     intercept[IllegalArgumentException] { x("UPDATE t SET lang = 'xx' WHERE id == 1") }
     intercept[IllegalArgumentException] { x("UPDATE t SET id = 0 WHERE id == 1") }
