@@ -90,4 +90,60 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }
+
+  /** Exact-substring duplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §4,
+    * ExactSubstr): mark every token position whose L-token window occurs
+    * MORE THAN ONCE in the corpus (the paper's semantics — a second
+    * occurrence anywhere counts, same-document repeats included), and
+    * score each document by how many of its tokens sit under a duplicated
+    * window. The paper builds one corpus-wide suffix array on a single
+    * machine; the Spark-native shape is:
+    *
+    *   1. map-side window enumeration (tokenize → one row per L-gram,
+    *      carrying (doc, pos); the dialect's exact tokenizer: lowercase,
+    *      split on non-alphanumerics, drop empties);
+    *   2. ONE shuffle keyed by the window content — partial counts
+    *      combine map-side, the `count > 1` filter is the whole
+    *      suffix-array question;
+    *   3. duplicated windows semi-join back to their (doc, pos) seeds
+    *      (the duplicate-window set is small — broadcastable — whenever
+    *      the corpus is mostly unique, the common case this operator
+    *      exists to verify);
+    *   4. per-doc coverage = distinct token indices under any seed
+    *      window (explode of L consecutive indices → distinct), a
+    *      per-document-bounded aggregation.
+    *
+    * Windows are keyed by CONTENT, which is what makes the result
+    * oracle-exact (q238); at 100 TB key stage 2 by `xxhash64(window)`
+    * and re-verify candidate groups by content — two-stage, same result,
+    * 8-byte shuffle keys.
+    *
+    * @return DataFrame(doc_id, dup_tokens, n_tokens) — docs with
+    *         duplicated coverage only
+    */
+  def exactSubstrDuplication(docs: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"window length must be >= 2 tokens, got $l")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 0).as("ts"))
+      .withColumn("n_tokens", size(col("ts")))
+    // sequence(1, n) throws on n < 1 (Spark 4 ANSI) — guard short docs
+    val grams = toks
+      .withColumn("pos", explode(
+        when(col("n_tokens") >= l, sequence(lit(1), col("n_tokens") - (l - 1)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("ts"), col("pos"), lit(l))).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > 1).select("g")
+    val seeds = grams.join(dup, Seq("g"), "left_semi")
+    val covered = seeds
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (l - 1))).as("t"))
+      .distinct()
+    covered.groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+      .join(toks.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Dedup
 
 /** Round-12 gated queries: deletion-vector lightweight deletes and the
   * rest of the r11 verdict's runway, each hash-exact vs a DuckDB oracle
@@ -215,6 +216,40 @@ object Round12Queries {
         FROM p1)
       SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
       FROM p2 WHERE NOT (n_chars > 2600)
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang""")),
+
+    // ---- q238: exact-substring duplication (Lee et al. 2022) --------------
+    // The ExactSubstr pass of arXiv:2107.06499 §4: every 8-token window
+    // occurring more than once in the corpus marks its positions
+    // duplicated; per-doc coverage is the training-data signal (dedup the
+    // spans or drop the doc). The paper's suffix array becomes one
+    // content-keyed shuffle + a semi-join back to (doc, pos) + per-doc
+    // coverage union (Dedup.exactSubstrDuplication; the 8-token window is
+    // the q110 decontamination convention). Oracle: DuckDB enumerates the
+    // same windows and coverage directly.
+    QueryDef("q238_exact_substring_dedup", (s, dir) => {
+      Dedup.exactSubstrDuplication(
+        Tables.documents(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"), col("dup_tokens"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i AS pos, array_to_string(ts[i:i+7], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(ts) - 7)) AS u(i)),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+      seeds AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+      cov AS (SELECT DISTINCT doc_id, t
+              FROM seeds, unnest(generate_series(pos, pos + 7)) AS u(t)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+              FROM cov GROUP BY doc_id)
+      SELECT a.doc_id, a.dup_tokens, CAST(len(t.ts) AS BIGINT) AS n_tokens
+      FROM agg a JOIN toks t ON a.doc_id = t.doc_id
+      ORDER BY a.doc_id"""))
   )
 }

@@ -46,4 +46,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == 1L && got(2L) == 1L)
     assert(got.get(5L).forall(_ == 1L) && got.get(6L).forall(_ == 1L))
   }
+
+  test("exactSubstr: cross-doc and within-doc repeats, coverage union, short docs") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta" // 4 tokens, L = 4 below
+    val docs = Seq(
+      (1L, s"unique one here then $shared and tail x"),     // shares with 2
+      (2L, s"$shared entirely different remainder words"),  // shares with 1
+      (3L, s"self repeat: $shared stop $shared end"),       // within-doc too
+      (4L, "completely unique text with no duplicate runs at all"),
+      (5L, "tiny doc")                                       // < L tokens
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .exactSubstrDuplication(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_tokens"), r.getAs[Int]("n_tokens"))).toMap
+    // doc 4 (unique) and doc 5 (too short) report nothing
+    assert(!got.contains(4L) && !got.contains(5L))
+    // docs 1/2: exactly the 4 shared tokens are covered (one seed window)
+    assert(got(1L) == ((4L, 11)))
+    assert(got(2L) == ((4L, 8)))
+    // doc 3: the phrase occurs twice WITHIN the doc (paper semantics:
+    // any second occurrence in the corpus counts) -> both spans covered
+    assert(got(3L) == ((8L, 12)))
+    // overlapping seed windows union, never double-count: two docs
+    // sharing a 5-token run have two overlapping 4-windows -> 5 tokens
+    val over = Seq(
+      (10L, "p q r s t junk1 junk2 junk3"),
+      (11L, "zz p q r s t other words here")).toDF("doc_id", "text")
+    val g2 = graft.operators.Dedup
+      .exactSubstrDuplication(over, "doc_id", "text", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(g2(10L) == 5L && g2(11L) == 5L)
+  }
 }
