@@ -75,7 +75,12 @@ final case class Catalog(spark: SparkSession, root: String) {
   }
 
   def readRaw(table: String): DataFrame =
-    readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
+    // sidecar-free fast path: referencing `_metadata` forces the scan to
+    // materialize row indices even after a drop (Catalyst keeps the
+    // generated columns), so clean tables — the overwhelmingly common
+    // case — must never pay it (MaskSpec pins the plan)
+    if (!hasDeletes(table) && !hasPatches(table)) spark.read.parquet(path(table))
+    else readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
 
   /** Raw scan with the physical row identity (file path, row position)
     * attached, deletion masks anti-joined away and outstanding update

@@ -217,6 +217,20 @@ class MaskSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { x("UPDATE t SET n = 0") } // no WHERE
   }
 
+  test("sidecar-free reads never materialize row indices (fast path)") {
+    val cat = freshCat("mask8")
+    cat.create("t", docs(100))
+    def plan() = cat.readRaw("t").agg(sum("n")).queryExecution
+      .executedPlan.toString
+    // clean table: the scan must not carry _metadata row-index generation
+    // (referencing it disables the plain vectorized path even post-drop)
+    assert(!plan().contains("_metadata") && !plan().contains("row_index"))
+    cat.deleteWhereLight("t", col("id") === 1)
+    assert(plan().contains("row_index")) // the documented sidecar rent
+    cat.replaceContents("t", cat.readRaw("t")) // OPTIMIZE folds the mask
+    assert(!plan().contains("row_index")) // and the rent stops
+  }
+
   test("appends after a delete are untouched by old masks") {
     val cat = freshCat("mask7")
     cat.create("t", docs(100))
