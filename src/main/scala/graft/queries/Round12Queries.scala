@@ -250,6 +250,74 @@ object Round12Queries {
               FROM cov GROUP BY doc_id)
       SELECT a.doc_id, a.dup_tokens, CAST(len(t.ts) AS BIGINT) AS n_tokens
       FROM agg a JOIN toks t ON a.doc_id = t.doc_id
-      ORDER BY a.doc_id"""))
+      ORDER BY a.doc_id""")),
+
+    // ---- q239: lightweight mutations feed the serving rebuild -------------
+    // The reference mutates indexed tables while serving
+    // (`private_knowledge_base.py:93-99,136-138`); q128 closed the MVCC →
+    // PackedScan lifecycle, this closes the CATALOG-sidecar one: a
+    // lightweight DELETE mask + a lightweight UPDATE patch land on the
+    // table, and the serving-tier rebuild (PackedScan over readRaw) must
+    // pin the NET state — the filtered top-k runs the MetaPredicate over
+    // the PATCHED metadata. Exactness recipe as q108/q121 (canonical
+    // kernel order, round(6) in the projection only).
+    QueryDef("q239_masked_rebuild_served", (s, dir) => {
+      import graft.functions.HashEmbedder
+      import graft.operators.{Catalog, ChDdl, PackedScan, SelfQueryParser}
+      val e = Tables.embeddings(s, dir)
+      val d = Tables.documents(s, dir)
+      val corpus = e.join(d, e("vec_id") === d("doc_id"))
+        .select(e("vec_id"), e("embedding"), d("lang"), d("n_chars"))
+      val cat = Catalog(s,
+        java.nio.file.Files.createTempDirectory("q239").toString)
+      cat.create("corpus", corpus)
+      cat.deleteWhereLight("corpus", col("vec_id") % 3 === 0)
+      cat.updateWhereLight("corpus", col("lang") === "en",
+        Map("n_chars" -> (col("n_chars") + 10000)))
+      val req = SelfQueryParser.parseRequest(q239Wire)
+      val scan = PackedScan.build(cat.readRaw("corpus"), "vec_id",
+        "embedding", Seq("lang", "n_chars"))
+      try {
+        val qv = HashEmbedder.embed(req.query)
+        scan.topKDF(s, qv, 10, req.filter)
+          .join(cat.readRaw("corpus").select(col("vec_id"), col("lang"),
+            col("n_chars")), Seq("vec_id"))
+          .orderBy(col("dist"), col("vec_id"))
+          .select(col("vec_id"), col("lang"), col("n_chars"),
+            round(col("dist"), 6).as("dist"))
+      } finally scan.unpersist()
+    }, Some {
+      import graft.functions.HashEmbedder
+      import graft.operators.{SelfQueryFilter, SelfQueryParser}
+      val req = SelfQueryParser.parseRequest(q239Wire)
+      val where = SelfQueryFilter.toSql(req.filter.get)
+      val qLit = HashEmbedder.sqlArrayLiteral(HashEmbedder.embed(req.query))
+      s"""
+      WITH net AS (
+        SELECT e.vec_id, e.embedding, d.lang,
+               CASE WHEN d.lang = 'en' THEN d.n_chars + 10000
+                    ELSE d.n_chars END AS n_chars
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE e.vec_id % 3 <> 0)
+      SELECT vec_id, lang, n_chars,
+        round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST($qLit AS DOUBLE[])), 6) AS dist
+      FROM net
+      WHERE $where
+      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST($qLit AS DOUBLE[])), vec_id
+      LIMIT 10"""
+    })
   )
+
+  /** q239's self-query wire payload: the filter runs over the PATCHED
+    * n_chars (only lightweight-updated rows can clear 10000).
+    */
+  private val q239Wire =
+    """```json
+      |{
+      |    "query": "vector search over mutated tables",
+      |    "filter": "and(eq(\"lang\", \"en\"), gt(\"n_chars\", 10200))"
+      |}
+      |```""".stripMargin
 }
