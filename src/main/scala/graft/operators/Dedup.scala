@@ -124,12 +124,50 @@ object Dedup {
     */
   def exactSubstrDuplication(docs: DataFrame, idCol: String,
       textCol: String, l: Int): DataFrame = {
-    require(l >= 2, s"window length must be >= 2 tokens, got $l")
     val toks = docs.select(col(idCol).as("doc_id"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         t => length(t) > 0).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
-    // sequence(1, n) throws on n < 1 (Spark 4 ANSI) — guard short docs
+    exactSubstrDuplicationPositions(toks, l)
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+      .join(toks.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+  }
+
+  /** The REMOVAL half of ExactSubstr (arXiv:2107.06499 §4 drops every
+    * duplicated span from the training text): re-emit each document with
+    * the covered tokens cut out. Same coverage machinery as
+    * [[exactSubstrDuplication]]; the cut is a per-doc position filter
+    * (covered positions broadcast-joined back as one sorted array per
+    * doc — bounded by the doc's own length, like any doc-level
+    * operator). Documents with no duplicated window pass through with
+    * their tokenized text intact (the tokenizer is the dialect's exact
+    * lexical convention, so "clean" text is the token stream — the
+    * training-pipeline form, not the original raw bytes).
+    *
+    * @return DataFrame(doc_id, clean_text, n_tokens, dup_tokens)
+    */
+  def exactSubstrClean(docs: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 0).as("ts"))
+      .withColumn("n_tokens", size(col("ts")))
+    val dup = exactSubstrDuplicationPositions(toks, l)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("t"))).as("cov"))
+    toks.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("ts"), (t, i) =>
+          col("cov").isNull || !array_contains(col("cov"), i + 1)), " ")
+          .as("clean_text"),
+        col("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("dup_tokens"))
+  }
+
+  /** Shared coverage core: (doc_id, t) = distinct token positions under
+    * any corpus-duplicated L-window (1-based).
+    */
+  private def exactSubstrDuplicationPositions(toks: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"window length must be >= 2 tokens, got $l")
     val grams = toks
       .withColumn("pos", explode(
         when(col("n_tokens") >= l, sequence(lit(1), col("n_tokens") - (l - 1)))
@@ -138,12 +176,9 @@ object Dedup {
         concat_ws(" ", slice(col("ts"), col("pos"), lit(l))).as("g"))
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") > 1).select("g")
-    val seeds = grams.join(dup, Seq("g"), "left_semi")
-    val covered = seeds
+    grams.join(dup, Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (l - 1))).as("t"))
       .distinct()
-    covered.groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
-      .join(toks.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
   }
 }

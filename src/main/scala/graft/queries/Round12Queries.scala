@@ -252,6 +252,46 @@ object Round12Queries {
       FROM agg a JOIN toks t ON a.doc_id = t.doc_id
       ORDER BY a.doc_id""")),
 
+    // ---- q240: ExactSubstr span REMOVAL ------------------------------------
+    // The paper's actual output (arXiv:2107.06499 §4 drops every
+    // duplicated span from the training text): re-emit each affected doc
+    // with covered tokens cut out. Oracle: DuckDB zips tokens with their
+    // positions (parallel unnest), anti-joins the coverage set, and
+    // re-joins the survivors in order.
+    QueryDef("q240_exact_substring_clean", (s, dir) => {
+      Dedup.exactSubstrClean(Tables.documents(s, dir), "doc_id", "text", 8)
+        .filter(col("dup_tokens") > 0)
+        .select(col("doc_id"), col("clean_text"),
+          col("n_tokens").cast("long").as("n_tokens"), col("dup_tokens"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i AS pos, array_to_string(ts[i:i+7], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(ts) - 7)) AS u(i)),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+      seeds AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+      cov AS (SELECT DISTINCT doc_id, t
+              FROM seeds, unnest(generate_series(pos, pos + 7)) AS u(t)),
+      pos AS (SELECT doc_id, unnest(ts) AS tok,
+                     unnest(generate_series(1, len(ts))) AS i
+              FROM toks),
+      clean AS (
+        SELECT p.doc_id,
+               coalesce(string_agg(CASE WHEN c.t IS NULL THEN p.tok END,
+                                   ' ' ORDER BY p.i), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(c.t) AS BIGINT) AS dup_tokens
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.t
+        GROUP BY p.doc_id)
+      SELECT doc_id, clean_text, n_tokens, dup_tokens
+      FROM clean WHERE dup_tokens > 0
+      ORDER BY doc_id""")),
+
     // ---- q239: lightweight mutations feed the serving rebuild -------------
     // The reference mutates indexed tables while serving
     // (`private_knowledge_base.py:93-99,136-138`); q128 closed the MVCC →

@@ -79,4 +79,22 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
     assert(g2(10L) == 5L && g2(11L) == 5L)
   }
+
+  test("exactSubstrClean cuts exactly the covered spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "head words alpha beta gamma delta tail piece"),
+      (2L, "alpha beta gamma delta"),            // fully covered -> ''
+      (3L, "nothing shared in this one at all"), // untouched
+      (4L, "tiny")                                // < L
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .exactSubstrClean(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("dup_tokens"))).toMap
+    assert(got(1L) == (("head words tail piece", 4L)))
+    assert(got(2L) == (("", 4L))) // everything duplicated, empty survivor
+    assert(got(3L) == (("nothing shared in this one at all", 0L)))
+    assert(got(4L) == (("tiny", 0L)))
+  }
 }
