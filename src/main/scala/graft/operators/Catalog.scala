@@ -470,6 +470,22 @@ final case class Catalog(spark: SparkSession, root: String) {
     rows.toDF("table", "part_name", "bytes", "modified")
   }
 
+  /** ClickHouse `KILL MUTATION` analog for the lightweight sidecars:
+    * drop the OUTSTANDING (unmerged) deletion masks and update patches of
+    * a table, reverting their effect — exactly what CH's KILL does to a
+    * mutation that has not finished materializing. Data files were never
+    * touched, so the revert is two directory removals. Once OPTIMIZE or
+    * a heavy mutation has folded a sidecar in, it is gone from
+    * `system.mutations` and can no longer be killed (CH: a finished
+    * mutation is not killable either).
+    */
+  def killMutations(table: String): Unit = {
+    import java.nio.file.Paths
+    rmTree(Paths.get(deletesDir(table)))
+    rmTree(Paths.get(patchesDir(table)))
+    invalidateProjections(table)
+  }
+
   /** ClickHouse `system.mutations` analog: the OUTSTANDING lightweight
     * mutation state per table — deletion-mask and update-patch sidecars
     * (kind, batches, rows, bytes). CH rows carry `is_done`; here a row

@@ -616,6 +616,30 @@ object ChDdl {
         cat.updateWhereLight(d.name,
           expr(normalize(render(toks.drop(wd + 1)).trim)), assigns.toMap)
         emptyResult(spark)
+      case "KILL" =>
+        // CH `KILL MUTATION WHERE ... table = 't' ...`: revert the
+        // table's OUTSTANDING lightweight mutations (unmerged mask/patch
+        // sidecars — data files were never touched, so the kill is two
+        // directory removals). Folded mutations are gone from
+        // system.mutations and not killable, like CH's finished ones.
+        var i = nextNonWs(toks, i0 + 1)
+        require(i < toks.length && toks(i).isWord("MUTATION"),
+          "ChDdl: expected KILL MUTATION WHERE table = '<t>'")
+        var t: Option[String] = None
+        while (i < toks.length && t.isEmpty) {
+          if (toks(i).isWord("table")) {
+            val eq = nextNonWs(toks, i + 1)
+            val v = if (eq < toks.length) nextNonWs(toks, eq + 1) else toks.length
+            if (eq < toks.length && toks(eq).text == "=" && v < toks.length &&
+                (toks(v).kind == STR || toks(v).kind == WORD))
+              t = Some(unqStr(toks(v).text))
+          }
+          i += 1
+        }
+        val d = tableDef(cat, t.getOrElse(throw new IllegalArgumentException(
+          "ChDdl: KILL MUTATION needs a `table = '<t>'` predicate")))
+        cat.killMutations(d.name)
+        emptyResult(spark)
       case "EXPLAIN" =>
         // CH EXPLAIN [PLAN|PIPELINE|...] stmt → the Spark physical plan
         // of the statement's frame, one line per row;

@@ -217,6 +217,29 @@ class MaskSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { x("UPDATE t SET n = 0") } // no WHERE
   }
 
+  test("KILL MUTATION reverts outstanding lightweight mutations") {
+    val cat = freshCat("kill1")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE t (id Int64, n Int64) ENGINE = MergeTree ORDER BY id")
+    docs(200).select(col("id"), col("n")).createOrReplaceTempView("kill1_src")
+    x("INSERT INTO t SELECT id, n FROM kill1_src")
+    val original = ChDdl.execute(cat, "SELECT id, n FROM t ORDER BY id").collect().toSeq
+    x("DELETE FROM t WHERE id % 2 == 0")
+    x("UPDATE t SET n = 0 WHERE id % 3 == 0")
+    assert(ChDdl.execute(cat, "SELECT * FROM system.mutations").count() == 2)
+    // the kill: data files were never touched, so everything comes back
+    x("KILL MUTATION WHERE database = 'default' AND table = 't'")
+    assert(ChDdl.execute(cat, "SELECT id, n FROM t ORDER BY id").collect().toSeq
+      == original)
+    assert(ChDdl.execute(cat, "SELECT * FROM system.mutations").count() == 0)
+    // a FOLDED mutation is not killable (it is gone from system.mutations)
+    x("DELETE FROM t WHERE id == 0")
+    x("OPTIMIZE TABLE t FINAL")
+    x("KILL MUTATION WHERE table = 't'") // no-op
+    assert(ChDdl.execute(cat, "SELECT count(*) AS c FROM t").head().getLong(0) == 199)
+    intercept[IllegalArgumentException] { x("KILL MUTATION WHERE id = 3") }
+  }
+
   test("sidecar-free reads never materialize row indices (fast path)") {
     val cat = freshCat("mask8")
     cat.create("t", docs(100))
