@@ -470,6 +470,148 @@ final case class Catalog(spark: SparkSession, root: String) {
     rows.toDF("table", "part_name", "bytes", "modified")
   }
 
+  // ---- partition manipulation (CH ALTER ... PARTITION family) -----------
+  // All O(directory move/copy) — never a data rewrite. That is the point
+  // at 100 TB: a restatement (recompute one day in staging, swap it into
+  // prod) costs metadata, and CH operators lean on exactly these.
+
+  /** First-level partition directory of `table` for `value`. The caller
+    * supplies the DECLARED partition column (an empty partitioned table
+    * has no `col=value` dirs to detect — the known empty-create trap);
+    * when directories DO exist they must agree with it.
+    */
+  private def partitionDir(table: String, partCol: String,
+      value: String): java.nio.file.Path = {
+    import java.nio.file._
+    val onDisk = partitionColsOf(table)
+    require(onDisk.isEmpty || onDisk.head == partCol,
+      s"table '$table' is laid out by '${onDisk.mkString("/")}', " +
+        s"not '$partCol'")
+    require(value.nonEmpty && value.forall(ch => ch.isLetterOrDigit ||
+      ch == '-' || ch == '_' || ch == '.'),
+      s"partition value '$value' has a non-trivial directory encoding")
+    val dir = Paths.get(path(table), s"$partCol=$value")
+    require(dir.normalize.startsWith(Paths.get(path(table)).normalize),
+      s"partition escapes table dir: $dir")
+    dir
+  }
+
+  /** Partition ops require NO outstanding lightweight mutations touching
+    * the partition: a mask/patch references files by path, and a moved or
+    * detached file would escape it — deleted rows resurfacing in the
+    * destination. CH has the same rule in time form (mutations must
+    * finish before partition manipulation); here the fix is explicit:
+    * OPTIMIZE first (folds the sidecars), then move.
+    */
+  private def requireNoSidecarUnder(table: String, partCol: String,
+      value: String): Unit = {
+    val seg = s"/$partCol=$value/"
+    def hits(df: DataFrame) = !df.filter(col("file").contains(seg)).isEmpty
+    val masked = hasDeletes(table) &&
+      hits(spark.read.parquet(deletesDir(table)))
+    val patched = patchBatches(table)
+      .exists(b => hits(spark.read.parquet(b.toString)))
+    require(!masked && !patched,
+      s"partition '$value' of '$table' has outstanding lightweight " +
+        "mutations — OPTIMIZE the table first, then manipulate partitions")
+  }
+
+  private def detachedDir(table: String) = path(table) + "/_detached"
+
+  /** `ALTER TABLE t DETACH PARTITION v`: move the directory under the
+    * `_detached` area — invisible to every read (underscore-prefixed),
+    * re-attachable. */
+  def detachPartition(table: String, partCol: String, value: String): Unit = {
+    import java.nio.file._
+    val src = partitionDir(table, partCol, value)
+    require(Files.isDirectory(src), s"no partition '$value' on '$table'")
+    requireNoSidecarUnder(table, partCol, value)
+    Files.createDirectories(Paths.get(detachedDir(table)))
+    Files.move(src, Paths.get(detachedDir(table), src.getFileName.toString),
+      StandardCopyOption.ATOMIC_MOVE)
+    invalidateProjections(table)
+  }
+
+  /** `ALTER TABLE t ATTACH PARTITION v`: bring a detached partition back. */
+  def attachPartition(table: String, partCol: String, value: String): Unit = {
+    import java.nio.file._
+    val dst = partitionDir(table, partCol, value)
+    val src = Paths.get(detachedDir(table), dst.getFileName.toString)
+    require(Files.isDirectory(src),
+      s"no detached partition '$value' on '$table'")
+    require(!Files.exists(dst),
+      s"partition '$value' already exists on '$table' — DROP it first")
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    invalidateProjections(table)
+  }
+
+  /** `ALTER TABLE dst ATTACH|REPLACE PARTITION v FROM src`: COPY the
+    * partition from `src` (which stays intact — CH semantics); REPLACE
+    * first drops dst's current directory, ATTACH requires dst not to
+    * have one. */
+  def attachPartitionFrom(dst: String, src: String, partCol: String,
+      value: String, replace: Boolean): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    requireNoSidecarUnder(src, partCol, value)
+    val from = partitionDir(src, partCol, value)
+    require(Files.isDirectory(from), s"no partition '$value' on '$src'")
+    val to = partitionDir(dst, partCol, value)
+    if (replace) rmTree(to)
+    else require(!Files.exists(to),
+      s"partition '$value' already exists on '$dst' — use REPLACE")
+    Files.walk(from).iterator().asScala.toSeq.foreach { p =>
+      val rel = from.relativize(p)
+      val t = to.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+    invalidateProjections(dst)
+  }
+
+  /** `ALTER TABLE src MOVE PARTITION v TO TABLE dst`: the directory
+    * changes tables — removed from `src`, appearing in `dst`. */
+  def movePartitionTo(src: String, dst: String, partCol: String,
+      value: String): Unit = {
+    import java.nio.file._
+    requireNoSidecarUnder(src, partCol, value)
+    val from = partitionDir(src, partCol, value)
+    require(Files.isDirectory(from), s"no partition '$value' on '$src'")
+    val to = partitionDir(dst, partCol, value)
+    require(!Files.exists(to),
+      s"partition '$value' already exists on '$dst' — DROP or REPLACE it")
+    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+    invalidateProjections(src)
+    invalidateProjections(dst)
+  }
+
+  /** ClickHouse `OPTIMIZE TABLE t DEDUPLICATE [BY (cols)]`: drop exact
+    * duplicate rows physically. Full-row form is pure set semantics;
+    * with a BY subset CH keeps an ARBITRARY row per key — graft keeps
+    * the lexicographically-least remaining tuple (a deterministic,
+    * oracle-able refinement; documented divergence).
+    */
+  def dedupMerge(table: String, by: Seq[String],
+      dropCols: Seq[String] = Nil): Unit = {
+    // dropCols: internal bookkeeping columns (ChDdl's implicit insert
+    // sequence) that must count neither as identity nor as payload —
+    // they are dropped from the rewritten table (absence is handled by
+    // every reader/insert path)
+    val cur = dropCols.foldLeft(readRaw(table))(_ drop _)
+    val out =
+      if (by.isEmpty) cur.dropDuplicates()
+      else {
+        val rest = cur.columns.filterNot(by.contains).toSeq
+        require(rest.nonEmpty, "DEDUPLICATE BY must leave at least one column")
+        cur.groupBy(by.map(col): _*)
+          .agg(min(struct(rest.map(col): _*)).as("__rest"))
+          .select(cur.columns.toIndexedSeq.map { c =>
+            if (by.contains(c)) col(c) else col(s"__rest.$c").as(c)
+          }: _*)
+      }
+    writeReplacing(table, out)
+  }
+
   /** ClickHouse `KILL MUTATION` analog for the lightweight sidecars:
     * drop the OUTSTANDING (unmerged) deletion masks and update patches of
     * a table, reverting their effect — exactly what CH's KILL does to a

@@ -54,7 +54,15 @@ import ChSql.{Tok, WORD, NUM, STR, SYM, lex, render, nextNonWs}
   *     broadcast join per outstanding batch at read).
   *   - `OPTIMIZE TABLE t [FINAL]` → [[Catalog.compact]] (the
   *     replacing-merge made physical; on a materialized view, the
-  *     SummingMergeTree merge made physical).
+  *     SummingMergeTree merge made physical; folds lightweight
+  *     mask/patch sidecars); `OPTIMIZE ... DEDUPLICATE [BY (cols)]` →
+  *     [[Catalog.dedupMerge]]; `KILL MUTATION WHERE table = 't'` →
+  *     [[Catalog.killMutations]] (revert outstanding sidecars).
+  *   - `ALTER TABLE t DROP|DETACH|ATTACH PARTITION 'v'`,
+  *     `ATTACH|REPLACE PARTITION 'v' FROM t2`, `MOVE PARTITION 'v' TO
+  *     TABLE t2` — the CH partition-manipulation family, all O(directory
+  *     move/copy), never a rewrite (the staging-swap restatement
+  *     workflow at 100 TB).
   *   - `CREATE MATERIALIZED VIEW v ENGINE = SummingMergeTree ORDER BY k
   *     [POPULATE] AS SELECT ...` — CH's insert-trigger semantics (see
   *     [[MatViewDef]]).
@@ -1469,6 +1477,65 @@ object ChDdl {
     val d = tableDef(cat, t)
     i = after
     require(i < toks.length, "ChDdl: ALTER TABLE needs an action")
+    // CH partition-manipulation family: DROP/DETACH/ATTACH/REPLACE/MOVE
+    // PARTITION — all O(directory move/copy), never a data rewrite (the
+    // restatement workflow: recompute a day in staging, swap it in).
+    val partitionVerb = Set("DROP", "DETACH", "ATTACH", "REPLACE", "MOVE")
+      .contains(toks(i).text.toUpperCase) && {
+      val n = nextNonWs(toks, i + 1)
+      n < toks.length && toks(n).isWord("PARTITION")
+    }
+    if (partitionVerb) {
+      val verb = toks(i).text.toUpperCase
+      i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1) // past PARTITION
+      require(i < toks.length, s"ChDdl: $verb PARTITION needs a value")
+      val value = unqStr(toks(i).text)
+      i = nextNonWs(toks, i + 1)
+      val pc = d.partitionBy.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"ChDdl: ${d.name} declares no PARTITION BY"))
+      // cross-table ops require the same DECLARED partition key (CH
+      // requires identical structure; the declared key governs even for
+      // still-empty tables, the empty-create layout trap)
+      def otherTable(kw: String): String = {
+        require(i < toks.length && toks(i).isWord(kw),
+          s"ChDdl: expected $kw <table> after $verb PARTITION '<v>'")
+        val (o, _) = tableNameAt(toks, nextNonWs(toks, i + 1))
+        val od = tableDef(cat, o)
+        require(od.partitionBy.headOption.contains(pc),
+          s"ChDdl: ${od.name} is partitioned by " +
+            s"'${od.partitionBy.mkString(", ")}', ${d.name} by '$pc' — " +
+            "partition ops need the same declared key")
+        od.name
+      }
+      verb match {
+        case "DROP" => cat.dropPartition(d.name, pc, value)
+        case "DETACH" => cat.detachPartition(d.name, pc, value)
+        case "ATTACH" =>
+          if (i < toks.length && toks(i).isWord("FROM"))
+            cat.attachPartitionFrom(d.name, otherTable("FROM"), pc, value,
+              replace = false)
+          else cat.attachPartition(d.name, pc, value)
+        case "REPLACE" =>
+          cat.attachPartitionFrom(d.name, otherTable("FROM"), pc, value,
+            replace = true)
+        case "MOVE" =>
+          // MOVE PARTITION v TO TABLE dst
+          require(i < toks.length && toks(i).isWord("TO"),
+            "ChDdl: expected MOVE PARTITION '<v>' TO TABLE <t>")
+          i = nextNonWs(toks, i + 1)
+          require(i < toks.length && toks(i).isWord("TABLE"),
+            "ChDdl: expected MOVE PARTITION '<v>' TO TABLE <t>")
+          val (o, _) = tableNameAt(toks, nextNonWs(toks, i + 1))
+          val od = tableDef(cat, o)
+          require(od.partitionBy.headOption.contains(pc),
+            s"ChDdl: ${od.name} is partitioned by " +
+              s"'${od.partitionBy.mkString(", ")}', ${d.name} by '$pc' — " +
+              "partition ops need the same declared key")
+          cat.movePartitionTo(d.name, od.name, pc, value)
+      }
+      return emptyResult(spark)
+    }
     if (toks(i).isWord("DELETE")) {
       i = nextNonWs(toks, i + 1)
       require(toks(i).isWord("WHERE"), "ChDdl: ALTER ... DELETE needs WHERE")
@@ -1692,6 +1759,28 @@ object ChDdl {
   private def optimize(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {
     var i = skipWord(toks, i0, "OPTIMIZE", "TABLE")
     val (t, after) = tableNameAt(toks, i)
+    // OPTIMIZE t [FINAL] DEDUPLICATE [BY (c1, c2)] — CH's physical
+    // exact-duplicate drop; with BY, graft keeps the lexicographically-
+    // least remaining tuple (deterministic; CH keeps an arbitrary row)
+    var j = nextNonWs(toks, after)
+    if (j < toks.length && toks(j).isWord("FINAL")) j = nextNonWs(toks, j + 1)
+    if (j < toks.length && toks(j).isWord("DEDUPLICATE")) {
+      j = nextNonWs(toks, j + 1)
+      val by =
+        if (j < toks.length && toks(j).isWord("BY")) {
+          val txt = render(toks.drop(j + 1)).trim
+          val body = if (txt.startsWith("(") && txt.endsWith(")"))
+            txt.substring(1, txt.length - 1) else txt
+          body.split(",").map(s => unq(s.trim)).toSeq.filter(_.nonEmpty)
+        } else Nil
+      val d = tableDef(cat, t)
+      require(!d.replacing,
+        "ChDdl: DEDUPLICATE on a Replacing engine is the FINAL merge " +
+          "itself — use OPTIMIZE TABLE t FINAL")
+      // the implicit insert sequence is bookkeeping, not row identity
+      cat.dedupMerge(d.name, by, dropCols = Seq(SeqCol))
+      return emptyResult(cat.spark)
+    }
     // FINAL keyword optional; compaction IS the final merge
     mvDefs.get(key(cat, t)) match {
       case Some(_) =>

@@ -350,6 +350,73 @@ object Round12Queries {
     })
   )
 
+  /** q241/q242 are appended below q239 via defs2 (kept in one list). */
+  def defsPartitionOps: Seq[QueryDef] = Seq(
+
+    // ---- q241: partition manipulation lifecycle ----------------------------
+    // The restatement workflow every CH operator leans on: recompute one
+    // partition in a STAGING table, REPLACE it into prod (a directory
+    // copy — zero rewrite), DETACH/ATTACH round-trip a second partition,
+    // MOVE a third out to an archive table. Net state of both tables
+    // gated vs DuckDB computing it directly.
+    QueryDef("q241_partition_ops", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q241").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      for (t <- Seq("prod", "staging", "archive"))
+        x(s"""CREATE TABLE $t (doc_id Int64, lang String, n_chars Int64)
+             ENGINE = MergeTree ORDER BY doc_id PARTITION BY lang""")
+      x("INSERT INTO prod SELECT doc_id, lang, n_chars FROM documents")
+      x("""INSERT INTO staging SELECT doc_id, lang, n_chars + 1000000
+           FROM documents PREWHERE lang == 'fr'""")
+      x("ALTER TABLE prod REPLACE PARTITION 'fr' FROM staging") // restatement
+      x("ALTER TABLE prod DETACH PARTITION 'de'")               // invisible...
+      x("ALTER TABLE prod ATTACH PARTITION 'de'")               // ...and back
+      x("ALTER TABLE prod MOVE PARTITION 'en' TO TABLE archive")
+      x("""SELECT 'archive' AS tbl, lang, count(*) AS docs,
+                  CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM archive GROUP BY lang
+           UNION ALL
+           SELECT 'prod' AS tbl, lang, count(*) AS docs,
+                  CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM prod GROUP BY lang
+           ORDER BY tbl, lang""")
+    }, Some("""
+      SELECT 'archive' AS tbl, lang, count(*) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents WHERE lang = 'en' GROUP BY lang
+      UNION ALL
+      SELECT 'prod' AS tbl, lang, count(*) AS docs,
+             CAST(sum(CASE WHEN lang = 'fr' THEN n_chars + 1000000
+                           ELSE n_chars END) AS BIGINT) AS chars
+      FROM documents WHERE lang <> 'en' GROUP BY lang
+      ORDER BY tbl, lang""")),
+
+    // ---- q242: OPTIMIZE ... DEDUPLICATE ------------------------------------
+    // CH's physical exact-duplicate drop: a double-inserted corpus
+    // collapses to set semantics; the BY form then collapses near-dups
+    // per key keeping the lexicographically-least remaining tuple
+    // (deterministic where CH keeps an arbitrary row — documented).
+    QueryDef("q242_optimize_deduplicate", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q242").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE t (doc_id Int64, lang String, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id""")
+      x("INSERT INTO t SELECT doc_id, lang, n_chars FROM documents")
+      x("INSERT INTO t SELECT doc_id, lang, n_chars FROM documents")
+      x("OPTIMIZE TABLE t DEDUPLICATE") // exact dups -> one copy
+      x("INSERT INTO t SELECT doc_id, lang, n_chars + 5 FROM documents")
+      x("OPTIMIZE TABLE t DEDUPLICATE BY (doc_id)") // keeps min (lang, n_chars)
+      x("""SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM t GROUP BY lang ORDER BY lang""")
+    }, Some("""
+      SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+  )
+
   /** q239's self-query wire payload: the filter runs over the PATCHED
     * n_chars (only lightweight-updated rows can clear 10000).
     */

@@ -464,6 +464,58 @@ class ChDdlSpec extends AnyFunSuite {
     assert(m(0)._4 == 2L && m(1)._4 == 1L && m(2)._4 == 4L)
   }
 
+  test("partition ops: detach/attach/replace/move guards and byte moves") {
+    val cat = freshCat("chddl_partops")
+    val x = ChDdl.execute(cat, _: String)
+    for (t <- Seq("a", "b"))
+      x(s"CREATE TABLE $t (id Int64, day String, v Int64) " +
+        "ENGINE = MergeTree ORDER BY id PARTITION BY day")
+    spark.range(90).selectExpr("id", "concat('d', id % 3) AS day", "id * 2 AS v")
+      .createOrReplaceTempView("partops_src")
+    x("INSERT INTO a SELECT id, day, v FROM partops_src")
+    def count(t: String) =
+      ChDdl.execute(cat, s"SELECT count(*) AS c FROM $t").head().getLong(0)
+    def files(t: String, day: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(cat.root, t, s"day=$day")
+      if (!java.nio.file.Files.isDirectory(d)) Map.empty
+      else java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+    }
+    // DETACH makes the partition invisible; ATTACH brings it back intact
+    val d1 = files("a", "d1")
+    x("ALTER TABLE a DETACH PARTITION 'd1'")
+    assert(count("a") == 60)
+    x("ALTER TABLE a ATTACH PARTITION 'd1'")
+    assert(count("a") == 90 && files("a", "d1") == d1) // same bytes, same files
+    // MOVE transplants the directory (byte-identical files), src loses it
+    x("ALTER TABLE a MOVE PARTITION 'd2' TO TABLE b")
+    assert(count("a") == 60 && count("b") == 30)
+    assert(files("b", "d2").nonEmpty && files("a", "d2").isEmpty)
+    // REPLACE copies from the source, which stays intact
+    x("INSERT INTO b SELECT id, 'd0' AS day, 0 AS v FROM partops_src PREWHERE id < 5")
+    x("ALTER TABLE a REPLACE PARTITION 'd0' FROM b")
+    assert(count("b") == 35) // source untouched
+    assert(ChDdl.execute(cat,
+      "SELECT count(*) AS c FROM a PREWHERE day == 'd0'").head().getLong(0) == 5)
+    // outstanding lightweight mutations block partition manipulation
+    x("DELETE FROM a WHERE day == 'd1' AND id == 1")
+    val e = intercept[IllegalArgumentException] {
+      x("ALTER TABLE a DETACH PARTITION 'd1'")
+    }
+    assert(e.getMessage.contains("OPTIMIZE"))
+    x("OPTIMIZE TABLE a FINAL")
+    x("ALTER TABLE a DETACH PARTITION 'd1'") // folded: allowed again
+    assert(count("a") == 5)
+    // mismatched declared keys are loud
+    x("CREATE TABLE c (id Int64, lang String, v Int64) ENGINE = MergeTree ORDER BY id PARTITION BY lang")
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE c ATTACH PARTITION 'd0' FROM a")
+    }
+  }
+
   test("DELETE FROM, EXPLAIN, MODIFY TTL, multi-statement scripts") {
     val cat = freshCat("chddl_misc")
     // a .sql-file-shaped script: the splitter is token-level, so the
