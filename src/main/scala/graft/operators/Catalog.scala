@@ -628,6 +628,31 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(table)
   }
 
+  /** ClickHouse `system.detached_parts` analog: partitions parked by
+    * [[detachPartition]], with their sizes — what an operator checks
+    * before ATTACH or cleanup.
+    */
+  def detachedParts(): DataFrame = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val rootPath = Paths.get(root)
+    val rows: Seq[(String, String, Long)] =
+      if (!Files.isDirectory(rootPath)) Nil
+      else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
+        .flatMap { t =>
+          val det = t.resolve("_detached")
+          if (!Files.isDirectory(det)) Nil
+          else Files.list(det).iterator().asScala.filter(Files.isDirectory(_))
+            .map { p =>
+              val bytes = Files.walk(p).iterator().asScala
+                .filter(Files.isRegularFile(_)).map(Files.size).sum
+              (t.getFileName.toString, p.getFileName.toString, bytes)
+            }.toSeq
+        }.toSeq.sortBy(r => (r._1, r._2))
+    rows.toDF("table", "partition", "bytes")
+  }
+
   /** ClickHouse `system.mutations` analog: the OUTSTANDING lightweight
     * mutation state per table — deletion-mask and update-patch sidecars
     * (kind, batches, rows, bytes). CH rows carry `is_done`; here a row

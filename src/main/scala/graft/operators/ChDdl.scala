@@ -795,7 +795,7 @@ object ChDdl {
         // reference re-tokenized to the view name — a STRING containing
         // "system.parts" is a STR token and survives.
         val sysTables = Set("parts", "tables", "columns", "query_log",
-          "mutations")
+          "mutations", "detached_parts")
         var qToks = toks
         var i = 0
         var bound = Set.empty[String]
@@ -820,6 +820,7 @@ object ChDdl {
                 // outstanding lightweight-mutation sidecars (a row exists
                 // only while undone — the CH is_done poll, inverted)
                 case "mutations" => cat.mutations()
+                case "detached_parts" => cat.detachedParts()
                 case "columns" =>
                   import spark.implicits._
                   val prefix = cat.root + "::"

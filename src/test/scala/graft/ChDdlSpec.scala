@@ -509,6 +509,11 @@ class ChDdlSpec extends AnyFunSuite {
     x("OPTIMIZE TABLE a FINAL")
     x("ALTER TABLE a DETACH PARTITION 'd1'") // folded: allowed again
     assert(count("a") == 5)
+    // system.detached_parts surfaces the parked partition
+    val det = ChDdl.execute(cat,
+      "SELECT table, partition FROM system.detached_parts")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(det == Seq(("a", "day=d1")))
     // mismatched declared keys are loud
     x("CREATE TABLE c (id Int64, lang String, v Int64) ENGINE = MergeTree ORDER BY id PARTITION BY lang")
     intercept[IllegalArgumentException] {
