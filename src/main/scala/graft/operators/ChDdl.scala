@@ -655,7 +655,21 @@ object ChDdl {
         // indexes=1: per conjunct, how many row groups each physical
         // index keeps — partition dirs, row-group minmax, column blooms)
         var i = nextNonWs(toks, i0 + 1)
-        if (i < toks.length && toks(i).isWord("INDEXES")) {
+        if (i < toks.length && toks(i).isWord("ESTIMATE")) {
+          // CH EXPLAIN ESTIMATE: per scanned table, (parts, rows, marks)
+          // from footer metadata only — no data read
+          val stmt = toks.drop(nextNonWs(toks, i + 1)).toVector
+          var f = 0
+          while (f < stmt.length && !(stmt(f).isWord("FROM") && stmt(f).depth == 0)) f += 1
+          require(f < stmt.length, "ChDdl: EXPLAIN ESTIMATE needs a FROM clause")
+          val (t, _) = tableNameAt(stmt, nextNonWs(stmt, f + 1))
+          val td = tableDef(cat, t)
+          val (parts, rows, marks) = SkipStats.estimate(spark,
+            java.nio.file.Paths.get(cat.root, td.name).toString)
+          import spark.implicits._
+          Seq((td.name, parts, rows, marks))
+            .toDF("table", "parts", "rows", "marks")
+        } else if (i < toks.length && toks(i).isWord("INDEXES")) {
           val eq = nextNonWs(toks, i + 1)
           val v = if (eq < toks.length) nextNonWs(toks, eq + 1) else toks.length
           require(eq < toks.length && toks(eq).text == "=" &&
@@ -1537,22 +1551,47 @@ object ChDdl {
       }
       return emptyResult(spark)
     }
+    // optional CH `IN PARTITION 'v'` scope for DELETE/UPDATE mutations:
+    // the mutation applies ONLY inside that partition (conjoined onto the
+    // predicate, which also hands mutatePruned the pruning conjunct)
+    def inPartitionPred(at: Int): (Option[Column], Int) =
+      if (at < toks.length && toks(at).isWord("IN") && {
+        val n = nextNonWs(toks, at + 1)
+        n < toks.length && toks(n).isWord("PARTITION")
+      }) {
+        val v = nextNonWs(toks, nextNonWs(toks, at + 1) + 1)
+        require(v < toks.length, "ChDdl: expected IN PARTITION '<v>'")
+        val pc = d.partitionBy.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"ChDdl: ${d.name} declares no PARTITION BY"))
+        (Some(col(pc) === lit(unqStr(toks(v).text))), nextNonWs(toks, v + 1))
+      } else (None, at)
     if (toks(i).isWord("DELETE")) {
-      i = nextNonWs(toks, i + 1)
+      val (partPred, after) = inPartitionPred(nextNonWs(toks, i + 1))
+      i = after
       require(toks(i).isWord("WHERE"), "ChDdl: ALTER ... DELETE needs WHERE")
-      val pred = render(toks.drop(i + 1)).trim
-      cat.deleteWhere(d.name, expr(normalize(pred)))
+      val pred = expr(normalize(render(toks.drop(i + 1)).trim))
+      cat.deleteWhere(d.name, partPred.map(_ && pred).getOrElse(pred))
       emptyResult(spark)
     } else if (toks(i).isWord("UPDATE")) {
-      // UPDATE a = e1, b = e2 WHERE p
+      // UPDATE a = e1, b = e2 [IN PARTITION 'v'] WHERE p
       var w = i + 1
       var wd = -1
+      var inIdx = -1
       while (w < toks.length && wd < 0) {
         if (toks(w).isWord("WHERE") && toks(w).depth == 0) wd = w
+        else if (inIdx < 0 && toks(w).isWord("IN") && toks(w).depth == 0 && {
+          val n = nextNonWs(toks, w + 1)
+          n < toks.length && toks(n).isWord("PARTITION")
+        }) inIdx = w
         w += 1
       }
       require(wd > 0, "ChDdl: ALTER ... UPDATE needs WHERE")
-      val assigns = splitTop(toks, nextNonWs(toks, i + 1), wd, 0).map {
+      val assignEnd = if (inIdx >= 0) inIdx else wd
+      val (partPred, afterIn) = inPartitionPred(assignEnd)
+      if (inIdx >= 0) require(afterIn == wd,
+        "ChDdl: IN PARTITION must sit between the assignments and WHERE")
+      val assigns = splitTop(toks, nextNonWs(toks, i + 1), assignEnd, 0).map {
         case (from, to) =>
           val s = render(toks.slice(from, to))
           val eq = s.indexOf('=')
@@ -1564,8 +1603,9 @@ object ChDdl {
       require(hit.isEmpty,
         s"ChDdl: ALTER UPDATE cannot mutate key/partition/version " +
           s"column(s) ${hit.mkString(", ")} (CH forbids the same)")
-      val pred = render(toks.drop(wd + 1)).trim
-      cat.updateWhere(d.name, expr(normalize(pred)), assigns.toMap)
+      val pred = expr(normalize(render(toks.drop(wd + 1)).trim))
+      cat.updateWhere(d.name, partPred.map(_ && pred).getOrElse(pred),
+        assigns.toMap)
       emptyResult(spark)
     } else if (toks(i).isWord("ADD") && {
       val n = nextNonWs(toks, i + 1)

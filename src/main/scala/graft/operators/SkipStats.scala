@@ -109,6 +109,33 @@ object SkipStats {
     }
   }
 
+  /** CH `EXPLAIN ESTIMATE` numbers for a table: (parts, rows, marks) —
+    * files, footer row counts, row groups (the granule ≈ mark analog).
+    * Pure footer metadata, no data read.
+    */
+  def estimate(spark: SparkSession, tableDir: String): (Long, Long, Long) = {
+    import java.nio.file._
+    val root = Paths.get(tableDir)
+    if (!Files.isDirectory(root)) return (0L, 0L, 0L)
+    val conf = spark.sessionState.newHadoopConf()
+    var files = 0L; var rows = 0L; var groups = 0L
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !root.relativize(p).toString.split('/').exists(_.startsWith("_")))
+      .foreach { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(f.toString), conf))
+        try {
+          files += 1
+          val blocks = reader.getFooter.getBlocks.asScala
+          groups += blocks.size
+          rows += blocks.map(_.getRowCount).sum
+        } finally reader.close()
+      }
+    (files, rows, groups)
+  }
+
   /** (row groups, files) of a table directory — the un-pruned ceiling. */
   def totals(spark: SparkSession, tableDir: String): (Long, Long) = {
     import java.nio.file._

@@ -464,6 +464,29 @@ class ChDdlSpec extends AnyFunSuite {
     assert(m(0)._4 == 2L && m(1)._4 == 1L && m(2)._4 == 4L)
   }
 
+  test("IN PARTITION mutation scope and EXPLAIN ESTIMATE") {
+    val cat = freshCat("chddl_inpart")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE t (id Int64, day String, v Int64) ENGINE = MergeTree ORDER BY id PARTITION BY day")
+    spark.range(60).selectExpr("id", "concat('d', id % 3) AS day", "id AS v")
+      .createOrReplaceTempView("inpart_src")
+    x("INSERT INTO t SELECT id, day, v FROM inpart_src")
+    // the WHERE matches rows in EVERY partition; IN PARTITION bounds the
+    // mutation to one (CH semantics)
+    x("ALTER TABLE t DELETE IN PARTITION 'd1' WHERE v % 2 == 0")
+    assert(ChDdl.execute(cat, "SELECT count(*) AS c FROM t").head().getLong(0) == 50)
+    x("ALTER TABLE t UPDATE v = 0 IN PARTITION 'd2' WHERE v >= 0")
+    val zeroed = ChDdl.execute(cat,
+      "SELECT day, count(*) AS c FROM t PREWHERE v == 0 GROUP BY day ORDER BY day")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(zeroed == Seq(("d0", 1L), ("d2", 20L))) // d0's own v=0 row + all of d2
+    // EXPLAIN ESTIMATE: footer-only part/row/mark accounting
+    val est = ChDdl.execute(cat, "EXPLAIN ESTIMATE SELECT * FROM t WHERE v > 3")
+      .collect()(0)
+    assert(est.getString(0) == "t" && est.getLong(2) == 50)
+    assert(est.getLong(1) >= 3 && est.getLong(3) >= est.getLong(1)) // parts, marks
+  }
+
   test("partition ops: detach/attach/replace/move guards and byte moves") {
     val cat = freshCat("chddl_partops")
     val x = ChDdl.execute(cat, _: String)
