@@ -451,7 +451,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val rootPath = Paths.get(root)
-    val rows: Seq[(String, String, Long, java.sql.Timestamp)] =
+    val rows: Seq[(String, String, String, Long, java.sql.Timestamp)] =
       if (!Files.isDirectory(rootPath)) Nil
       else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
         .flatMap { t =>
@@ -462,12 +462,16 @@ final case class Catalog(spark: SparkSession, root: String) {
               // surfaces mutations in system.mutations, not system.parts)
               !rootPath.relativize(p).toString.split('/').exists(_.startsWith("_")))
             .map { p =>
-              (t.getFileName.toString, rootPath.relativize(p).toString,
-                Files.size(p),
+              val rel = rootPath.relativize(p).toString
+              // CH system.parts carries the part's partition id: here the
+              // `col=value[/...]` directory chain above the file
+              val partition = t.relativize(p).iterator().asScala
+                .map(_.toString).filter(_.contains("=")).mkString("/")
+              (t.getFileName.toString, rel, partition, Files.size(p),
                 new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis))
             }
         }.toSeq
-    rows.toDF("table", "part_name", "bytes", "modified")
+    rows.toDF("table", "part_name", "partition", "bytes", "modified")
   }
 
   // ---- partition manipulation (CH ALTER ... PARTITION family) -----------

@@ -537,6 +537,11 @@ class ChDdlSpec extends AnyFunSuite {
       "SELECT table, partition FROM system.detached_parts")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(det == Seq(("a", "day=d1")))
+    // system.parts carries each part's partition directory (CH fidelity)
+    val pp = ChDdl.execute(cat,
+      "SELECT DISTINCT partition FROM system.parts WHERE table == 'a'")
+      .collect().map(_.getString(0)).toSet
+    assert(pp == Set("day=d0"))
     // mismatched declared keys are loud
     x("CREATE TABLE c (id Int64, lang String, v Int64) ENGINE = MergeTree ORDER BY id PARTITION BY lang")
     intercept[IllegalArgumentException] {
