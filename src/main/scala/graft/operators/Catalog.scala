@@ -436,6 +436,10 @@ final case class Catalog(spark: SparkSession, root: String) {
       s"partition escapes table dir: $dir")
     if (Files.exists(dir)) {
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // sidecar hygiene: entries under the dropped directory are applied
+      // by definition (the rows are gone) — remove them so a later
+      // ATTACH into the same partition can never meet a stale entry
+      dropSidecarsUnder(table, Seq(s"$partCol=$value"))
       invalidateProjections(table)
     }
   }
@@ -558,6 +562,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     import java.nio.file._
     import scala.jdk.CollectionConverters._
     requireNoSidecarUnder(src, partCol, value)
+    // the DESTINATION guard closes a repeat-copy hazard: a second copy
+    // from the same source re-creates the same file NAMES, which stale
+    // dst-side mask/patch entries (from mutations between the copies)
+    // would wrongly match — deleted rows must never resurface silently
+    requireNoSidecarUnder(dst, partCol, value)
     val from = partitionDir(src, partCol, value)
     require(Files.isDirectory(from), s"no partition '$value' on '$src'")
     val to = partitionDir(dst, partCol, value)
@@ -579,6 +588,7 @@ final case class Catalog(spark: SparkSession, root: String) {
       value: String): Unit = {
     import java.nio.file._
     requireNoSidecarUnder(src, partCol, value)
+    requireNoSidecarUnder(dst, partCol, value) // see attachPartitionFrom
     val from = partitionDir(src, partCol, value)
     require(Files.isDirectory(from), s"no partition '$value' on '$src'")
     val to = partitionDir(dst, partCol, value)

@@ -217,6 +217,30 @@ class MaskSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { x("UPDATE t SET n = 0") } // no WHERE
   }
 
+  test("partition copies guard against stale dst-side sidecars") {
+    val cat = freshCat("maskpart")
+    cat.create("src", docs(300).repartition(3, col("lang")), Seq("lang"))
+    cat.create("dst", docs(10).withColumn("lang", lit("l9")), Seq("lang"))
+    cat.attachPartitionFrom("dst", "src", "lang", "l1", replace = false)
+    assert(cat.readRaw("dst").count() == 110)
+    // mask a row of the COPY, then try to copy again: blocked — the
+    // second copy re-creates the same file names the stale entry matches
+    cat.deleteWhereLight("dst", col("lang") === "l1" && col("id") === 1)
+    val e = intercept[IllegalArgumentException] {
+      cat.attachPartitionFrom("dst", "src", "lang", "l1", replace = true)
+    }
+    assert(e.getMessage.contains("OPTIMIZE"))
+    // fold, then the replace is safe and NOTHING resurface-deletes
+    cat.replaceContents("dst", cat.readRaw("dst"))
+    cat.attachPartitionFrom("dst", "src", "lang", "l1", replace = true)
+    assert(cat.readRaw("dst").count() == 110) // the masked row is back: a fresh copy
+    // dropPartition cleans the sidecar entries under the dropped dir
+    cat.deleteWhereLight("dst", col("lang") === "l1" && col("id") === 4)
+    cat.dropPartition("dst", "lang", "l1")
+    assert(!cat.hasDeletes("dst"))
+    assert(cat.readRaw("dst").count() == 10)
+  }
+
   test("KILL MUTATION reverts outstanding lightweight mutations") {
     val cat = freshCat("kill1")
     val x = ChDdl.execute(cat, _: String)
