@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   * At scale: writes partition by the natural partition column when given
   * (`PARTITION BY session_id` analog, `tools.py:74-78`) so per-key reads
   * and deletes prune partitions instead of scanning the table.
+  *
+  * Every directory-level operation routes through [[FsOps]] (the Hadoop
+  * `FileSystem` binding): on this sandbox that resolves to the local
+  * filesystem, on a cluster the same calls resolve to the object-store
+  * connector — the O(directory) cost claims are properties of the CALL
+  * PATTERN (listings per partition, renames per directory), not of a
+  * local-disk assumption.
   */
 final case class Catalog(spark: SparkSession, root: String) {
+
+  private val fs = FsOps(spark)
 
   private def path(table: String) = s"$root/$table"
 
@@ -95,18 +104,29 @@ final case class Catalog(spark: SparkSession, root: String) {
     applyPatches(table, applyMask(table, scan))
   }
 
+  /** Hint broadcast for a sidecar frame only while its on-disk bytes
+    * clear the session's autoBroadcastJoinThreshold (r12 ADVICE): a
+    * mask/patch side is USUALLY tiny — O(mutated rows) — but nothing
+    * bounds it, and an unconditional hint on a huge sidecar would
+    * collect it to the driver regardless of the user's threshold. Over
+    * the threshold (or with broadcasting disabled, threshold <= 0) the
+    * hint is omitted and the planner/AQE picks the strategy from the
+    * sidecar's real size.
+    */
+  private def sidecarSide(df: DataFrame, bytes: Long): DataFrame = {
+    val thr =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      catch { case _: IllegalArgumentException => 10L * 1024 * 1024 }
+    if (thr > 0 && bytes <= thr) broadcast(df) else df
+  }
+
   // ---- lightweight deletes (deletion-vector mask sidecar) ---------------
 
   private def deletesDir(table: String) = path(table) + "/_deletes"
 
   /** True when the table carries deletion-mask entries. */
-  def hasDeletes(table: String): Boolean = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    val d = Paths.get(deletesDir(table))
-    Files.isDirectory(d) && Files.walk(d).iterator().asScala.exists(p =>
-      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-  }
+  def hasDeletes(table: String): Boolean = fs.hasParquetUnder(deletesDir(table))
 
   /** ClickHouse lightweight `DELETE FROM t WHERE p` semantics: record the
     * matching rows' (file, row position) in a `_deletes` mask sidecar
@@ -115,13 +135,13 @@ final case class Catalog(spark: SparkSession, root: String) {
     * O(matches) mask bytes WRITTEN; zero data bytes rewritten, so a
     * high-QPS delete workload inside one partition never pays a partition
     * rewrite (MaskSoak measures the gap vs the pruned rewrite). Every
-    * read path applies the mask via a broadcast hash LEFT ANTI join on
-    * (file, pos) — the mask side is O(deleted rows), the cost CH pays
-    * too. Masks accumulate until a heavy rewrite of the same rows
-    * materializes them (OPTIMIZE / compact / ALTER mutations — CH: until
-    * the part merges). The sidecar directory is `_`-prefixed, which
-    * Spark's file listing and partition discovery skip, so it can never
-    * be read as data.
+    * read path applies the mask via a hash LEFT ANTI join on (file, pos)
+    * — broadcast while the mask side clears the session threshold, the
+    * cost CH pays too. Masks accumulate until a heavy rewrite of the
+    * same rows materializes them (OPTIMIZE / compact / ALTER mutations —
+    * CH: until the part merges). The sidecar directory is `_`-prefixed,
+    * which Spark's file listing and partition discovery skip, so it can
+    * never be read as data.
     */
   def deleteWhereLight(table: String, cond: Column): Unit = {
     val hits = readTagged(table).filter(cond).select(
@@ -136,7 +156,8 @@ final case class Catalog(spark: SparkSession, root: String) {
     else {
       val m = spark.read.parquet(deletesDir(table))
         .select(col("file").as(Catalog.FileCol), col("pos").as(Catalog.PosCol))
-      scan.join(broadcast(m), Seq(Catalog.FileCol, Catalog.PosCol), "left_anti")
+      scan.join(sidecarSide(m, fs.treeBytes(deletesDir(table))),
+        Seq(Catalog.FileCol, Catalog.PosCol), "left_anti")
     }
 
   // ---- lightweight updates (patch-part sidecar) --------------------------
@@ -146,29 +167,36 @@ final case class Catalog(spark: SparkSession, root: String) {
   /** True when the table carries outstanding update patches. */
   def hasPatches(table: String): Boolean = patchBatches(table).nonEmpty
 
-  /** Outstanding patch batch directories, in application order. */
-  private def patchBatches(table: String): Seq[java.nio.file.Path] = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    val d = Paths.get(patchesDir(table))
-    if (!Files.isDirectory(d)) Nil
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("seq="))
-        .toSeq.sortBy(_.getFileName.toString.stripPrefix("seq=").toLong)
-      finally s.close()
-    }
+  /** Outstanding patch batch directories (absolute paths), in
+    * application order.
+    */
+  private def patchBatches(table: String): Seq[String] = {
+    val d = patchesDir(table)
+    fs.listDirNames(d).filter(_.startsWith("seq="))
+      .sortBy(_.stripPrefix("seq=").toLong)
+      .map(n => s"$d/$n")
   }
+
+  /** Columns with OUTSTANDING patch assignments on `table` — what a
+    * footer-statistics consumer ([[SkipStats]] via EXPLAIN INDEXES) must
+    * flag: the minmax/bloom metadata predates the patch values, so
+    * advisory pruning numbers on these columns can over-promise (reads
+    * stay exact — predicates evaluate after patch application).
+    */
+  def patchedColumns(table: String): Set[String] =
+    patchBatches(table).flatMap { b =>
+      spark.read.parquet(b).columns.filterNot(c =>
+        c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
+    }.toSet
 
   /** ClickHouse lightweight `UPDATE t SET a = e WHERE p` (25.x "patch
     * parts"): materialize the assignments for the MATCHING rows into a
     * `_patches/seq=N` sidecar batch — O(matches) written, zero data
-    * bytes rewritten — applied at read time as one broadcast join per
+    * bytes rewritten — applied at read time as one hash join per
     * outstanding batch in sequence order (CH reads pay the same
     * patch-merge until the part merges; OPTIMIZE and heavy mutations
-    * fold patches in here too). RHS expressions see the CURRENT row
+    * fold patches in here too, and [[compactPatches]] folds K batches to
+    * one without touching data). RHS expressions see the CURRENT row
     * (masks + earlier patches applied), values are cast to the column's
     * declared type at write. Partition-column assignments are rejected:
     * reads prune by directory BEFORE patches apply, so a patched
@@ -190,33 +218,119 @@ final case class Catalog(spark: SparkSession, root: String) {
           v.cast(cur.schema(c).dataType).as(c)
         }: _*)
     val seq = patchBatches(table).lastOption
-      .map(_.getFileName.toString.stripPrefix("seq=").toLong + 1).getOrElse(0L)
+      .map(seqOf(_) + 1).getOrElse(0L)
     hits.write.mode("overwrite").parquet(s"${patchesDir(table)}/seq=$seq")
     invalidateProjections(table)
   }
 
-  /** Apply outstanding patch batches in sequence order: one broadcast
-    * LEFT join per batch on (file, pos), assigned columns replaced where
-    * the batch hits (a patch may legitimately set NULL — replacement is
-    * hit-gated, never coalesce). Later batches overwrite earlier ones on
-    * the rows/columns they share, which is exactly sequential
-    * application because batch values are MATERIALIZED at write time.
+  private def seqOf(batchDir: String): Long =
+    batchDir.substring(batchDir.lastIndexOf("seq=") + 4).toLong
+
+  /** Apply outstanding patch batches in sequence order: one hash LEFT
+    * join per batch on (file, pos) (broadcast while the batch clears the
+    * session threshold), assigned columns replaced where the batch hits
+    * (a patch may legitimately set NULL — replacement is hit-gated,
+    * never coalesce). Later batches overwrite earlier ones on the
+    * rows/columns they share, which is exactly sequential application
+    * because batch values are MATERIALIZED at write time. A batch
+    * written by [[compactPatches]] additionally carries a per-column
+    * `__set_c` presence flag — replacement is then gated per COLUMN,
+    * which is what lets K batches with different assignment sets fold
+    * into one.
     */
   private def applyPatches(table: String, df0: DataFrame): DataFrame =
     patchBatches(table).foldLeft(df0) { (df, dir) =>
-      val p = spark.read.parquet(dir.toString)
-      val assigned = p.columns.filterNot(c => c == "file" || c == "pos").toSeq
+      val p = spark.read.parquet(dir)
+      val cols = p.columns.toSeq
+      val assigned = cols.filterNot(c =>
+        c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
       val pr = p.select(
         col("file").as(Catalog.FileCol) +: col("pos").as(Catalog.PosCol) +:
           lit(true).as("__patch_hit") +:
-          assigned.map(c => col(c).as(s"__patch_$c")): _*)
-      df.join(broadcast(pr), Seq(Catalog.FileCol, Catalog.PosCol), "left")
+          assigned.flatMap { c =>
+            col(c).as(s"__patch_$c") +:
+              (if (cols.contains(Catalog.SetPrefix + c))
+                 Seq(col(Catalog.SetPrefix + c).as(s"__patch_set_$c"))
+               else Nil)
+          }: _*)
+      df.join(sidecarSide(pr, fs.treeBytes(dir)),
+          Seq(Catalog.FileCol, Catalog.PosCol), "left")
         .select(df.columns.toIndexedSeq.map { c =>
-          if (assigned.contains(c))
-            when(col("__patch_hit"), col(s"__patch_$c")).otherwise(col(c)).as(c)
-          else col(c)
+          if (assigned.contains(c)) {
+            val hit =
+              if (cols.contains(Catalog.SetPrefix + c))
+                col("__patch_hit") && col(s"__patch_set_$c")
+              else col("__patch_hit")
+            when(hit, col(s"__patch_$c")).otherwise(col(c)).as(c)
+          } else col(c)
         }: _*)
     }
+
+  /** Fold K outstanding patch batches into ONE without touching data
+    * (r12 verdict item 1): per (file, pos, column) the LAST assigning
+    * batch wins — exactly sequential application, because batch values
+    * were materialized at their own write time. The folded batch carries
+    * a `__set_c` presence flag per column so "assigned NULL" stays
+    * distinct from "not assigned" (a later batch legitimately patches a
+    * value to NULL; a row a batch never touched must keep its data
+    * value). Read cost drops from K joins to 1 ([[applyPatches]]); the
+    * fold itself is one shuffle over the sidecars — O(patched rows),
+    * zero data bytes, the standing difference from OPTIMIZE. CH's analog
+    * is the background merge of patch parts into bigger patch parts
+    * before the data merge materializes them.
+    */
+  def compactPatches(table: String): Unit = {
+    val batches = patchBatches(table)
+    if (batches.length <= 1) return
+    val frames = batches.map(b => spark.read.parquet(b))
+    def valueCols(df: DataFrame): Seq[String] =
+      df.columns.toSeq.filterNot(c =>
+        c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
+    val allCols = frames.flatMap(valueCols).distinct.sorted
+    val typeOf = allCols.map { c =>
+      c -> frames.find(_.columns.contains(c)).get.schema(c).dataType
+    }.toMap
+    // long format: every batch row widened to the full column set with
+    // its batch sequence + per-column presence
+    val widened = frames.zip(batches).map { case (p, b) =>
+      val vs = valueCols(p)
+      val hasFlags = p.columns.toSet
+      p.select(col("file") +: col("pos") +: lit(seqOf(b)).as("__seq") +:
+        allCols.flatMap { c =>
+          if (!vs.contains(c))
+            Seq(lit(null).cast(typeOf(c)).as(c), lit(false).as(Catalog.SetPrefix + c))
+          else Seq(col(c),
+            (if (hasFlags.contains(Catalog.SetPrefix + c))
+               col(Catalog.SetPrefix + c) else lit(true)).as(Catalog.SetPrefix + c))
+        }: _*)
+    }.reduce(_ unionByName _)
+    // per column: max over (assigned ? seq : -1, value) — the struct
+    // ordering picks the last ASSIGNING batch's value; rows no batch
+    // assigned stay at seq -1 with a NULL value and flag false
+    val folded = widened.groupBy(col("file"), col("pos"))
+      .agg(
+        max(struct(
+          when(col(Catalog.SetPrefix + allCols.head), col("__seq"))
+            .otherwise(lit(-1L)).as("s"),
+          col(allCols.head).as("v"))).as("__m0"),
+        allCols.tail.zipWithIndex.map { case (c, i) =>
+          max(struct(
+            when(col(Catalog.SetPrefix + c), col("__seq"))
+              .otherwise(lit(-1L)).as("s"),
+            col(c).as("v"))).as(s"__m${i + 1}")
+        }: _*)
+      .select(col("file") +: col("pos") +:
+        allCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(col(s"__m$i.v").as(c),
+            (col(s"__m$i.s") >= 0).as(Catalog.SetPrefix + c))
+        }: _*)
+    val last = seqOf(batches.last)
+    val tmp = path(table) + "__patchfold"
+    folded.write.mode("overwrite").parquet(tmp)
+    batches.foreach(fs.rmTree)
+    fs.move(tmp, s"${patchesDir(table)}/seq=$last")
+    invalidateProjections(table)
+  }
 
   /** Drop mask and patch entries pointing into rewritten partition
     * directories: the rewrite read through both sidecars, so those
@@ -226,33 +340,28 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   private def dropSidecarsUnder(table: String, dirs: Seq[String]): Unit =
     if (dirs.nonEmpty) {
-      import java.nio.file.Paths
       val gone = !dirs.map(d => col("file").contains(s"/$d/")).reduce(_ || _)
       if (hasDeletes(table)) {
         val keep = spark.read.parquet(deletesDir(table)).filter(gone)
-        if (keep.isEmpty) rmTree(Paths.get(deletesDir(table)))
+        if (keep.isEmpty) fs.rmTree(deletesDir(table))
         else {
           val tmp = path(table) + "__mask_tmp"
           keep.write.mode("overwrite").parquet(tmp)
-          replaceDir(tmp, deletesDir(table))
+          fs.replaceDir(tmp, deletesDir(table))
         }
       }
       patchBatches(table).foreach { b =>
-        val keep = spark.read.parquet(b.toString).filter(gone)
-        if (keep.isEmpty) rmTree(b)
+        val keep = spark.read.parquet(b).filter(gone)
+        if (keep.isEmpty) fs.rmTree(b)
         else {
           val tmp = path(table) + "__patch_tmp"
           keep.write.mode("overwrite").parquet(tmp)
-          replaceDir(tmp, b.toString)
+          fs.replaceDir(tmp, b)
         }
       }
-      if (hasPatchDirButNoBatches(table))
-        rmTree(Paths.get(patchesDir(table)))
+      if (fs.isDir(patchesDir(table)) && patchBatches(table).isEmpty)
+        fs.rmTree(patchesDir(table))
     }
-
-  private def hasPatchDirButNoBatches(table: String): Boolean =
-    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(patchesDir(table))) &&
-      patchBatches(table).isEmpty
 
   /** Partition columns of a table as laid out on disk (nested
     * `col=value` directory levels, outermost first). Rewrite paths
@@ -261,14 +370,10 @@ final case class Catalog(spark: SparkSession, root: String) {
     * would make later [[dropPartition]] retention a no-op (r9 ADVICE).
     */
   private def partitionColsOf(table: String): Seq[String] = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    def level(dir: Path): Option[(String, Path)] =
-      if (!Files.isDirectory(dir)) None
-      else Files.list(dir).iterator().asScala
-        .find(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-        .map(p => (p.getFileName.toString.split("=", 2)(0), p))
-    Iterator.unfold(Paths.get(path(table))) { d =>
+    def level(dir: String): Option[(String, String)] =
+      fs.listDirNames(dir).find(_.contains("="))
+        .map(n => (n.split("=", 2)(0), s"$dir/$n"))
+    Iterator.unfold(path(table)) { d =>
       level(d).map { case (c, next) => (c, next) }
     }.toSeq
   }
@@ -283,7 +388,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     val tmp = path(table) + "__tmp"
     val w = df.write.mode("overwrite").options(opts(table))
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
-    replaceDir(tmp, path(table))
+    fs.replaceDir(tmp, path(table))
     invalidateProjections(table)
   }
 
@@ -301,7 +406,6 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   private def mutatePruned(table: String, cond: Column)
       (transform: DataFrame => DataFrame): Unit = {
-    import java.nio.file._
     val parts = partitionColsOf(table)
     // masked read everywhere: a heavy mutation must see the net state the
     // lightweight deletes established (and its rewrite materializes them)
@@ -321,7 +425,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     val dirOf = (vs: Seq[Any]) =>
       parts.zip(vs).map { case (c, v) => s"$c=${v.toString}" }.mkString("/")
     val existing = affected.filter(vs =>
-      Files.exists(Paths.get(path(table), dirOf(vs))))
+      fs.exists(s"${path(table)}/${dirOf(vs)}"))
     if (existing.length != affected.length) { full(); return } // unexpected layout
     val slice = cur.filter(affected.map(vs =>
       parts.zip(vs).map { case (c, v) => col(c) === lit(v) }
@@ -331,33 +435,27 @@ final case class Catalog(spark: SparkSession, root: String) {
     out.write.mode("overwrite").options(opts(table))
       .partitionBy(parts: _*).parquet(tmp)
     affected.foreach { vs =>
-      val src = Paths.get(tmp, dirOf(vs))
-      val dst = Paths.get(path(table), dirOf(vs))
-      if (Files.exists(src)) replaceDir(src.toString, dst.toString)
+      val src = s"$tmp/${dirOf(vs)}"
+      val dst = s"${path(table)}/${dirOf(vs)}"
+      if (fs.exists(src)) fs.replaceDir(src, dst)
       else { // every row of this leaf was deleted
-        rmTree(dst)
+        fs.rmTree(dst)
         // an ancestor left empty would break later layout detection
         // (partitionColsOf descends the first `col=` child it finds)
-        dropEmptyAncestors(dst.getParent, Paths.get(path(table)))
+        dropEmptyAncestors(parentOf(dst), path(table))
       }
     }
-    rmTree(Paths.get(tmp))
+    fs.rmTree(tmp)
     dropSidecarsUnder(table, affected.map(dirOf).toSeq)
     invalidateProjections(table)
   }
 
-  private def dropEmptyAncestors(from: java.nio.file.Path,
-      stopAt: java.nio.file.Path): Unit = {
-    import java.nio.file._
+  private def parentOf(p: String): String = p.substring(0, p.lastIndexOf('/'))
+
+  private def dropEmptyAncestors(from: String, stopAt: String): Unit = {
     var d = from
-    while (d != null && d.startsWith(stopAt) && d != stopAt &&
-        Files.isDirectory(d) && {
-          val s = Files.list(d)
-          try !s.iterator().hasNext finally s.close()
-        }) {
-      Files.delete(d)
-      d = d.getParent
-    }
+    while (d.startsWith(stopAt) && d != stopAt && fs.deleteIfEmptyDir(d))
+      d = parentOf(d)
   }
 
   /** DELETE WHERE cond: keep-complement rewrite of the AFFECTED
@@ -417,92 +515,70 @@ final case class Catalog(spark: SparkSession, root: String) {
   def replaceContents(table: String, df: DataFrame): Unit =
     writeReplacing(table, df)
 
+  // ---- partition manipulation (CH ALTER ... PARTITION family) -----------
+  // All O(directory move/copy) — never a data rewrite. That is the point
+  // at 100 TB: a restatement (recompute one day in staging, swap it into
+  // prod) costs metadata, and CH operators lean on exactly these.
+  //
+  // Every op takes a partition ADDRESS: a (column, value) sequence that
+  // must be a PREFIX of the table's layout. A first-level value
+  // addresses the whole subtree (`day=7` — all langs of that day); a
+  // full tuple addresses one leaf (`day=7/lang=en`) — the same depths
+  // mutations prune to (q233). Single-value overloads keep the common
+  // one-level call sites readable.
+
   /** ClickHouse `ALTER TABLE .. DROP PARTITION` on a table created with
     * `partitionBy`: remove one partition directory outright — no scan,
     * no rewrite, the O(1) bulk-delete that makes date-partitioned
     * retention free at 100 TB (vs deleteWhere's full-table rewrite).
     */
-  def dropPartition(table: String, partCol: String, value: String): Unit = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
+  def dropPartition(table: String, partCol: String, value: String): Unit =
+    dropPartition(table, Seq(partCol -> value))
+
+  def dropPartition(table: String, segs: Seq[(String, String)]): Unit = {
     // loud on layout mismatch (r9 ADVICE): a table not partitioned by
-    // partCol means retention would silently delete nothing.
-    require(partitionColsOf(table).headOption.contains(partCol),
-      s"table '$table' is not partitioned by '$partCol' " +
-      s"(on-disk layout: ${partitionColsOf(table).mkString("/")}) — " +
+    // these columns means retention would silently delete nothing.
+    val onDisk = partitionColsOf(table)
+    require(onDisk.take(segs.length) == segs.map(_._1) && onDisk.nonEmpty,
+      s"table '$table' is not partitioned by " +
+      s"'${segs.map(_._1).mkString("/")}' " +
+      s"(on-disk layout: ${onDisk.mkString("/")}) — " +
       "dropPartition would be a silent no-op")
-    val dir = Paths.get(path(table), s"$partCol=$value")
-    require(dir.normalize.startsWith(Paths.get(path(table)).normalize),
-      s"partition escapes table dir: $dir")
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val dir = partitionPath(table, segs)
+    if (fs.exists(dir)) {
+      fs.rmTree(dir)
+      // a leaf drop may leave empty ancestor directories behind
+      dropEmptyAncestors(parentOf(dir), path(table))
       // sidecar hygiene: entries under the dropped directory are applied
       // by definition (the rows are gone) — remove them so a later
       // ATTACH into the same partition can never meet a stale entry
-      dropSidecarsUnder(table, Seq(s"$partCol=$value"))
+      dropSidecarsUnder(table, Seq(relSeg(segs)))
       invalidateProjections(table)
     }
   }
 
-  /** ClickHouse `system.parts` analog: the physical parts (parquet
-    * files) behind each table in this catalog — name, bytes, mtime —
-    * as a DataFrame. Pure driver-side FS listing (parts counts are
-    * what an operator checks before/after compaction; cf. CH's
-    * `SELECT ... FROM system.parts WHERE active`).
-    */
-  def parts(): DataFrame = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    import spark.implicits._
-    val rootPath = Paths.get(root)
-    val rows: Seq[(String, String, String, Long, java.sql.Timestamp)] =
-      if (!Files.isDirectory(rootPath)) Nil
-      else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
-        .flatMap { t =>
-          Files.walk(t).iterator().asScala
-            .filter(p => Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet") &&
-              // deletion-mask sidecars are mutation state, not parts (CH
-              // surfaces mutations in system.mutations, not system.parts)
-              !rootPath.relativize(p).toString.split('/').exists(_.startsWith("_")))
-            .map { p =>
-              val rel = rootPath.relativize(p).toString
-              // CH system.parts carries the part's partition id: here the
-              // `col=value[/...]` directory chain above the file
-              val partition = t.relativize(p).iterator().asScala
-                .map(_.toString).filter(_.contains("=")).mkString("/")
-              (t.getFileName.toString, rel, partition, Files.size(p),
-                new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis))
-            }
-        }.toSeq
-    rows.toDF("table", "part_name", "partition", "bytes", "modified")
-  }
-
-  // ---- partition manipulation (CH ALTER ... PARTITION family) -----------
-  // All O(directory move/copy) — never a data rewrite. That is the point
-  // at 100 TB: a restatement (recompute one day in staging, swap it into
-  // prod) costs metadata, and CH operators lean on exactly these.
-
-  /** First-level partition directory of `table` for `value`. The caller
-    * supplies the DECLARED partition column (an empty partitioned table
+  /** Partition directory of `table` for the address `segs`. The caller
+    * supplies the DECLARED partition columns (an empty partitioned table
     * has no `col=value` dirs to detect — the known empty-create trap);
     * when directories DO exist they must agree with it.
     */
-  private def partitionDir(table: String, partCol: String,
-      value: String): java.nio.file.Path = {
-    import java.nio.file._
+  private def partitionPath(table: String,
+      segs: Seq[(String, String)]): String = {
+    require(segs.nonEmpty, "partition address needs at least one value")
     val onDisk = partitionColsOf(table)
-    require(onDisk.isEmpty || onDisk.head == partCol,
+    require(onDisk.isEmpty || onDisk.take(segs.length) == segs.map(_._1),
       s"table '$table' is laid out by '${onDisk.mkString("/")}', " +
-        s"not '$partCol'")
-    require(value.nonEmpty && value.forall(ch => ch.isLetterOrDigit ||
-      ch == '-' || ch == '_' || ch == '.'),
-      s"partition value '$value' has a non-trivial directory encoding")
-    val dir = Paths.get(path(table), s"$partCol=$value")
-    require(dir.normalize.startsWith(Paths.get(path(table)).normalize),
-      s"partition escapes table dir: $dir")
-    dir
+        s"not '${segs.map(_._1).mkString("/")}'")
+    segs.foreach { case (_, v) =>
+      require(v.nonEmpty && v.forall(ch => ch.isLetterOrDigit ||
+        ch == '-' || ch == '_' || ch == '.'),
+        s"partition value '$v' has a non-trivial directory encoding")
+    }
+    s"${path(table)}/${relSeg(segs)}"
   }
+
+  private def relSeg(segs: Seq[(String, String)]): String =
+    segs.map { case (c, v) => s"$c=$v" }.mkString("/")
 
   /** Partition ops require NO outstanding lightweight mutations touching
     * the partition: a mask/patch references files by path, and a moved or
@@ -511,45 +587,60 @@ final case class Catalog(spark: SparkSession, root: String) {
     * finish before partition manipulation); here the fix is explicit:
     * OPTIMIZE first (folds the sidecars), then move.
     */
-  private def requireNoSidecarUnder(table: String, partCol: String,
-      value: String): Unit = {
-    val seg = s"/$partCol=$value/"
+  private def requireNoSidecarUnder(table: String,
+      segs: Seq[(String, String)]): Unit = {
+    val seg = s"/${relSeg(segs)}/"
     def hits(df: DataFrame) = !df.filter(col("file").contains(seg)).isEmpty
     val masked = hasDeletes(table) &&
       hits(spark.read.parquet(deletesDir(table)))
     val patched = patchBatches(table)
-      .exists(b => hits(spark.read.parquet(b.toString)))
+      .exists(b => hits(spark.read.parquet(b)))
     require(!masked && !patched,
-      s"partition '$value' of '$table' has outstanding lightweight " +
-        "mutations — OPTIMIZE the table first, then manipulate partitions")
+      s"partition '${segs.map(_._2).mkString(",")}' of '$table' has " +
+        "outstanding lightweight mutations — OPTIMIZE the table first, " +
+        "then manipulate partitions")
   }
 
   private def detachedDir(table: String) = path(table) + "/_detached"
 
+  /** A detached partition's directory name: the address segments joined
+    * with ',' — one flat name per parked subtree/leaf (values are
+    * charset-restricted by [[partitionPath]], so ',' can never collide).
+    */
+  private def detachedName(segs: Seq[(String, String)]): String =
+    segs.map { case (c, v) => s"$c=$v" }.mkString(",")
+
   /** `ALTER TABLE t DETACH PARTITION v`: move the directory under the
     * `_detached` area — invisible to every read (underscore-prefixed),
     * re-attachable. */
-  def detachPartition(table: String, partCol: String, value: String): Unit = {
-    import java.nio.file._
-    val src = partitionDir(table, partCol, value)
-    require(Files.isDirectory(src), s"no partition '$value' on '$table'")
-    requireNoSidecarUnder(table, partCol, value)
-    Files.createDirectories(Paths.get(detachedDir(table)))
-    Files.move(src, Paths.get(detachedDir(table), src.getFileName.toString),
-      StandardCopyOption.ATOMIC_MOVE)
+  def detachPartition(table: String, partCol: String, value: String): Unit =
+    detachPartition(table, Seq(partCol -> value))
+
+  def detachPartition(table: String, segs: Seq[(String, String)]): Unit = {
+    val src = partitionPath(table, segs)
+    require(fs.isDir(src),
+      s"no partition '${segs.map(_._2).mkString(",")}' on '$table'")
+    requireNoSidecarUnder(table, segs)
+    fs.mkdirs(detachedDir(table))
+    fs.move(src, s"${detachedDir(table)}/${detachedName(segs)}")
+    dropEmptyAncestors(parentOf(src), path(table))
     invalidateProjections(table)
   }
 
   /** `ALTER TABLE t ATTACH PARTITION v`: bring a detached partition back. */
-  def attachPartition(table: String, partCol: String, value: String): Unit = {
-    import java.nio.file._
-    val dst = partitionDir(table, partCol, value)
-    val src = Paths.get(detachedDir(table), dst.getFileName.toString)
-    require(Files.isDirectory(src),
-      s"no detached partition '$value' on '$table'")
-    require(!Files.exists(dst),
-      s"partition '$value' already exists on '$table' — DROP it first")
-    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  def attachPartition(table: String, partCol: String, value: String): Unit =
+    attachPartition(table, Seq(partCol -> value))
+
+  def attachPartition(table: String, segs: Seq[(String, String)]): Unit = {
+    val dst = partitionPath(table, segs)
+    val src = s"${detachedDir(table)}/${detachedName(segs)}"
+    require(fs.isDir(src),
+      s"no detached partition '${segs.map(_._2).mkString(",")}' on '$table'")
+    require(!fs.exists(dst),
+      s"partition '${segs.map(_._2).mkString(",")}' already exists on " +
+        s"'$table' — DROP it first")
+    fs.mkdirs(parentOf(dst))
+    fs.move(src, dst)
     invalidateProjections(table)
   }
 
@@ -558,43 +649,49 @@ final case class Catalog(spark: SparkSession, root: String) {
     * first drops dst's current directory, ATTACH requires dst not to
     * have one. */
   def attachPartitionFrom(dst: String, src: String, partCol: String,
-      value: String, replace: Boolean): Unit = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    requireNoSidecarUnder(src, partCol, value)
+      value: String, replace: Boolean): Unit =
+    attachPartitionFrom(dst, src, Seq(partCol -> value), replace)
+
+  def attachPartitionFrom(dst: String, src: String,
+      segs: Seq[(String, String)], replace: Boolean): Unit = {
+    requireNoSidecarUnder(src, segs)
     // the DESTINATION guard closes a repeat-copy hazard: a second copy
     // from the same source re-creates the same file NAMES, which stale
     // dst-side mask/patch entries (from mutations between the copies)
     // would wrongly match — deleted rows must never resurface silently
-    requireNoSidecarUnder(dst, partCol, value)
-    val from = partitionDir(src, partCol, value)
-    require(Files.isDirectory(from), s"no partition '$value' on '$src'")
-    val to = partitionDir(dst, partCol, value)
-    if (replace) rmTree(to)
-    else require(!Files.exists(to),
-      s"partition '$value' already exists on '$dst' — use REPLACE")
-    Files.walk(from).iterator().asScala.toSeq.foreach { p =>
-      val rel = from.relativize(p)
-      val t = to.resolve(rel.toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
-    }
+    requireNoSidecarUnder(dst, segs)
+    val from = partitionPath(src, segs)
+    require(fs.isDir(from),
+      s"no partition '${segs.map(_._2).mkString(",")}' on '$src'")
+    val to = partitionPath(dst, segs)
+    if (replace) fs.rmTree(to)
+    else require(!fs.exists(to),
+      s"partition '${segs.map(_._2).mkString(",")}' already exists on " +
+        s"'$dst' — use REPLACE")
+    fs.copyTree(from, to)
     invalidateProjections(dst)
   }
 
   /** `ALTER TABLE src MOVE PARTITION v TO TABLE dst`: the directory
     * changes tables — removed from `src`, appearing in `dst`. */
   def movePartitionTo(src: String, dst: String, partCol: String,
-      value: String): Unit = {
-    import java.nio.file._
-    requireNoSidecarUnder(src, partCol, value)
-    requireNoSidecarUnder(dst, partCol, value) // see attachPartitionFrom
-    val from = partitionDir(src, partCol, value)
-    require(Files.isDirectory(from), s"no partition '$value' on '$src'")
-    val to = partitionDir(dst, partCol, value)
-    require(!Files.exists(to),
-      s"partition '$value' already exists on '$dst' — DROP or REPLACE it")
-    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+      value: String): Unit =
+    movePartitionTo(src, dst, Seq(partCol -> value))
+
+  def movePartitionTo(src: String, dst: String,
+      segs: Seq[(String, String)]): Unit = {
+    requireNoSidecarUnder(src, segs)
+    requireNoSidecarUnder(dst, segs) // see attachPartitionFrom
+    val from = partitionPath(src, segs)
+    require(fs.isDir(from),
+      s"no partition '${segs.map(_._2).mkString(",")}' on '$src'")
+    val to = partitionPath(dst, segs)
+    require(!fs.exists(to),
+      s"partition '${segs.map(_._2).mkString(",")}' already exists on " +
+        s"'$dst' — DROP or REPLACE it")
+    fs.mkdirs(parentOf(to))
+    fs.move(from, to)
+    dropEmptyAncestors(parentOf(from), path(src))
     invalidateProjections(src)
     invalidateProjections(dst)
   }
@@ -636,10 +733,36 @@ final case class Catalog(spark: SparkSession, root: String) {
     * mutation is not killable either).
     */
   def killMutations(table: String): Unit = {
-    import java.nio.file.Paths
-    rmTree(Paths.get(deletesDir(table)))
-    rmTree(Paths.get(patchesDir(table)))
+    fs.rmTree(deletesDir(table))
+    fs.rmTree(patchesDir(table))
     invalidateProjections(table)
+  }
+
+  /** ClickHouse `system.parts` analog: the physical parts (parquet
+    * files) behind each table in this catalog — name, bytes, mtime —
+    * as a DataFrame. Pure driver-side FS listing (parts counts are
+    * what an operator checks before/after compaction; cf. CH's
+    * `SELECT ... FROM system.parts WHERE active`).
+    */
+  def parts(): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(String, String, String, Long, java.sql.Timestamp)] =
+      fs.listDirNames(root).flatMap { t =>
+        fs.listFiles(s"$root/$t")
+          .filter { case (p, _, _) => p.endsWith(".parquet") &&
+            // deletion-mask sidecars are mutation state, not parts (CH
+            // surfaces mutations in system.mutations, not system.parts)
+            !p.stripPrefix(s"$root/").split('/').exists(_.startsWith("_")) }
+          .map { case (p, bytes, mtime) =>
+            val rel = p.stripPrefix(s"$root/")
+            // CH system.parts carries the part's partition id: here the
+            // `col=value[/...]` directory chain above the file
+            val partition = rel.stripPrefix(s"$t/").split('/')
+              .filter(_.contains("=")).mkString("/")
+            (t, rel, partition, bytes, new java.sql.Timestamp(mtime))
+          }
+      }
+    rows.toDF("table", "part_name", "partition", "bytes", "modified")
   }
 
   /** ClickHouse `system.detached_parts` analog: partitions parked by
@@ -647,23 +770,12 @@ final case class Catalog(spark: SparkSession, root: String) {
     * before ATTACH or cleanup.
     */
   def detachedParts(): DataFrame = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val rootPath = Paths.get(root)
     val rows: Seq[(String, String, Long)] =
-      if (!Files.isDirectory(rootPath)) Nil
-      else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
-        .flatMap { t =>
-          val det = t.resolve("_detached")
-          if (!Files.isDirectory(det)) Nil
-          else Files.list(det).iterator().asScala.filter(Files.isDirectory(_))
-            .map { p =>
-              val bytes = Files.walk(p).iterator().asScala
-                .filter(Files.isRegularFile(_)).map(Files.size).sum
-              (t.getFileName.toString, p.getFileName.toString, bytes)
-            }.toSeq
-        }.toSeq.sortBy(r => (r._1, r._2))
+      fs.listDirNames(root).flatMap { t =>
+        val det = s"$root/$t/_detached"
+        fs.listDirNames(det).map(p => (t, p, fs.treeBytes(s"$det/$p")))
+      }.sortBy(r => (r._1, r._2))
     rows.toDF("table", "partition", "bytes")
   }
 
@@ -672,49 +784,30 @@ final case class Catalog(spark: SparkSession, root: String) {
     * (kind, batches, rows, bytes). CH rows carry `is_done`; here a row
     * exists only while undone — OPTIMIZE and heavy mutations fold the
     * sidecars in and the rows disappear, which is the signal an operator
-    * polls for.
+    * polls for. Cost note: the row counts run one Spark `count()` job
+    * per sidecar per table — O(tables × sidecars) driver-driven jobs,
+    * sized for an introspection view, not for a hot path.
     */
   def mutations(): DataFrame = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val rootPath = Paths.get(root)
-    def bytes(p: Path): Long = Files.walk(p).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
     val rows: Seq[(String, String, Long, Long, Long)] =
-      if (!Files.isDirectory(rootPath)) Nil
-      else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
-        .flatMap { t =>
-          val table = t.getFileName.toString
-          val del =
-            if (!hasDeletes(table)) Nil
-            else {
-              val d = Paths.get(deletesDir(table))
-              Seq((table, "delete_mask", 1L,
-                spark.read.parquet(d.toString).count(), bytes(d)))
-            }
-          val pat = patchBatches(table) match {
-            case Nil => Nil
-            case bs => Seq((table, "update_patch", bs.size.toLong,
-              bs.map(b => spark.read.parquet(b.toString).count()).sum,
-              bytes(Paths.get(patchesDir(table)))))
+      fs.listDirNames(root).flatMap { table =>
+        val del =
+          if (!hasDeletes(table)) Nil
+          else {
+            val d = deletesDir(table)
+            Seq((table, "delete_mask", 1L,
+              spark.read.parquet(d).count(), fs.treeBytes(d)))
           }
-          del ++ pat
-        }.toSeq.sortBy(r => (r._1, r._2))
+        val pat = patchBatches(table) match {
+          case Nil => Nil
+          case bs => Seq((table, "update_patch", bs.size.toLong,
+            bs.map(b => spark.read.parquet(b).count()).sum,
+            fs.treeBytes(patchesDir(table))))
+        }
+        del ++ pat
+      }.sortBy(r => (r._1, r._2))
     rows.toDF("table", "kind", "batches", "rows", "bytes")
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
-
-  private def replaceDir(from: String, to: String): Unit = {
-    import java.nio.file._
-    rmTree(Paths.get(to))
-    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
   }
 }
 
@@ -722,6 +815,14 @@ object Catalog {
   /** Internal row-identity columns threaded through tagged reads. */
   private[operators] val FileCol = "__graft_file"
   private[operators] val PosCol = "__graft_pos"
+
+  /** Per-column presence-flag prefix in FOLDED patch batches
+    * ([[Catalog.compactPatches]]): `__set_c` true = this batch assigns
+    * `c` on this row (possibly to NULL), false = the row's data value
+    * stands. Single-update batches need no flags — every row assigns
+    * every batch column by construction.
+    */
+  private[operators] val SetPrefix = "__set_"
 
   /** Per-table-path parquet writer options — the CH data-skipping-index
     * analog made physical ([[graft.operators.ChDdl]] registers

@@ -1330,11 +1330,16 @@ object ChDdl {
           (col(c).getField("s").cast("double") / col(c).getField("c")).as(c)
         case Some("quantile") =>
           // type-1 inverse CDF over the merged multiset: the element at
-          // rank ceil(q*n) (>= 1) — DuckDB quantile_disc semantics
-          element_at(col(c).getField("vs"),
-            greatest(lit(1),
-              ceil(col(c).getField("q") * size(col(c).getField("vs")))
-                .cast("int"))).as(c)
+          // rank ceil(q*n) (>= 1) — DuckDB quantile_disc semantics. A key
+          // whose inputs were all NULL merges to an EMPTY multiset
+          // (CollectList skips nulls): finalize to NULL — the SQL
+          // aggregate convention — instead of letting element_at(empty, 1)
+          // raise under Spark 4's default ANSI mode.
+          when(size(col(c).getField("vs")) === 0, lit(null))
+            .otherwise(element_at(col(c).getField("vs"),
+              greatest(lit(1),
+                ceil(col(c).getField("q") * size(col(c).getField("vs")))
+                  .cast("int")))).as(c)
         case Some("topk") =>
           // k most frequent values, count desc then value asc (the exact
           // topK family's deterministic tie order, q163)
@@ -1483,6 +1488,19 @@ object ChDdl {
     case other => other
   }
 
+  /** CH's zero value for a non-Nullable column with no DEFAULT — the
+    * CLEAR COLUMN reset target: 0 for numbers, '' for strings, false,
+    * epoch for dates/times, the empty array.
+    */
+  private def typeZero(dt: DataType): Column = dt match {
+    case StringType => lit("")
+    case BooleanType => lit(false)
+    case _: NumericType => lit(0).cast(dt)
+    case DateType | TimestampType => lit(0).cast(dt)
+    case ArrayType(_, _) => array().cast(widenType(dt))
+    case other => lit(null).cast(widenType(other))
+  }
+
   private def normalize(e: String): String = ChSql.rewrite(e)
 
   private def alter(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {
@@ -1504,35 +1522,60 @@ object ChDdl {
       val verb = toks(i).text.toUpperCase
       i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1) // past PARTITION
       require(i < toks.length, s"ChDdl: $verb PARTITION needs a value")
-      val value = unqStr(toks(i).text)
+      // partition address: 'v' (first-level subtree) or ('v1', 'v2') — a
+      // LEAF of a composite layout, the same depth mutations prune to
+      // (q233); values bind to the declared partitionBy prefix in order
+      val values: Seq[String] =
+        if (toks(i).text == "(") {
+          val vals = Vector.newBuilder[String]
+          var j = nextNonWs(toks, i + 1)
+          while (j < toks.length && toks(j).text != ")") {
+            if (toks(j).kind == STR || toks(j).kind == NUM)
+              vals += unqStr(toks(j).text)
+            else require(toks(j).text == ",",
+              s"ChDdl: bad PARTITION tuple near '${toks(j).text}'")
+            j = nextNonWs(toks, j + 1)
+          }
+          require(j < toks.length, "ChDdl: PARTITION tuple missing ')'")
+          i = j
+          vals.result()
+        } else Seq(unqStr(toks(i).text))
       i = nextNonWs(toks, i + 1)
-      val pc = d.partitionBy.headOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"ChDdl: ${d.name} declares no PARTITION BY"))
-      // cross-table ops require the same DECLARED partition key (CH
-      // requires identical structure; the declared key governs even for
-      // still-empty tables, the empty-create layout trap)
+      require(d.partitionBy.nonEmpty,
+        s"ChDdl: ${d.name} declares no PARTITION BY")
+      require(values.nonEmpty && values.length <= d.partitionBy.length,
+        s"ChDdl: PARTITION (${values.mkString(", ")}) has ${values.length} " +
+          s"value(s) but ${d.name} is partitioned by " +
+          s"(${d.partitionBy.mkString(", ")})")
+      val segs = d.partitionBy.take(values.length).zip(values)
+      // cross-table ops require IDENTICAL declared partition keys — the
+      // FULL sequence, not just the addressed prefix (CH's identical-
+      // structure rule; a day= subtree moved into a day-only table would
+      // otherwise create a mixed-depth layout that breaks partition
+      // discovery). The declared key governs even for still-empty tables
+      // (the empty-create layout trap).
       def otherTable(kw: String): String = {
         require(i < toks.length && toks(i).isWord(kw),
           s"ChDdl: expected $kw <table> after $verb PARTITION '<v>'")
         val (o, _) = tableNameAt(toks, nextNonWs(toks, i + 1))
         val od = tableDef(cat, o)
-        require(od.partitionBy.headOption.contains(pc),
+        require(od.partitionBy == d.partitionBy,
           s"ChDdl: ${od.name} is partitioned by " +
-            s"'${od.partitionBy.mkString(", ")}', ${d.name} by '$pc' — " +
-            "partition ops need the same declared key")
+            s"(${od.partitionBy.mkString(", ")}), ${d.name} by " +
+            s"(${d.partitionBy.mkString(", ")}) — partition ops need " +
+            "identical declared keys")
         od.name
       }
       verb match {
-        case "DROP" => cat.dropPartition(d.name, pc, value)
-        case "DETACH" => cat.detachPartition(d.name, pc, value)
+        case "DROP" => cat.dropPartition(d.name, segs)
+        case "DETACH" => cat.detachPartition(d.name, segs)
         case "ATTACH" =>
           if (i < toks.length && toks(i).isWord("FROM"))
-            cat.attachPartitionFrom(d.name, otherTable("FROM"), pc, value,
+            cat.attachPartitionFrom(d.name, otherTable("FROM"), segs,
               replace = false)
-          else cat.attachPartition(d.name, pc, value)
+          else cat.attachPartition(d.name, segs)
         case "REPLACE" =>
-          cat.attachPartitionFrom(d.name, otherTable("FROM"), pc, value,
+          cat.attachPartitionFrom(d.name, otherTable("FROM"), segs,
             replace = true)
         case "MOVE" =>
           // MOVE PARTITION v TO TABLE dst
@@ -1541,13 +1584,13 @@ object ChDdl {
           i = nextNonWs(toks, i + 1)
           require(i < toks.length && toks(i).isWord("TABLE"),
             "ChDdl: expected MOVE PARTITION '<v>' TO TABLE <t>")
-          val (o, _) = tableNameAt(toks, nextNonWs(toks, i + 1))
-          val od = tableDef(cat, o)
-          require(od.partitionBy.headOption.contains(pc),
+          val od = tableDef(cat, tableNameAt(toks, nextNonWs(toks, i + 1))._1)
+          require(od.partitionBy == d.partitionBy,
             s"ChDdl: ${od.name} is partitioned by " +
-              s"'${od.partitionBy.mkString(", ")}', ${d.name} by '$pc' — " +
-              "partition ops need the same declared key")
-          cat.movePartitionTo(d.name, od.name, pc, value)
+              s"(${od.partitionBy.mkString(", ")}), ${d.name} by " +
+              s"(${d.partitionBy.mkString(", ")}) — partition ops need " +
+              "identical declared keys")
+          cat.movePartitionTo(d.name, od.name, segs)
       }
       return emptyResult(spark)
     }
@@ -1561,10 +1604,30 @@ object ChDdl {
       }) {
         val v = nextNonWs(toks, nextNonWs(toks, at + 1) + 1)
         require(v < toks.length, "ChDdl: expected IN PARTITION '<v>'")
-        val pc = d.partitionBy.headOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"ChDdl: ${d.name} declares no PARTITION BY"))
-        (Some(col(pc) === lit(unqStr(toks(v).text))), nextNonWs(toks, v + 1))
+        require(d.partitionBy.nonEmpty,
+          s"ChDdl: ${d.name} declares no PARTITION BY")
+        // single 'v' or composite ('v1', 'v2') — conjuncts over the
+        // declared partitionBy prefix, handed to mutatePruned for pruning
+        val (values, after) =
+          if (toks(v).text == "(") {
+            val vals = Vector.newBuilder[String]
+            var j = nextNonWs(toks, v + 1)
+            while (j < toks.length && toks(j).text != ")") {
+              if (toks(j).kind == STR || toks(j).kind == NUM)
+                vals += unqStr(toks(j).text)
+              else require(toks(j).text == ",",
+                s"ChDdl: bad IN PARTITION tuple near '${toks(j).text}'")
+              j = nextNonWs(toks, j + 1)
+            }
+            require(j < toks.length, "ChDdl: IN PARTITION tuple missing ')'")
+            (vals.result(), nextNonWs(toks, j + 1))
+          } else (Vector(unqStr(toks(v).text)), nextNonWs(toks, v + 1))
+        require(values.length <= d.partitionBy.length,
+          s"ChDdl: IN PARTITION (${values.mkString(", ")}) has " +
+            s"${values.length} value(s) but ${d.name} is partitioned by " +
+            s"(${d.partitionBy.mkString(", ")})")
+        (Some(d.partitionBy.take(values.length).zip(values)
+          .map { case (c, vv) => col(c) === lit(vv) }.reduce(_ && _)), after)
       } else (None, at)
     if (toks(i).isWord("DELETE")) {
       val (partPred, after) = inPartitionPred(nextNonWs(toks, i + 1))
@@ -1606,6 +1669,39 @@ object ChDdl {
       val pred = expr(normalize(render(toks.drop(wd + 1)).trim))
       cat.updateWhere(d.name, partPred.map(_ && pred).getOrElse(pred),
         assigns.toMap)
+      emptyResult(spark)
+    } else if (toks(i).isWord("CLEAR") && {
+      val n = nextNonWs(toks, i + 1)
+      n < toks.length && toks(n).isWord("COLUMN")
+    }) {
+      // CLEAR COLUMN c IN PARTITION 'v': CH's reset-to-default mutation —
+      // every value of the column inside the addressed partition reverts
+      // to the declared DEFAULT; without one, to NULL for Nullable
+      // columns and to the type's zero value otherwise (CH's rule: 0,
+      // '', epoch, empty array). Routed through the partition-pruned
+      // updateWhere, so the rewrite is bounded to the addressed
+      // directories — the partition conjunct IS the pruning conjunct.
+      i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1)
+      val cname = unq(toks(i).text)
+      val cd = d.columns.find(_.name == cname).getOrElse(
+        throw new IllegalArgumentException(
+          s"ChDdl: no column '$cname' on ${d.name}"))
+      require(!d.orderBy.contains(cname) && !d.partitionBy.contains(cname) &&
+        !d.versionCol.contains(cname),
+        s"ChDdl: cannot CLEAR key/partition/version column '$cname' " +
+          "(CH forbids the same)")
+      val (partPred, after) = inPartitionPred(nextNonWs(toks, i + 1))
+      require(partPred.nonEmpty,
+        "ChDdl: CLEAR COLUMN needs IN PARTITION '<v>' (CH requires the " +
+          "partition scope)")
+      require(after >= toks.length,
+        "ChDdl: unexpected trailing tokens after CLEAR COLUMN ... IN PARTITION")
+      val value = cd.default match {
+        case Some(e) => expr(normalize(e)).cast(widenType(cd.dataType))
+        case None if cd.nullable => lit(null).cast(widenType(cd.dataType))
+        case None => typeZero(cd.dataType)
+      }
+      cat.updateWhere(d.name, partPred.get, Map(cname -> value))
       emptyResult(spark)
     } else if (toks(i).isWord("ADD") && {
       val n = nextNonWs(toks, i + 1)
@@ -1791,10 +1887,17 @@ object ChDdl {
           c.map(_.text).mkString(" "), g, g, fl, fl))
       }
     }
+    // sidecar awareness (r12 verdict item 4): footer minmax/bloom stats
+    // predate OUTSTANDING update patches — a conjunct on a patched
+    // column reads exact results (predicates evaluate after patch
+    // application) but its advisory pruning numbers can over-promise,
+    // so the row says so instead of letting an operator over-read them.
+    val patchedCols = cat.patchedColumns(d.name)
     rows.map(r => (r.index, r.column, r.condition, r.granulesTotal,
-      r.granulesKept, r.filesTotal, r.filesKept))
+      r.granulesKept, r.filesTotal, r.filesKept,
+      r.column.nonEmpty && patchedCols.contains(r.column)))
       .toDF("index", "column", "condition", "granules_total",
-        "granules_kept", "files_total", "files_kept")
+        "granules_kept", "files_total", "files_kept", "patched")
   }
 
   private def optimize(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {

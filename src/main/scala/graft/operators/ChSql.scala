@@ -868,31 +868,25 @@ object ChSql {
   @volatile var lastSettingsScope: Map[String, String] = Map.empty
   @volatile var lastDroppedSettings: Seq[(String, String)] = Nil
 
-  /** Run `body` with the statement's mapped settings set on the session
-    * conf, restoring (or unsetting) the previous values after. The scope
-    * ends when this returns, so the statement must EXECUTE inside it —
-    * [[sql]] materializes via localCheckpoint (the returned frame is the
-    * pinned result, independent of the restored conf). That eager
-    * execution is the price of per-STATEMENT scoping on a lazy engine,
-    * and only statements carrying mapped SETTINGS pay it — CH settings
-    * are per-statement by definition.
+  /** A session scoped to the statement's mapped settings: a CLONE of the
+    * caller's session (temp views, registered functions, extensions and
+    * confs all copied; the SparkContext is shared) with the statement's
+    * confs set on the clone only. CH settings are per-statement by
+    * definition — the clone makes the scope exact without mutating the
+    * shared session conf (concurrent statements each see their own
+    * settings) and without forcing eager execution: the returned frame
+    * executes under the clone's conf whenever the caller materializes
+    * it, and the throwaway clone is unreachable (and collectable) once
+    * the frame is.
     */
-  private def withSettingsScope[T](spark: SparkSession,
-      settings: Seq[(String, String)])(body: => T): T = {
+  private def settingsScopedSession(spark: SparkSession,
+      settings: Seq[(String, String)]): SparkSession = {
     val confs = settings.flatMap { case (k, v) => SettingConfs.get(k).map(_ -> v) }
     lastDroppedSettings = settings.filterNot(s => SettingConfs.contains(s._1))
-    if (confs.isEmpty) body
-    else {
-      val prev = confs.map { case (ck, _) => ck -> spark.conf.getOption(ck) }
-      try {
-        confs.foreach { case (ck, v) => spark.conf.set(ck, v) }
-        lastSettingsScope = confs.map { case (ck, _) => ck -> spark.conf.get(ck) }.toMap
-        body
-      } finally prev.foreach {
-        case (ck, Some(v)) => spark.conf.set(ck, v)
-        case (ck, None) => spark.conf.unset(ck)
-      }
-    }
+    val scoped = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+    confs.foreach { case (ck, v) => scoped.conf.set(ck, v) }
+    lastSettingsScope = confs.map { case (ck, _) => ck -> scoped.conf.get(ck) }.toMap
+    scoped
   }
 
   def sql(spark: SparkSession, text: String): DataFrame =
@@ -901,9 +895,7 @@ object ChSql {
         val r = rewriteWithFormat(text)
         if (!r.settings.exists(s => SettingConfs.contains(s._1)))
           spark.sql(r.sql)
-        else withSettingsScope(spark, r.settings) {
-          spark.sql(r.sql).localCheckpoint()
-        }
+        else settingsScopedSession(spark, r.settings).sql(r.sql)
       case Some(f) =>
         import org.apache.spark.sql.functions.{col, expr, lit}
         import org.apache.spark.sql.types._

@@ -165,9 +165,10 @@ object Dedup {
     * START positions and sliced the doc's token ARRAY per window — every
     * window row rematerialized the whole array, 0.2 M tokens/s):
     *
-    *   1. explode tokens ONCE (one small row per token), build each
-    *      window with `lead` over a per-doc window — one shuffle keyed
-    *      by doc, each row touching L strings;
+    *   1. build the L-grams MAP-SIDE inside each doc's row
+    *      (`transform` over the start positions + `slice` of the token
+    *      array, then explode the finished gram strings) — no shuffle,
+    *      no per-window rematerialization of the doc array;
     *   2. candidate detection on `xxhash64(window)` — the heavy shuffle
     *      carries 8-BYTE keys with map-side partial counts, not ~90-byte
     *      gram strings;

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, LocalFileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem facade for [[Catalog]]'s directory-level table operations
+  * (partition moves/copies, sidecar listing, parts accounting) and
+  * [[SkipStats]]' footer walks — the ONE place graft touches a
+  * filesystem outside Spark's own read/write paths.
+  *
+  * Bound to the Hadoop `FileSystem` API, not `java.nio`, so the
+  * O(directory) claims survive an object-store deployment: the same
+  * `day=`-partition DETACH that is a rename here resolves to the S3A/ABFS
+  * connector on a cluster with no code change (paths carry their scheme;
+  * scheme-less paths take `fs.defaultFS`). Two posture notes an operator
+  * must know, straight from the Hadoop contract:
+  *
+  *   - [[move]] is `FileSystem.rename`: atomic on HDFS and local disks,
+  *     NOT atomic on S3 (the connector copies + deletes). The partition
+  *     ops already serialize through the driver, so the exposure is a
+  *     crash window, not a concurrency bug — same class as Spark's own
+  *     non-atomic S3 output commits.
+  *   - listings are `listStatus` arrays (no handle to leak — the r12
+  *     ADVICE `Files.walk` file-descriptor leak class is structurally
+  *     gone) and cost one LIST round-trip per directory on object
+  *     stores, which is why every caller stays O(partitions), never
+  *     O(rows).
+  *
+  * On the local scheme the checksummed `LocalFileSystem` is unwrapped to
+  * its raw form: graft's tables must not grow `.crc` sidecars that
+  * `java.nio` writers (and Spark's committers) would not produce.
+  */
+final class FsOps(conf: Configuration) {
+
+  private def fs(p: HPath): FileSystem = p.getFileSystem(conf) match {
+    case l: LocalFileSystem => l.getRaw
+    case other => other
+  }
+
+  def exists(p: String): Boolean = { val h = new HPath(p); fs(h).exists(h) }
+
+  def isDir(p: String): Boolean = {
+    val h = new HPath(p)
+    val f = fs(h)
+    f.exists(h) && f.getFileStatus(h).isDirectory
+  }
+
+  /** Child DIRECTORY names of `p`, sorted (empty if `p` is no directory). */
+  def listDirNames(p: String): Seq[String] = {
+    val h = new HPath(p)
+    val f = fs(h)
+    if (!f.exists(h) || !f.getFileStatus(h).isDirectory) Nil
+    else f.listStatus(h).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Every regular file under `p`, recursively: (path, bytes, mtime ms). */
+  def listFiles(p: String): Seq[(String, Long, Long)] = {
+    val h = new HPath(p)
+    val f = fs(h)
+    if (!f.exists(h)) Nil
+    else {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      val it = f.listFiles(h, true)
+      while (it.hasNext) {
+        val s = it.next()
+        out += ((s.getPath.toUri.getPath, s.getLen, s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+  }
+
+  /** True when any `.parquet` file lives under `p` (sidecar existence
+    * probes — bounded by the sidecar's own file count).
+    */
+  def hasParquetUnder(p: String): Boolean =
+    listFiles(p).exists(_._1.endsWith(".parquet"))
+
+  /** Total bytes under `p` (0 if absent). */
+  def treeBytes(p: String): Long = listFiles(p).map(_._2).sum
+
+  def mkdirs(p: String): Unit = { val h = new HPath(p); fs(h).mkdirs(h); () }
+
+  /** Recursive delete; no-op when absent. */
+  def rmTree(p: String): Unit = {
+    val h = new HPath(p)
+    val f = fs(h)
+    if (f.exists(h)) { f.delete(h, true); () }
+  }
+
+  /** Delete `p` only if it is an EMPTY directory; true when deleted. */
+  def deleteIfEmptyDir(p: String): Boolean = {
+    val h = new HPath(p)
+    val f = fs(h)
+    f.exists(h) && f.getFileStatus(h).isDirectory &&
+      f.listStatus(h).isEmpty && f.delete(h, false)
+  }
+
+  /** `FileSystem.rename` — see the class doc for the S3 atomicity note. */
+  def move(src: String, dst: String): Unit = {
+    val s = new HPath(src)
+    val d = new HPath(dst)
+    require(fs(s).rename(s, d), s"rename failed: $src -> $dst")
+  }
+
+  /** Remove `dst` (if present) and move `src` into its place. */
+  def replaceDir(src: String, dst: String): Unit = {
+    rmTree(dst)
+    move(src, dst)
+  }
+
+  /** Recursive copy, `src` left intact (CH ATTACH/REPLACE PARTITION FROM
+    * copies — the source table keeps serving).
+    */
+  def copyTree(src: String, dst: String): Unit = {
+    val s = new HPath(src)
+    val d = new HPath(dst)
+    val df = fs(d)
+    if (d.getParent != null) df.mkdirs(d.getParent)
+    require(FileUtil.copy(fs(s), s, df, d, false, conf),
+      s"copy failed: $src -> $dst")
+  }
+}
+
+object FsOps {
+  def apply(spark: SparkSession): FsOps =
+    new FsOps(spark.sessionState.newHadoopConf())
+}

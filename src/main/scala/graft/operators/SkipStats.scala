@@ -35,18 +35,21 @@ object SkipStats {
   final case class IndexRow(index: String, column: String, condition: String,
     granulesTotal: Long, granulesKept: Long, filesTotal: Long, filesKept: Long)
 
+  /** Data files of a table directory via [[FsOps]] (the Hadoop
+    * `FileSystem` binding — one recursive listing, no handle to leak),
+    * `_`-prefixed sidecar subtrees excluded.
+    */
+  private def dataFiles(spark: SparkSession, tableDir: String): Seq[String] =
+    FsOps(spark).listFiles(tableDir).map(_._1)
+      .filter(p => p.endsWith(".parquet") &&
+        !p.stripPrefix(tableDir).stripPrefix("/").split('/')
+          .exists(_.startsWith("_")))
+      .sorted
+
   /** Evaluate each conjunct against the table's files + footers. */
   def explain(spark: SparkSession, tableDir: String,
       conjuncts: Seq[Conjunct]): Seq[IndexRow] = {
-    import java.nio.file._
-    val root = Paths.get(tableDir)
-    val files: Seq[Path] =
-      if (!Files.isDirectory(root)) Nil
-      else Files.walk(root).iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !root.relativize(p).toString.split('/').exists(_.startsWith("_")))
-        .toSeq.sortBy(_.toString)
+    val files: Seq[String] = dataFiles(spark, tableDir)
     val conf = spark.sessionState.newHadoopConf()
 
     conjuncts.flatMap { c =>
@@ -54,7 +57,7 @@ object SkipStats {
       // partition-directory pruning: the column appears as col=value in
       // the path — dir-level granule accounting (all groups of a pruned
       // file are pruned)
-      val partVals = files.map(f => partitionValueOf(root, f, c.column))
+      val partVals = files.map(f => partitionValueOf(tableDir, f, c.column))
       if (partVals.forall(_.isDefined)) {
         var total = 0L; var kept = 0L; var fKept = 0L
         files.zip(partVals).foreach { case (f, Some(v)) =>
@@ -72,7 +75,7 @@ object SkipStats {
         var sawBloom = false
         var fTotal = 0L; var fKeptMm = 0L
         files.foreach { f =>
-          val in = HadoopInputFile.fromPath(new HPath(f.toString), conf)
+          val in = HadoopInputFile.fromPath(new HPath(f), conf)
           val reader = ParquetFileReader.open(in)
           try {
             val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -114,52 +117,38 @@ object SkipStats {
     * Pure footer metadata, no data read.
     */
   def estimate(spark: SparkSession, tableDir: String): (Long, Long, Long) = {
-    import java.nio.file._
-    val root = Paths.get(tableDir)
-    if (!Files.isDirectory(root)) return (0L, 0L, 0L)
     val conf = spark.sessionState.newHadoopConf()
     var files = 0L; var rows = 0L; var groups = 0L
-    Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet") &&
-        !root.relativize(p).toString.split('/').exists(_.startsWith("_")))
-      .foreach { f =>
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new HPath(f.toString), conf))
-        try {
-          files += 1
-          val blocks = reader.getFooter.getBlocks.asScala
-          groups += blocks.size
-          rows += blocks.map(_.getRowCount).sum
-        } finally reader.close()
-      }
+    dataFiles(spark, tableDir).foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(f), conf))
+      try {
+        files += 1
+        val blocks = reader.getFooter.getBlocks.asScala
+        groups += blocks.size
+        rows += blocks.map(_.getRowCount).sum
+      } finally reader.close()
+    }
     (files, rows, groups)
   }
 
   /** (row groups, files) of a table directory — the un-pruned ceiling. */
   def totals(spark: SparkSession, tableDir: String): (Long, Long) = {
-    import java.nio.file._
-    val root = Paths.get(tableDir)
-    if (!Files.isDirectory(root)) return (0L, 0L)
     val conf = spark.sessionState.newHadoopConf()
-    val files = Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet") &&
-        !root.relativize(p).toString.split('/').exists(_.startsWith("_")))
-      .toSeq
+    val files = dataFiles(spark, tableDir)
     (files.map(rowGroupCount(conf, _)).sum, files.size.toLong)
   }
 
   private def rowGroupCount(conf: org.apache.hadoop.conf.Configuration,
-      f: java.nio.file.Path): Long = {
+      f: String): Long = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(f.toString), conf))
+      HadoopInputFile.fromPath(new HPath(f), conf))
     try reader.getFooter.getBlocks.size().toLong finally reader.close()
   }
 
-  private def partitionValueOf(root: java.nio.file.Path,
-      f: java.nio.file.Path, col: String): Option[String] =
-    root.relativize(f).iterator().asScala.map(_.toString)
+  private def partitionValueOf(root: String, f: String,
+      col: String): Option[String] =
+    f.stripPrefix(root).stripPrefix("/").split('/').toSeq
       .collectFirst { case seg if seg.startsWith(col + "=") =>
         seg.substring(col.length + 1) }
 

@@ -24,4 +24,15 @@ object Bridge {
     */
   def observationGetOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
     try obs.getOrEmpty catch { case _: NullPointerException => Map.empty }
+
+  /** `SparkSession.cloneSession()` is `private[sql]`: a full session-state
+    * copy — temp views, registered functions, extensions, confs — over the
+    * SHARED SparkContext. graft's per-statement `SETTINGS` scope runs each
+    * scoped statement on a clone carrying the statement's confs, so the
+    * scope (a) never mutates the caller's session and (b) stays LAZY: the
+    * returned frame executes under the clone's conf whenever the caller
+    * materializes it, no checkpoint pinning needed.
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
