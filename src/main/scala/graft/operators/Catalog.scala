@@ -114,10 +114,12 @@ final case class Catalog(spark: SparkSession, root: String) {
     * sidecar's real size.
     */
   private def sidecarSide(df: DataFrame, bytes: Long): DataFrame = {
-    val thr =
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-      catch { case _: IllegalArgumentException => 10L * 1024 * 1024 }
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // plain longs include "-1" (broadcast disabled) — byteStringAsBytes
+    // rejects negatives, so parse numerics first
+    val thr = raw.trim.toLongOption.getOrElse(
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: IllegalArgumentException => 10L * 1024 * 1024 })
     if (thr > 0 && bytes <= thr) broadcast(df) else df
   }
 

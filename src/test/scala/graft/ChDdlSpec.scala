@@ -677,4 +677,116 @@ class ChDdlSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { ChDdl.matViewFinal(cat, "bad") }
     assert(e.getMessage.contains("not summable"))
   }
+
+  // ---- round 13 -----------------------------------------------------------
+
+  test("composite PARTITION tuples; identical-key rule for cross-table ops") {
+    val cat = freshCat("chddl_leaf")
+    val x = ChDdl.execute(cat, _: String)
+    for (t <- Seq("p", "q"))
+      x(s"CREATE TABLE $t (id Int64, day String, lang String, v Int64) " +
+        "ENGINE = MergeTree ORDER BY id PARTITION BY (day, lang)")
+    x("CREATE TABLE flat (id Int64, day String, lang String, v Int64) " +
+      "ENGINE = MergeTree ORDER BY id PARTITION BY day")
+    spark.range(120).selectExpr("id", "concat('d', id % 2) AS day",
+      "concat('l', id % 3) AS lang", "id AS v")
+      .createOrReplaceTempView("leaf_src")
+    x("INSERT INTO p SELECT id, day, lang, v FROM leaf_src")
+    def count(t: String) =
+      ChDdl.execute(cat, s"SELECT count(*) AS c FROM $t").head().getLong(0)
+    // leaf round-trip + leaf move through the statement surface
+    x("ALTER TABLE p DETACH PARTITION ('d1', 'l2')")
+    assert(count("p") == 100)
+    x("ALTER TABLE p ATTACH PARTITION ('d1', 'l2')")
+    assert(count("p") == 120)
+    x("ALTER TABLE p MOVE PARTITION ('d0', 'l1') TO TABLE q")
+    assert(count("p") == 100 && count("q") == 20)
+    // arity beyond the declared key is loud
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE p DROP PARTITION ('d0', 'l0', 'x')")
+    }
+    // cross-table ops demand IDENTICAL declared keys — a (day, lang)
+    // subtree must never land in a day-only table (mixed-depth layout
+    // breaks partition discovery); head-only agreement is not enough
+    val e = intercept[IllegalArgumentException] {
+      x("ALTER TABLE flat ATTACH PARTITION 'd0' FROM p")
+    }
+    assert(e.getMessage.contains("identical declared keys"))
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE p MOVE PARTITION 'd0' TO TABLE flat")
+    }
+  }
+
+  test("CLEAR COLUMN IN PARTITION: defaults, zeros, NULLs, guards") {
+    val cat = freshCat("chddl_clear")
+    val x = ChDdl.execute(cat, _: String)
+    x("""CREATE TABLE t (id Int64, day String, v Int64 DEFAULT 42,
+         s String, nn Nullable(String))
+         ENGINE = MergeTree ORDER BY id PARTITION BY day""")
+    spark.range(30).selectExpr("id", "concat('d', id % 3) AS day",
+      "id AS v", "concat('s', id) AS s", "concat('n', id) AS nn")
+      .createOrReplaceTempView("clear_src")
+    x("INSERT INTO t SELECT id, day, v, s, nn FROM clear_src")
+    x("ALTER TABLE t CLEAR COLUMN v IN PARTITION 'd0'")  // declared DEFAULT
+    x("ALTER TABLE t CLEAR COLUMN s IN PARTITION 'd1'")  // type zero ''
+    x("ALTER TABLE t CLEAR COLUMN nn IN PARTITION 'd2'") // Nullable -> NULL
+    val r = ChDdl.execute(cat, """SELECT day, sum(v) AS sv,
+        countIf(s == '') AS zs, count(nn) AS nns
+        FROM t GROUP BY day ORDER BY day""").collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getLong(3))).toSeq
+    assert(r == Seq(
+      ("d0", 42L * 10, 0L, 10L),
+      ("d1", (1L to 28 by 3).sum, 10L, 10L),
+      ("d2", (2L to 29 by 3).sum, 0L, 0L)))
+    // guards: partition scope required; key/partition columns protected
+    intercept[IllegalArgumentException] { x("ALTER TABLE t CLEAR COLUMN v") }
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE t CLEAR COLUMN id IN PARTITION 'd0'")
+    }
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE t CLEAR COLUMN day IN PARTITION 'd0'")
+    }
+  }
+
+  test("EXPLAIN INDEXES flags conjuncts on patched columns") {
+    val cat = freshCat("chddl_patchidx")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE t (id Int64, v Int64, w Int64) ENGINE = MergeTree ORDER BY id")
+    spark.range(1000).selectExpr("id", "id AS v", "id AS w")
+      .createOrReplaceTempView("patchidx_src")
+    x("INSERT INTO t SELECT id, v, w FROM patchidx_src")
+    def flags(sql: String) = ChDdl.execute(cat, sql).collect()
+      .map(r => (r.getString(1), r.getBoolean(7))).toSeq
+    // clean table: nothing flagged
+    assert(flags("EXPLAIN INDEXES = 1 SELECT id FROM t WHERE v < 10 AND w < 10")
+      == Seq(("v", false), ("w", false)))
+    // outstanding patch on v: its conjunct is flagged (footer stats
+    // predate the patch), w stays trustworthy; results remain exact
+    x("UPDATE t SET v = v + 100000 WHERE id < 10")
+    assert(flags("EXPLAIN INDEXES = 1 SELECT id FROM t WHERE v < 10 AND w < 10")
+      == Seq(("v", true), ("w", false)))
+    assert(ChDdl.execute(cat,
+      "SELECT count(*) AS c FROM t PREWHERE v < 10").head().getLong(0) == 0)
+    // OPTIMIZE folds the patch; the flag clears
+    x("OPTIMIZE TABLE t FINAL")
+    assert(flags("EXPLAIN INDEXES = 1 SELECT id FROM t WHERE v < 10 AND w < 10")
+      == Seq(("v", false), ("w", false)))
+  }
+
+  test("quantileExactState finalizes an all-NULL key group to NULL") {
+    val cat = freshCat("chddl_qnull")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE m (k String, v Nullable(Int64)) ENGINE = MergeTree ORDER BY k")
+    x("""CREATE MATERIALIZED VIEW mq ENGINE = AggregatingMergeTree ORDER BY k
+         AS SELECT k, quantileExactState(v, 0.5) AS med FROM m GROUP BY k""")
+    spark.range(10).selectExpr("CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS k",
+      "CASE WHEN id < 5 THEN id ELSE NULL END AS v")
+      .createOrReplaceTempView("qnull_src")
+    x("INSERT INTO m SELECT k, v FROM qnull_src")
+    val rows = ChDdl.execute(cat, "SELECT k, med FROM mq ORDER BY k").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getLong(1) == 2L)  // median of 0..4
+    assert(rows(1).isNullAt(1))      // all-NULL group: NULL, not an ANSI error
+  }
 }

@@ -286,4 +286,114 @@ class MaskSpec extends AnyFunSuite {
     cat.append("t", docs(100)) // same ids, NEW files
     assert(cat.readRaw("t").count() == 100)
   }
+
+  // ---- round 13: patch-batch compaction ----------------------------------
+
+  /** Join nodes in the optimized read plan — with no mask present,
+    * every one is a patch-batch application join.
+    */
+  private def readJoinCount(cat: Catalog, table: String): Int =
+    cat.readRaw(table).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+
+  test("compactPatches: K batches fold to ONE, bit-identical, zero data bytes") {
+    val cat = freshCat("fold1")
+    val base = spark.range(2000).select(
+      col("id"),
+      concat(lit("l"), col("id") % 3).as("lang"),
+      (col("id") * 7 % 100).as("n"),
+      concat(lit("s"), col("id") % 5).as("s"))
+    cat.create("t", base, Seq("lang"))
+    cat.updateWhereLight("t", col("id") % 5 === 0, Map("n" -> (col("n") + 1000)))
+    cat.updateWhereLight("t", col("n") >= 1050,
+      Map("s" -> lit("redacted"), "n" -> (col("n") - 7)))
+    cat.updateWhereLight("t", col("id") % 7 === 0, Map("s" -> lit(null)))
+    def batches() = cat.mutations().filter(col("kind") === "update_patch")
+      .select("batches").head().getLong(0)
+    assert(batches() == 3)
+    assert(readJoinCount(cat, "t") == 3) // K joins before the fold
+    val before = cat.readRaw("t").orderBy("id").collect().toSeq
+    val data = dataFiles(cat, "t")
+    cat.compactPatches("t")
+    assert(batches() == 1)              // K -> 1
+    assert(dataFiles(cat, "t") == data) // the fold never touches data
+    val after = cat.readRaw("t").orderBy("id").collect().toSeq
+    assert(after == before)             // bit-identical net state
+    // presence flags: assigned-NULL (id%7==0 -> s NULL) stayed distinct
+    // from not-assigned (s keeps its batch-2-or-base value)
+    val byId = after.map(r => r.getAs[Long]("id") -> r.getAs[String]("s")).toMap
+    assert(byId(14L) == null && byId(13L) != null)
+    // read cost: ONE patch join after the fold (was 3)
+    assert(readJoinCount(cat, "t") == 1)
+    // a batch appended after the fold sequences AFTER it
+    cat.updateWhereLight("t", col("id") === 13, Map("s" -> lit("late")))
+    val late = cat.readRaw("t").filter(col("id") === 13)
+      .head().getAs[String]("s")
+    assert(late == "late" && batches() == 2)
+  }
+
+  test("sidecar joins honor autoBroadcastJoinThreshold (no forced hint)") {
+    val cat = freshCat("thr1")
+    cat.create("t", docs(2000))
+    cat.deleteWhereLight("t", col("id") % 3 === 0)
+    cat.updateWhereLight("t", col("id") % 4 === 0, Map("n" -> lit(0)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcasting disabled: the forced hint must not bypass the knob
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = cat.readRaw("t").queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"))
+      assert(cat.readRaw("t").count() == 2000 - 667) // results unchanged
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val plan2 = cat.readRaw("t").queryExecution.executedPlan.toString
+      assert(plan2.contains("BroadcastHashJoin")) // tiny sidecar: hint back
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  // ---- round 13: composite-leaf partition ops ----------------------------
+
+  test("composite-leaf partition ops: detach/attach/move at depth, guards") {
+    val cat = freshCat("leaf1")
+    val base = spark.range(1200).select(
+      col("id"),
+      concat(lit("l"), col("id") % 3).as("lang"),
+      (col("id") % 2).as("b"),
+      (col("id") * 7 % 100).as("n"))
+    cat.create("t", base, Seq("lang", "b"))
+    val leafRows = cat.readRaw("t")
+      .filter(col("lang") === "l1" && col("b") === 0).count()
+    assert(leafRows > 0)
+    // leaf detach: exactly that (lang, b) cell disappears
+    cat.detachPartition("t", Seq("lang" -> "l1", "b" -> "0"))
+    assert(cat.readRaw("t")
+      .filter(col("lang") === "l1" && col("b") === 0).count() == 0)
+    assert(cat.detachedParts().collect()
+      .exists(r => r.getString(1) == "lang=l1,b=0"))
+    cat.attachPartition("t", Seq("lang" -> "l1", "b" -> "0"))
+    assert(cat.readRaw("t").count() == 1200)
+    // leaf move into a table that does not exist yet: the directory
+    // changes tables, hive layout intact in the destination
+    cat.movePartitionTo("t", "u", Seq("lang" -> "l2", "b" -> "1"))
+    assert(cat.readRaw("u").count() +
+      cat.readRaw("t").count() == 1200)
+    assert(cat.readRaw("u").columns.toSet == cat.readRaw("t").columns.toSet)
+    // sidecar guard holds at leaf depth: a mask inside the addressed
+    // leaf blocks the op, a sibling leaf stays free
+    cat.deleteWhereLight("t",
+      col("lang") === "l0" && col("b") === 1 && col("n") > 50)
+    intercept[IllegalArgumentException] {
+      cat.detachPartition("t", Seq("lang" -> "l0", "b" -> "1"))
+    }
+    cat.detachPartition("t", Seq("lang" -> "l0", "b" -> "0"))
+    cat.attachPartition("t", Seq("lang" -> "l0", "b" -> "0"))
+    // prefix addressing: a first-level value still moves the whole subtree
+    cat.detachPartition("t", Seq("lang" -> "l1"))
+    assert(cat.readRaw("t").filter(col("lang") === "l1").count() == 0)
+    cat.attachPartition("t", Seq("lang" -> "l1"))
+    // address must follow the on-disk layout order
+    intercept[IllegalArgumentException] {
+      cat.detachPartition("t", Seq("b" -> "0"))
+    }
+  }
 }
