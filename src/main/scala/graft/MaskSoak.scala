@@ -32,6 +32,13 @@ object MaskSoak {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // best-of-3 for READ measurements: the box is shared, and a single
+    // loaded wall would mis-state a ratio claim (write paths stay
+    // single-shot — they mutate state)
+    def timedBest[T](f: => T): (T, Double) = {
+      val runs = (1 to 3).map(_ => timed(f))
+      (runs.head._1, runs.map(_._2).min)
+    }
     def dirBytes(p: String): Long = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
@@ -86,8 +93,8 @@ object MaskSoak {
     def agg(t: String) = cat.readRaw(t).agg(count(lit(1)), avg(length(col("payload"))))
       .collect()(0)
     agg("light"); agg("pruned") // warm
-    val (_, rMasked) = timed(agg("light"))
-    val (_, rClean) = timed(agg("pruned"))
+    val (_, rMasked) = timedBest(agg("light"))
+    val (_, rClean) = timedBest(agg("pruned"))
     println(f"full-table aggregate: masked=$rMasked%5.2f s vs " +
       f"clean=$rClean%5.2f s (${rMasked / rClean}%4.2fx overhead, " +
       f"${cat.readRaw("light").count()} rows served)")
@@ -104,13 +111,34 @@ object MaskSoak {
     println(f"cross-partition update (${rows / 50000} matches): " +
       f"patch=$wUpL%5.2f s ($patchBytes bytes written) vs " +
       f"partition-rewrite=$wUpH%5.2f s (${wUpH / wUpL}%4.1fx)")
-    val (_, rPatched) = timed(agg("light"))
+    val (_, rPatched) = timedBest(agg("light"))
     println(f"aggregate with mask+patch outstanding: $rPatched%5.2f s")
+
+    // K accumulating patch batches (the reference's per-turn session
+    // updates, `session_manager.py:70-88`) cost K read-side joins;
+    // compactPatches folds them to ONE without touching data. Measured
+    // on a mask-free twin with SUBSTANTIAL batches (each patches 1% of
+    // rows) so the patch joins, not the mask anti-join, carry the tax.
+    cat.create("pfold", df, partitionBy = Seq("day"))
+    val (_, wBatches) = timed((0 until 8).foreach(i =>
+      cat.updateWhereLight("pfold", col("id") % 100 === i,
+        Map("payload" -> concat(lit("p"), col("id"))))))
+    println(f"8 patch batches x ${rows / 100} rows: ${wBatches / 8}%5.2f s " +
+      f"each (${dirBytes(s"$root/pfold/_patches") / 1048576} MB sidecar)")
+    val (_, rK) = timedBest(agg("pfold"))
+    val foldBytesBefore = dirBytes(s"$root/pfold/_patches")
+    val (_, wFold) = timed(cat.compactPatches("pfold"))
+    val foldBytes = dirBytes(s"$root/pfold/_patches")
+    val (_, rOne) = timedBest(agg("pfold"))
+    println(f"patch fold: 8 batches (${foldBytesBefore / 1048576} MB) -> 1 " +
+      f"(${foldBytes / 1048576} MB) in $wFold%5.2f s, zero data bytes; " +
+      f"aggregate 8-batch=$rK%5.2f s vs folded=$rOne%5.2f s " +
+      f"(${rK / rOne}%4.2fx read-tax drop)")
 
     // the deferred rewrite, paid once at OPTIMIZE time
     val (_, wOpt) = timed(cat.replaceContents("light", cat.readRaw("light")))
     assert(!cat.hasDeletes("light"))
-    val (_, rAfter) = timed(agg("light"))
+    val (_, rAfter) = timedBest(agg("light"))
     println(f"OPTIMIZE (mask materialization): $wOpt%5.2f s; " +
       f"aggregate after=$rAfter%5.2f s")
     spark.stop()

@@ -104,23 +104,42 @@ final case class Catalog(spark: SparkSession, root: String) {
     applyPatches(table, applyMask(table, scan))
   }
 
-  /** Hint broadcast for a sidecar frame only while its on-disk bytes
-    * clear the session's autoBroadcastJoinThreshold (r12 ADVICE): a
-    * mask/patch side is USUALLY tiny — O(mutated rows) — but nothing
-    * bounds it, and an unconditional hint on a huge sidecar would
-    * collect it to the driver regardless of the user's threshold. Over
-    * the threshold (or with broadcasting disabled, threshold <= 0) the
-    * hint is omitted and the planner/AQE picks the strategy from the
-    * sidecar's real size.
+  /** Join-strategy hint for a sidecar frame, sized by its on-disk bytes
+    * (r12 ADVICE: nothing bounds a sidecar, and an UNCONDITIONAL
+    * broadcast hint would collect an arbitrarily large one to the
+    * driver). Three regimes:
+    *
+    *   - broadcasting disabled (`autoBroadcastJoinThreshold <= 0`): no
+    *     hint — the user's knob wins, the planner picks a shuffle join;
+    *   - bytes within `max(autoBroadcastJoinThreshold,
+    *     spark.graft.sidecarBroadcastBytes)` (default 64 MB): broadcast.
+    *     Sidecars are dimension-shaped (O(mutated rows), dictionary-
+    *     friendly file strings) and the default threshold's 10 MB is far
+    *     below what a read should shuffle 100 TB of fact rows to avoid —
+    *     the cap keeps the hint BOUNDED without making it timid
+    *     (MaskSoak: an over-threshold folded batch read 5x slower
+    *     through a sort-merge join than broadcast);
+    *   - beyond the cap: `shuffle_hash` — both sides shuffle, but the
+    *     fact side is never SORTED (the SMJ failure mode). A sidecar
+    *     this large is the signal to OPTIMIZE (fold it into the parts).
     */
   private def sidecarSide(df: DataFrame, bytes: Long): DataFrame = {
-    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    // plain longs include "-1" (broadcast disabled) — byteStringAsBytes
-    // rejects negatives, so parse numerics first
-    val thr = raw.trim.toLongOption.getOrElse(
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-      catch { case _: IllegalArgumentException => 10L * 1024 * 1024 })
-    if (thr > 0 && bytes <= thr) broadcast(df) else df
+    def parse(raw: String, dflt: Long): Long =
+      // plain longs include "-1" (broadcast disabled) — byteStringAsBytes
+      // rejects negatives, so parse numerics first
+      raw.trim.toLongOption.getOrElse(
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        catch { case _: IllegalArgumentException => dflt })
+    val thr = parse(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+      10L * 1024 * 1024)
+    val cap = parse(
+      spark.conf.get("spark.graft.sidecarBroadcastBytes",
+        Catalog.DefaultSidecarBroadcastBytes.toString),
+      Catalog.DefaultSidecarBroadcastBytes)
+    if (thr <= 0) df
+    else if (bytes <= math.max(thr, cap)) broadcast(df)
+    else df.hint("shuffle_hash")
   }
 
   // ---- lightweight deletes (deletion-vector mask sidecar) ---------------
@@ -817,6 +836,12 @@ object Catalog {
   /** Internal row-identity columns threaded through tagged reads. */
   private[operators] val FileCol = "__graft_file"
   private[operators] val PosCol = "__graft_pos"
+
+  /** Default ceiling (bytes on disk) for broadcasting a mask/patch
+    * sidecar — see [[Catalog.sidecarSide]]. Override per session with
+    * `spark.graft.sidecarBroadcastBytes`.
+    */
+  private[operators] val DefaultSidecarBroadcastBytes = 64L * 1024 * 1024
 
   /** Per-column presence-flag prefix in FOLDED patch batches
     * ([[Catalog.compactPatches]]): `__set_c` true = this batch assigns

@@ -348,7 +348,18 @@ class MaskSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
       val plan2 = cat.readRaw("t").queryExecution.executedPlan.toString
       assert(plan2.contains("BroadcastHashJoin")) // tiny sidecar: hint back
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // over the graft cap (forced low): shuffle_hash, never a sort of
+      // the fact side, never an unbounded broadcast
+      spark.conf.set("spark.graft.sidecarBroadcastBytes", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val plan3 = cat.readRaw("t").queryExecution.executedPlan.toString
+      assert(!plan3.contains("BroadcastHashJoin") &&
+        !plan3.contains("SortMergeJoin") &&
+        plan3.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.sidecarBroadcastBytes")
+    }
   }
 
   // ---- round 13: composite-leaf partition ops ----------------------------
