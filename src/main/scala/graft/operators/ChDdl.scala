@@ -777,8 +777,10 @@ object ChDdl {
               val dir = java.nio.file.Paths.get(cat.root, name)
               if (java.nio.file.Files.exists(dir)) {
                 import scala.jdk.CollectionConverters._
-                java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+                val w = java.nio.file.Files.walk(dir)
+                try w.iterator().asScala.toSeq
                   .reverse.foreach(java.nio.file.Files.delete)
+                finally w.close()
               }
             }
           emptyResult(spark)
@@ -1385,11 +1387,14 @@ object ChDdl {
   private def hasData(cat: Catalog, table: String): Boolean = {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(cat.root, table)
-    java.nio.file.Files.exists(dir) &&
-      java.nio.file.Files.walk(dir).iterator().asScala.exists(p =>
+    java.nio.file.Files.exists(dir) && {
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.exists(p =>
         p.getFileName.toString.endsWith(".parquet") &&
           // sidecar (_deletes/_patches) parquet is mutation state, not data
           !dir.relativize(p).toString.split('/').exists(_.startsWith("_")))
+      finally w.close()
+    }
   }
 
   private def insert(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {

@@ -110,7 +110,9 @@ object MatView {
     import java.nio.file._
     import scala.jdk.CollectionConverters._
     def rm(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
     }
     rm(Paths.get(to))
     Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)

@@ -102,10 +102,13 @@ object ProjectionCatalog {
       if (!Files.isDirectory(p)) ""
       else {
         val h = new scala.util.hashing.MurmurHash3.ArrayHashing[String]
-        val entries = Files.list(p).iterator().asScala.map { c =>
-          val sz = if (Files.isRegularFile(c)) Files.size(c) else -1L
-          s"${c.getFileName}:$sz:${Files.getLastModifiedTime(c).toMillis}"
-        }.toArray.sorted
+        val l = Files.list(p)
+        val entries =
+          try l.iterator().asScala.map { c =>
+            val sz = if (Files.isRegularFile(c)) Files.size(c) else -1L
+            s"${c.getFileName}:$sz:${Files.getLastModifiedTime(c).toMillis}"
+          }.toArray.sorted
+          finally l.close()
         h.hash(entries).toString
       }
     } catch { case _: Exception => "" }
