@@ -72,6 +72,18 @@ object MaskSoak {
       f"pruned-rewrite=$wPruned%5.2f s (${wPruned / wLight}%4.1fx) vs " +
       f"full-rewrite=$wFull%5.2f s (${wFull / wLight}%4.1fx)")
 
+    // file-pruned sidecar read (round 13): with ONE partition dirty, the
+    // other 29 scan on the plain vectorized path — the read tax is
+    // O(dirty files), not O(table)
+    def aggT(t: String) = cat.readRaw(t)
+      .agg(count(lit(1)), avg(length(col("payload")))).collect()(0)
+    aggT("light"); aggT("pruned") // warm
+    val (_, rOneDirty) = timedBest(aggT("light"))
+    val (_, rCleanTwin) = timedBest(aggT("pruned"))
+    println(f"aggregate, 1 of $days partitions dirty: masked=$rOneDirty%5.2f s " +
+      f"vs clean twin=$rCleanTwin%5.2f s (${rOneDirty / rCleanTwin}%4.2fx — " +
+      "file-pruned sidecar read)")
+
     // the workload lightweight deletes EXIST for: a delete that does not
     // align with the partitioning — the pruned rewrite degrades to a
     // full-table rewrite (every partition has matches), the mask stays

@@ -89,7 +89,69 @@ final case class Catalog(spark: SparkSession, root: String) {
     // generated columns), so clean tables — the overwhelmingly common
     // case — must never pay it (MaskSpec pins the plan)
     if (!hasDeletes(table) && !hasPatches(table)) spark.read.parquet(path(table))
-    else readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
+    else readSplit(table)
+
+  /** Masked/patched read with FILE-level pruning of the sidecar tax:
+    * only files a mask/patch entry actually references pay the
+    * row-identity materialization and the sidecar joins — every other
+    * file scans on the plain vectorized path and unions in. At 100 TB
+    * this turns the outstanding-sidecar read tax from O(table) into
+    * O(dirty files): a session-scoped delete dirties one partition's
+    * files, and the other 29 days of a month-partitioned table read
+    * exactly as if no mutation existed (MaskSoak measures the gap; the
+    * r12 shape taxed EVERY file). Costs one small driver-side job per
+    * read to list the referenced files — bounded by the sidecar size —
+    * so tables under [[Catalog.SplitReadMinFiles]] data files skip the
+    * split: at that size the whole-table tag is cheaper than the extra
+    * planning job.
+    */
+  private def readSplit(table: String): DataFrame = {
+    val all = dataFilePaths(table)
+    if (all.length < Catalog.SplitReadMinFiles)
+      return readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
+    val dirtyUris = sidecarFileUris(table)
+    val dirty = all.filter(p => dirtyUris.contains(p))
+    // entries referencing files that no longer exist are inert (rewrites
+    // mint fresh UUID names; dropSidecarsUnder prunes on partition drops)
+    val clean = all.diff(dirty)
+    if (dirty.isEmpty) // only stale entries: the whole table reads clean
+      return spark.read.option("basePath", path(table)).parquet(all: _*)
+    val tagged = spark.read.option("basePath", path(table))
+      .parquet(dirty: _*)
+      .withColumn(Catalog.FileCol, col("_metadata.file_path"))
+      .withColumn(Catalog.PosCol, col("_metadata.row_index"))
+    val dirtyDf = applyPatches(table, applyMask(table, tagged))
+      .drop(Catalog.FileCol, Catalog.PosCol)
+    if (clean.isEmpty) dirtyDf
+    else dirtyDf.unionByName(
+      spark.read.option("basePath", path(table)).parquet(clean: _*))
+  }
+
+  /** Data files of the table (sidecar subtrees excluded), as normalized
+    * URI paths — the same form `_metadata.file_path` values reduce to.
+    */
+  private def dataFilePaths(table: String): Seq[String] =
+    fs.listFiles(path(table)).map(_._1)
+      .filter(p => p.endsWith(".parquet") &&
+        !p.stripPrefix(path(table)).stripPrefix("/").split('/')
+          .exists(_.startsWith("_")))
+
+  /** Distinct files referenced by any outstanding mask/patch entry,
+    * normalized to scheme-less paths (file_path values carry a scheme —
+    * `file:/...` — the FS listing does not).
+    */
+  private def sidecarFileUris(table: String): Set[String] = {
+    def norm(u: String): String =
+      try {
+        val p = new java.net.URI(u).getPath
+        if (p == null || p.isEmpty) u else p
+      } catch { case _: java.net.URISyntaxException => u }
+    val sides =
+      (if (hasDeletes(table)) Seq(deletesDir(table)) else Nil) ++
+        patchBatches(table)
+    sides.flatMap(d => spark.read.parquet(d).select("file").distinct()
+      .collect().map(r => norm(r.getString(0)))).toSet
+  }
 
   /** Raw scan with the physical row identity (file path, row position)
     * attached, deletion masks anti-joined away and outstanding update
@@ -842,6 +904,13 @@ object Catalog {
     * `spark.graft.sidecarBroadcastBytes`.
     */
   private[operators] val DefaultSidecarBroadcastBytes = 64L * 1024 * 1024
+
+  /** Minimum data-file count before a masked/patched read splits into
+    * dirty-files-tagged ∪ clean-files-plain ([[Catalog.readSplit]]):
+    * below this the extra planning job outweighs tagging a handful of
+    * files whole.
+    */
+  private[operators] val SplitReadMinFiles = 16
 
   /** Per-column presence-flag prefix in FOLDED patch batches
     * ([[Catalog.compactPatches]]): `__set_c` true = this batch assigns

@@ -362,6 +362,47 @@ class MaskSpec extends AnyFunSuite {
     }
   }
 
+  test("masked read prunes the sidecar tax to DIRTY files only") {
+    val cat = freshCat("split1")
+    // 30 day-partitions: enough files to clear SplitReadMinFiles
+    val base = spark.range(30000).select(
+      col("id"),
+      concat(lit("d"), col("id") % 30).as("day"),
+      (col("id") * 7 % 100).as("n"))
+    cat.create("t", base.repartition(30, col("day")), Seq("day"))
+    cat.create("twin", base.repartition(30, col("day")), Seq("day"))
+    val pred = col("day") === "d7" && col("n") > 50
+    cat.deleteWhereLight("t", pred)
+    cat.deleteWhere("twin", pred) // heavy twin = ground truth
+    // identical results through the split read
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq ==
+      cat.readRaw("twin").orderBy("id").collect().toSeq)
+    // plan shape: a union of (dirty scan + anti-join) with a CLEAN scan
+    // that never materializes row indices and covers the other 29 dirs
+    val plan = cat.readRaw("t").queryExecution.executedPlan.toString
+    assert(plan.contains("Union"))
+    val scans = plan.split("FileScan parquet").toSeq.tail
+    // clean branch: data schema, no row-identity generation
+    assert(scans.exists(s =>
+      s.contains("n:bigint") && !s.contains("row_index")))
+    // dirty branch: tagged
+    assert(scans.exists(s =>
+      s.contains("n:bigint") && s.contains("row_index")))
+    // a patch composes on the same split path
+    cat.updateWhereLight("t", col("day") === "d7" && col("n") <= 10,
+      Map("n" -> lit(-1)))
+    cat.updateWhere("twin", col("day") === "d7" && col("n") <= 10,
+      Map("n" -> lit(-1)))
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq ==
+      cat.readRaw("twin").orderBy("id").collect().toSeq)
+    // small tables stay on the whole-table tag (no extra planning job)
+    val small = freshCat("split2")
+    small.create("s", docs(100))
+    small.deleteWhereLight("s", col("id") === 1)
+    val sp = small.readRaw("s").queryExecution.executedPlan.toString
+    assert(!sp.contains("Union") && small.readRaw("s").count() == 99)
+  }
+
   // ---- round 13: composite-leaf partition ops ----------------------------
 
   test("composite-leaf partition ops: detach/attach/move at depth, guards") {
