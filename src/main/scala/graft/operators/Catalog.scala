@@ -141,16 +141,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     * `file:/...` — the FS listing does not).
     */
   private def sidecarFileUris(table: String): Set[String] = {
-    def norm(u: String): String =
-      try {
-        val p = new java.net.URI(u).getPath
-        if (p == null || p.isEmpty) u else p
-      } catch { case _: java.net.URISyntaxException => u }
     val sides =
       (if (hasDeletes(table)) Seq(deletesDir(table)) else Nil) ++
         patchBatches(table)
     sides.flatMap(d => spark.read.parquet(d).select("file").distinct()
-      .collect().map(r => norm(r.getString(0)))).toSet
+      .collect().map(r => normUri(r.getString(0)))).toSet
   }
 
   /** Raw scan with the physical row identity (file path, row position)
@@ -414,6 +409,62 @@ final case class Catalog(spark: SparkSession, root: String) {
     fs.move(tmp, s"${patchesDir(table)}/seq=$last")
     invalidateProjections(table)
   }
+
+  /** ClickHouse `ALTER TABLE t APPLY DELETED MASK [IN PARTITION p]`:
+    * materialize the outstanding deletion masks physically — rewrite the
+    * leaf partitions the mask actually references (parsed from the
+    * entries' file paths, so the rewrite is O(dirty leaves) without any
+    * discovery scan), dropping masked rows and their entries; leaves
+    * whose EVERY row was masked are removed outright. Unpartitioned
+    * tables take the full rewrite. The rewrite reads through [[readRaw]],
+    * so outstanding patches on the rewritten leaves materialize with it
+    * (a superset of CH's statement, same net state — documented).
+    */
+  def applyDeletedMask(table: String,
+      segs: Seq[(String, String)] = Nil): Unit = {
+    if (!hasDeletes(table)) return
+    if (partitionColsOf(table).isEmpty) {
+      writeReplacing(table, readRaw(table))
+      return
+    }
+    def maskDirs(): Seq[String] =
+      spark.read.parquet(deletesDir(table)).select("file").distinct()
+        .collect().map { r =>
+          normUri(r.getString(0)).stripPrefix(path(table)).stripPrefix("/")
+            .split('/').dropRight(1).filter(_.contains("=")).mkString("/")
+        }.distinct.filter(_.nonEmpty).toSeq
+    val want = segs match {
+      case Nil => maskDirs()
+      case s =>
+        val p = relSeg(s)
+        maskDirs().filter(d => d == p || d.startsWith(p + "/"))
+    }
+    if (want.isEmpty) return
+    val cond = want.map(_.split('/').map { seg =>
+      val kv = seg.split("=", 2)
+      col(kv(0)) === lit(kv(1))
+    }.reduce(_ && _)).reduce(_ || _)
+    mutatePruned(table, cond)(identity) // leaves with survivors rewrite
+    if (hasDeletes(table)) {
+      // entries still standing under `want` belong to leaves with ZERO
+      // surviving rows (the pruning scan cannot see them): the masked
+      // read of such a leaf is empty, so the directory goes outright
+      val still = maskDirs().filter(want.contains)
+      still.foreach { d =>
+        fs.rmTree(s"${path(table)}/$d")
+        dropEmptyAncestors(parentOf(s"${path(table)}/$d"), path(table))
+      }
+      if (still.nonEmpty) dropSidecarsUnder(table, still)
+      invalidateProjections(table)
+    }
+  }
+
+  /** Scheme-less path of a `_metadata.file_path`-style URI. */
+  private def normUri(u: String): String =
+    try {
+      val p = new java.net.URI(u).getPath
+      if (p == null || p.isEmpty) u else p
+    } catch { case _: java.net.URISyntaxException => u }
 
   /** Drop mask and patch entries pointing into rewritten partition
     * directories: the rewrite read through both sidecars, so those

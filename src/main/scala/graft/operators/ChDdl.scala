@@ -583,11 +583,20 @@ object ChDdl {
         // mutation); OPTIMIZE materializes accumulated masks.
         var i = skipWord(toks, i0, "DELETE", "FROM")
         val (t, after) = tableNameAt(toks, i)
-        i = nextNonWs(toks, after)
+        val d = tableDef(cat, t)
+        // optional CH `IN PARTITION 'v'` scope: the mask is bounded to
+        // the partition, and the FIND scan prunes to its directories
+        val (partVals, afterIn) =
+          inPartitionValuesAt(toks, nextNonWs(toks, after), d)
+        i = afterIn
         require(i < toks.length && toks(i).isWord("WHERE"),
           "ChDdl: DELETE FROM needs WHERE (TRUNCATE empties a table)")
-        val d = tableDef(cat, t)
-        cat.deleteWhereLight(d.name, expr(normalize(render(toks.drop(i + 1)).trim)))
+        val pred = expr(normalize(render(toks.drop(i + 1)).trim))
+        val full = partVals.map(vs =>
+          d.partitionBy.take(vs.length).zip(vs)
+            .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _) && pred)
+          .getOrElse(pred)
+        cat.deleteWhereLight(d.name, full)
         emptyResult(spark)
       case "UPDATE" =>
         // CH lightweight UPDATE (`UPDATE t SET a = e, ... WHERE p`, the
@@ -1493,6 +1502,43 @@ object ChDdl {
     case other => other
   }
 
+  /** `IN PARTITION 'v'` / `IN PARTITION ('v1', 'v2')` at `at`: the
+    * addressed values, bound by callers to the table's declared
+    * partitionBy prefix (single value = first level / whole subtree,
+    * tuple = a deeper leaf — the same addressing the ALTER ... PARTITION
+    * verbs take). `(None, at)` when no IN PARTITION sits at `at`.
+    */
+  private def inPartitionValuesAt(toks: Vector[Tok], at: Int,
+      d: ChTableDef): (Option[Seq[String]], Int) =
+    if (at < toks.length && toks(at).isWord("IN") && {
+      val n = nextNonWs(toks, at + 1)
+      n < toks.length && toks(n).isWord("PARTITION")
+    }) {
+      val v = nextNonWs(toks, nextNonWs(toks, at + 1) + 1)
+      require(v < toks.length, "ChDdl: expected IN PARTITION '<v>'")
+      require(d.partitionBy.nonEmpty,
+        s"ChDdl: ${d.name} declares no PARTITION BY")
+      val (values, after) =
+        if (toks(v).text == "(") {
+          val vals = Vector.newBuilder[String]
+          var j = nextNonWs(toks, v + 1)
+          while (j < toks.length && toks(j).text != ")") {
+            if (toks(j).kind == STR || toks(j).kind == NUM)
+              vals += unqStr(toks(j).text)
+            else require(toks(j).text == ",",
+              s"ChDdl: bad IN PARTITION tuple near '${toks(j).text}'")
+            j = nextNonWs(toks, j + 1)
+          }
+          require(j < toks.length, "ChDdl: IN PARTITION tuple missing ')'")
+          (vals.result(): Seq[String], nextNonWs(toks, j + 1))
+        } else (Seq(unqStr(toks(v).text)), nextNonWs(toks, v + 1))
+      require(values.length <= d.partitionBy.length,
+        s"ChDdl: IN PARTITION (${values.mkString(", ")}) has " +
+          s"${values.length} value(s) but ${d.name} is partitioned by " +
+          s"(${d.partitionBy.mkString(", ")})")
+      (Some(values), after)
+    } else (None, at)
+
   /** CH's zero value for a non-Nullable column with no DEFAULT — the
     * CLEAR COLUMN reset target: 0 for numbers, '' for strings, false,
     * epoch for dates/times, the empty array.
@@ -1602,38 +1648,30 @@ object ChDdl {
     // optional CH `IN PARTITION 'v'` scope for DELETE/UPDATE mutations:
     // the mutation applies ONLY inside that partition (conjoined onto the
     // predicate, which also hands mutatePruned the pruning conjunct)
-    def inPartitionPred(at: Int): (Option[Column], Int) =
-      if (at < toks.length && toks(at).isWord("IN") && {
-        val n = nextNonWs(toks, at + 1)
-        n < toks.length && toks(n).isWord("PARTITION")
-      }) {
-        val v = nextNonWs(toks, nextNonWs(toks, at + 1) + 1)
-        require(v < toks.length, "ChDdl: expected IN PARTITION '<v>'")
-        require(d.partitionBy.nonEmpty,
-          s"ChDdl: ${d.name} declares no PARTITION BY")
-        // single 'v' or composite ('v1', 'v2') — conjuncts over the
-        // declared partitionBy prefix, handed to mutatePruned for pruning
-        val (values, after) =
-          if (toks(v).text == "(") {
-            val vals = Vector.newBuilder[String]
-            var j = nextNonWs(toks, v + 1)
-            while (j < toks.length && toks(j).text != ")") {
-              if (toks(j).kind == STR || toks(j).kind == NUM)
-                vals += unqStr(toks(j).text)
-              else require(toks(j).text == ",",
-                s"ChDdl: bad IN PARTITION tuple near '${toks(j).text}'")
-              j = nextNonWs(toks, j + 1)
-            }
-            require(j < toks.length, "ChDdl: IN PARTITION tuple missing ')'")
-            (vals.result(), nextNonWs(toks, j + 1))
-          } else (Vector(unqStr(toks(v).text)), nextNonWs(toks, v + 1))
-        require(values.length <= d.partitionBy.length,
-          s"ChDdl: IN PARTITION (${values.mkString(", ")}) has " +
-            s"${values.length} value(s) but ${d.name} is partitioned by " +
-            s"(${d.partitionBy.mkString(", ")})")
-        (Some(d.partitionBy.take(values.length).zip(values)
-          .map { case (c, vv) => col(c) === lit(vv) }.reduce(_ && _)), after)
-      } else (None, at)
+    def inPartitionPred(at: Int): (Option[Column], Int) = {
+      val (vs, after) = inPartitionValuesAt(toks, at, d)
+      (vs.map(values => d.partitionBy.take(values.length).zip(values)
+        .map { case (c, vv) => col(c) === lit(vv) }.reduce(_ && _)), after)
+    }
+    if (toks(i).isWord("APPLY") && {
+      val n = nextNonWs(toks, i + 1)
+      val m = if (n < toks.length) nextNonWs(toks, n + 1) else toks.length
+      n < toks.length && toks(n).isWord("DELETED") &&
+        m < toks.length && toks(m).isWord("MASK")
+    }) {
+      // ALTER TABLE t APPLY DELETED MASK [IN PARTITION p]: materialize
+      // the lightweight-delete masks physically (CH's statement for
+      // exactly this), O(dirty leaves) — the targeted alternative to a
+      // full OPTIMIZE when only the mask rent should stop
+      val m = nextNonWs(toks, nextNonWs(toks, i + 1) + 1) // at MASK
+      val (partVals, afterIn) = inPartitionValuesAt(toks,
+        nextNonWs(toks, m + 1), d)
+      require(afterIn >= toks.length,
+        "ChDdl: unexpected trailing tokens after APPLY DELETED MASK")
+      cat.applyDeletedMask(d.name, partVals
+        .map(vs => d.partitionBy.take(vs.length).zip(vs)).getOrElse(Nil))
+      return emptyResult(spark)
+    }
     if (toks(i).isWord("DELETE")) {
       val (partPred, after) = inPartitionPred(nextNonWs(toks, i + 1))
       i = after

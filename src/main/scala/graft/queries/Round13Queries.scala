@@ -132,6 +132,36 @@ object Round13Queries {
              CAST(sum(CASE WHEN lang = 'en' THEN 42 ELSE n_chars END) AS BIGINT) AS chars,
              count(DISTINCT CASE WHEN lang = 'fr' THEN '' ELSE source END) AS nsrc,
              count(CASE WHEN lang = 'de' THEN NULL ELSE source END) AS n_extra
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- q246: scoped lightweight deletes + APPLY DELETED MASK -------------
+    // CH's `DELETE FROM t IN PARTITION p WHERE ...` bounds the mask (and
+    // the FIND scan) to one partition; `ALTER TABLE t APPLY DELETED MASK
+    // [IN PARTITION p]` then materializes masks physically at
+    // O(dirty leaves) — the targeted alternative to OPTIMIZE when only
+    // the mask read-rent should stop. The read after a partial APPLY
+    // must still compose the REMAINING mask; the read after the full
+    // APPLY runs the clean fast path. MaskSpec pins the sidecar
+    // mechanics (entries gone, untouched leaves byte-identical,
+    // all-masked leaves dropped outright).
+    QueryDef("q246_apply_deleted_mask", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q246").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE d (doc_id Int64, lang String, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id PARTITION BY lang""")
+      x("INSERT INTO d SELECT doc_id, lang, n_chars FROM documents")
+      x("DELETE FROM d IN PARTITION 'en' WHERE n_chars < 600")
+      x("DELETE FROM d WHERE doc_id % 10 == 0")
+      x("ALTER TABLE d APPLY DELETED MASK IN PARTITION 'en'") // en leaves only
+      x("ALTER TABLE d APPLY DELETED MASK")                   // the rest
+      x("""SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d GROUP BY lang ORDER BY lang""")
+    }, Some("""
+      SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents
+      WHERE NOT (lang = 'en' AND n_chars < 600) AND NOT (doc_id % 10 = 0)
+      GROUP BY lang ORDER BY lang"""))
   )
 }

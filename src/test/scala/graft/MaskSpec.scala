@@ -403,6 +403,41 @@ class MaskSpec extends AnyFunSuite {
     assert(!sp.contains("Union") && small.readRaw("s").count() == 99)
   }
 
+  test("APPLY DELETED MASK: O(dirty leaves), partial scope, empty-leaf drop") {
+    val cat = freshCat("apply1")
+    cat.create("t", docs(3000), Seq("lang")) // lang in {l0, l1, l2}
+    cat.deleteWhereLight("t", col("lang") === "l1" && col("n") > 50)
+    cat.deleteWhereLight("t", col("lang") === "l2") // EVERY l2 row masked
+    val expected = cat.readRaw("t").orderBy("id").collect().toSeq
+    val l0Before = dataFiles(cat, "t").filter(_._1.startsWith("lang=l0"))
+    // partial scope: only l1 materializes; l2's mask entries stay
+    cat.applyDeletedMask("t", Seq("lang" -> "l1"))
+    assert(cat.hasDeletes("t")) // l2 entries outstanding
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expected)
+    // full apply: l2 had zero survivors -> its directory goes outright
+    cat.applyDeletedMask("t")
+    assert(!cat.hasDeletes("t"))
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expected)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.root, "t", "lang=l2")))
+    // the untouched partition never rewrote: same bytes, same mtimes
+    assert(dataFiles(cat, "t").filter(_._1.startsWith("lang=l0")) == l0Before)
+    // statement surface: scoped lightweight delete + APPLY via ChDdl
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE s (id Int64, day String, v Int64) " +
+      "ENGINE = MergeTree ORDER BY id PARTITION BY day")
+    spark.range(60).selectExpr("id", "concat('d', id % 3) AS day", "id AS v")
+      .createOrReplaceTempView("apply_src")
+    x("INSERT INTO s SELECT id, day, v FROM apply_src")
+    x("DELETE FROM s IN PARTITION 'd1' WHERE v % 2 == 0") // scoped mask
+    assert(ChDdl.execute(cat, "SELECT count(*) AS c FROM s")
+      .head().getLong(0) == 50)
+    x("ALTER TABLE s APPLY DELETED MASK IN PARTITION 'd1'")
+    assert(!cat.hasDeletes("s"))
+    assert(ChDdl.execute(cat, "SELECT count(*) AS c FROM s")
+      .head().getLong(0) == 50)
+  }
+
   // ---- round 13: composite-leaf partition ops ----------------------------
 
   test("composite-leaf partition ops: detach/attach/move at depth, guards") {
