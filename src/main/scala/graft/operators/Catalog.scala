@@ -410,6 +410,23 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(table)
   }
 
+  /** Coalesce the deletion-mask sidecar: every lightweight delete
+    * appends its own small parquet files, so a high-QPS delete stream
+    * grows the mask's FILE COUNT (the entries stay O(deleted rows), but
+    * each read's mask scan opens every file). Entries are a set —
+    * distinct IS the whole fold — so this rewrites the sidecar as one
+    * de-duplicated file. Zero data bytes; [[compactPatches]] is the
+    * patch-side sibling (which needs last-writer-wins, not distinct).
+    */
+  def compactMask(table: String): Unit = {
+    if (!hasDeletes(table)) return
+    val tmp = path(table) + "__maskfold"
+    spark.read.parquet(deletesDir(table)).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.replaceDir(tmp, deletesDir(table))
+    invalidateProjections(table)
+  }
+
   /** ClickHouse `ALTER TABLE t APPLY DELETED MASK [IN PARTITION p]`:
     * materialize the outstanding deletion masks physically — rewrite the
     * leaf partitions the mask actually references (parsed from the

@@ -403,6 +403,45 @@ class MaskSpec extends AnyFunSuite {
     assert(!sp.contains("Union") && small.readRaw("s").count() == 99)
   }
 
+  test("compactMask coalesces and dedups the mask sidecar, zero data bytes") {
+    val cat = freshCat("mfold1")
+    cat.create("t", docs(2000))
+    // overlapping predicates (%4 ⊂ %2) — yet entries stay distinct by
+    // construction: each delete's FIND scan reads through the existing
+    // masks, so an already-masked row never matches again
+    cat.deleteWhereLight("t", col("id") % 2 === 0)
+    (1 to 5).foreach(i => cat.deleteWhereLight("t", col("id") % 400 === i))
+    cat.deleteWhereLight("t", col("id") % 4 === 0)
+    def maskFiles() = dataFilesUnder(cat, "t/_deletes")
+    def maskEntries() = spark.read.parquet(s"${cat.root}/t/_deletes").count()
+    assert(maskFiles().size > 1)
+    val entries = maskEntries()
+    val expected = cat.readRaw("t").orderBy("id").collect().toSeq
+    val data = dataFiles(cat, "t")
+    cat.compactMask("t")
+    assert(maskFiles().size == 1)          // one file
+    assert(maskEntries() == entries)       // a set already — fold keeps it
+    assert(dataFiles(cat, "t") == data)    // zero data bytes
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expected)
+    // masks keep composing after the fold
+    cat.deleteWhereLight("t", col("id") === 1)
+    assert(cat.readRaw("t").filter(col("id") === 1).count() == 0)
+  }
+
+  /** Parquet files under an arbitrary table-relative dir. */
+  private def dataFilesUnder(cat: Catalog, rel: String): Seq[String] = {
+    val root = Paths.get(cat.root, rel)
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val w = Files.walk(root)
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq
+      finally w.close()
+    }
+  }
+
   test("APPLY DELETED MASK: O(dirty leaves), partial scope, empty-leaf drop") {
     val cat = freshCat("apply1")
     cat.create("t", docs(3000), Seq("lang")) // lang in {l0, l1, l2}
