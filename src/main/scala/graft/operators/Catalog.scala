@@ -123,8 +123,30 @@ final case class Catalog(spark: SparkSession, root: String) {
     val dirtyDf = applyPatches(table, applyMask(table, tagged))
       .drop(Catalog.FileCol, Catalog.PosCol)
     if (clean.isEmpty) dirtyDf
-    else dirtyDf.unionByName(
-      spark.read.option("basePath", path(table)).parquet(clean: _*))
+    else {
+      val cleanDf = spark.read.option("basePath", path(table))
+        .parquet(clean: _*)
+      // partition-value type inference runs per branch on explicit file
+      // lists; mixed-type partition values (day=1 next to day=x) could
+      // make the branches disagree — correctness first: fall back to the
+      // whole-table tag (nullability differences are fine, patches widen)
+      val compatible = dirtyDf.columns.toSeq == cleanDf.columns.toSeq &&
+        dirtyDf.schema.zip(cleanDf.schema).forall { case (a, b) =>
+          org.apache.spark.sql.graft.Bridge.sameType(a.dataType, b.dataType)
+        }
+      if (!compatible) readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
+      else dirtyDf.unionByName(cleanDf)
+    }
+  }
+
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => hasMap(e)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
   }
 
   /** Data files of the table (sidecar subtrees excluded), as normalized
@@ -368,6 +390,13 @@ final case class Catalog(spark: SparkSession, root: String) {
     val typeOf = allCols.map { c =>
       c -> frames.find(_.columns.contains(c)).get.schema(c).dataType
     }.toMap
+    // the fold's last-writer pick is max(struct(seq, value)) — map-typed
+    // values have no ordering, so they cannot fold (loud, with the fix)
+    val unorderable = allCols.filter(c => hasMap(typeOf(c)))
+    require(unorderable.isEmpty,
+      s"compactPatches: map-typed patch column(s) " +
+        s"${unorderable.mkString(", ")} have no ordering to fold with — " +
+        "OPTIMIZE the table to materialize them instead")
     // long format: every batch row widened to the full column set with
     // its batch sequence + per-column presence
     val widened = frames.zip(batches).map { case (p, b) =>

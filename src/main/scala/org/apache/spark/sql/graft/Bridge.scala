@@ -35,4 +35,11 @@ object Bridge {
     */
   def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** `DataType.sameType` (nullability-insensitive equality) is
+    * `private[sql]` — graft's split sidecar read uses it to prove its
+    * two scan branches agree before unioning them.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 }
