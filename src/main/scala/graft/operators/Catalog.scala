@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 final case class Catalog(spark: SparkSession, root: String) {
 
-  private val fs = FsOps(spark)
+  private[operators] val fs = FsOps(spark)
 
   private def path(table: String) = s"$root/$table"
 
@@ -112,10 +112,15 @@ final case class Catalog(spark: SparkSession, root: String) {
     val dirtyUris = sidecarFileUris(table)
     val dirty = all.filter(p => dirtyUris.contains(p))
     // entries referencing files that no longer exist are inert (rewrites
-    // mint fresh UUID names; dropSidecarsUnder prunes on partition drops)
+    // mint fresh UUID names; dropSidecarsUnder prunes on partition
+    // drops) — but an EMPTY match can also mean the URI normalization
+    // failed to reconcile the two path forms, and the two cases are
+    // indistinguishable here. Fail CLOSED: the whole-table tagged read
+    // is correct for both (stale entries anti-join nothing), it just
+    // skips the optimization.
     val clean = all.diff(dirty)
-    if (dirty.isEmpty) // only stale entries: the whole table reads clean
-      return spark.read.option("basePath", path(table)).parquet(all: _*)
+    if (dirty.isEmpty)
+      return readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
     val tagged = spark.read.option("basePath", path(table))
       .parquet(dirty: _*)
       .withColumn(Catalog.FileCol, col("_metadata.file_path"))
@@ -153,10 +158,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     * URI paths — the same form `_metadata.file_path` values reduce to.
     */
   private def dataFilePaths(table: String): Seq[String] =
-    fs.listFiles(path(table)).map(_._1)
-      .filter(p => p.endsWith(".parquet") &&
-        !p.stripPrefix(path(table)).stripPrefix("/").split('/')
-          .exists(_.startsWith("_")))
+    fs.dataFilesUnder(path(table))
 
   /** Distinct files referenced by any outstanding mask/patch entry,
     * normalized to scheme-less paths (file_path values carry a scheme —
@@ -431,11 +433,16 @@ final case class Catalog(spark: SparkSession, root: String) {
           Seq(col(s"__m$i.v").as(c),
             (col(s"__m$i.s") >= 0).as(Catalog.SetPrefix + c))
         }: _*)
-    val last = seqOf(batches.last)
     val tmp = path(table) + "__patchfold"
     folded.write.mode("overwrite").parquet(tmp)
+    // crash-safe order: INSTALL the folded batch first (sequenced after
+    // every original), then delete the originals. In the crash window a
+    // read applies originals-then-folded, which is value-identical —
+    // replacement is flag-gated, so the folded batch overrides exactly
+    // where any original assigned and nowhere else. Deleting first would
+    // leave a window where the table silently serves pre-update values.
+    fs.move(tmp, s"${patchesDir(table)}/seq=${seqOf(batches.last) + 1}")
     batches.foreach(fs.rmTree)
-    fs.move(tmp, s"${patchesDir(table)}/seq=$last")
     invalidateProjections(table)
   }
 
@@ -449,10 +456,19 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   def compactMask(table: String): Unit = {
     if (!hasDeletes(table)) return
+    val dir = deletesDir(table)
+    val before = fs.listFiles(dir).map(_._1)
     val tmp = path(table) + "__maskfold"
-    spark.read.parquet(deletesDir(table)).distinct()
+    spark.read.parquet(dir).distinct()
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs.replaceDir(tmp, deletesDir(table))
+    // crash-safe order: entries are a SET, so ADD the folded file first,
+    // then remove the originals — every crash window leaves a superset
+    // of the mask, which anti-joins to identical reads (a swap would
+    // have a no-mask window where deleted rows resurface)
+    fs.listFiles(tmp).map(_._1).filter(_.endsWith(".parquet"))
+      .foreach(f => fs.move(f, s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"))
+    before.foreach(fs.rmTree)
+    fs.rmTree(tmp)
     invalidateProjections(table)
   }
 
@@ -801,8 +817,15 @@ final case class Catalog(spark: SparkSession, root: String) {
     require(fs.isDir(src),
       s"no partition '${segs.map(_._2).mkString(",")}' on '$table'")
     requireNoSidecarUnder(table, segs)
+    val dst = s"${detachedDir(table)}/${detachedName(segs)}"
+    // Hadoop rename NESTS into an existing directory instead of failing
+    // (java.nio ATOMIC_MOVE threw) — a silent merge of two detach
+    // generations must stay impossible
+    require(!fs.exists(dst),
+      s"partition '${segs.map(_._2).mkString(",")}' of '$table' is " +
+        "already detached — ATTACH or remove it first")
     fs.mkdirs(detachedDir(table))
-    fs.move(src, s"${detachedDir(table)}/${detachedName(segs)}")
+    fs.move(src, dst)
     dropEmptyAncestors(parentOf(src), path(table))
     invalidateProjections(table)
   }
@@ -927,12 +950,11 @@ final case class Catalog(spark: SparkSession, root: String) {
   def parts(): DataFrame = {
     import spark.implicits._
     val rows: Seq[(String, String, String, Long, java.sql.Timestamp)] =
-      fs.listDirNames(root).flatMap { t =>
+      fs.listDirNames(root).filterNot(_.startsWith("_")).flatMap { t =>
         fs.listFiles(s"$root/$t")
-          .filter { case (p, _, _) => p.endsWith(".parquet") &&
-            // deletion-mask sidecars are mutation state, not parts (CH
-            // surfaces mutations in system.mutations, not system.parts)
-            !p.stripPrefix(s"$root/").split('/').exists(_.startsWith("_")) }
+          // deletion-mask sidecars are mutation state, not parts (CH
+          // surfaces mutations in system.mutations, not system.parts)
+          .filter { case (p, _, _) => fs.isDataFile(s"$root/$t", p) }
           .map { case (p, bytes, mtime) =>
             val rel = p.stripPrefix(s"$root/")
             // CH system.parts carries the part's partition id: here the

@@ -1393,18 +1393,10 @@ object ChDdl {
       .select(d.columns.map(c => col(c.name)): _*)
   }
 
-  private def hasData(cat: Catalog, table: String): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(cat.root, table)
-    java.nio.file.Files.exists(dir) && {
-      val w = java.nio.file.Files.walk(dir)
-      try w.iterator().asScala.exists(p =>
-        p.getFileName.toString.endsWith(".parquet") &&
-          // sidecar (_deletes/_patches) parquet is mutation state, not data
-          !dir.relativize(p).toString.split('/').exists(_.startsWith("_")))
-      finally w.close()
-    }
-  }
+  // sidecar (_deletes/_patches) parquet is mutation state, not data —
+  // the shared FsOps.isDataFile rule decides
+  private def hasData(cat: Catalog, table: String): Boolean =
+    cat.fs.dataFilesUnder(s"${cat.root}/$table").nonEmpty
 
   private def insert(cat: Catalog, toks: Vector[Tok], i0: Int): DataFrame = {
     val spark = cat.spark
@@ -1502,6 +1494,42 @@ object ChDdl {
     case other => other
   }
 
+  /** A partition address at `at`: a single quoted/numeric value, or a
+    * NON-EMPTY tuple `('v1', 'v2')` with strict comma alternation (an
+    * empty tuple would silently widen a scoped statement to the whole
+    * table; consecutive commas are parse errors, not skips). Returns
+    * (values, index past the address).
+    */
+  private def partitionAddressAt(toks: Vector[Tok], at: Int,
+      what: String): (Seq[String], Int) = {
+    require(at < toks.length, s"ChDdl: $what needs a value")
+    def isValue(t: Tok) = t.kind == STR || t.kind == NUM || t.kind == WORD
+    if (toks(at).text == "(") {
+      val vals = Vector.newBuilder[String]
+      var j = nextNonWs(toks, at + 1)
+      var expectValue = true
+      var n = 0
+      while (j < toks.length && toks(j).text != ")") {
+        if (expectValue) {
+          require(isValue(toks(j)),
+            s"ChDdl: bad $what tuple near '${toks(j).text}'")
+          vals += unqStr(toks(j).text)
+          n += 1
+        } else require(toks(j).text == ",",
+          s"ChDdl: bad $what tuple near '${toks(j).text}'")
+        expectValue = !expectValue
+        j = nextNonWs(toks, j + 1)
+      }
+      require(j < toks.length, s"ChDdl: $what tuple missing ')'")
+      require(n > 0, s"ChDdl: $what tuple is empty")
+      require(!expectValue, s"ChDdl: $what tuple has a trailing comma")
+      (vals.result(), nextNonWs(toks, j + 1))
+    } else {
+      require(isValue(toks(at)), s"ChDdl: $what needs a quoted value")
+      (Seq(unqStr(toks(at).text)), nextNonWs(toks, at + 1))
+    }
+  }
+
   /** `IN PARTITION 'v'` / `IN PARTITION ('v1', 'v2')` at `at`: the
     * addressed values, bound by callers to the table's declared
     * partitionBy prefix (single value = first level / whole subtree,
@@ -1515,23 +1543,9 @@ object ChDdl {
       n < toks.length && toks(n).isWord("PARTITION")
     }) {
       val v = nextNonWs(toks, nextNonWs(toks, at + 1) + 1)
-      require(v < toks.length, "ChDdl: expected IN PARTITION '<v>'")
       require(d.partitionBy.nonEmpty,
         s"ChDdl: ${d.name} declares no PARTITION BY")
-      val (values, after) =
-        if (toks(v).text == "(") {
-          val vals = Vector.newBuilder[String]
-          var j = nextNonWs(toks, v + 1)
-          while (j < toks.length && toks(j).text != ")") {
-            if (toks(j).kind == STR || toks(j).kind == NUM)
-              vals += unqStr(toks(j).text)
-            else require(toks(j).text == ",",
-              s"ChDdl: bad IN PARTITION tuple near '${toks(j).text}'")
-            j = nextNonWs(toks, j + 1)
-          }
-          require(j < toks.length, "ChDdl: IN PARTITION tuple missing ')'")
-          (vals.result(): Seq[String], nextNonWs(toks, j + 1))
-        } else (Seq(unqStr(toks(v).text)), nextNonWs(toks, v + 1))
+      val (values, after) = partitionAddressAt(toks, v, "IN PARTITION")
       require(values.length <= d.partitionBy.length,
         s"ChDdl: IN PARTITION (${values.mkString(", ")}) has " +
           s"${values.length} value(s) but ${d.name} is partitioned by " +
@@ -1547,7 +1561,9 @@ object ChDdl {
     case StringType => lit("")
     case BooleanType => lit(false)
     case _: NumericType => lit(0).cast(dt)
-    case DateType | TimestampType => lit(0).cast(dt)
+    // numeric->date casts are forbidden since Spark 3.0; epoch literal
+    case DateType => lit(java.sql.Date.valueOf("1970-01-01"))
+    case TimestampType => lit(0).cast(dt) // seconds since epoch: allowed
     case ArrayType(_, _) => array().cast(widenType(dt))
     case other => lit(null).cast(widenType(other))
   }
@@ -1572,29 +1588,15 @@ object ChDdl {
     if (partitionVerb) {
       val verb = toks(i).text.toUpperCase
       i = nextNonWs(toks, nextNonWs(toks, i + 1) + 1) // past PARTITION
-      require(i < toks.length, s"ChDdl: $verb PARTITION needs a value")
       // partition address: 'v' (first-level subtree) or ('v1', 'v2') — a
       // LEAF of a composite layout, the same depth mutations prune to
       // (q233); values bind to the declared partitionBy prefix in order
-      val values: Seq[String] =
-        if (toks(i).text == "(") {
-          val vals = Vector.newBuilder[String]
-          var j = nextNonWs(toks, i + 1)
-          while (j < toks.length && toks(j).text != ")") {
-            if (toks(j).kind == STR || toks(j).kind == NUM)
-              vals += unqStr(toks(j).text)
-            else require(toks(j).text == ",",
-              s"ChDdl: bad PARTITION tuple near '${toks(j).text}'")
-            j = nextNonWs(toks, j + 1)
-          }
-          require(j < toks.length, "ChDdl: PARTITION tuple missing ')'")
-          i = j
-          vals.result()
-        } else Seq(unqStr(toks(i).text))
-      i = nextNonWs(toks, i + 1)
+      val (values, afterVals) =
+        partitionAddressAt(toks, i, s"$verb PARTITION")
+      i = afterVals
       require(d.partitionBy.nonEmpty,
         s"ChDdl: ${d.name} declares no PARTITION BY")
-      require(values.nonEmpty && values.length <= d.partitionBy.length,
+      require(values.length <= d.partitionBy.length,
         s"ChDdl: PARTITION (${values.mkString(", ")}) has ${values.length} " +
           s"value(s) but ${d.name} is partitioned by " +
           s"(${d.partitionBy.mkString(", ")})")

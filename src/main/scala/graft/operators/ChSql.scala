@@ -877,7 +877,12 @@ object ChSql {
     * settings) and without forcing eager execution: the returned frame
     * executes under the clone's conf whenever the caller materializes
     * it, and the throwaway clone is unreachable (and collectable) once
-    * the frame is.
+    * the frame is. Cost note: each clone registers an execution-listener
+    * bus on the shared context, held by WEAK reference (SPARK-34087) —
+    * it self-unregisters once the clone is collected, so a stream of
+    * SETTINGS statements is bounded by GC, not by statement count;
+    * callers that CACHE the returned frames pin their clones like any
+    * held session.
     */
   private def settingsScopedSession(spark: SparkSession,
       settings: Seq[(String, String)]): SparkSession = {

@@ -77,6 +77,21 @@ final class FsOps(conf: Configuration) {
   def hasParquetUnder(p: String): Boolean =
     listFiles(p).exists(_._1.endsWith(".parquet"))
 
+  /** Is `p` a DATA file of the table rooted at `tableDir`? Parquet, and
+    * not under any `_`-prefixed subtree (deletes/patches/detached —
+    * mutation state, never data). THE one definition every consumer
+    * shares (Catalog reads, parts(), SkipStats footers): a new sidecar
+    * kind changes it here or nowhere.
+    */
+  def isDataFile(tableDir: String, p: String): Boolean =
+    p.endsWith(".parquet") &&
+      !p.stripPrefix(tableDir).stripPrefix("/").split('/')
+        .exists(_.startsWith("_"))
+
+  /** Data files under a table directory (see [[isDataFile]]), sorted. */
+  def dataFilesUnder(tableDir: String): Seq[String] =
+    listFiles(tableDir).map(_._1).filter(isDataFile(tableDir, _))
+
   /** Total bytes under `p` (0 if absent). */
   def treeBytes(p: String): Long = listFiles(p).map(_._2).sum
 

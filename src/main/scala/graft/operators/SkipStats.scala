@@ -36,15 +36,12 @@ object SkipStats {
     granulesTotal: Long, granulesKept: Long, filesTotal: Long, filesKept: Long)
 
   /** Data files of a table directory via [[FsOps]] (the Hadoop
-    * `FileSystem` binding — one recursive listing, no handle to leak),
-    * `_`-prefixed sidecar subtrees excluded.
+    * `FileSystem` binding — one recursive listing, no handle to leak;
+    * the data-vs-sidecar rule lives in [[FsOps.isDataFile]], shared
+    * with Catalog's reads and parts()).
     */
   private def dataFiles(spark: SparkSession, tableDir: String): Seq[String] =
-    FsOps(spark).listFiles(tableDir).map(_._1)
-      .filter(p => p.endsWith(".parquet") &&
-        !p.stripPrefix(tableDir).stripPrefix("/").split('/')
-          .exists(_.startsWith("_")))
-      .sorted
+    FsOps(spark).dataFilesUnder(tableDir)
 
   /** Evaluate each conjunct against the table's files + footers. */
   def explain(spark: SparkSession, tableDir: String,

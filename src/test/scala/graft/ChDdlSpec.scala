@@ -705,6 +705,18 @@ class ChDdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       x("ALTER TABLE p DROP PARTITION ('d0', 'l0', 'x')")
     }
+    // malformed addresses are parse errors, never silent widenings: an
+    // empty tuple must not become "the whole table"
+    intercept[IllegalArgumentException] { x("ALTER TABLE p DROP PARTITION ()") }
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE p DROP PARTITION ('d0',)")
+    }
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE p APPLY DELETED MASK IN PARTITION ()")
+    }
+    intercept[IllegalArgumentException] {
+      x("DELETE FROM p IN PARTITION () WHERE v > 0")
+    }
     // cross-table ops demand IDENTICAL declared keys — a (day, lang)
     // subtree must never land in a day-only table (mixed-depth layout
     // breaks partition discovery); head-only agreement is not enough
@@ -721,15 +733,20 @@ class ChDdlSpec extends AnyFunSuite {
     val cat = freshCat("chddl_clear")
     val x = ChDdl.execute(cat, _: String)
     x("""CREATE TABLE t (id Int64, day String, v Int64 DEFAULT 42,
-         s String, nn Nullable(String))
+         s String, nn Nullable(String), dd Date)
          ENGINE = MergeTree ORDER BY id PARTITION BY day""")
     spark.range(30).selectExpr("id", "concat('d', id % 3) AS day",
-      "id AS v", "concat('s', id) AS s", "concat('n', id) AS nn")
+      "id AS v", "concat('s', id) AS s", "concat('n', id) AS nn",
+      "DATE '2024-03-09' AS dd")
       .createOrReplaceTempView("clear_src")
-    x("INSERT INTO t SELECT id, day, v, s, nn FROM clear_src")
+    x("INSERT INTO t SELECT id, day, v, s, nn, dd FROM clear_src")
     x("ALTER TABLE t CLEAR COLUMN v IN PARTITION 'd0'")  // declared DEFAULT
     x("ALTER TABLE t CLEAR COLUMN s IN PARTITION 'd1'")  // type zero ''
     x("ALTER TABLE t CLEAR COLUMN nn IN PARTITION 'd2'") // Nullable -> NULL
+    x("ALTER TABLE t CLEAR COLUMN dd IN PARTITION 'd0'") // Date zero = epoch
+    assert(ChDdl.execute(cat,
+      "SELECT count(*) AS c FROM t PREWHERE day == 'd0' AND dd == toDate('1970-01-01')")
+      .head().getLong(0) == 10)
     val r = ChDdl.execute(cat, """SELECT day, sum(v) AS sv,
         countIf(s == '') AS zs, count(nn) AS nns
         FROM t GROUP BY day ORDER BY day""").collect()

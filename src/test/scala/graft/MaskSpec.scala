@@ -521,5 +521,16 @@ class MaskSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       cat.detachPartition("t", Seq("b" -> "0"))
     }
+    // detaching into an OCCUPIED _detached slot is loud — Hadoop rename
+    // would silently nest into the existing dir (two detach generations
+    // must never merge)
+    cat.detachPartition("t", Seq("lang" -> "l1"))
+    cat.append("t", base.filter(col("lang") === "l1"), Seq("lang", "b"))
+    intercept[IllegalArgumentException] {
+      cat.detachPartition("t", Seq("lang" -> "l1"))
+    }
+    cat.dropPartition("t", Seq("lang" -> "l1"))
+    cat.attachPartition("t", Seq("lang" -> "l1")) // original comes back clean
+    assert(cat.readRaw("t").filter(col("lang") === "l1").count() > 0)
   }
 }
