@@ -899,6 +899,96 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(dst)
   }
 
+  // ---- backups (CH ALTER ... FREEZE family) ------------------------------
+
+  private def shadowDir(table: String) = path(table) + "/_shadow"
+
+  /** ClickHouse `ALTER TABLE t FREEZE [PARTITION p] [WITH NAME n]`:
+    * snapshot the addressed data directories under `_shadow/<name>/`.
+    * CH hardlinks parts; the Hadoop API has no portable hardlink, so
+    * this COPIES — the honest object-store cost, and the snapshot is
+    * physically independent of later mutations either way. Same sidecar
+    * rule as every partition op: the addressed scope must carry no
+    * outstanding lightweight mutations (a restored copy would re-create
+    * file names that stale mask/patch entries match). Unnamed freezes
+    * take "1", "2", ... (CH's increment convention). Returns the name.
+    */
+  def freeze(table: String, segs: Seq[(String, String)] = Nil,
+      name: Option[String] = None): String = {
+    val n = name.getOrElse {
+      val used = fs.listDirNames(shadowDir(table)).toSet
+      Iterator.from(1).map(_.toString).filterNot(used).next()
+    }
+    require(n.nonEmpty && n.forall(ch => ch.isLetterOrDigit ||
+      ch == '-' || ch == '_' || ch == '.'),
+      s"backup name '$n' has a non-trivial directory encoding")
+    val dst = s"${shadowDir(table)}/$n"
+    require(!fs.exists(dst), s"backup '$n' already exists on '$table'")
+    if (segs.isEmpty) {
+      require(!hasDeletes(table) && !hasPatches(table),
+        s"table '$table' has outstanding lightweight mutations — " +
+          "OPTIMIZE first, then FREEZE")
+      fs.mkdirs(dst)
+      fs.listChildren(path(table))
+        .filterNot { case (c, _) => c.startsWith("_") }
+        .foreach { case (c, _) =>
+          fs.copyTree(s"${path(table)}/$c", s"$dst/$c") }
+    } else {
+      requireNoSidecarUnder(table, segs)
+      val src = partitionPath(table, segs)
+      require(fs.isDir(src),
+        s"no partition '${segs.map(_._2).mkString(",")}' on '$table'")
+      fs.copyTree(src, s"$dst/${relSeg(segs)}")
+    }
+    n
+  }
+
+  /** Drop a backup (CH `SYSTEM UNFREEZE WITH NAME n`, per table).
+    * True when something was removed. */
+  def unfreeze(table: String, name: String): Boolean = {
+    val d = s"${shadowDir(table)}/$name"
+    val existed = fs.exists(d)
+    fs.rmTree(d)
+    if (fs.isDir(shadowDir(table)) &&
+      fs.listChildren(shadowDir(table)).isEmpty)
+      fs.rmTree(shadowDir(table))
+    existed
+  }
+
+  /** Copy a frozen partition back into the `_detached` area — the CH
+    * restore workflow (shadow → detached → ATTACH) as one call; the
+    * backup stays (a snapshot restores many times). Follow with
+    * [[attachPartition]].
+    */
+  def restoreFrozen(table: String, name: String,
+      segs: Seq[(String, String)]): Unit = {
+    val src = s"${shadowDir(table)}/$name/${relSeg(segs)}"
+    require(fs.isDir(src),
+      s"backup '$name' of '$table' has no partition " +
+        s"'${segs.map(_._2).mkString(",")}'")
+    // the frozen copy carries the ORIGINAL file names — stale sidecar
+    // entries matching them must not exist (resurface hazard)
+    requireNoSidecarUnder(table, segs)
+    val slot = s"${detachedDir(table)}/${detachedName(segs)}"
+    require(!fs.exists(slot),
+      s"partition '${segs.map(_._2).mkString(",")}' of '$table' is " +
+        "already detached — ATTACH or remove it first")
+    fs.mkdirs(detachedDir(table))
+    fs.copyTree(src, slot)
+  }
+
+  /** Backups on disk: (table, name, bytes) — the CH `system.frozen`-ish
+    * view an operator checks before UNFREEZE/restore. */
+  def shadows(): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(String, String, Long)] =
+      fs.listDirNames(root).flatMap { t =>
+        val sh = s"$root/$t/_shadow"
+        fs.listDirNames(sh).map(n => (t, n, fs.treeBytes(s"$sh/$n")))
+      }.sortBy(r => (r._1, r._2))
+    rows.toDF("table", "name", "bytes")
+  }
+
   /** ClickHouse `OPTIMIZE TABLE t DEDUPLICATE [BY (cols)]`: drop exact
     * duplicate rows physically. Full-row form is pure set semantics;
     * with a BY subset CH keeps an ARBITRARY row per key — graft keeps

@@ -575,6 +575,24 @@ object ChDdl {
       case "INSERT" => insert(cat, toks, i0)
       case "ALTER" => alter(cat, toks, i0)
       case "OPTIMIZE" => optimize(cat, toks, i0)
+      case "SYSTEM" =>
+        // SYSTEM UNFREEZE WITH NAME 'n': drop the named backup from
+        // every table of this catalog (CH's global backup cleanup)
+        var i = nextNonWs(toks, i0 + 1)
+        require(i < toks.length && toks(i).isWord("UNFREEZE"),
+          "ChDdl: only SYSTEM UNFREEZE WITH NAME '<n>' is supported")
+        i = nextNonWs(toks, i + 1)
+        require(i < toks.length && toks(i).isWord("WITH"),
+          "ChDdl: expected SYSTEM UNFREEZE WITH NAME '<n>'")
+        i = nextNonWs(toks, i + 1)
+        require(i < toks.length && toks(i).isWord("NAME"),
+          "ChDdl: expected SYSTEM UNFREEZE WITH NAME '<n>'")
+        i = nextNonWs(toks, i + 1)
+        require(i < toks.length, "ChDdl: SYSTEM UNFREEZE needs a name")
+        val n = unqStr(toks(i).text)
+        cat.shadows().filter(col("name") === n).select("table")
+          .collect().foreach(r => cat.unfreeze(r.getString(0), n))
+        emptyResult(spark)
       case "DELETE" =>
         // CH lightweight delete (`DELETE FROM t WHERE p`): writes a
         // deletion-vector mask sidecar — O(matches), zero data bytes
@@ -1654,6 +1672,40 @@ object ChDdl {
       val (vs, after) = inPartitionValuesAt(toks, at, d)
       (vs.map(values => d.partitionBy.take(values.length).zip(values)
         .map { case (c, vv) => col(c) === lit(vv) }.reduce(_ && _)), after)
+    }
+    if (toks(i).isWord("FREEZE")) {
+      // ALTER TABLE t FREEZE [PARTITION p] [WITH NAME 'n'] — snapshot
+      // to the _shadow backup area (a copy; CH hardlinks)
+      var j = nextNonWs(toks, i + 1)
+      val (vals, afterVals) =
+        if (j < toks.length && toks(j).isWord("PARTITION"))
+          partitionAddressAt(toks, nextNonWs(toks, j + 1),
+            "FREEZE PARTITION") match { case (v, a) => (Some(v), a) }
+        else (None, j)
+      var name: Option[String] = None
+      j = afterVals
+      if (j < toks.length && toks(j).isWord("WITH")) {
+        j = nextNonWs(toks, j + 1)
+        require(j < toks.length && toks(j).isWord("NAME"),
+          "ChDdl: expected FREEZE ... WITH NAME '<n>'")
+        j = nextNonWs(toks, j + 1)
+        require(j < toks.length, "ChDdl: expected FREEZE ... WITH NAME '<n>'")
+        name = Some(unqStr(toks(j).text))
+        j = nextNonWs(toks, j + 1)
+      }
+      require(j >= toks.length,
+        "ChDdl: unexpected trailing tokens after FREEZE")
+      val segs = vals.map { v =>
+        require(d.partitionBy.nonEmpty,
+          s"ChDdl: ${d.name} declares no PARTITION BY")
+        require(v.length <= d.partitionBy.length,
+          s"ChDdl: FREEZE PARTITION (${v.mkString(", ")}) has " +
+            s"${v.length} value(s) but ${d.name} is partitioned by " +
+            s"(${d.partitionBy.mkString(", ")})")
+        d.partitionBy.take(v.length).zip(v)
+      }.getOrElse(Nil)
+      cat.freeze(d.name, segs, name)
+      return emptyResult(spark)
     }
     if (toks(i).isWord("APPLY") && {
       val n = nextNonWs(toks, i + 1)

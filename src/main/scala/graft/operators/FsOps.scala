@@ -55,6 +55,15 @@ final class FsOps(conf: Configuration) {
       .map(_.getPath.getName).sorted
   }
 
+  /** Immediate children of `p`: (name, isDirectory), sorted by name. */
+  def listChildren(p: String): Seq[(String, Boolean)] = {
+    val h = new HPath(p)
+    val f = fs(h)
+    if (!f.exists(h) || !f.getFileStatus(h).isDirectory) Nil
+    else f.listStatus(h).toSeq
+      .map(s => (s.getPath.getName, s.isDirectory)).sortBy(_._1)
+  }
+
   /** Every regular file under `p`, recursively: (path, bytes, mtime ms). */
   def listFiles(p: String): Seq[(String, Long, Long)] = {
     val h = new HPath(p)

@@ -162,6 +162,33 @@ object Round13Queries {
       SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
       FROM documents
       WHERE NOT (lang = 'en' AND n_chars < 600) AND NOT (doc_id % 10 = 0)
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang""")),
+
+    // ---- q247: FREEZE / restore lifecycle -----------------------------------
+    // The backup workflow CH operators run before risky mutations:
+    // FREEZE snapshots one partition into the `_shadow` area, a heavy
+    // UPDATE then a DROP PARTITION "corrupt" prod, restoreFrozen copies
+    // the snapshot into `_detached`, ATTACH brings the ORIGINAL bytes
+    // back, SYSTEM UNFREEZE cleans the backup without touching data.
+    // Oracle: the restored table equals the untouched base table.
+    QueryDef("q247_freeze_restore", (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val cat = graft.operators.Catalog(s,
+        java.nio.file.Files.createTempDirectory("q247").toString)
+      val x = graft.operators.ChDdl.execute(cat, _: String)
+      x("""CREATE TABLE d (doc_id Int64, lang String, n_chars Int64)
+           ENGINE = MergeTree ORDER BY doc_id PARTITION BY lang""")
+      x("INSERT INTO d SELECT doc_id, lang, n_chars FROM documents")
+      x("ALTER TABLE d FREEZE PARTITION 'fr' WITH NAME 'b1'")
+      x("ALTER TABLE d UPDATE n_chars = 0 WHERE lang == 'fr'") // corruption
+      x("ALTER TABLE d DROP PARTITION 'fr'")                   // oops
+      cat.restoreFrozen("d", "b1", Seq("lang" -> "fr"))
+      x("ALTER TABLE d ATTACH PARTITION 'fr'")
+      x("SYSTEM UNFREEZE WITH NAME 'b1'")
+      x("""SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d GROUP BY lang ORDER BY lang""")
+    }, Some("""
+      SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -207,7 +207,7 @@ class ChDdlSpec extends AnyFunSuite {
       ChDdl.parseCreate("CREATE TABLE t (x UInt32, y UInt32 MATERIALIZED x * 2) ENGINE = MergeTree ORDER BY x")
     }
     ChDdl.execute(cat, "CREATE TABLE tt (x UInt32) ENGINE = MergeTree ORDER BY x")
-    intercept[UnsupportedOperationException] { // not a supported ALTER action
+    intercept[IllegalArgumentException] { // FREEZE PARTITION needs a layout
       ChDdl.execute(cat, "ALTER TABLE tt FREEZE PARTITION '2024'")
     }
     intercept[IllegalArgumentException] {
@@ -789,6 +789,44 @@ class ChDdlSpec extends AnyFunSuite {
     x("OPTIMIZE TABLE t FINAL")
     assert(flags("EXPLAIN INDEXES = 1 SELECT id FROM t WHERE v < 10 AND w < 10")
       == Seq(("v", false), ("w", false)))
+  }
+
+  test("FREEZE snapshots survive mutations; restore + UNFREEZE lifecycle") {
+    val cat = freshCat("chddl_freeze")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE t (id Int64, day String, v Int64) " +
+      "ENGINE = MergeTree ORDER BY id PARTITION BY day")
+    spark.range(90).selectExpr("id", "concat('d', id % 3) AS day", "id AS v")
+      .createOrReplaceTempView("freeze_src")
+    x("INSERT INTO t SELECT id, day, v FROM freeze_src")
+    def total() = ChDdl.execute(cat,
+      "SELECT CAST(sum(v) AS BIGINT) AS s FROM t").head().getLong(0)
+    val t0 = total()
+    x("ALTER TABLE t FREEZE WITH NAME 'all'")            // whole table
+    x("ALTER TABLE t FREEZE PARTITION 'd1' WITH NAME 'p1'")
+    val sh = cat.shadows().collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(sh.keySet == Set("all", "p1") && sh.values.forall(_ > 0))
+    // duplicate backup names are loud; so is freezing with a live mask
+    intercept[IllegalArgumentException] {
+      x("ALTER TABLE t FREEZE PARTITION 'd1' WITH NAME 'p1'")
+    }
+    x("DELETE FROM t WHERE day == 'd2' AND id == 2")
+    intercept[IllegalArgumentException] { x("ALTER TABLE t FREEZE") }
+    x("ALTER TABLE t APPLY DELETED MASK")
+    // mutate + drop the frozen partition, then restore the snapshot
+    x("ALTER TABLE t UPDATE v = 0 IN PARTITION 'd1' WHERE v >= 0")
+    x("ALTER TABLE t DROP PARTITION 'd1'")
+    cat.restoreFrozen("t", "p1", Seq("day" -> "d1"))
+    x("ALTER TABLE t ATTACH PARTITION 'd1'")
+    assert(total() == t0 - 2) // original d1 bytes back; only id=2 deleted
+    // backups restore MANY times: the shadow survived the restore
+    assert(cat.shadows().collect().map(_.getString(1)).toSet ==
+      Set("all", "p1"))
+    x("SYSTEM UNFREEZE WITH NAME 'p1'")
+    assert(cat.shadows().collect().map(_.getString(1)).toSeq == Seq("all"))
+    assert(cat.unfreeze("t", "all") && !cat.unfreeze("t", "all"))
+    assert(total() == t0 - 2) // backups never touch data
   }
 
   test("quantileExactState finalizes an all-NULL key group to NULL") {
