@@ -21,7 +21,8 @@ object SparkEntry {
       Round7Queries.defs ++ CurationQueries.defs ++ Round8Queries.defs ++
       Round9Queries.defs ++ ProjectionQueries.defs ++ EngineQueries.defs ++
       Round10Queries.defs ++ Round11Queries.defs ++ Round12Queries.defs ++
-      Round12Queries.defsPartitionOps ++ Round13Queries.defs
+      Round12Queries.defsPartitionOps ++ Round13Queries.defs ++
+      Round14Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7 v0.1 slice: Vector-SQL text with DISTANCE + NeuralArray

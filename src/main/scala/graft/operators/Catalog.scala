@@ -66,8 +66,14 @@ final case class Catalog(spark: SparkSession, root: String) {
     * base that changed under it (SURVEY §14 item 2 — the caller
     * re-defines, or maintains a MatView whose insert path stays fresh).
     */
-  private def invalidateProjections(table: String): Unit =
+  private def invalidateProjections(table: String): Unit = {
     org.apache.spark.sql.graft.ProjectionCatalog.invalidate(path(table))
+    // sidecar-list cache hygiene: the signature check alone keeps hits
+    // correct, but a dropped/killed sidecar would otherwise leave its
+    // last entry in the map forever
+    Catalog.sidecarUriCache.remove(path(table))
+    ()
+  }
 
   /** Last-writer-wins view over the append history. Deletion masks apply
     * BEFORE the window: a lightweight-deleted newest version must not win
@@ -106,22 +112,31 @@ final case class Catalog(spark: SparkSession, root: String) {
     * planning job.
     */
   private def readSplit(table: String): DataFrame = {
+    // full qualified URIs from the listing (scheme + authority) — the
+    // branch reads below hand these to spark.read verbatim, so they
+    // resolve against the TABLE'S filesystem even when `fs.defaultFS`
+    // points elsewhere; only the comparison against sidecar
+    // `_metadata.file_path` values normalizes to scheme-less form
     val all = dataFilePaths(table)
     if (all.length < Catalog.SplitReadMinFiles)
       return readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
     val dirtyUris = sidecarFileUris(table)
-    val dirty = all.filter(p => dirtyUris.contains(p))
-    // entries referencing files that no longer exist are inert (rewrites
-    // mint fresh UUID names; dropSidecarsUnder prunes on partition
-    // drops) — but an EMPTY match can also mean the URI normalization
-    // failed to reconcile the two path forms, and the two cases are
-    // indistinguishable here. Fail CLOSED: the whole-table tagged read
-    // is correct for both (stale entries anti-join nothing), it just
-    // skips the optimization.
-    val clean = all.diff(dirty)
-    if (dirty.isEmpty)
+    val allNorm = all.map(normUri).toSet
+    // Fail CLOSED on ANY sidecar URI that matches no listed file — not
+    // just on an all-empty match. An unmatched entry is either stale
+    // (rewrites mint fresh UUID names and prune their entries, so this
+    // should not happen) or a normalization failure, and the two are
+    // indistinguishable here; in the failure case the file it really
+    // references would otherwise scan on the CLEAN branch and its
+    // deleted rows resurface / patches drop silently. The whole-table
+    // tagged read is correct for both cases — it just skips the
+    // optimization (stale entries anti-join nothing there).
+    if (dirtyUris.isEmpty || !dirtyUris.subsetOf(allNorm))
       return readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
-    val tagged = spark.read.option("basePath", path(table))
+    val dirty = all.filter(p => dirtyUris.contains(normUri(p)))
+    val clean = all.diff(dirty)
+    val base = fs.qualify(path(table))
+    val tagged = spark.read.option("basePath", base)
       .parquet(dirty: _*)
       .withColumn(Catalog.FileCol, col("_metadata.file_path"))
       .withColumn(Catalog.PosCol, col("_metadata.row_index"))
@@ -129,7 +144,7 @@ final case class Catalog(spark: SparkSession, root: String) {
       .drop(Catalog.FileCol, Catalog.PosCol)
     if (clean.isEmpty) dirtyDf
     else {
-      val cleanDf = spark.read.option("basePath", path(table))
+      val cleanDf = spark.read.option("basePath", base)
         .parquet(clean: _*)
       // partition-value type inference runs per branch on explicit file
       // lists; mixed-type partition values (day=1 next to day=x) could
@@ -154,22 +169,42 @@ final case class Catalog(spark: SparkSession, root: String) {
     }
   }
 
-  /** Data files of the table (sidecar subtrees excluded), as normalized
-    * URI paths — the same form `_metadata.file_path` values reduce to.
+  /** Data files of the table (sidecar subtrees excluded), as FULL
+    * qualified URIs — readable verbatim against the table's own store;
+    * compare to sidecar `file_path` values via [[normUri]] only.
     */
   private def dataFilePaths(table: String): Seq[String] =
     fs.dataFilesUnder(path(table))
 
   /** Distinct files referenced by any outstanding mask/patch entry,
-    * normalized to scheme-less paths (file_path values carry a scheme —
-    * `file:/...` — the FS listing does not).
+    * normalized to scheme-less paths ([[normUri]] — `file_path` values
+    * carry a scheme, and object-store listings an authority, that the
+    * comparison must not depend on).
+    *
+    * Cached per table, keyed on the sidecar directories' own file
+    * listings (path, bytes, mtime): the distinct-collect is a small but
+    * real driver-side Spark job, and a masked/patched read pays it at
+    * PLANNING time — on a serving path that reads the same net state
+    * repeatedly (the common shape: mutations are rare, reads are not)
+    * the job would otherwise run per read. The signature is an FS
+    * listing per sidecar dir — O(sidecar files) driver-side metadata,
+    * no Spark job — and any mutation changes it (fresh UUID file names;
+    * folds add + remove files), so a hit is always current state.
     */
   private def sidecarFileUris(table: String): Set[String] = {
     val sides =
       (if (hasDeletes(table)) Seq(deletesDir(table)) else Nil) ++
         patchBatches(table)
-    sides.flatMap(d => spark.read.parquet(d).select("file").distinct()
-      .collect().map(r => normUri(r.getString(0)))).toSet
+    val sig = sides.map(d => fs.listFiles(d))
+    Catalog.sidecarUriCache.get(path(table)) match {
+      case Some((s, uris)) if s == sig => uris
+      case _ =>
+        val uris = sides.flatMap(d => spark.read.parquet(d)
+          .select("file").distinct()
+          .collect().map(r => normUri(r.getString(0)))).toSet
+        Catalog.sidecarUriCache.put(path(table), (sig, uris))
+        uris
+    }
   }
 
   /** Raw scan with the physical row identity (file path, row position)
@@ -492,7 +527,8 @@ final case class Catalog(spark: SparkSession, root: String) {
     def maskDirs(): Seq[String] =
       spark.read.parquet(deletesDir(table)).select("file").distinct()
         .collect().map { r =>
-          normUri(r.getString(0)).stripPrefix(path(table)).stripPrefix("/")
+          normUri(r.getString(0)).stripPrefix(normUri(path(table)))
+            .stripPrefix("/")
             .split('/').dropRight(1).filter(_.contains("=")).mkString("/")
         }.distinct.filter(_.nonEmpty).toSeq
     val want = segs match {
@@ -502,6 +538,22 @@ final case class Catalog(spark: SparkSession, root: String) {
         maskDirs().filter(d => d == p || d.startsWith(p + "/"))
     }
     if (want.isEmpty) return
+    // `want` came from ON-DISK directory names: a value with a
+    // non-trivial directory encoding (escaped chars — ':' stored as
+    // '%3A' — or Spark's __HIVE_DEFAULT_PARTITION__ null slot) does NOT
+    // round-trip through `col === lit(dirName)`, so the pruned rewrite
+    // below would see zero matches and the zero-survivors inference
+    // would then delete a leaf with LIVE rows. Same guard charset as
+    // partitionPath/mutatePruned; the fallback is the full rewrite,
+    // which materializes every outstanding mutation — a documented
+    // superset of the scoped statement (the unpartitioned branch above
+    // has the same shape).
+    val safe = want.forall(_.split('/').forall { seg =>
+      val v = seg.split("=", 2)(1)
+      v.nonEmpty && v.forall(ch => ch.isLetterOrDigit || ch == '-' ||
+        ch == '_' || ch == '.')
+    })
+    if (!safe) { writeReplacing(table, readRaw(table)); return }
     val cond = want.map(_.split('/').map { seg =>
       val kv = seg.split("=", 2)
       col(kv(0)) === lit(kv(1))
@@ -510,11 +562,27 @@ final case class Catalog(spark: SparkSession, root: String) {
     if (hasDeletes(table)) {
       // entries still standing under `want` belong to leaves with ZERO
       // surviving rows (the pruning scan cannot see them): the masked
-      // read of such a leaf is empty, so the directory goes outright
+      // read of such a leaf is empty, so the directory goes outright —
+      // but that inference rests on the name->predicate round-trip, so
+      // VERIFY it against the leaf's own bytes before deleting anything:
+      // a masked read of just this leaf's files must come back empty.
       val still = maskDirs().filter(want.contains)
       still.foreach { d =>
-        fs.rmTree(s"${path(table)}/$d")
-        dropEmptyAncestors(parentOf(s"${path(table)}/$d"), path(table))
+        val leaf = s"${path(table)}/$d"
+        val files = fs.listFiles(leaf).map(_._1).filter(_.endsWith(".parquet"))
+        val empty = files.isEmpty || {
+          val tagged = spark.read.option("basePath", fs.qualify(path(table)))
+            .parquet(files: _*)
+            .withColumn(Catalog.FileCol, col("_metadata.file_path"))
+            .withColumn(Catalog.PosCol, col("_metadata.row_index"))
+          applyMask(table, tagged).isEmpty
+        }
+        require(empty,
+          s"applyDeletedMask: leaf '$d' of '$table' still has live rows " +
+            "under its mask — refusing to remove it (stale or " +
+            "irreconcilable mask entries; OPTIMIZE the table instead)")
+        fs.rmTree(leaf)
+        dropEmptyAncestors(parentOf(leaf), path(table))
       }
       if (still.nonEmpty) dropSidecarsUnder(table, still)
       invalidateProjections(table)
@@ -574,17 +642,33 @@ final case class Catalog(spark: SparkSession, root: String) {
     }.toSeq
   }
 
-  /** Full-table rewrite-and-swap. The swap removes the old table dir
-    * INCLUDING any `_deletes` mask sidecar — callers always derive `df`
-    * from a masked read, so the swap is also the mask materialization
-    * point (the CH merge that folds `_row_exists` into the part).
+  /** Full-table rewrite-and-swap. The swap removes the current data
+    * children AND the `_deletes`/`_patches` sidecars — callers always
+    * derive `df` from a masked+patched read, so the swap is also the
+    * mutation materialization point (the CH merge that folds
+    * `_row_exists` and patch parts into the data). `_shadow` backups
+    * and `_detached` partitions are NOT part of that contract — a
+    * FREEZE snapshot is documented as physically independent of later
+    * mutations, and a parked partition must survive an OPTIMIZE of the
+    * live data — so the swap replaces children IN PLACE and never
+    * touches the preserved subtrees (they also never enter the swap's
+    * crash window: a crash mid-swap can leave the table's DATA partial,
+    * same class as the old whole-dir swap, but the backups stand).
     */
   private def writeReplacing(table: String, df: DataFrame): Unit = {
     val parts = partitionColsOf(table)
     val tmp = path(table) + "__tmp"
     val w = df.write.mode("overwrite").options(opts(table))
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
-    fs.replaceDir(tmp, path(table))
+    fs.listChildren(path(table)).foreach { case (c, _) =>
+      if (!Catalog.PreservedSubtrees.contains(c))
+        fs.rmTree(s"${path(table)}/$c")
+    }
+    fs.mkdirs(path(table))
+    fs.listChildren(tmp).foreach { case (c, _) =>
+      fs.move(s"$tmp/$c", s"${path(table)}/$c")
+    }
+    fs.rmTree(tmp)
     invalidateProjections(table)
   }
 
@@ -1046,7 +1130,9 @@ final case class Catalog(spark: SparkSession, root: String) {
           // surfaces mutations in system.mutations, not system.parts)
           .filter { case (p, _, _) => fs.isDataFile(s"$root/$t", p) }
           .map { case (p, bytes, mtime) =>
-            val rel = p.stripPrefix(s"$root/")
+            // listings are full URIs now — relativize through the FS
+            // (both sides qualified) rather than a raw stripPrefix
+            val rel = fs.relativeTo(root, p).getOrElse(p)
             // CH system.parts carries the part's partition id: here the
             // `col=value[/...]` directory chain above the file
             val partition = rel.stripPrefix(s"$t/").split('/')
@@ -1107,6 +1193,23 @@ object Catalog {
   /** Internal row-identity columns threaded through tagged reads. */
   private[operators] val FileCol = "__graft_file"
   private[operators] val PosCol = "__graft_pos"
+
+  /** Table-dir children a full rewrite-and-swap must leave standing:
+    * `_shadow` FREEZE backups and `_detached` parked partitions are
+    * independent of the live data by contract. `_deletes`/`_patches`
+    * are deliberately NOT here — the swap is their materialization
+    * point (see [[Catalog.writeReplacing]]).
+    */
+  private[operators] val PreservedSubtrees = Set("_shadow", "_detached")
+
+  /** [[Catalog.sidecarFileUris]] memo: table path -> (per-sidecar-dir
+    * file listings at compute time, referenced-file URI set). Entries
+    * are validated against a fresh listing on every lookup and evicted
+    * on every mutation; size is O(tables with outstanding sidecars).
+    */
+  private[operators] val sidecarUriCache =
+    new scala.collection.concurrent.TrieMap[
+      String, (Seq[Seq[(String, Long, Long)]], Set[String])]
 
   /** Default ceiling (bytes on disk) for broadcasting a mask/patch
     * sidecar — see [[Catalog.sidecarSide]]. Override per session with

@@ -64,7 +64,16 @@ final class FsOps(conf: Configuration) {
       .map(s => (s.getPath.getName, s.isDirectory)).sortBy(_._1)
   }
 
-  /** Every regular file under `p`, recursively: (path, bytes, mtime ms). */
+  /** Every regular file under `p`, recursively: (path, bytes, mtime ms).
+    * Paths are the FULL qualified URIs (scheme + authority) the
+    * `FileSystem` reports — what a caller must hand BACK to a reader so
+    * the read resolves against the table's own store, not
+    * `fs.defaultFS` (a scheme-less return here would make
+    * `Catalog.readSplit`'s branch scans resolve against the wrong
+    * filesystem on a cluster whose defaultFS differs from the table's).
+    * Callers that need scheme-less forms for comparison normalize
+    * explicitly (`Catalog.normUri`).
+    */
   def listFiles(p: String): Seq[(String, Long, Long)] = {
     val h = new HPath(p)
     val f = fs(h)
@@ -74,10 +83,30 @@ final class FsOps(conf: Configuration) {
       val it = f.listFiles(h, true)
       while (it.hasNext) {
         val s = it.next()
-        out += ((s.getPath.toUri.getPath, s.getLen, s.getModificationTime))
+        out += ((s.getPath.toString, s.getLen, s.getModificationTime))
       }
       out.result().sortBy(_._1)
     }
+  }
+
+  /** Fully-qualified URI string of `p` (scheme + authority filled in
+    * from `p`'s own filesystem) — the ONE normalization both sides of
+    * any path-prefix comparison must pass through: a raw `p` may be
+    * relative, scheme-less, or scheme-qualified, and a string prefix
+    * test across those forms silently fails.
+    */
+  def qualify(p: String): String = {
+    val h = new HPath(p)
+    fs(h).makeQualified(h).toString
+  }
+
+  /** Path of `p` relative to directory `dir`, with BOTH sides qualified
+    * first; None when `p` does not live under `dir`.
+    */
+  def relativeTo(dir: String, p: String): Option[String] = {
+    val qd = qualify(dir).stripSuffix("/") + "/"
+    val qp = qualify(p)
+    if (qp.startsWith(qd)) Some(qp.substring(qd.length)) else None
   }
 
   /** True when any `.parquet` file lives under `p` (sidecar existence
@@ -90,12 +119,21 @@ final class FsOps(conf: Configuration) {
     * not under any `_`-prefixed subtree (deletes/patches/detached —
     * mutation state, never data). THE one definition every consumer
     * shares (Catalog reads, parts(), SkipStats footers): a new sidecar
-    * kind changes it here or nowhere.
+    * kind changes it here or nowhere. Both paths qualify through the
+    * filesystem before the prefix strips (a bare `stripPrefix` no-ops
+    * when the two arrive in different forms — relative vs absolute vs
+    * scheme-qualified — and the underscore check would then run over
+    * ancestor directories of the table itself); a `p` outside
+    * `tableDir` is a caller bug and fails loudly rather than
+    * misclassifying.
     */
   def isDataFile(tableDir: String, p: String): Boolean =
-    p.endsWith(".parquet") &&
-      !p.stripPrefix(tableDir).stripPrefix("/").split('/')
-        .exists(_.startsWith("_"))
+    p.endsWith(".parquet") && {
+      val rel = relativeTo(tableDir, p).getOrElse(
+        throw new IllegalArgumentException(
+          s"isDataFile: '$p' is not under table dir '$tableDir'"))
+      !rel.split('/').exists(_.startsWith("_"))
+    }
 
   /** Data files under a table directory (see [[isDataFile]]), sorted. */
   def dataFilesUnder(tableDir: String): Seq[String] =

@@ -48,13 +48,16 @@ object SkipStats {
       conjuncts: Seq[Conjunct]): Seq[IndexRow] = {
     val files: Seq[String] = dataFiles(spark, tableDir)
     val conf = spark.sessionState.newHadoopConf()
+    val ops = FsOps(spark)
 
     conjuncts.flatMap { c =>
       val cond = s"${c.column} ${c.op} ${c.literal}"
       // partition-directory pruning: the column appears as col=value in
-      // the path — dir-level granule accounting (all groups of a pruned
-      // file are pruned)
-      val partVals = files.map(f => partitionValueOf(tableDir, f, c.column))
+      // the path RELATIVE to the table dir (listings are full URIs —
+      // relativize through the FS so a `col=`-shaped ancestor segment
+      // outside the table can never be read as a partition value)
+      val partVals = files.map(f =>
+        partitionValueOf(ops.relativeTo(tableDir, f).getOrElse(f), c.column))
       if (partVals.forall(_.isDefined)) {
         var total = 0L; var kept = 0L; var fKept = 0L
         files.zip(partVals).foreach { case (f, Some(v)) =>
@@ -143,9 +146,8 @@ object SkipStats {
     try reader.getFooter.getBlocks.size().toLong finally reader.close()
   }
 
-  private def partitionValueOf(root: String, f: String,
-      col: String): Option[String] =
-    f.stripPrefix(root).stripPrefix("/").split('/').toSeq
+  private def partitionValueOf(rel: String, col: String): Option[String] =
+    rel.split('/').toSeq
       .collectFirst { case seg if seg.startsWith(col + "=") =>
         seg.substring(col.length + 1) }
 

@@ -533,4 +533,163 @@ class MaskSpec extends AnyFunSuite {
     cat.attachPartition("t", Seq("lang" -> "l1")) // original comes back clean
     assert(cat.readRaw("t").filter(col("lang") === "l1").count() > 0)
   }
+
+  // ---- round 14: swap survival, URI carry, fail-closed reconciliation ----
+
+  test("FREEZE backups and detached partitions survive full-table rewrites") {
+    val cat = freshCat("survive1")
+    cat.create("t", docs(900), Seq("lang")) // lang in {l0, l1, l2}
+    val name = cat.freeze("t", Seq("lang" -> "l1"), Some("b1"))
+    assert(name == "b1")
+    cat.detachPartition("t", Seq("lang" -> "l2"))
+    val expectNoL2 = cat.readRaw("t").orderBy("id").collect().toSeq
+    // the full rewrite-and-swap family, each of which r13 destroyed the
+    // backup/parked subtrees with: OPTIMIZE (replaceContents is its
+    // engine route) and DEDUPLICATE
+    cat.replaceContents("t", cat.readRaw("t"))
+    cat.dedupMerge("t", Nil)
+    assert(cat.shadows().collect().exists(r =>
+      r.getString(0) == "t" && r.getString(1) == "b1")) // backup stands
+    assert(cat.detachedParts().collect().exists(_.getString(1) == "lang=l2"))
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expectNoL2)
+    // the parked partition comes back intact after all three rewrites
+    cat.attachPartition("t", Seq("lang" -> "l2"))
+    assert(cat.readRaw("t").count() == 900)
+    // the snapshot is still restorable: corrupt l1, restore from b1
+    cat.deleteWhere("t", col("lang") === "l1")
+    cat.restoreFrozen("t", "b1", Seq("lang" -> "l1"))
+    cat.attachPartition("t", Seq("lang" -> "l1"))
+    assert(cat.readRaw("t").count() == 900)
+    assert(cat.unfreeze("t", "b1"))
+  }
+
+  test("split read fails CLOSED when any sidecar entry matches no file") {
+    val cat = freshCat("recon1")
+    val base = spark.range(30000).select(
+      col("id"),
+      concat(lit("d"), col("id") % 30).as("day"),
+      (col("id") * 7 % 100).as("n"))
+    cat.create("t", base.repartition(30, col("day")), Seq("day"))
+    cat.deleteWhereLight("t", col("day") === "d7" && col("n") > 50)
+    val expected = cat.readRaw("t").orderBy("id").collect().toSeq
+    assert(cat.readRaw("t").queryExecution.executedPlan.toString
+      .contains("Union")) // all entries reconcile: split path
+    // an entry whose URI reconciles with NO listed file: stale or a
+    // normalization failure — indistinguishable, and in the failure
+    // case its real file would scan on the CLEAN branch, resurfacing
+    // deleted rows. The read must give up the split, not guess.
+    Seq(("file:/nowhere/phantom.parquet", 0L)).toDF("file", "pos")
+      .write.mode("append").parquet(s"${cat.root}/t/_deletes")
+    val plan = cat.readRaw("t").queryExecution.executedPlan.toString
+    assert(!plan.contains("Union")) // whole-table tagged read
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expected)
+  }
+
+  test("split-read branches carry the table's filesystem scheme") {
+    val cat = freshCat("scheme1")
+    val base = spark.range(20000).select(
+      col("id"),
+      concat(lit("d"), col("id") % 20).as("day"),
+      (col("id") * 7 % 100).as("n"))
+    cat.create("t", base.repartition(20, col("day")), Seq("day"))
+    val gone = base.filter(col("day") === "d3" && col("n") > 50).count()
+    cat.deleteWhereLight("t", col("day") === "d3" && col("n") > 50)
+    val df = cat.readRaw("t")
+    assert(df.queryExecution.executedPlan.toString.contains("Union"))
+    // the branch reads were planned from the listing's own URIs: every
+    // input file resolves with the table's scheme, independent of
+    // fs.defaultFS (locally that is file: — the assertable half of the
+    // object-store posture)
+    val inputs = df.inputFiles.toSeq
+    assert(inputs.nonEmpty && inputs.forall(_.startsWith("file:")))
+    assert(df.count() == 20000 - gone)
+  }
+
+  test("applyDeletedMask never drops a leaf it cannot re-address") {
+    val cat = freshCat("escape1")
+    // partition values with non-trivial directory encodings: ':' is
+    // stored escaped (k=a%3Ab), so the on-disk name does NOT round-trip
+    // through col === lit(dirName) — r13 inferred "zero survivors" from
+    // exactly that mismatch and deleted leaves with live rows
+    val base = spark.range(400).select(
+      col("id"), concat(lit("v:"), col("id") % 2).as("k"),
+      (col("id") % 100).as("n"))
+    cat.create("t", base, Seq("k"))
+    cat.deleteWhereLight("t", col("n") < 20) // SOME rows of each leaf
+    val expected = cat.readRaw("t").orderBy("id").collect().toSeq
+    assert(expected.size == 400 - 80)
+    cat.applyDeletedMask("t") // must take the full-rewrite fallback
+    assert(!cat.hasDeletes("t"))
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expected)
+  }
+
+  test("sidecar file-list planning job caches across reads, evicts on mutation") {
+    val cat = freshCat("cache1")
+    val base = spark.range(20000).select(
+      col("id"),
+      concat(lit("d"), col("id") % 20).as("day"),
+      (col("id") * 7 % 100).as("n"))
+    cat.create("t", base.repartition(20, col("day")), Seq("day"))
+    cat.deleteWhereLight("t", col("day") === "d5" && col("n") > 50)
+    val tp = s"${cat.root}/t"
+    val c1 = cat.readRaw("t").count()
+    // the read populated the memo...
+    val ref = graft.operators.TestAccess.sidecarUriCacheRef(tp)
+    assert(ref.nonEmpty)
+    // ...and a second read HITS it: a miss `put`s a fresh tuple, so
+    // referential identity across the reads proves the planning job ran
+    // once (the serving shape: mutations are rare, reads are not)
+    assert(cat.readRaw("t").count() == c1)
+    assert(graft.operators.TestAccess.sidecarUriCacheRef(tp).exists(
+      _ eq ref.get))
+    // a mutation evicts (and the FS-listing signature would reject the
+    // stale entry even without the evict): the next read sees net state
+    cat.deleteWhereLight("t", col("day") === "d6" && col("n") > 50)
+    assert(!graft.operators.TestAccess.sidecarUriCacheHas(tp))
+    val c2 = cat.readRaw("t").count()
+    assert(c2 < c1)
+    assert(graft.operators.TestAccess.sidecarUriCacheHas(tp))
+    // signature check alone (external writer bypassing the Catalog's
+    // evict): duplicate a mask file under a new name — same URI set,
+    // CHANGED listing. The stale tuple must not serve; the next read
+    // recomputes (fresh tuple), and the result is unchanged since the
+    // entries are identical.
+    val ref2 = graft.operators.TestAccess.sidecarUriCacheRef(tp).get
+    val maskFile = Files.walk(Paths.get(tp, "_deletes")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(maskFile, maskFile.resolveSibling("copy-" +
+      maskFile.getFileName.toString))
+    assert(cat.readRaw("t").count() == c2)
+    assert(graft.operators.TestAccess.sidecarUriCacheRef(tp).exists(
+      r => !(r eq ref2)))
+    // OPTIMIZE folds everything: sidecars gone, memo entry gone
+    cat.replaceContents("t", cat.readRaw("t"))
+    assert(!cat.hasDeletes("t"))
+    assert(!graft.operators.TestAccess.sidecarUriCacheHas(tp))
+    assert(cat.readRaw("t").count() == c2)
+  }
+
+  test("FsOps path discipline: listings qualified, isDataFile relativizes") {
+    val cat = freshCat("fsq1")
+    cat.create("t", docs(100), Seq("lang"))
+    cat.deleteWhereLight("t", col("id") === 1)
+    val fs = graft.operators.TestAccess.fsOps(cat)
+    val tableDir = s"${cat.root}/t" // scheme-less, as callers hold it
+    val listed = fs.listFiles(tableDir).map(_._1)
+    assert(listed.nonEmpty && listed.forall(_.startsWith("file:")))
+    // the data-vs-sidecar rule must hold across FORM differences:
+    // qualified listing entries against the scheme-less table dir
+    val (side, data) = listed.filter(_.endsWith(".parquet"))
+      .partition(_.contains("/_deletes/"))
+    assert(data.nonEmpty && data.forall(fs.isDataFile(tableDir, _)))
+    assert(side.nonEmpty && side.forall(!fs.isDataFile(tableDir, _)))
+    // a path OUTSIDE the table dir is a caller bug, not "data": loud
+    intercept[IllegalArgumentException] {
+      fs.isDataFile(tableDir, "file:/somewhere/else/x.parquet")
+    }
+    // relativeTo strips across forms and refuses non-descendants
+    assert(fs.relativeTo(tableDir, data.head)
+      .exists(r => !r.startsWith("/") && r.endsWith(".parquet")))
+    assert(fs.relativeTo(tableDir, "file:/somewhere/else/x.parquet").isEmpty)
+  }
 }

@@ -15,4 +15,14 @@ object TestAccess {
       efC: Int): (GraphAnn.Graph, Long) = GraphAnn.insert(g, added, m, efC)
   def searchOne(g: GraphAnn.Graph, q: Array[Float], qnorm: Double,
       ef: Int): (Array[(Long, Double)], Long) = GraphAnn.searchOne(g, q, qnorm, ef)
+  def fsOps(cat: Catalog): FsOps = cat.fs
+  def sidecarUriCacheSize: Int = Catalog.sidecarUriCache.size
+  def sidecarUriCacheHas(tablePath: String): Boolean =
+    Catalog.sidecarUriCache.contains(tablePath)
+  def sidecarUriCacheEntry(tablePath: String): Option[Set[String]] =
+    Catalog.sidecarUriCache.get(tablePath).map(_._2)
+  // the raw stored tuple — a cache HIT leaves it referentially intact,
+  // a miss `put`s a fresh one, so `eq` across two reads proves the hit
+  def sidecarUriCacheRef(tablePath: String): Option[AnyRef] =
+    Catalog.sidecarUriCache.get(tablePath)
 }
