@@ -68,10 +68,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   private def invalidateProjections(table: String): Unit = {
     org.apache.spark.sql.graft.ProjectionCatalog.invalidate(path(table))
-    // sidecar-list cache hygiene: the signature check alone keeps hits
+    // sidecar-memo hygiene: the signature checks alone keep hits
     // correct, but a dropped/killed sidecar would otherwise leave its
-    // last entry in the map forever
+    // last entry in the maps forever
     Catalog.sidecarUriCache.remove(path(table))
+    Catalog.maskProbeCache.remove(path(table))
     ()
   }
 
@@ -93,9 +94,72 @@ final case class Catalog(spark: SparkSession, root: String) {
     // sidecar-free fast path: referencing `_metadata` forces the scan to
     // materialize row indices even after a drop (Catalyst keeps the
     // generated columns), so clean tables — the overwhelmingly common
-    // case — must never pay it (MaskSpec pins the plan)
-    if (!hasDeletes(table) && !hasPatches(table)) spark.read.parquet(path(table))
-    else readSplit(table)
+    // case — must never pay it (MaskSpec pins the plan). The probe is
+    // two directory stats, NOT a listing: a clean table's construction
+    // must stay O(1) driver-side.
+    if (!fs.isDir(deletesDir(table)) && !fs.isDir(patchesDir(table)))
+      spark.read.parquet(path(table))
+    else {
+      val s = snap(table)
+      if (s.maskParquet.isEmpty && s.batches.isEmpty)
+        spark.read.parquet(path(table))
+      else readSplit(table, s)
+    }
+
+  /** One recursive listing of the table tree, partitioned into what a
+    * read construction consumes. Construction used to re-list the
+    * sidecar dirs five times per read (hasDeletes, the URI-memo
+    * signature, the mask-apply presence + bytes, the probe-memo
+    * signature) — at a few ms per driver-side file stat that was the
+    * dominant cost of building a masked read (ListingSoak: ~2 s of a
+    * 2.4 s construction). All consumers now share THIS listing; on an
+    * object store it is also the difference between one LIST call and
+    * six.
+    *
+    * `mask` is every file under `_deletes` (the memo signatures want
+    * non-parquet companions like _SUCCESS too — they change per write);
+    * `batches` are the `_patches/seq=N` dirs in sequence order with
+    * their own sub-listings; `data` is the [[FsOps.isDataFile]] subset.
+    */
+  private final case class Snap(
+      data: Seq[(String, Long, Long)],
+      mask: Seq[(String, Long, Long)],
+      batches: Seq[(String, Seq[(String, Long, Long)])]) {
+    def maskParquet: Seq[(String, Long, Long)] =
+      mask.filter(_._1.endsWith(".parquet"))
+  }
+
+  private def snap(table: String): Snap = {
+    val tdir = path(table)
+    val qd = fs.qualify(tdir).stripSuffix("/") + "/"
+    val data = Seq.newBuilder[(String, Long, Long)]
+    val mask = Seq.newBuilder[(String, Long, Long)]
+    val batches = scala.collection.mutable.SortedMap.empty[Long,
+      scala.collection.mutable.Builder[(String, Long, Long),
+        Seq[(String, Long, Long)]]]
+    fs.listFiles(tdir).foreach { case e @ (p, _, _) =>
+      // listings come back qualified from the same FileSystem `qd` was
+      // qualified through, so the prefix strip is exact; relativeTo is
+      // the defensive fallback for an FS that returns a variant form
+      val rel = if (p.startsWith(qd)) p.substring(qd.length)
+        else fs.relativeTo(tdir, p).getOrElse(
+          throw new IllegalStateException(
+            s"snap: listed '$p' does not relativize under '$tdir'"))
+      val segs = rel.split('/')
+      if (segs.head == "_deletes") mask += e
+      else if (segs.head == "_patches" && segs.length >= 2 &&
+          segs(1).startsWith("seq="))
+        segs(1).stripPrefix("seq=").toLongOption.foreach { n =>
+          batches.getOrElseUpdate(n, Seq.newBuilder) += e
+        }
+      else if (p.endsWith(".parquet") && !segs.exists(_.startsWith("_")))
+        data += e
+    }
+    Snap(data.result(), mask.result(),
+      batches.toSeq.map { case (n, b) =>
+        (s"${patchesDir(table)}/seq=$n", b.result())
+      })
+  }
 
   /** Masked/patched read with FILE-level pruning of the sidecar tax:
     * only files a mask/patch entry actually references pay the
@@ -111,16 +175,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     * split: at that size the whole-table tag is cheaper than the extra
     * planning job.
     */
-  private def readSplit(table: String): DataFrame = {
+  private def readSplit(table: String, s: Snap): DataFrame = {
     // full qualified URIs from the listing (scheme + authority) — the
     // branch reads below hand these to spark.read verbatim, so they
     // resolve against the TABLE'S filesystem even when `fs.defaultFS`
     // points elsewhere; only the comparison against sidecar
     // `_metadata.file_path` values normalizes to scheme-less form
-    val all = dataFilePaths(table)
+    val all = s.data.map(_._1)
     if (all.length < Catalog.SplitReadMinFiles)
-      return readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
-    val dirtyUris = sidecarFileUris(table)
+      return readTagged(table, s).drop(Catalog.FileCol, Catalog.PosCol)
+    val dirtyUris = sidecarFileUris(table, s)
     val allNorm = all.map(normUri).toSet
     // Fail CLOSED on ANY sidecar URI that matches no listed file — not
     // just on an all-empty match. An unmatched entry is either stale
@@ -132,7 +196,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     // tagged read is correct for both cases — it just skips the
     // optimization (stale entries anti-join nothing there).
     if (dirtyUris.isEmpty || !dirtyUris.subsetOf(allNorm))
-      return readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
+      return readTagged(table, s).drop(Catalog.FileCol, Catalog.PosCol)
     val dirty = all.filter(p => dirtyUris.contains(normUri(p)))
     val clean = all.diff(dirty)
     val base = fs.qualify(path(table))
@@ -140,8 +204,9 @@ final case class Catalog(spark: SparkSession, root: String) {
       .parquet(dirty: _*)
       .withColumn(Catalog.FileCol, col("_metadata.file_path"))
       .withColumn(Catalog.PosCol, col("_metadata.row_index"))
-    val dirtyDf = applyPatches(table, applyMask(table, tagged))
-      .drop(Catalog.FileCol, Catalog.PosCol)
+    val dirtyDf =
+      applyPatches(table, applyMask(table, tagged, s.mask), s.batches)
+        .drop(Catalog.FileCol, Catalog.PosCol)
     if (clean.isEmpty) dirtyDf
     else {
       val cleanDf = spark.read.option("basePath", base)
@@ -154,7 +219,8 @@ final case class Catalog(spark: SparkSession, root: String) {
         dirtyDf.schema.zip(cleanDf.schema).forall { case (a, b) =>
           org.apache.spark.sql.graft.Bridge.sameType(a.dataType, b.dataType)
         }
-      if (!compatible) readTagged(table).drop(Catalog.FileCol, Catalog.PosCol)
+      if (!compatible)
+        readTagged(table, s).drop(Catalog.FileCol, Catalog.PosCol)
       else dirtyDf.unionByName(cleanDf)
     }
   }
@@ -169,35 +235,27 @@ final case class Catalog(spark: SparkSession, root: String) {
     }
   }
 
-  /** Data files of the table (sidecar subtrees excluded), as FULL
-    * qualified URIs — readable verbatim against the table's own store;
-    * compare to sidecar `file_path` values via [[normUri]] only.
-    */
-  private def dataFilePaths(table: String): Seq[String] =
-    fs.dataFilesUnder(path(table))
-
   /** Distinct files referenced by any outstanding mask/patch entry,
     * normalized to scheme-less paths ([[normUri]] — `file_path` values
     * carry a scheme, and object-store listings an authority, that the
     * comparison must not depend on).
     *
-    * Cached per table, keyed on the sidecar directories' own file
-    * listings (path, bytes, mtime): the distinct-collect is a small but
-    * real driver-side Spark job, and a masked/patched read pays it at
-    * PLANNING time — on a serving path that reads the same net state
-    * repeatedly (the common shape: mutations are rare, reads are not)
-    * the job would otherwise run per read. The signature is an FS
-    * listing per sidecar dir — O(sidecar files) driver-side metadata,
-    * no Spark job — and any mutation changes it (fresh UUID file names;
+    * Cached per table, keyed on the sidecar listings already taken by
+    * the construction's [[snap]] (path, bytes, mtime): the
+    * distinct-collect is a small but real driver-side Spark job, and a
+    * masked/patched read pays it at PLANNING time — on a serving path
+    * that reads the same net state repeatedly (the common shape:
+    * mutations are rare, reads are not) the job would otherwise run per
+    * read. Any mutation changes the signature (fresh UUID file names;
     * folds add + remove files), so a hit is always current state.
     */
-  private def sidecarFileUris(table: String): Set[String] = {
+  private def sidecarFileUris(table: String, s: Snap): Set[String] = {
     val sides =
-      (if (hasDeletes(table)) Seq(deletesDir(table)) else Nil) ++
-        patchBatches(table)
-    val sig = sides.map(d => fs.listFiles(d))
+      (if (s.maskParquet.nonEmpty) Seq(deletesDir(table)) else Nil) ++
+        s.batches.map(_._1)
+    val sig = s.mask +: s.batches.map(_._2)
     Catalog.sidecarUriCache.get(path(table)) match {
-      case Some((s, uris)) if s == sig => uris
+      case Some((c, uris)) if c == sig => uris
       case _ =>
         val uris = sides.flatMap(d => spark.read.parquet(d)
           .select("file").distinct()
@@ -213,11 +271,14 @@ final case class Catalog(spark: SparkSession, root: String) {
     * predicate evaluates against (a `DELETE WHERE status = 'closed'`
     * must see a status a lightweight update patched in).
     */
-  private def readTagged(table: String): DataFrame = {
+  private def readTagged(table: String): DataFrame =
+    readTagged(table, snap(table))
+
+  private def readTagged(table: String, s: Snap): DataFrame = {
     val scan = spark.read.parquet(path(table))
       .withColumn(Catalog.FileCol, col("_metadata.file_path"))
       .withColumn(Catalog.PosCol, col("_metadata.row_index"))
-    applyPatches(table, applyMask(table, scan))
+    applyPatches(table, applyMask(table, scan, s.mask), s.batches)
   }
 
   /** Join-strategy hint for a sidecar frame, sized by its on-disk bytes
@@ -240,22 +301,29 @@ final case class Catalog(spark: SparkSession, root: String) {
     *     this large is the signal to OPTIMIZE (fold it into the parts).
     */
   private def sidecarSide(df: DataFrame, bytes: Long): DataFrame = {
+    val (thr, cap) = sidecarThresholds
+    if (thr <= 0) df
+    else if (bytes <= math.max(thr, cap)) broadcast(df)
+    else df.hint("shuffle_hash")
+  }
+
+  /** (autoBroadcastJoinThreshold, graft sidecar cap) in bytes — the one
+    * policy pair [[sidecarSide]] and the grouped mask probe share.
+    */
+  private def sidecarThresholds: (Long, Long) = {
     def parse(raw: String, dflt: Long): Long =
       // plain longs include "-1" (broadcast disabled) — byteStringAsBytes
       // rejects negatives, so parse numerics first
       raw.trim.toLongOption.getOrElse(
         try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
         catch { case _: IllegalArgumentException => dflt })
-    val thr = parse(
+    (parse(
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
-      10L * 1024 * 1024)
-    val cap = parse(
-      spark.conf.get("spark.graft.sidecarBroadcastBytes",
-        Catalog.DefaultSidecarBroadcastBytes.toString),
-      Catalog.DefaultSidecarBroadcastBytes)
-    if (thr <= 0) df
-    else if (bytes <= math.max(thr, cap)) broadcast(df)
-    else df.hint("shuffle_hash")
+      10L * 1024 * 1024),
+      parse(
+        spark.conf.get("spark.graft.sidecarBroadcastBytes",
+          Catalog.DefaultSidecarBroadcastBytes.toString),
+        Catalog.DefaultSidecarBroadcastBytes))
   }
 
   // ---- lightweight deletes (deletion-vector mask sidecar) ---------------
@@ -287,14 +355,75 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(table)
   }
 
-  /** Anti-join a tagged scan against the table's mask sidecar. */
+  /** Apply the table's deletion mask to a tagged scan. Two shapes:
+    *
+    *   - mask within the broadcast policy ([[sidecarThresholds]]): a
+    *     GROUPED PROBE — the mask folded to Map[file -> sorted position
+    *     array], broadcast once, each fact row filtered by a binary
+    *     search. The per-file representation carries each path string
+    *     ONCE (the join's build side carries it per masked row — at a
+    *     30 % mask of an 8 M-row table that is ~288 MB of strings vs
+    *     ~18 MB grouped, and the oversized build forces the whole fact
+    *     through a shuffle). MaskProbeSoak: masked reads at the CLEAN
+    *     floor across 1–30 % masks (anti-join paid 2.2–6.7x); the fold
+    *     is one mask-only job, cached like the file list
+    *     ([[Catalog.maskProbeCache]], same listing-signature key).
+    *   - broadcasting disabled (`autoBroadcastJoinThreshold <= 0`) or
+    *     mask beyond the cap: the LEFT ANTI join on (file, pos),
+    *     shuffle-sided by [[sidecarSide]] — the probe must not smuggle
+    *     an unbounded driver collect past the user's knob, and a mask
+    *     past the cap is the signal to OPTIMIZE anyway.
+    */
   private def applyMask(table: String, scan: DataFrame): DataFrame =
-    if (!hasDeletes(table)) scan
+    applyMask(table, scan, fs.listFiles(deletesDir(table)))
+
+  private def applyMask(table: String, scan: DataFrame,
+      maskListing: Seq[(String, Long, Long)]): DataFrame = {
+    val parquets = maskListing.filter(_._1.endsWith(".parquet"))
+    if (parquets.isEmpty) scan
     else {
-      val m = spark.read.parquet(deletesDir(table))
-        .select(col("file").as(Catalog.FileCol), col("pos").as(Catalog.PosCol))
-      scan.join(sidecarSide(m, fs.treeBytes(deletesDir(table))),
-        Seq(Catalog.FileCol, Catalog.PosCol), "left_anti")
+      val bytes = parquets.map(_._2).sum
+      val (thr, cap) = sidecarThresholds
+      if (thr > 0 && bytes <= math.max(thr, cap)) {
+        val bc = maskProbeGroups(table, maskListing)
+        val live = udf((f: String, p: Long) => {
+          val a = bc.value.getOrElse(f, null)
+          a == null || java.util.Arrays.binarySearch(a, p) < 0
+        })
+        scan.filter(live(col(Catalog.FileCol), col(Catalog.PosCol)))
+      } else {
+        val m = spark.read.parquet(deletesDir(table))
+          .select(col("file").as(Catalog.FileCol),
+            col("pos").as(Catalog.PosCol))
+        scan.join(sidecarSide(m, bytes),
+          Seq(Catalog.FileCol, Catalog.PosCol), "left_anti")
+      }
+    }
+  }
+
+  /** The grouped deletion mask (file -> sorted masked positions) as a
+    * broadcast, memoized per table on the `_deletes` listing signature
+    * (same scheme as [[sidecarFileUris]]: any mutation writes/removes
+    * sidecar files, so a signature hit is always current state; evicted
+    * eagerly by [[invalidateProjections]], stale broadcasts are
+    * unreferenced and fall to the ContextCleaner). Driver memory is
+    * bounded by the broadcast policy gate in [[applyMask]] — the
+    * grouped form is strictly smaller than the mask parquet it folds.
+    */
+  private def maskProbeGroups(table: String,
+      sig: Seq[(String, Long, Long)])
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] =
+    Catalog.maskProbeCache.get(path(table)) match {
+      case Some((s, bc)) if s == sig => bc
+      case _ =>
+        val grouped = spark.read.parquet(deletesDir(table))
+          .groupBy("file")
+          .agg(sort_array(collect_list(col("pos"))).as("ps"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+        val bc = spark.sparkContext.broadcast(grouped)
+        Catalog.maskProbeCache.put(path(table), (sig, bc))
+        bc
     }
 
   // ---- lightweight updates (patch-part sidecar) --------------------------
@@ -376,7 +505,12 @@ final case class Catalog(spark: SparkSession, root: String) {
     * into one.
     */
   private def applyPatches(table: String, df0: DataFrame): DataFrame =
-    patchBatches(table).foldLeft(df0) { (df, dir) =>
+    applyPatches(table, df0,
+      patchBatches(table).map(d => (d, fs.listFiles(d))))
+
+  private def applyPatches(table: String, df0: DataFrame,
+      batches: Seq[(String, Seq[(String, Long, Long)])]): DataFrame =
+    batches.foldLeft(df0) { case (df, (dir, listing)) =>
       val p = spark.read.parquet(dir)
       val cols = p.columns.toSeq
       val assigned = cols.filterNot(c =>
@@ -390,7 +524,7 @@ final case class Catalog(spark: SparkSession, root: String) {
                  Seq(col(Catalog.SetPrefix + c).as(s"__patch_set_$c"))
                else Nil)
           }: _*)
-      df.join(sidecarSide(pr, fs.treeBytes(dir)),
+      df.join(sidecarSide(pr, listing.map(_._2).sum),
           Seq(Catalog.FileCol, Catalog.PosCol), "left")
         .select(df.columns.toIndexedSeq.map { c =>
           if (assigned.contains(c)) {
@@ -1210,6 +1344,16 @@ object Catalog {
   private[operators] val sidecarUriCache =
     new scala.collection.concurrent.TrieMap[
       String, (Seq[Seq[(String, Long, Long)]], Set[String])]
+
+  /** [[Catalog.maskProbeGroups]] memo: table path -> (`_deletes` file
+    * listing at compute time, broadcast grouped mask). Same validity
+    * scheme as [[sidecarUriCache]]; size is O(tables with outstanding
+    * masks) entries, each bounded by the broadcast policy.
+    */
+  private[operators] val maskProbeCache =
+    new scala.collection.concurrent.TrieMap[String,
+      (Seq[(String, Long, Long)],
+        org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])]
 
   /** Default ceiling (bytes on disk) for broadcasting a mask/patch
     * sidecar — see [[Catalog.sidecarSide]]. Override per session with

@@ -73,6 +73,15 @@ final class FsOps(conf: Configuration) {
     * filesystem on a cluster whose defaultFS differs from the table's).
     * Callers that need scheme-less forms for comparison normalize
     * explicitly (`Catalog.normUri`).
+    *
+    * Deliberately a `listStatus` recursion, NOT `FileSystem.listFiles
+    * (recursive)`: the latter returns LocatedFileStatus — block
+    * locations no caller here uses, and on LocalFileSystem computing
+    * them costs ~6 ms PER FILE (ListingSoak: 0.6 s vs 5 ms for the
+    * same 92-file tree), which was the dominant cost of constructing a
+    * masked read. On an object store the trade is one LIST per
+    * directory instead of one flat LIST — directory counts in our
+    * layouts are partition-bounded, and no fake locations are fetched.
     */
   def listFiles(p: String): Seq[(String, Long, Long)] = {
     val h = new HPath(p)
@@ -80,9 +89,13 @@ final class FsOps(conf: Configuration) {
     if (!f.exists(h)) Nil
     else {
       val out = Seq.newBuilder[(String, Long, Long)]
-      val it = f.listFiles(h, true)
-      while (it.hasNext) {
-        val s = it.next()
+      def walk(d: HPath): Unit = f.listStatus(d).foreach { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else out += ((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+      if (f.getFileStatus(h).isDirectory) walk(h)
+      else {
+        val s = f.getFileStatus(h)
         out += ((s.getPath.toString, s.getLen, s.getModificationTime))
       }
       out.result().sortBy(_._1)

@@ -669,6 +669,74 @@ class MaskSpec extends AnyFunSuite {
     assert(cat.readRaw("t").count() == c2)
   }
 
+  test("grouped mask probe: join-free under the cap, exact vs heavy twin") {
+    val cat = freshCat("probe1")
+    cat.create("light", docs(5000))
+    cat.create("heavy", docs(5000))
+    val pred = col("id") % 3 === 0 || col("n") > 80
+    cat.deleteWhereLight("light", pred)
+    cat.deleteWhere("heavy", pred)
+    // under the broadcast policy the mask applies as a broadcast grouped
+    // probe (binary search over per-file sorted positions), NOT a join:
+    // the fact side never builds or shuffles anything
+    val df = cat.readRaw("light")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+    assert(df.orderBy("id").collect().toSeq ==
+      cat.readRaw("heavy").orderBy("id").collect().toSeq)
+    // the grouped representation itself: every file's positions sorted
+    // (the binary-search contract), total entries = masked rows
+    val m = graft.operators.TestAccess.maskProbeEntry(s"${cat.root}/light").get
+    assert(m.values.forall(a => a.sameElements(a.sorted)))
+    assert(m.values.map(_.length.toLong).sum == 5000 - cat.readRaw("light").count())
+    // probe composes across further deletes and with patches
+    cat.deleteWhereLight("light", col("id") === 4)
+    cat.deleteWhere("heavy", col("id") === 4)
+    cat.updateWhereLight("light", col("id") === 7, Map("n" -> lit(-1)))
+    cat.updateWhere("heavy", col("id") === 7, Map("n" -> lit(-1)))
+    assert(cat.readRaw("light").orderBy("id").collect().toSeq ==
+      cat.readRaw("heavy").orderBy("id").collect().toSeq)
+  }
+
+  test("grouped mask probe honors the broadcast knobs and caches per epoch") {
+    val cat = freshCat("probe2")
+    cat.create("t", docs(4000))
+    cat.deleteWhereLight("t", col("id") % 5 === 0)
+    val tp = s"${cat.root}/t"
+    val expect = cat.readRaw("t").orderBy("id").collect().toSeq
+    assert(expect.size == 3200)
+    // cache: one fold per mask epoch — the second read reuses the same
+    // broadcast tuple (a miss would put a fresh one)
+    val ref = graft.operators.TestAccess.maskProbeRef(tp)
+    assert(ref.nonEmpty)
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expect)
+    assert(graft.operators.TestAccess.maskProbeRef(tp).exists(_ eq ref.get))
+    // a further delete evicts; the next read folds the new epoch
+    cat.deleteWhereLight("t", col("id") === 1)
+    assert(!graft.operators.TestAccess.maskProbeRef(tp).isDefined)
+    assert(cat.readRaw("t").count() == 3199)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcasting disabled: the probe must not smuggle a broadcast
+      // past the knob — the mask falls back to the un-hinted anti-join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = cat.readRaw("t").queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("join") &&
+        !plan.contains("BroadcastHashJoin"))
+      assert(cat.readRaw("t").count() == 3199)
+      // over the cap: shuffle_hash anti-join, never a fact-side sort
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      spark.conf.set("spark.graft.sidecarBroadcastBytes", "1")
+      val plan2 = cat.readRaw("t").queryExecution.executedPlan.toString
+      assert(plan2.contains("ShuffledHashJoin") &&
+        !plan2.contains("SortMergeJoin"))
+      assert(cat.readRaw("t").count() == 3199)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.sidecarBroadcastBytes")
+    }
+  }
+
   test("FsOps path discipline: listings qualified, isDataFile relativizes") {
     val cat = freshCat("fsq1")
     cat.create("t", docs(100), Seq("lang"))

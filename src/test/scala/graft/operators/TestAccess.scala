@@ -25,4 +25,8 @@ object TestAccess {
   // a miss `put`s a fresh one, so `eq` across two reads proves the hit
   def sidecarUriCacheRef(tablePath: String): Option[AnyRef] =
     Catalog.sidecarUriCache.get(tablePath)
+  def maskProbeRef(tablePath: String): Option[AnyRef] =
+    Catalog.maskProbeCache.get(tablePath)
+  def maskProbeEntry(tablePath: String): Option[Map[String, Array[Long]]] =
+    Catalog.maskProbeCache.get(tablePath).map(_._2.value)
 }
