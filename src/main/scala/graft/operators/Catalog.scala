@@ -340,9 +340,10 @@ final case class Catalog(spark: SparkSession, root: String) {
     * O(matches) mask bytes WRITTEN; zero data bytes rewritten, so a
     * high-QPS delete workload inside one partition never pays a partition
     * rewrite (MaskSoak measures the gap vs the pruned rewrite). Every
-    * read path applies the mask via a hash LEFT ANTI join on (file, pos)
-    * — broadcast while the mask side clears the session threshold, the
-    * cost CH pays too. Masks accumulate until a heavy rewrite of the
+    * read path applies the mask via [[applyMask]] — a broadcast grouped
+    * probe while the mask clears the broadcast policy, the (file, pos)
+    * LEFT ANTI join beyond it — the filter-before-serve cost CH pays
+    * too. Masks accumulate until a heavy rewrite of the
     * same rows materializes them (OPTIMIZE / compact / ALTER mutations —
     * CH: until the part merges). The sidecar directory is `_`-prefixed,
     * which Spark's file listing and partition discovery skip, so it can

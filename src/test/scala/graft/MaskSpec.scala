@@ -12,7 +12,8 @@ import graft.operators.{Catalog, ChDdl}
 /** Deletion-vector lightweight deletes (r11 verdict item 1): CH's
   * `DELETE FROM t WHERE p` writes a `_row_exists` mask instead of
   * rewriting parts — [[Catalog.deleteWhereLight]] is the graft analog
-  * (a `_deletes` (file, pos) sidecar every read anti-joins away).
+  * (a `_deletes` (file, pos) sidecar every read filters away — a
+  * broadcast grouped probe under the policy cap, an anti-join beyond).
   * The contract pinned here:
   *
   *   1. the delete leaves every DATA file byte-untouched (mtime+size) —
@@ -377,7 +378,7 @@ class MaskSpec extends AnyFunSuite {
     // identical results through the split read
     assert(cat.readRaw("t").orderBy("id").collect().toSeq ==
       cat.readRaw("twin").orderBy("id").collect().toSeq)
-    // plan shape: a union of (dirty scan + anti-join) with a CLEAN scan
+    // plan shape: a union of (dirty scan + mask probe) with a CLEAN scan
     // that never materializes row indices and covers the other 29 dirs
     val plan = cat.readRaw("t").queryExecution.executedPlan.toString
     assert(plan.contains("Union"))
