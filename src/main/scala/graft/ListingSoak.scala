@@ -84,6 +84,21 @@ object ListingSoak {
       t("exec fresh count")(cat.readRaw("t").count())
       println(s"    (fullRead cols ${fullRead.schema.size})")
     }
+
+    // file-count scaling: the one listing a masked-read construction
+    // pays is O(files) driver-side — measure the per-file cost at a
+    // file count closer to a real partitioned table's
+    val wide = spark.range(2000000).select(
+      col("id"), concat(lit("p"), col("id") % 100).as("p"),
+      (col("id") % 97).as("n"))
+      .repartition(200)
+    cat.create("wide", wide, partitionBy = Seq("p"))
+    cat.deleteWhereLight("wide", col("n") === 13)
+    cat.readRaw("wide").count() // warm
+    val files = graft.operators.FsOps(spark)
+      .dataFilesUnder(s"$root/wide").size
+    t(s"wide ($files files) readRaw construction")(cat.readRaw("wide"))
+    t(s"wide ($files files) fresh masked count")(cat.readRaw("wide").count())
     spark.stop()
   }
 }

@@ -1,0 +1,96 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{
+  FileStatusCache, HadoopFsRelation, LogicalRelation,
+  PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** A parquet scan over an EXPLICIT, pre-listed subset of a table's
+  * files — with zero filesystem I/O at plan time beyond one footer
+  * read for the data schema.
+  *
+  * `spark.read.parquet(files: _*)` treats every file as a ROOT path:
+  * building its InMemoryFileIndex stats/lists each root (a distributed
+  * listing job past 32 paths) at ~0.8 ms per file — ListingSoak
+  * measured 14-16 s to PLAN a 17k-file branch read, twice per split
+  * (dirty + clean), while the table's one recursive listing that
+  * produced those very paths took under a second. This index instead
+  * SERVES the listing the caller already holds (`Catalog.snap` takes
+  * exactly one per masked-read construction), so split-read planning
+  * is O(1) filesystem work at any file count.
+  *
+  * Partition values are inferred from the file paths against `base`
+  * with Spark's own [[PartitioningAwareFileIndex.inferPartitioning]] —
+  * the same inference `spark.read` runs, so the split read's two
+  * branches cannot disagree more than two `spark.read`s would (and the
+  * caller's schema-compatibility guard stays as the backstop).
+  * Partition pruning works as usual: the parent's `listFiles` applies
+  * partition filters against the inferred spec, so a day-scoped query
+  * over a masked table still scans one day's files.
+  */
+object PreListedScan {
+
+  private final class PreListedFileIndex(
+      spark: SparkSession,
+      base: Path,
+      leaves: Seq[FileStatus])
+    extends PartitioningAwareFileIndex(
+      spark, Map("basePath" -> base.toString), None,
+      FileStatusCache.getOrCreate(spark)) {
+
+    override def rootPaths: Seq[Path] = Seq(base)
+
+    override val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+      val m = mutable.LinkedHashMap.empty[Path, FileStatus]
+      leaves.foreach(f => m(f.getPath) = f)
+      m
+    }
+
+    override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+      leaves.groupBy(_.getPath.getParent)
+        .map { case (d, fs) => d -> fs.toArray }
+
+    private lazy val spec: PartitionSpec = inferPartitioning()
+    override def partitionSpec(): PartitionSpec = spec
+
+    override def refresh(): Unit = ()
+  }
+
+  /** DataFrame over exactly `files` (path, bytes, mtime — a
+    * [[graft.operators.FsOps.listFiles]] subset) under table root
+    * `base`. The listing is trusted as-is; a stale entry surfaces as a
+    * read error exactly as it would from a stale `InMemoryFileIndex`.
+    */
+  def parquet(spark: SparkSession, base: String,
+      files: Seq[(String, Long, Long)]): DataFrame = {
+    val statuses = files.map { case (p, len, mtime) =>
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, new Path(p))
+    }
+    val index = new PreListedFileIndex(spark, new Path(base), statuses)
+    val format = new ParquetFileFormat
+    val dataSchema: StructType = format
+      .inferSchema(spark, Map("mergeSchema" -> "false"), statuses)
+      .getOrElse(throw new IllegalArgumentException(
+        s"PreListedScan: could not infer a parquet schema under '$base' " +
+          s"from ${files.size} files"))
+      // spark.read relaxes file-source schemas to nullable (a footer may
+      // say `required`, but other files of the set may not) — match it,
+      // or the split read's branches disagree on nullability
+      .asNullable
+    val relation = HadoopFsRelation(
+      index,
+      partitionSchema = index.partitionSpec().partitionColumns,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = format,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LogicalRelation(relation, isStreaming = false))
+  }
+}

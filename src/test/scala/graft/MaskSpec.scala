@@ -738,6 +738,49 @@ class MaskSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy rewrite prunes sidecar entries: split read STAYS available") {
+    // the fail-closed rule (any unreconciled entry -> whole-table tagged
+    // read) leans on rewrites pruning the entries they materialize; if a
+    // stale entry survived, every later read would silently degrade to
+    // the tagged read — correct but O(table). Pin the interplay: after a
+    // heavy mutation ON TOP of lightweight ones, the remaining entries
+    // all reconcile and the read still takes the split plan.
+    val cat = freshCat("prune1")
+    val base = spark.range(20000).select(
+      col("id"),
+      concat(lit("d"), col("id") % 20).as("day"),
+      (col("id") * 7 % 100).as("n"))
+    cat.create("t", base.repartition(20, col("day")), Seq("day"))
+    cat.deleteWhereLight("t", col("day") === "d3" && col("n") > 50)
+    cat.updateWhereLight("t", col("day") === "d5" && col("n") < 40,
+      Map("n" -> lit(-1)))
+    // heavy mutation rewrites d3 and d5 (and only them): the mask and
+    // patch entries under both leaves materialize and must be pruned.
+    // (n = id*7 % 100 is constant-parity within a day — predicates here
+    // are chosen to MATCH; a no-match mutation early-returns untouched.)
+    cat.deleteWhere("t", (col("day") === "d3" || col("day") === "d5") &&
+      col("n") < 45)
+    // d3/d5 fully materialized: no outstanding entries -> CLEAN plan
+    assert(!cat.hasDeletes("t") && !cat.hasPatches("t"))
+    val plan0 = cat.readRaw("t").queryExecution.executedPlan.toString
+    assert(!plan0.contains("Union") && !plan0.toLowerCase.contains("join"))
+    // new lightweight delete on d7: the split must come back (one dirty
+    // leaf), proving no stale d3/d5 entry is poisoning reconciliation
+    cat.deleteWhereLight("t", col("day") === "d7" && col("n") > 50)
+    val df = cat.readRaw("t")
+    assert(df.queryExecution.executedPlan.toString.contains("Union"))
+    // and the net state is exact vs a from-scratch recompute
+    val expect = base
+      .filter(!(col("day") === "d3" && col("n") > 50))
+      .withColumn("n", when(col("day") === "d5" && col("n") < 40, -1)
+        .otherwise(col("n")))
+      .filter(!((col("day") === "d3" || col("day") === "d5") &&
+        col("n") < 45))
+      .filter(!(col("day") === "d7" && col("n") > 50))
+    assert(df.select("id", "day", "n").orderBy("id").collect().toSeq ==
+      expect.select("id", "day", "n").orderBy("id").collect().toSeq)
+  }
+
   test("FsOps path discipline: listings qualified, isDataFile relativizes") {
     val cat = freshCat("fsq1")
     cat.create("t", docs(100), Seq("lang"))
