@@ -152,8 +152,7 @@ final case class Catalog(spark: SparkSession, root: String) {
         segs(1).stripPrefix("seq=").toLongOption.foreach { n =>
           batches.getOrElseUpdate(n, Seq.newBuilder) += e
         }
-      else if (p.endsWith(".parquet") && !segs.exists(_.startsWith("_")))
-        data += e
+      else if (fs.isDataRel(rel)) data += e
     }
     Snap(data.result(), mask.result(),
       batches.toSeq.map { case (n, b) =>
@@ -194,7 +193,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     // references would otherwise scan on the CLEAN branch and its
     // deleted rows resurface / patches drop silently. The whole-table
     // tagged read is correct for both cases — it just skips the
-    // optimization (stale entries anti-join nothing there).
+    // optimization (stale entries filter nothing there).
     if (dirtyUris.isEmpty || !dirtyUris.subsetOf(allNorm))
       return readTagged(table, s).drop(Catalog.FileCol, Catalog.PosCol)
     val dirty = s.data.filter(e => dirtyUris.contains(normUri(e._1)))

@@ -145,8 +145,15 @@ final class FsOps(conf: Configuration) {
       val rel = relativeTo(tableDir, p).getOrElse(
         throw new IllegalArgumentException(
           s"isDataFile: '$p' is not under table dir '$tableDir'"))
-      !rel.split('/').exists(_.startsWith("_"))
+      isDataRel(rel)
     }
+
+  /** The data-file rule on an already-relativized path — shared with
+    * callers that hold the table-relative form from their own listing
+    * pass (`Catalog.snap`), so the rule stays defined ONCE.
+    */
+  def isDataRel(rel: String): Boolean =
+    rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))
 
   /** Data files under a table directory (see [[isDataFile]]), sorted. */
   def dataFilesUnder(tableDir: String): Seq[String] =

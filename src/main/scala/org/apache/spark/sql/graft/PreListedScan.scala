@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.datasources.{
-  FileStatusCache, HadoopFsRelation, LogicalRelation,
+  HadoopFsRelation, LogicalRelation, NoopCache,
   PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
@@ -41,7 +41,9 @@ object PreListedScan {
       leaves: Seq[FileStatus])
     extends PartitioningAwareFileIndex(
       spark, Map("basePath" -> base.toString), None,
-      FileStatusCache.getOrCreate(spark)) {
+      // the parent's cache is only consulted by ITS listing flows, all
+      // overridden here — the noop states that nothing is cached
+      NoopCache) {
 
     override def rootPaths: Seq[Path] = Seq(base)
 

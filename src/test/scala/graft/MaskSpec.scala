@@ -781,6 +781,30 @@ class MaskSpec extends AnyFunSuite {
       expect.select("id", "day", "n").orderBy("id").collect().toSeq)
   }
 
+  test("split read on an UNPARTITIONED table: pre-listed branches, exact") {
+    // the branch reads must work without any partition directories —
+    // PreListedScan's partition inference yields an empty spec and the
+    // union still reconciles
+    val cat = freshCat("flat1")
+    val base = spark.range(30000).select(
+      col("id"), (col("id") * 7 % 100).as("n"))
+    // range-partitioned files so a predicate can dirty a SUBSET
+    cat.create("t", base.repartitionByRange(24, col("id")))
+    cat.create("twin", base.repartitionByRange(24, col("id")))
+    val pred = col("id") < 1000 && col("n") > 50
+    cat.deleteWhereLight("t", pred)
+    cat.deleteWhere("twin", pred)
+    val df = cat.readRaw("t")
+    assert(df.queryExecution.executedPlan.toString.contains("Union"))
+    assert(df.orderBy("id").collect().toSeq ==
+      cat.readRaw("twin").orderBy("id").collect().toSeq)
+    // patches compose on the flat split path too
+    cat.updateWhereLight("t", col("id") % 1000 === 3, Map("n" -> lit(-1)))
+    cat.updateWhere("twin", col("id") % 1000 === 3, Map("n" -> lit(-1)))
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq ==
+      cat.readRaw("twin").orderBy("id").collect().toSeq)
+  }
+
   test("FsOps path discipline: listings qualified, isDataFile relativizes") {
     val cat = freshCat("fsq1")
     cat.create("t", docs(100), Seq("lang"))
