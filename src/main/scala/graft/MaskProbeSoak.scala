@@ -117,6 +117,21 @@ object MaskProbeSoak {
         f"$rJoin%5.2f s (${rJoin / rClean}%4.2fx; fold $wGroup%5.2f s " +
         "once/epoch, cached)")
     }
+
+    // the OVER-CAP regime gap (r15 runway #1's measure-first gate): a
+    // mask past the broadcast cap falls to the shuffle_hash anti-join —
+    // force that regime on the 30% mask by shrinking the cap, and
+    // measure what a representation that kept it broadcastable (bitmap
+    // positions, ~8x smaller than the sorted-Long arrays) would buy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    spark.conf.set("spark.graft.sidecarBroadcastBytes", "1")
+    val (_, rShuffle) = timedBest(agg("m30"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.unset("spark.graft.sidecarBroadcastBytes")
+    val (_, rProbe30) = timedBest(agg("m30"))
+    println(f"over-cap regime gap @30%% mask: shuffle_hash anti-join=" +
+      f"$rShuffle%5.2f s vs grouped-probe=$rProbe30%5.2f s " +
+      f"(${rShuffle / rProbe30}%4.1fx — what keeping a mask broadcastable buys)")
     spark.stop()
   }
 }
