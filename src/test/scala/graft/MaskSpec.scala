@@ -805,6 +805,30 @@ class MaskSpec extends AnyFunSuite {
       cat.readRaw("twin").orderBy("id").collect().toSeq)
   }
 
+  test("split read falls back when branch partition-type inference differs") {
+    // partition VALUES are mixed (day=1 .. day=14 next to day=x15 ..):
+    // a dirty branch that happens to cover only numeric dirs infers
+    // day:int while the clean branch (mixed) infers day:string — the
+    // branches must not union; the guard falls back to the whole-table
+    // tagged read and results stay exact
+    val cat = freshCat("mixed1")
+    val base = spark.range(20000).select(
+      col("id"),
+      when(col("id") % 20 < 15, (col("id") % 20).cast("string"))
+        .otherwise(concat(lit("x"), col("id") % 20)).as("day"),
+      (col("id") * 7 % 100).as("n"))
+    cat.create("t", base.repartition(20, col("day")), Seq("day"))
+    cat.create("twin", base.repartition(20, col("day")), Seq("day"))
+    val pred = col("day") === "3" && col("n") > 50 // numeric-dir-only mask
+    cat.deleteWhereLight("t", pred)
+    cat.deleteWhere("twin", pred)
+    val df = cat.readRaw("t")
+    assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+    assert(df.select("id", "day", "n").orderBy("id").collect().toSeq ==
+      cat.readRaw("twin").select("id", "day", "n").orderBy("id")
+        .collect().toSeq)
+  }
+
   test("FsOps path discipline: listings qualified, isDataFile relativizes") {
     val cat = freshCat("fsq1")
     cat.create("t", docs(100), Seq("lang"))
