@@ -73,6 +73,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     // last entry in the maps forever
     Catalog.sidecarUriCache.remove(path(table))
     Catalog.maskProbeCache.remove(path(table))
+    Catalog.maskCountCache.remove(path(table))
     ()
   }
 
@@ -389,7 +390,20 @@ final case class Catalog(spark: SparkSession, root: String) {
     else {
       val bytes = parquets.map(_._2).sum
       val (thr, cap) = sidecarThresholds
-      if (thr > 0 && bytes <= math.max(thr, cap)) {
+      // the byte gate alone is blind to compressibility: DENSE position
+      // runs (a partition-scoped delete masks positions 0..N of each
+      // file) delta-encode ~100x, so a few-KB parquet mask can carry
+      // tens of millions of entries — collected to the driver by the
+      // probe fold, or built into an executor hash relation by a
+      // broadcast join. Gate on the footer ROW COUNT too (free metadata,
+      // memoized on the listing); past it, the anti-join runs
+      // shuffle_hash unconditionally — both sides stay distributed.
+      val entries = maskEntryCount(table, parquets)
+      val maxEntries = spark.conf
+        .get("spark.graft.maskProbeMaxEntries",
+          Catalog.DefaultMaskProbeMaxEntries.toString)
+        .trim.toLongOption.getOrElse(Catalog.DefaultMaskProbeMaxEntries)
+      if (thr > 0 && bytes <= math.max(thr, cap) && entries <= maxEntries) {
         val bc = maskProbeGroups(table, maskListing)
         val live = udf((f: String, p: Long) => {
           val a = bc.value.getOrElse(f, null)
@@ -400,11 +414,35 @@ final case class Catalog(spark: SparkSession, root: String) {
         val m = spark.read.parquet(deletesDir(table))
           .select(col("file").as(Catalog.FileCol),
             col("pos").as(Catalog.PosCol))
-        scan.join(sidecarSide(m, bytes),
-          Seq(Catalog.FileCol, Catalog.PosCol), "left_anti")
+        val side = if (entries > maxEntries) m.hint("shuffle_hash")
+          else sidecarSide(m, bytes)
+        scan.join(side, Seq(Catalog.FileCol, Catalog.PosCol), "left_anti")
       }
     }
   }
+
+  /** Total mask entries, from the parquet FOOTERS (driver-side metadata,
+    * no data bytes) — memoized on the mask listing like every other
+    * sidecar-planning product.
+    */
+  private def maskEntryCount(table: String,
+      parquets: Seq[(String, Long, Long)]): Long =
+    Catalog.maskCountCache.get(path(table)) match {
+      case Some((s, n)) if s == parquets => n
+      case _ =>
+        val conf = spark.sessionState.newHadoopConf()
+        val n = parquets.map { case (f, _, _) =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f), conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          } finally r.close()
+        }.sum
+        Catalog.maskCountCache.put(path(table), (parquets, n))
+        n
+    }
 
   /** The grouped deletion mask (file -> sorted masked positions) as a
     * broadcast, memoized per table on the `_deletes` listing signature
@@ -1359,6 +1397,23 @@ object Catalog {
     new scala.collection.concurrent.TrieMap[String,
       (Seq[(String, Long, Long)],
         org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])]
+
+  /** [[Catalog.maskEntryCount]] memo: table path -> (mask listing at
+    * compute time, total footer row count). Same validity scheme.
+    */
+  private[operators] val maskCountCache =
+    new scala.collection.concurrent.TrieMap[
+      String, (Seq[(String, Long, Long)], Long)]
+
+  /** Default ceiling on MASK ENTRIES for the broadcast grouped probe
+    * (and for broadcasting the anti-join's build side): the byte gates
+    * are blind to dense-run compressibility — 16 M entries is ~128 MB
+    * of position arrays before path strings, the most a driver collect
+    * / executor hash relation should carry. Override per session with
+    * `spark.graft.maskProbeMaxEntries`. A mask past this is far past
+    * the OPTIMIZE signal.
+    */
+  private[operators] val DefaultMaskProbeMaxEntries = 16L * 1000 * 1000
 
   /** Default ceiling (bytes on disk) for broadcasting a mask/patch
     * sidecar — see [[Catalog.sidecarSide]]. Override per session with

@@ -829,6 +829,34 @@ class MaskSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("dense masks: entry-count gate forces shuffle_hash, never a collect") {
+    // the byte gates are blind to compressibility — dense position runs
+    // (a partition-scoped delete masks 0..N of each file) delta-encode
+    // ~100x, so a tiny parquet mask can carry millions of entries that
+    // the probe would COLLECT to the driver and a broadcast join would
+    // build into an executor hash relation. Past the entry ceiling both
+    // paths must yield to the fully-distributed shuffle_hash anti-join.
+    val cat = freshCat("dense1")
+    cat.create("t", docs(4000))
+    cat.create("twin", docs(4000))
+    val pred = col("id") < 2000 // dense run: positions 0..1999
+    cat.deleteWhereLight("t", pred)
+    cat.deleteWhere("twin", pred)
+    val expect = cat.readRaw("twin").orderBy("id").collect().toSeq
+    // under the default ceiling: grouped probe (join-free)
+    assert(!cat.readRaw("t").queryExecution.executedPlan.toString
+      .toLowerCase.contains("join"))
+    try {
+      spark.conf.set("spark.graft.maskProbeMaxEntries", "100")
+      val plan = cat.readRaw("t").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin") &&
+        !plan.contains("BroadcastHashJoin") &&
+        !plan.contains("SortMergeJoin"))
+      assert(cat.readRaw("t").orderBy("id").collect().toSeq == expect)
+    } finally spark.conf.unset("spark.graft.maskProbeMaxEntries")
+    assert(cat.readRaw("t").orderBy("id").collect().toSeq == expect)
+  }
+
   test("FsOps path discipline: listings qualified, isDataFile relativizes") {
     val cat = freshCat("fsq1")
     cat.create("t", docs(100), Seq("lang"))
