@@ -72,7 +72,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     // correct, but a dropped/killed sidecar would otherwise leave its
     // last entry in the maps forever
     Catalog.sidecarUriCache.remove(path(table))
-    Catalog.maskProbeCache.remove(path(table))
+    Catalog.maskProbeCache.remove(probeKey(table))
     Catalog.maskCountCache.remove(path(table))
     ()
   }
@@ -149,10 +149,17 @@ final case class Catalog(spark: SparkSession, root: String) {
       val segs = rel.split('/')
       if (segs.head == "_deletes") mask += e
       else if (segs.head == "_patches" && segs.length >= 2 &&
-          segs(1).startsWith("seq="))
-        segs(1).stripPrefix("seq=").toLongOption.foreach { n =>
-          batches.getOrElseUpdate(n, Seq.newBuilder) += e
-        }
+          segs(1).startsWith("seq=")) {
+        // same fail mode as patchBatches' `.toLong`: a malformed batch
+        // dir is on-disk corruption, and silently serving rows WITHOUT
+        // its patches (while the legacy path fails loud) would make the
+        // two read paths disagree on identical state (r14 ADVICE)
+        val n = segs(1).stripPrefix("seq=").toLongOption.getOrElse(
+          throw new IllegalStateException(
+            s"snap: malformed patch batch dir '${segs(1)}' under " +
+              s"'${patchesDir(table)}' — not a seq=<long>"))
+        batches.getOrElseUpdate(n, Seq.newBuilder) += e
+      }
       else if (fs.isDataRel(rel)) data += e
     }
     Snap(data.result(), mask.result(),
@@ -453,10 +460,19 @@ final case class Catalog(spark: SparkSession, root: String) {
     * bounded by the broadcast policy gate in [[applyMask]] — the
     * grouped form is strictly smaller than the mask parquet it folds.
     */
+  /** [[Catalog.maskProbeCache]] key: the probe memo stores a
+    * SparkContext-bound Broadcast, so the key carries the context's
+    * applicationId — after a stop/restart in the same JVM an unchanged
+    * mask listing must recompute, not serve a broadcast whose blocks
+    * live in the stopped context (r14 ADVICE).
+    */
+  private def probeKey(table: String): String =
+    spark.sparkContext.applicationId + ":" + path(table)
+
   private def maskProbeGroups(table: String,
       sig: Seq[(String, Long, Long)])
       : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] =
-    Catalog.maskProbeCache.get(path(table)) match {
+    Catalog.maskProbeCache.get(probeKey(table)) match {
       case Some((s, bc)) if s == sig => bc
       case _ =>
         val grouped = spark.read.parquet(deletesDir(table))
@@ -465,7 +481,7 @@ final case class Catalog(spark: SparkSession, root: String) {
           .collect()
           .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
         val bc = spark.sparkContext.broadcast(grouped)
-        Catalog.maskProbeCache.put(path(table), (sig, bc))
+        Catalog.maskProbeCache.put(probeKey(table), (sig, bc))
         bc
     }
 
@@ -1383,15 +1399,29 @@ object Catalog {
     * file listings at compute time, referenced-file URI set). Entries
     * are validated against a fresh listing on every lookup and evicted
     * on every mutation; size is O(tables with outstanding sidecars).
+    *
+    * Signature-validity limitation (all three sidecar memos, r14
+    * ADVICE): validity is the (path, bytes, mtime) listing — an
+    * EXTERNAL writer that overwrites a sidecar file IN PLACE with
+    * identical byte size inside the filesystem's mtime granularity
+    * would serve a stale hit. The Catalog's own writers always mint
+    * fresh UUID file names (append/overwrite-to-tmp-then-move), so the
+    * hazard needs a writer outside this API breaking the
+    * one-writer-per-table contract; an FS-agnostic content checksum
+    * would cost a full sidecar read per lookup, which is the very job
+    * the memo exists to avoid. Documented, not defended.
     */
   private[operators] val sidecarUriCache =
     new scala.collection.concurrent.TrieMap[
       String, (Seq[Seq[(String, Long, Long)]], Set[String])]
 
-  /** [[Catalog.maskProbeGroups]] memo: table path -> (`_deletes` file
-    * listing at compute time, broadcast grouped mask). Same validity
-    * scheme as [[sidecarUriCache]]; size is O(tables with outstanding
-    * masks) entries, each bounded by the broadcast policy.
+  /** [[Catalog.maskProbeGroups]] memo: `applicationId:tablePath` ->
+    * (`_deletes` file listing at compute time, broadcast grouped mask).
+    * Same validity scheme as [[sidecarUriCache]]; size is O(tables with
+    * outstanding masks) entries, each bounded by the broadcast policy.
+    * The key carries the applicationId because the VALUE is
+    * context-bound (see [[Catalog.probeKey]]); the other two memos hold
+    * plain driver-side data and stay keyed by path alone.
     */
   private[operators] val maskProbeCache =
     new scala.collection.concurrent.TrieMap[String,

@@ -880,4 +880,23 @@ class MaskSpec extends AnyFunSuite {
       .exists(r => !r.startsWith("/") && r.endsWith(".parquet")))
     assert(fs.relativeTo(tableDir, "file:/somewhere/else/x.parquet").isEmpty)
   }
+
+  test("malformed _patches/seq= dir fails loud on BOTH read paths") {
+    // r14 ADVICE: snap used to silently DROP a `seq=<non-numeric>` batch
+    // dir (serving rows without its patches) while patchBatches threw on
+    // the same on-disk state — identical corruption must have one fail
+    // mode, and it is loud (unreachable from engine writes, so any
+    // occurrence is external damage worth surfacing, not masking)
+    val cat = freshCat("badseq1")
+    cat.create("t", docs(30000).repartition(17))
+    cat.updateWhereLight("t", col("id") < 10, Map("n" -> lit(-1)))
+    val bogus = Paths.get(cat.root, "t", "_patches", "seq=bogus")
+    Files.createDirectories(bogus)
+    // a file inside, so the recursive listing actually reaches the dir
+    Files.write(bogus.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    // snap path (table is over SplitReadMinFiles, so readRaw -> snap)
+    intercept[IllegalStateException] { cat.readRaw("t") }
+    // legacy dir-name path
+    intercept[NumberFormatException] { cat.hasPatches("t") }
+  }
 }

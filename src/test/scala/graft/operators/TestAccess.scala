@@ -25,8 +25,16 @@ object TestAccess {
   // a miss `put`s a fresh one, so `eq` across two reads proves the hit
   def sidecarUriCacheRef(tablePath: String): Option[AnyRef] =
     Catalog.sidecarUriCache.get(tablePath)
+  // probe-cache keys carry the owning applicationId prefix (the stored
+  // broadcast is context-bound) — specs address by table path, so match
+  // on the suffix
   def maskProbeRef(tablePath: String): Option[AnyRef] =
-    Catalog.maskProbeCache.get(tablePath)
+    Catalog.maskProbeCache.collectFirst {
+      case (k, v) if k.endsWith(":" + tablePath) => v
+    }
   def maskProbeEntry(tablePath: String): Option[Map[String, Array[Long]]] =
-    Catalog.maskProbeCache.get(tablePath).map(_._2.value)
+    maskProbeRef(tablePath).map(
+      _.asInstanceOf[(AnyRef,
+        org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])]
+        ._2.value)
 }
