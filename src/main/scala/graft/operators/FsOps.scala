@@ -164,6 +164,24 @@ final class FsOps(conf: Configuration) {
 
   def mkdirs(p: String): Unit = { val h = new HPath(p); fs(h).mkdirs(h); () }
 
+  /** Whole small file in one read ([[Manifest]] snapshots — MBs at
+    * most; never data files).
+    */
+  def readBytes(p: String): Array[Byte] = {
+    val h = new HPath(p)
+    val in = fs(h).open(h)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Write a small file whole, failing if it exists (manifest commit
+    * staging — immutable snapshot files are never overwritten).
+    */
+  def writeBytes(p: String, bytes: Array[Byte]): Unit = {
+    val h = new HPath(p)
+    val out = fs(h).create(h, false)
+    try out.write(bytes) finally out.close()
+  }
+
   /** Recursive delete; no-op when absent. */
   def rmTree(p: String): Unit = {
     val h = new HPath(p)

@@ -579,8 +579,12 @@ class MaskSpec extends AnyFunSuite {
     // normalization failure — indistinguishable, and in the failure
     // case its real file would scan on the CLEAN branch, resurfacing
     // deleted rows. The read must give up the split, not guess.
+    // (The direct write bypasses the Catalog, so under the manifest
+    // contract it is an invisible orphan until refreshManifest — the
+    // documented adoption hatch — commits it.)
     Seq(("file:/nowhere/phantom.parquet", 0L)).toDF("file", "pos")
       .write.mode("append").parquet(s"${cat.root}/t/_deletes")
+    cat.refreshManifest("t")
     val plan = cat.readRaw("t").queryExecution.executedPlan.toString
     assert(!plan.contains("Union")) // whole-table tagged read
     assert(cat.readRaw("t").orderBy("id").collect().toSeq == expected)
@@ -650,16 +654,18 @@ class MaskSpec extends AnyFunSuite {
     val c2 = cat.readRaw("t").count()
     assert(c2 < c1)
     assert(graft.operators.TestAccess.sidecarUriCacheHas(tp))
-    // signature check alone (external writer bypassing the Catalog's
-    // evict): duplicate a mask file under a new name — same URI set,
-    // CHANGED listing. The stale tuple must not serve; the next read
-    // recomputes (fresh tuple), and the result is unchanged since the
+    // external writer: duplicate a mask file under a new name — same
+    // URI set, CHANGED file set. Under the manifest contract the copy
+    // is invisible until refreshManifest adopts it; the adoption bumps
+    // the manifest epoch, so the stale tuple must not serve — the next
+    // read recomputes (fresh tuple), result unchanged since the
     // entries are identical.
     val ref2 = graft.operators.TestAccess.sidecarUriCacheRef(tp).get
     val maskFile = Files.walk(Paths.get(tp, "_deletes")).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.copy(maskFile, maskFile.resolveSibling("copy-" +
       maskFile.getFileName.toString))
+    cat.refreshManifest("t")
     assert(cat.readRaw("t").count() == c2)
     assert(graft.operators.TestAccess.sidecarUriCacheRef(tp).exists(
       r => !(r eq ref2)))
@@ -890,6 +896,10 @@ class MaskSpec extends AnyFunSuite {
     val cat = freshCat("badseq1")
     cat.create("t", docs(30000).repartition(17))
     cat.updateWhereLight("t", col("id") < 10, Map("n" -> lit(-1)))
+    // the corruption is ON-DISK state, so pin the LISTING read path:
+    // drop the manifest (the tree is listing-consistent — no flip
+    // rewrite ran) and the table reads as a legacy one
+    graft.operators.TestAccess.fsOps(cat).rmTree(s"${cat.root}/t/_manifest")
     val bogus = Paths.get(cat.root, "t", "_patches", "seq=bogus")
     Files.createDirectories(bogus)
     // a file inside, so the recursive listing actually reaches the dir
