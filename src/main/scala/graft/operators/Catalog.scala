@@ -448,7 +448,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     if (all.length < Catalog.SplitReadMinFiles)
       return readTagged(table, s).drop(Catalog.FileCol, Catalog.PosCol)
     val dirtyUris = sidecarFileUris(table, s)
-    val allNorm = all.map(normUri).toSet
+    // manifest-served URIs are `qualifiedBase + "/" + rel` by
+    // construction, so their scheme-less form is one base normalization
+    // + a suffix swap — the per-file java.net.URI parse (~3 µs each,
+    // ~0.3 s of a 10^5-file construction in ManifestSoak) is only
+    // needed for listing-produced URIs whose form the FS chose
+    val allNorm =
+      if (s.viaManifest) {
+        val qb = fs.qualify(path(table)).stripSuffix("/")
+        val nb = normUri(qb)
+        all.map(p => nb + p.substring(qb.length)).toSet
+      } else all.map(normUri).toSet
     // Fail CLOSED on ANY sidecar URI that matches no listed file — not
     // just on an all-empty match. An unmatched entry is either stale
     // (rewrites mint fresh UUID names and prune their entries, so this
@@ -1857,7 +1867,7 @@ object Catalog {
     * state is ~100 MB — the Delta-style action-log upgrade noted in
     * [[Manifest]] would shrink it if that ever shows up in a soak.
     */
-  private[operators] val manifestCache =
+  private[graft] val manifestCache =
     new scala.collection.concurrent.TrieMap[String, Manifest.State]
 
   /** Default ceiling on MASK ENTRIES for the broadcast grouped probe
