@@ -62,9 +62,15 @@ object ManifestSoak {
 
     println("manifest-served construction:")
     graft.operators.Catalog.manifestCache.clear()
-    val (_, cold) = t("cold (parse snapshot)")(cat.readRaw("t"))
+    graft.operators.Catalog.readFrameCache.clear()
+    val (_, cold) = t("cold (parse snapshot + build frame)")(cat.readRaw("t"))
+    val rebuilds = (1 to 3).map { i =>
+      graft.operators.Catalog.readFrameCache.clear()
+      t(s"rebuild $i (cached parse, frame rebuilt)")(cat.readRaw("t"))._2
+    }
     val warms = (1 to 5).map(i =>
-      t(s"warm $i (cached parse, one _manifest LIST)")(cat.readRaw("t"))._2)
+      t(s"warm $i (epoch frame-cache hit, one _manifest LIST)")(
+        cat.readRaw("t"))._2)
     val (mc, _) = t("manifest masked count")(cat.readRaw("t").count())
     require(mc == expected)
 
@@ -83,8 +89,10 @@ object ManifestSoak {
     require(cat.readRaw("t").count() == expected)
 
     println(f"\nsummary: files=$files%d  manifest cold=${cold}%.3f s  " +
-      f"warm min=${warms.min}%.3f s  listing min=${lists.min}%.3f s  " +
-      f"speedup=${lists.min / warms.min}%.0fx  " +
+      f"rebuild min=${rebuilds.min}%.3f s  warm min=${warms.min}%.4f s  " +
+      f"listing min=${lists.min}%.3f s  " +
+      f"rebuild speedup=${lists.min / rebuilds.min}%.0fx  " +
+      f"warm speedup=${lists.min / warms.min}%.0fx  " +
       f"commit=${commitWall}%.3f s  snapshot=${snapBytes}%d B")
     val m = Manifest.load(fs, s"$root/t").get
     println(s"manifest entries=${m.entries.size} remove=${m.remove.size}")

@@ -106,6 +106,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     // that DESTROY the manifest (create's overwrite, drops) must not
     // leave the old parse behind
     Catalog.manifestCache.remove(path(table))
+    // built-frame memo: epoch-keyed, but evict eagerly like the rest
+    // (all sessions of this JVM — the key's session part is only there
+    // to stop cross-session Dataset reuse)
+    Catalog.readFrameCache.keys
+      .filter(_._2 == path(table)).foreach(Catalog.readFrameCache.remove)
     ()
   }
 
@@ -126,17 +131,37 @@ final case class Catalog(spark: SparkSession, root: String) {
   def readRaw(table: String): DataFrame =
     loadManifest(table) match {
       case Some(m) =>
-        // manifest-authoritative construction: O(1) in the table's file
-        // count — one LIST of the small `_manifest` dir (the cache
-        // validity check) + a cached parse, and the scan itself is
-        // served from the manifest through PreListedScan, so not even
-        // Spark's own InMemoryFileIndex relists the tree
-        val s = snapFrom(m, table)
-        if (s.maskParquet.isEmpty && s.batches.isEmpty) {
-          if (s.data.isEmpty) spark.read.parquet(path(table)) // error parity
-          else org.apache.spark.sql.graft.PreListedScan
-            .parquet(spark, fs.qualify(path(table)), s.data)
-        } else readSplit(table, s)
+        // manifest-authoritative construction: one LIST of the small
+        // `_manifest` dir (the freshness check) + a frame-cache hit.
+        // Building the DataFrame is O(files) DRIVER CPU (FileStatus +
+        // plan construction, ~9 µs/file in ManifestSoak — no FS I/O),
+        // so the built frame is memoized per manifest EPOCH: the
+        // serving shape reads one net state many times, and a logical
+        // plan is immutable. The key carries everything that shapes
+        // the plan — snapshot identity, the broadcast-policy knobs
+        // (MaskSpec toggles them between reads and must see the plan
+        // change), and the owning session.
+        val (thr, cap) = sidecarThresholds
+        val maxE = spark.conf.get("spark.graft.maskProbeMaxEntries",
+          Catalog.DefaultMaskProbeMaxEntries.toString).trim
+        val key = (System.identityHashCode(spark), path(table))
+        Catalog.readFrameCache.get(key) match {
+          case Some((sn, sl, t0, c0, e0, df))
+            if sn == m.snapName && sl == m.snapLen && t0 == thr &&
+              c0 == cap && e0 == maxE => df
+          case _ =>
+            val s = snapFrom(m, table)
+            val df =
+              if (s.maskParquet.isEmpty && s.batches.isEmpty) {
+                if (s.data.isEmpty)
+                  spark.read.parquet(path(table)) // error parity
+                else org.apache.spark.sql.graft.PreListedScan
+                  .parquet(spark, fs.qualify(path(table)), s.data)
+              } else readSplit(table, s)
+            Catalog.readFrameCache.put(key,
+              (m.snapName, m.snapLen, thr, cap, maxE, df))
+            df
+        }
       case None =>
         // legacy (never-manifested) table — the listing path, unchanged.
         // Sidecar-free fast path: referencing `_metadata` forces the
@@ -1869,6 +1894,18 @@ object Catalog {
     */
   private[graft] val manifestCache =
     new scala.collection.concurrent.TrieMap[String, Manifest.State]
+
+  /** [[Catalog.readRaw]] built-frame memo: (session identity, table
+    * path) -> (manifest snapshot name+len, broadcast-policy knobs at
+    * build time, the built DataFrame). A logical plan is immutable, so
+    * a hit serves reconstruction-free; validity is the manifest EPOCH
+    * (snapshot files are immutable + fresh-named) plus the knobs that
+    * shape the masked-read plan. Evicted on every mutation. Size:
+    * O(manifested tables) logical plans.
+    */
+  private[graft] val readFrameCache =
+    new scala.collection.concurrent.TrieMap[(Int, String),
+      (String, Long, Long, Long, String, DataFrame)]
 
   /** Default ceiling on MASK ENTRIES for the broadcast grouped probe
     * (and for broadcasting the anti-join's build side): the byte gates

@@ -221,6 +221,38 @@ class ManifestSpec extends AnyFunSuite {
     assert(got == Seq(-5L, -4L, -3L, -2L, -1L))
   }
 
+  test("built-frame memo: epoch hit, knob miss, mutation evicts") {
+    val cat = freshCat("man9")
+    cat.create("t", docs(2000).repartition(17))
+    cat.deleteWhereLight("t", col("n") > 90)
+    val c = cat.readRaw("t").count()
+    // same epoch, same knobs: the SAME DataFrame object serves (no
+    // reconstruction — the O(files) driver CPU is paid once per epoch)
+    val df1 = cat.readRaw("t")
+    assert(cat.readRaw("t") eq df1)
+    // a knob that shapes the masked-read plan must miss the memo
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df2 = cat.readRaw("t")
+      assert(!(df2 eq df1))
+      assert(df2.queryExecution.executedPlan.toString
+        .toLowerCase.contains("join")) // knob honored: anti-join, no probe
+      assert(df2.count() == c)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // back on the original knobs: the slot rebuilds once (it held the
+    // knob-off frame), then hits again — and the probe plan is back
+    val df1b = cat.readRaw("t")
+    assert(cat.readRaw("t") eq df1b)
+    assert(!df1b.queryExecution.executedPlan.toString
+      .toLowerCase.contains("join"))
+    // a mutation evicts and the next read sees the new epoch
+    cat.deleteWhereLight("t", col("id") === 0)
+    val df3 = cat.readRaw("t")
+    assert(!(df3 eq df1) && df3.count() == c - 1)
+  }
+
   test("partition lifecycle under the manifest: drop, detach, attach, move") {
     val cat = freshCat("man8")
     cat.create("a", docs(1000).repartition(5, col("day")), Seq("day"))
