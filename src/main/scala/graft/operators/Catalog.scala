@@ -417,16 +417,25 @@ final case class Catalog(spark: SparkSession, root: String) {
     * a non-flip mutation's window).
     */
   def refreshManifest(table: String): Unit = {
-    loadManifest(table).foreach { m =>
-      if (m.remove.nonEmpty) {
-        m.remove.foreach { rel =>
-          val abs = s"${path(table)}/$rel"
-          fs.rmTree(abs)
-          dropEmptyAncestors(parentOf(abs), path(table))
+    // the hatch must work on the state it exists to repair: a CORRUPT
+    // latest snapshot parses to an error everywhere else, so here the
+    // pending-removal pass is skipped (its list is unreadable — the
+    // one information loss corruption costs: removed-pending files
+    // still on disk get re-adopted) and the sequence continues from
+    // the snapshot's NAME, which parses independently of its bytes
+    try
+      loadManifest(table).foreach { m =>
+        if (m.remove.nonEmpty) {
+          m.remove.foreach { rel =>
+            val abs = s"${path(table)}/$rel"
+            fs.rmTree(abs)
+            dropEmptyAncestors(parentOf(abs), path(table))
+          }
         }
       }
-    }
-    val prevSeq = loadManifest(table).map(_.seq).getOrElse(0L)
+    catch { case _: IllegalStateException => () }
+    val prevSeq = Manifest.latestMeta(fs, path(table))
+      .map(nm => Manifest.seqOfName(nm._1)).getOrElse(0L)
     commitManifest(table, prevSeq, treeEntries(table), Nil)
     invalidateProjections(table)
   }

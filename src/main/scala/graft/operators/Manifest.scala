@@ -99,6 +99,12 @@ object Manifest {
     }
   }
 
+  /** Sequence number from a snapshot NAME — parses independently of
+    * the snapshot's bytes, which is what lets [[Catalog.refreshManifest]]
+    * continue the sequence past a corrupt snapshot.
+    */
+  private[operators] def seqOfName(snapName: String): Long = seqOf(snapName)
+
   private def seqOf(snapName: String): Long = snapName match {
     case SnapRe(s) => s.toLong
     case _ => throw new IllegalStateException(

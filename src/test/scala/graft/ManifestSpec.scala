@@ -180,10 +180,17 @@ class ManifestSpec extends AnyFunSuite {
     // corrupt: a HIGHER-seq snapshot of garbage bytes must win the
     // listing and fail the parse — loud, with the repair named
     fs.writeBytes(s"${cat.root}/t/_manifest/" +
-      f"snap-${Long.MaxValue}%020d-deadbeef.gz",
+      f"snap-${999999L}%020d-deadbeef.gz",
       Array[Byte](1, 2, 3, 4))
     val e = intercept[IllegalStateException] { cat.readRaw("t") }
     assert(e.getMessage.contains("refreshManifest"))
+    // and the named repair WORKS on that state: it cannot read the
+    // corrupt snapshot (pending-removal info is lost) but re-adopts
+    // the tree and continues the sequence from the snapshot's name
+    cat.refreshManifest("t")
+    assert(cat.readRaw("t").count() == 300)
+    assert(cat.readRaw("t").queryExecution.executedPlan.toString
+      .contains("PreListedFileIndex"))
     // absent: a never-manifested table takes the listing path
     fs.rmTree(s"${cat.root}/t/_manifest")
     assert(cat.readRaw("t").count() == 300)
