@@ -30,6 +30,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B harness hook (local evidence runs only; the driver never sets
+    // it): extra session confs as "k=v;k=v" — e.g. manifest-on vs -off
+    // on the same HEAD, so mode comparisons never quote cross-day runs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     // Pass 1, UNCOUNTED: one full run at the target SF. This (a) replaces
     // the old sf0.001 JIT/codegen warmup, and (b) builds the session-
