@@ -689,6 +689,15 @@ class MaskSpec extends AnyFunSuite {
     val df = cat.readRaw("light")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"))
+    // the gate is the codegen expression, not a Scala UDF (WideProbeSoak:
+    // the UDF row gate read at 2.36x the clean floor on narrow
+    // aggregates vs 1.62x for the expression), and it sits inside a
+    // WholeStageCodegen span (the starred Filter line)
+    assert(plan.contains("mask_probe_live") && !plan.contains("UDF("))
+    df.count() // AQE finalizes the physical plan on execution
+    val fin = df.queryExecution.executedPlan.toString
+    val gateLine = fin.split('\n').find(_.contains("mask_probe_live"))
+    assert(gateLine.exists(_.trim.matches("""^[:+\- ]*\*\(\d+\).*""")), fin)
     assert(df.orderBy("id").collect().toSeq ==
       cat.readRaw("heavy").orderBy("id").collect().toSeq)
     // the grouped representation itself: every file's positions sorted
