@@ -949,6 +949,18 @@ object ChDdl {
       s"ChDdl: RENAME target '$to' already exists")
     require(defs.contains(kFrom) || mvDefs.contains(kFrom),
       s"ChDdl: unknown table '$from'")
+    // outstanding lightweight mutations reference data files by their
+    // ABSOLUTE path, and every entry goes stale when the table dir
+    // moves — the fail-closed read then degrades to the tagged plan
+    // where stale entries filter NOTHING, silently reverting the
+    // deletes/updates. Same rule (and fix) as every partition op:
+    // OPTIMIZE folds the sidecars first, then the rename is pure
+    // metadata again. (Found by the r15 manifest rename spec.)
+    require(!tableExists(cat, from) ||
+      (!cat.hasDeletes(from) && !cat.hasPatches(from)),
+      s"ChDdl: table '$from' has outstanding lightweight mutations — " +
+        "OPTIMIZE it first, then RENAME (path-based sidecar entries " +
+        "cannot survive a table-directory move)")
     if (tableExists(cat, from))
       java.nio.file.Files.move(java.nio.file.Paths.get(cat.root, from),
         java.nio.file.Paths.get(cat.root, to))

@@ -260,6 +260,30 @@ class ManifestSpec extends AnyFunSuite {
     assert(!(df3 eq df1) && df3.count() == c - 1)
   }
 
+  test("RENAME TABLE: manifest survives the move; outstanding sidecars refuse") {
+    val cat = freshCat("man10")
+    val x = graft.operators.ChDdl.execute(cat, _: String)
+    x("CREATE TABLE a (id Int64, n Int64) ENGINE = MergeTree ORDER BY id")
+    x("INSERT INTO a SELECT id, id * 7 % 100 AS n FROM range(5000)")
+    x("DELETE FROM a WHERE n > 90")
+    val expect = x("SELECT count(*) AS c FROM a").collect()(0).getLong(0)
+    assert(expect < 5000)
+    // sidecar entries are path-ABSOLUTE: a dir move stales every one,
+    // and the fail-closed read would then silently revert the deletes
+    // (this spec FOUND that as a live bug) — so RENAME refuses until
+    // OPTIMIZE folds them, the same rule every partition op applies
+    val e = intercept[IllegalArgumentException] { x("RENAME TABLE a TO b") }
+    assert(e.getMessage.contains("OPTIMIZE"))
+    x("OPTIMIZE TABLE a FINAL")
+    x("RENAME TABLE a TO b")
+    // the whole dir moved, _manifest included; entries are
+    // table-relative so the snapshot serves unchanged at the new path
+    assert(state(cat, "b").entries.nonEmpty)
+    assert(x("SELECT count(*) AS c FROM b").collect()(0).getLong(0) == expect)
+    assert(cat.readRaw("b").queryExecution.executedPlan.toString
+      .contains("PreListedFileIndex"))
+  }
+
   test("partition lifecycle under the manifest: drop, detach, attach, move") {
     val cat = freshCat("man8")
     cat.create("a", docs(1000).repartition(5, col("day")), Seq("day"))
