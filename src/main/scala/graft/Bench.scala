@@ -35,8 +35,11 @@ object Bench {
     // on the same HEAD, so mode comparisons never quote cross-day runs
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF: token '$kv' is not k=v (expected 'k=v;k=v')")
+        }
       })
 
     // Pass 1, UNCOUNTED: one full run at the target SF. This (a) replaces

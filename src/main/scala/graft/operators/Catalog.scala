@@ -144,7 +144,7 @@ final case class Catalog(spark: SparkSession, root: String) {
         val (thr, cap) = sidecarThresholds
         val maxE = spark.conf.get("spark.graft.maskProbeMaxEntries",
           Catalog.DefaultMaskProbeMaxEntries.toString).trim
-        val key = (System.identityHashCode(spark), path(table))
+        val key = (Catalog.sessionKey(spark), path(table))
         Catalog.readFrameCache.get(key) match {
           case Some((sn, sl, t0, c0, e0, df))
             if sn == m.snapName && sl == m.snapLen && t0 == thr &&
@@ -154,7 +154,7 @@ final case class Catalog(spark: SparkSession, root: String) {
             val df =
               if (s.maskParquet.isEmpty && s.batches.isEmpty) {
                 if (s.data.isEmpty)
-                  spark.read.parquet(path(table)) // error parity
+                  throw Catalog.manifestedEmpty(table)
                 else org.apache.spark.sql.graft.PreListedScan
                   .parquet(spark, fs.qualify(path(table)), s.data)
               } else readSplit(table, s)
@@ -482,17 +482,25 @@ final case class Catalog(spark: SparkSession, root: String) {
     if (all.length < Catalog.SplitReadMinFiles)
       return readTagged(table, s).drop(Catalog.FileCol, Catalog.PosCol)
     val dirtyUris = sidecarFileUris(table, s)
-    // manifest-served URIs are `qualifiedBase + "/" + rel` by
-    // construction, so their scheme-less form is one base normalization
-    // + a suffix swap — the per-file java.net.URI parse (~3 µs each,
-    // ~0.3 s of a 10^5-file construction in ManifestSoak) is only
-    // needed for listing-produced URIs whose form the FS chose
+    // The two URI populations need DIFFERENT normalizations to meet on
+    // the on-disk path: `_metadata.file_path` values are properly
+    // URI-ENCODED (a dir literally named `day=k%3D3` — Spark's escape
+    // of '=' in a partition value — reports as `day=k%253D3`), so
+    // [[normUri]]'s one java.net.URI decode recovers the on-disk name;
+    // listing/manifest paths are Hadoop `Path.toString`, which is the
+    // RAW on-disk path with a scheme prefix — decoding THAT corrupts
+    // any literal `%XX` in a filename (`%3D` → `=`), which is why
+    // escaped-partition tables used to fail the subset check below and
+    // silently lose the split read. [[normListedUri]] therefore only
+    // strips scheme+authority. Bonus: manifest-served URIs are
+    // `qualifiedBase + "/" + rel` by construction, so their normal form
+    // is one base normalization + a raw suffix swap — no per-file work.
     val allNorm =
       if (s.viaManifest) {
         val qb = fs.qualify(path(table)).stripSuffix("/")
-        val nb = normUri(qb)
+        val nb = normListedUri(qb)
         all.map(p => nb + p.substring(qb.length)).toSet
-      } else all.map(normUri).toSet
+      } else all.map(normListedUri).toSet
     // Fail CLOSED on ANY sidecar URI that matches no listed file — not
     // just on an all-empty match. An unmatched entry is either stale
     // (rewrites mint fresh UUID names and prune their entries, so this
@@ -504,7 +512,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     // optimization (stale entries filter nothing there).
     if (dirtyUris.isEmpty || !dirtyUris.subsetOf(allNorm))
       return readTagged(table, s).drop(Catalog.FileCol, Catalog.PosCol)
-    val dirty = s.data.filter(e => dirtyUris.contains(normUri(e._1)))
+    val dirty = s.data.filter(e => dirtyUris.contains(normListedUri(e._1)))
     val clean = s.data.diff(dirty)
     val base = fs.qualify(path(table))
     // branch reads serve the snap listing directly (PreListedScan):
@@ -589,11 +597,13 @@ final case class Catalog(spark: SparkSession, root: String) {
   private def readTagged(table: String, s: Snap): DataFrame = {
     // manifest-backed snaps serve the scan from their own file set (a
     // tree listing here would re-adopt crash orphans the manifest
-    // deliberately does not reference)
+    // deliberately does not reference — including when the live set is
+    // EMPTY, so that case fails loud instead of falling through)
     val raw =
       if (s.viaManifest && s.data.nonEmpty)
         org.apache.spark.sql.graft.PreListedScan
           .parquet(spark, fs.qualify(path(table)), s.data)
+      else if (s.viaManifest) throw Catalog.manifestedEmpty(table)
       else spark.read.parquet(path(table))
     val scan = raw
       .withColumn(Catalog.FileCol, col("_metadata.file_path"))
@@ -1139,12 +1149,36 @@ final case class Catalog(spark: SparkSession, root: String) {
     }
   }
 
-  /** Scheme-less path of a `_metadata.file_path`-style URI. */
+  /** Scheme-less path of a `_metadata.file_path`-style URI (these are
+    * URI-encoded, so `getPath`'s one percent-decode recovers the
+    * on-disk bytes). NOT for listing-produced paths — see
+    * [[normListedUri]].
+    */
   private def normUri(u: String): String =
     try {
       val p = new java.net.URI(u).getPath
       if (p == null || p.isEmpty) u else p
     } catch { case _: java.net.URISyntaxException => u }
+
+  /** Scheme-less form of a Hadoop `Path.toString` / manifest-served
+    * path: these carry the RAW on-disk bytes after the scheme (a
+    * literal `%3D` in a dir name stays `%3D`; a literal space stays a
+    * space and would make java.net.URI throw), so normalization is a
+    * lexical scheme+authority strip with NO percent-decoding.
+    */
+  private def normListedUri(u: String): String = {
+    val c = u.indexOf(':')
+    if (c <= 0 || !u.charAt(0).isLetter ||
+        !u.substring(0, c).forall(ch =>
+          ch.isLetterOrDigit || ch == '+' || ch == '.' || ch == '-')) u
+    else {
+      val rest = u.substring(c + 1)
+      if (rest.startsWith("//")) {      // authority present: drop it
+        val s = rest.indexOf('/', 2)
+        if (s < 0) "/" else rest.substring(s)
+      } else rest
+    }
+  }
 
   /** Drop mask and patch entries pointing into rewritten partition
     * directories: the rewrite read through both sidecars, so those
@@ -1909,7 +1943,7 @@ object Catalog {
   private[graft] val manifestCache =
     new scala.collection.concurrent.TrieMap[String, Manifest.State]
 
-  /** [[Catalog.readRaw]] built-frame memo: (session identity, table
+  /** [[Catalog.readRaw]] built-frame memo: (session UUID, table
     * path) -> (manifest snapshot name+len, broadcast-policy knobs at
     * build time, the built DataFrame). A logical plan is immutable, so
     * a hit serves reconstruction-free; validity is the manifest EPOCH
@@ -1918,8 +1952,33 @@ object Catalog {
     * O(manifested tables) logical plans.
     */
   private[graft] val readFrameCache =
-    new scala.collection.concurrent.TrieMap[(Int, String),
+    new scala.collection.concurrent.TrieMap[(String, String),
       (String, Long, Long, Long, String, DataFrame)]
+
+  /** Cache key for the owning session. `System.identityHashCode` is NOT
+    * an identity — two live sessions can collide, and a collision would
+    * serve a Dataset bound to the OTHER session (it then executes under
+    * that session's conf/state: exactly the cross-session reuse the key
+    * exists to prevent). `sessionUUID` is unique per session and, unlike
+    * keying on the object itself, does not strongly pin a stopped
+    * session's plans until the next mutation.
+    */
+  private[graft] def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graft.Bridge.sessionUUID(spark)
+
+  /** A manifested table whose snapshot names ZERO live data files must
+    * not be handed to `spark.read.parquet(dir)`: the tree can hold
+    * uncommitted crash orphans (an interrupted append before its commit),
+    * and a listing would ADOPT them as data — the exact read the
+    * authority contract forbids. Fail loud instead; `refreshManifest` is
+    * the explicit adoption hatch if the orphans are wanted.
+    */
+  private[operators] def manifestedEmpty(table: String): Throwable =
+    new IllegalStateException(
+      s"catalog: manifested table '$table' has no live data files — " +
+        "refusing the tree-listing fallback (it would adopt uncommitted " +
+        "files as data); run refreshManifest to adopt the tree, or " +
+        "re-create the table")
 
   /** Default ceiling on MASK ENTRIES for the broadcast grouped probe
     * (and for broadcasting the anti-join's build side): the byte gates

@@ -42,4 +42,11 @@ object Bridge {
     */
   def sameType(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
+  /** `SparkSession.sessionUUID` is `private[sql]` — graft's built-frame
+    * memo keys on it (unique per session, unlike an identity hashCode,
+    * and weaker than pinning the session object itself).
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

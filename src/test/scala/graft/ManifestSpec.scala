@@ -304,4 +304,53 @@ class ManifestSpec extends AnyFunSuite {
     assert(cat.readRaw("b").count() == 1000)
     assert(state(cat, "b").entries.exists(_.rel.startsWith("day=d1/")))
   }
+
+  test("zero live files fails loud — tree orphans are never adopted") {
+    val cat = freshCat("man11")
+    cat.create("t", docs(200).repartition(3))
+    val fs = TestAccess.fsOps(cat)
+    fs.dataFilesUnder(s"${cat.root}/t").foreach(fs.rmTree)
+    cat.refreshManifest("t") // manifest now names zero data files
+    // an interrupted around-the-API append leaves real parquet in the
+    // tree; the empty-manifest read must REFUSE, not list-and-adopt it
+    docs(5).write.mode("append").parquet(s"${cat.root}/t")
+    val e = intercept[IllegalStateException] { cat.readRaw("t").count() }
+    assert(e.getMessage.contains("refreshManifest"))
+    // the hatch then adopts explicitly — authority stays with the user
+    cat.refreshManifest("t")
+    assert(cat.readRaw("t").count() == 5)
+  }
+
+  test("built-frame memo is per-session: a clone never reuses the frame") {
+    val cat = freshCat("man12")
+    cat.create("t", docs(500).repartition(4))
+    val df1 = cat.readRaw("t")
+    assert(cat.readRaw("t") eq df1) // same session: the memo hit
+    val spark2 = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+    // two live sessions must never share a slot (an identityHashCode
+    // key could collide; sessionUUID cannot)
+    assert(Catalog.sessionKey(spark) != Catalog.sessionKey(spark2))
+    val cat2 = Catalog(spark2, cat.root)
+    val df2 = cat2.readRaw("t")
+    assert(!(df2 eq df1))
+    assert(df2.sparkSession eq spark2) // bound to ITS session
+    assert(df2.count() == 500 && cat2.readRaw("t").eq(df2))
+  }
+
+  test("escaped partition dirs keep the split read (decode parity)") {
+    val cat = freshCat("man13")
+    // partition values containing '=' land on disk as %3D-escaped dir
+    // names; the manifest fast path must produce the same decoded form
+    // the sidecar side (normUri over _metadata.file_path) produces, or
+    // the subset check fails closed and the split read is silently lost
+    val df = spark.range(2000).select(col("id"),
+      concat(lit("k="), col("id") % 20).as("day"),
+      (col("id") % 100).as("n"))
+    cat.create("t", df.repartition(20, col("day")), Seq("day"))
+    cat.deleteWhereLight("t", col("day") === "k=3")
+    val r = cat.readRaw("t")
+    assert(r.queryExecution.executedPlan.toString.contains("Union"),
+      "split read must engage on escaped partition dirs")
+    assert(r.count() == 1900)
+  }
 }
