@@ -692,7 +692,7 @@ object ChDdl {
           val (t, _) = tableNameAt(stmt, nextNonWs(stmt, f + 1))
           val td = tableDef(cat, t)
           val (parts, rows, marks) = SkipStats.estimate(spark,
-            java.nio.file.Paths.get(cat.root, td.name).toString)
+            s"${cat.root}/${td.name}")
           import spark.implicits._
           Seq((td.name, parts, rows, marks))
             .toDF("table", "parts", "rows", "marks")
@@ -728,8 +728,32 @@ object ChDdl {
         require(i < toks.length && toks(i).isWord("AND"),
           "ChDdl: expected EXCHANGE TABLES a AND b")
         val (b, _) = tableNameAt(toks, nextNonWs(toks, i + 1))
-        // the blue/green swap: rename through a temp slot, all-metadata
+        // the blue/green swap: rename through a temp slot, all-metadata.
+        // Every precondition of all THREE renames is validated UP FRONT,
+        // so no requirement failure can strand `a` in the temp slot
+        // mid-swap: after rename 1 succeeds, rename 2's target slot was
+        // just vacated by rename 1 and rename 3's by rename 2 — the only
+        // refusable conditions are the ones checked here. (An IO-level
+        // crash between renames can still strand the slot — a filesystem
+        // cannot make three renames atomic; recovery is one statement,
+        // `RENAME TABLE __xchg_<n> TO <a>`, and the swap is
+        // driver-serialized so nothing races the window. Spec-pinned in
+        // DdlSpec.)
         val tmp = s"__xchg_${mvBindSeq.incrementAndGet()}"
+        def registered(t: String) =
+          defs.contains(key(cat, t)) || mvDefs.contains(key(cat, t))
+        require(registered(a), s"ChDdl: unknown table '$a'")
+        require(registered(b), s"ChDdl: unknown table '$b'")
+        require(!registered(tmp) && !tableExists(cat, tmp),
+          s"ChDdl: EXCHANGE temp slot '$tmp' is occupied — a previous " +
+            s"exchange crashed mid-swap; recover it with RENAME TABLE")
+        Seq(a, b).foreach { t =>
+          require(!tableExists(cat, t) ||
+            (!cat.hasDeletes(t) && !cat.hasPatches(t)),
+            s"ChDdl: table '$t' has outstanding lightweight mutations — " +
+              "OPTIMIZE it first, then EXCHANGE (path-based sidecar " +
+              "entries cannot survive a table-directory move)")
+        }
         renameTable(cat, a, tmp)
         renameTable(cat, b, a)
         renameTable(cat, tmp, b)
@@ -801,14 +825,7 @@ object ChDdl {
               val name = k.drop((cat.root + "::").length)
               defs.remove(k); mvDefs.remove(k); seqs.remove(k)
               Catalog.registerWriteOptions(s"${cat.root}/$name", Map.empty)
-              val dir = java.nio.file.Paths.get(cat.root, name)
-              if (java.nio.file.Files.exists(dir)) {
-                import scala.jdk.CollectionConverters._
-                val w = java.nio.file.Files.walk(dir)
-                try w.iterator().asScala.toSeq
-                  .reverse.foreach(java.nio.file.Files.delete)
-                finally w.close()
-              }
+              cat.fs.rmTree(s"${cat.root}/$name")
             }
           emptyResult(spark)
         } else {
@@ -892,7 +909,7 @@ object ChDdl {
   private def viewName(table: String): String = table.replace('.', '_')
 
   private def tableExists(cat: Catalog, table: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(cat.root, table))
+    cat.fs.exists(s"${cat.root}/$table")
 
   private def skipWord(toks: Vector[Tok], at: Int, words: String*): Int = {
     var i = at
@@ -962,8 +979,7 @@ object ChDdl {
         "OPTIMIZE it first, then RENAME (path-based sidecar entries " +
         "cannot survive a table-directory move)")
     if (tableExists(cat, from))
-      java.nio.file.Files.move(java.nio.file.Paths.get(cat.root, from),
-        java.nio.file.Paths.get(cat.root, to))
+      cat.fs.move(s"${cat.root}/$from", s"${cat.root}/$to")
     defs.remove(kFrom).foreach(d => defs.put(kTo, d.copy(name = to)))
     mvDefs.remove(kFrom).foreach(m => mvDefs.put(kTo, m.copy(name = to)))
     seqs.remove(kFrom).foreach(s => seqs.put(kTo, s))
@@ -1957,7 +1973,7 @@ object ChDdl {
     require(f < stmt.length, "ChDdl: EXPLAIN INDEXES = 1 needs a FROM clause")
     val (t, _) = tableNameAt(stmt, nextNonWs(stmt, f + 1))
     val d = tableDef(cat, t)
-    val dir = java.nio.file.Paths.get(cat.root, d.name).toString
+    val dir = s"${cat.root}/${d.name}"
     // depth-0 WHERE/PREWHERE regions, split on depth-0 AND
     val clauseStops = Set("WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
       "LIMIT", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "FORMAT")

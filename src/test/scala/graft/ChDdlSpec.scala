@@ -324,6 +324,37 @@ class ChDdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { x("RENAME TABLE tiny TO src") }
   }
 
+  test("EXCHANGE refuses UP FRONT — a refusal never strands the temp slot") {
+    val cat = freshCat("chddl_xchg")
+    val x = ChDdl.execute(cat, _: String)
+    x("CREATE TABLE a (id Int64, n Int64) ENGINE = MergeTree ORDER BY id")
+    x("INSERT INTO a SELECT id, id % 10 AS n FROM range(100)")
+    x("CREATE TABLE b (id Int64, n Int64) ENGINE = MergeTree ORDER BY id")
+    x("INSERT INTO b SELECT id, id % 10 AS n FROM range(40)")
+    // outstanding sidecars on the SECOND table: with naive sequential
+    // renames this would fail at rename 2 with `a` already stranded in
+    // __xchg_N; the up-front validation refuses before ANY rename
+    x("DELETE FROM b WHERE n = 3")
+    val e = intercept[IllegalArgumentException] { x("EXCHANGE TABLES a AND b") }
+    assert(e.getMessage.contains("OPTIMIZE"))
+    // both tables untouched, nothing stranded
+    assert(ChDdl.view(cat, "a").count() == 100L)
+    assert(ChDdl.view(cat, "b").count() == 36L)
+    assert(!x("SHOW TABLES").collect().map(_.getString(0)).exists(_.startsWith("__xchg_")))
+    // unknown table refuses before any rename too
+    intercept[IllegalArgumentException] { x("EXCHANGE TABLES a AND nope") }
+    assert(ChDdl.view(cat, "a").count() == 100L)
+    // folding the sidecars re-arms the swap
+    x("OPTIMIZE TABLE b FINAL")
+    x("EXCHANGE TABLES a AND b")
+    assert(ChDdl.view(cat, "a").count() == 36L)
+    assert(ChDdl.view(cat, "b").count() == 100L)
+    // an IO-crash-stranded slot (simulated): recovery is one RENAME
+    x("RENAME TABLE a TO __xchg_999")
+    x("RENAME TABLE __xchg_999 TO a")
+    assert(ChDdl.view(cat, "a").count() == 36L)
+  }
+
   test("system.parts / system.tables introspection through the fall-through") {
     val cat = freshCat("chddl_sys")
     val x = ChDdl.execute(cat, _: String)
