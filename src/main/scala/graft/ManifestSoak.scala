@@ -96,6 +96,34 @@ object ManifestSoak {
       f"commit=${commitWall}%.3f s  snapshot=${snapBytes}%d B")
     val m = Manifest.load(fs, s"$root/t").get
     println(s"manifest entries=${m.entries.size} remove=${m.remove.size}")
+
+    // --- r16: the action-log gate at 10^6 entries -----------------------
+    // The r15 runway question (SURVEY §24 #1 / verdict #5): does the
+    // per-mutation O(live files) snapshot REWRITE dominate mutation
+    // walls at a 10^6-file table, justifying a Delta-style append-only
+    // action log + checkpoints? The entry LIST is synthesized (building
+    // 10^6 real files is an hours-scale setup that adds nothing — the
+    // snapshot write never touches the files, only their names), the
+    // commit is the REAL [[Manifest.commit]]: sort + serialize + gzip +
+    // tmp write + rename + retention sweep.
+    val n6 = sys.env.getOrElse("SOAK_SNAP_ENTRIES", "1000000").toInt
+    val entries6 = (0 until n6).map { i =>
+      Manifest.Entry(
+        f"p=${i % 2000}/part-$i%07d-${java.util.UUID.nameUUIDFromBytes(Array(i.toByte, (i >> 8).toByte)).toString.take(8)}.c000.snappy.parquet",
+        1L << 20, 1700000000000L + i)
+    }
+    val root6 = java.nio.file.Files.createTempDirectory("mansoak6").toString
+    var seq6 = 0L
+    val walls6 = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      seq6 = Manifest.commit(fs, root6, seq6, entries6, Nil).seq
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (_, len6) = Manifest.latestMeta(fs, root6).get
+    println(f"snapshot commit at $n6%,d entries: best ${walls6.min}%.3f s " +
+      f"avg ${walls6.sum / walls6.size}%.3f s  size $len6%,d B gzipped")
+    t(f"snapshot parse at $n6%,d entries (read + gunzip + parse)")(
+      Manifest.load(fs, root6))
     spark.stop()
   }
 }

@@ -104,6 +104,29 @@ object RollupSoak {
         .agg(sum(col("v")), count(lit(1))).collect()
     }
     println(s"matview partial rows after 1 insert: ${mv.partialCount()}")
+
+    // --- matview compact under the pointer flip (r16) -------------------
+    // OPTIMIZE FINAL now commits write-beside + flip (EpochStore): the
+    // wall is the 2048-row merged write; the flip itself is one ~40-byte
+    // pointer write + a bounded sweep, measured separately below.
+    val before = mv.read().collect().map(_.toSeq.toList).sortBy(_.toString())
+    time("matview compact (flip-committed)") { mv.compact() }
+    val after = mv.read().collect().map(_.toSeq.toList).sortBy(_.toString())
+    require(before.toSeq == after.toSeq, "compact changed the view")
+    println(s"matview partial rows after compact: ${mv.partialCount()}")
+    // flip overhead in isolation: N trivial commits on a tiny store
+    import spark.implicits._
+    val flipRoot = s"$root/flip_probe"
+    val fsOps = graft.operators.FsOps(spark)
+    val one = Seq(1).toDF("x")
+    one.count() // plan warm
+    val t0 = System.nanoTime()
+    val n = 20
+    (1 to n).foreach { _ =>
+      graft.operators.EpochStore.commit(fsOps, flipRoot)(d =>
+        one.write.parquet(d))
+    }
+    println(f"epoch commit+sweep, tiny store: ${(System.nanoTime() - t0) / 1e6 / n}%.1f ms/commit (incl. the 1-row parquet write)")
     spark.conf.set("spark.graft.projections.enabled", "true")
     spark.stop()
   }

@@ -990,45 +990,52 @@ object Bm25Index {
   def save(spark: SparkSession, ix: Bm25Index, path: String): Unit = {
     import spark.implicits._
     val p = ix.blocksRdd.getNumPartitions
-    ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
-      it.flatMap { b =>
-        (0 until b.terms.length).iterator.flatMap { ti =>
-          (b.starts(ti) until b.starts(ti + 1)).iterator.map { j =>
-            (shard, b.terms(ti), b.dfs(ti), b.docIds(j), b.tfs(j), b.dls(j))
-          }
-        }
-      }
-    }.toDF("shard", "term", "df", "doc_id", "tf", "dl")
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
-    Seq((ix.docCount, ix.sumDl, p.toLong, ix.metaNames.toSeq, ix.metaKinds.toSeq))
-      .toDF("doc_count", "sum_dl", "shards", "meta_names", "meta_kinds")
-      .write.mode("overwrite").parquet(s"$path/stats")
-    if (ix.metaNames.nonEmpty) {
-      val names = ix.metaNames
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("shard",
-          org.apache.spark.sql.types.IntegerType, nullable = false) +:
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false) +:
-          names.zip(ix.metaKinds).map { case (n, kd) =>
-            org.apache.spark.sql.types.StructField(
-              n, MetaPredicate.storageTypeOf(kd), nullable = false)
-          }.toSeq)
-      val rows = ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
+    // postings/stats/meta/tombstones commit as ONE epoch under a
+    // pointer flip (EpochStore): a re-save over a served path never
+    // overwrites the live artifact in place — a kill mid-save leaves
+    // the previous index serving, never postings newer than stats
+    EpochStore.commit(FsOps(spark), path) { dir =>
+      ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
         it.flatMap { b =>
-          val cols = names.map(b.meta(_))
-          Iterator.tabulate(b.metaDocs.length) { i =>
-            org.apache.spark.sql.Row.fromSeq(
-              shard +: b.metaDocs(i) +:
-                cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
+          (0 until b.terms.length).iterator.flatMap { ti =>
+            (b.starts(ti) until b.starts(ti + 1)).iterator.map { j =>
+              (shard, b.terms(ti), b.dfs(ti), b.docIds(j), b.tfs(j), b.dls(j))
+            }
           }
         }
+      }.toDF("shard", "term", "df", "doc_id", "tf", "dl")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/postings")
+      Seq((ix.docCount, ix.sumDl, p.toLong, ix.metaNames.toSeq, ix.metaKinds.toSeq))
+        .toDF("doc_count", "sum_dl", "shards", "meta_names", "meta_kinds")
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      if (ix.metaNames.nonEmpty) {
+        val names = ix.metaNames
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.IntegerType, nullable = false) +:
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false) +:
+            names.zip(ix.metaKinds).map { case (n, kd) =>
+              org.apache.spark.sql.types.StructField(
+                n, MetaPredicate.storageTypeOf(kd), nullable = false)
+            }.toSeq)
+        val rows = ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
+          it.flatMap { b =>
+            val cols = names.map(b.meta(_))
+            Iterator.tabulate(b.metaDocs.length) { i =>
+              org.apache.spark.sql.Row.fromSeq(
+                shard +: b.metaDocs(i) +:
+                  cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
+            }
+          }
+        }
+        spark.createDataFrame(rows, schema)
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/meta")
       }
-      spark.createDataFrame(rows, schema)
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/meta")
+      ix.tombstoneSnapshot.toSeq.toDF("id")
+        .write.mode("overwrite").parquet(s"$dir/tombstones")
     }
-    ix.tombstoneSnapshot.toSeq.toDF("id")
-      .write.mode("overwrite").parquet(s"$path/tombstones")
+    ()
   }
 
   /** Reload a saved index WITHOUT re-tokenizing (load never reads the
@@ -1041,7 +1048,10 @@ object Bm25Index {
     */
   def load(spark: SparkSession, path: String): Bm25Index = {
     import spark.implicits._
-    val stats = spark.read.parquet(s"$path/stats")
+    // committed epoch of a flip-saved artifact, or the path itself
+    // for a pre-epoch (legacy) layout
+    val dir = EpochStore.resolve(FsOps(spark), path)
+    val stats = spark.read.parquet(s"$dir/stats")
     // meta_names/meta_kinds absent on pre-r8 artifacts: meta-less layout
     val (names, kinds) =
       if (stats.schema.fieldNames.contains("meta_names"))
@@ -1054,7 +1064,7 @@ object Bm25Index {
       .select(col("doc_count").cast("long"), col("sum_dl").cast("long"),
         col("shards").cast("int"))
       .as[(Long, Long, Int)].head()
-    val keyed = spark.read.parquet(s"$path/postings")
+    val keyed = spark.read.parquet(s"$dir/postings")
       .select(col("shard").cast("int"), col("term"), col("df").cast("long"),
         col("doc_id").cast("long"), col("tf").cast("int"), col("dl").cast("long"))
       .as[(Int, String, Long, Long, Int, Long)]
@@ -1075,7 +1085,7 @@ object Bm25Index {
         // shard keys, so this is a co-partitioned zip, no shuffle of the
         // postings
         val kindsB = kinds
-        val metaKeyed = spark.read.parquet(s"$path/meta")
+        val metaKeyed = spark.read.parquet(s"$dir/meta")
           .select((col("shard").cast("int") +: col("doc_id").cast("long") +:
             names.map(col).toSeq): _*)
           .rdd.map { row =>
@@ -1102,7 +1112,7 @@ object Bm25Index {
     val ix = new Bm25Index(blocks, nDocs, sumDl, names, kinds, bytes)
     // tombstones/ absent on foreign layouts: nothing pending by definition
     try {
-      val tomb = spark.read.parquet(s"$path/tombstones")
+      val tomb = spark.read.parquet(s"$dir/tombstones")
         .select(col("id").cast("long")).as[Long].collect()
       if (tomb.nonEmpty) ix.delete(tomb)
     } catch { case _: org.apache.spark.sql.AnalysisException => }

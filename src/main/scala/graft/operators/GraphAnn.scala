@@ -1132,19 +1132,26 @@ object IvfGraph {
             cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
       }
     }
-    spark.createDataFrame(nodeRows, schema)
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/nodes")
-    nk.zipWithIndex.map { case ((n, kd), ord) => (ord, n, kd) }.toSeq
-      .toDF("ord", "name", "kind")
-      .write.mode("overwrite").parquet(s"$path/meta_schema")
-    g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("centroid_id", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    // pending serve-time tombstones are part of the serving state: a
-    // reload without them would resurrect deleted ids (written even when
-    // empty so load never guesses)
-    g.tombstoneSnapshot.toSeq.toDF("id")
-      .write.mode("overwrite").parquet(s"$path/tombstones")
+    // the four artifact parts commit as ONE epoch under a pointer flip
+    // (EpochStore): a re-save over a served path never overwrites the
+    // live artifact in place — a kill mid-save leaves the previous
+    // index serving, never a nodes/ newer than its centroids/
+    EpochStore.commit(FsOps(spark), path) { dir =>
+      spark.createDataFrame(nodeRows, schema)
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/nodes")
+      nk.zipWithIndex.map { case ((n, kd), ord) => (ord, n, kd) }.toSeq
+        .toDF("ord", "name", "kind")
+        .write.mode("overwrite").parquet(s"$dir/meta_schema")
+      g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("centroid_id", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      // pending serve-time tombstones are part of the serving state: a
+      // reload without them would resurrect deleted ids (written even
+      // when empty so load never guesses)
+      g.tombstoneSnapshot.toSeq.toDF("id")
+        .write.mode("overwrite").parquet(s"$dir/tombstones")
+    }
+    ()
   }
 
   /** Reload a [[save]]d index: reassembles each cluster's Graph from its
@@ -1155,19 +1162,22 @@ object IvfGraph {
     */
   def load(spark: SparkSession, path: String): IvfGraph = {
     import spark.implicits._
+    // committed epoch of a flip-saved artifact, or the path itself for
+    // a pre-epoch (legacy) layout — never a half-written re-save
+    val dir = EpochStore.resolve(FsOps(spark), path)
     val model = AnnIndex.Model(
-      spark.read.parquet(s"$path/centroids").orderBy("centroid_id")
+      spark.read.parquet(s"$dir/centroids").orderBy("centroid_id")
         .select("centroid").as[Array[Double]].collect())
     val k = model.centroids.length
     // meta_schema/ absent on pre-r8 layouts: meta-less by definition
     val nk: Array[(String, Int)] =
-      try spark.read.parquet(s"$path/meta_schema").orderBy("ord")
+      try spark.read.parquet(s"$dir/meta_schema").orderBy("ord")
         .select(col("name"), col("kind").cast("int"))
         .as[(String, Int)].collect()
       catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
     val names = nk.map(_._1)
     val kinds = nk.map(_._2)
-    val keyed = spark.read.parquet(s"$path/nodes")
+    val keyed = spark.read.parquet(s"$dir/nodes")
       .select((col("cluster_id").cast("int") +: col("pos").cast("int") +:
         col("id").cast("long") +: col("vec") +: col("nbrs") +:
         names.map(col).toSeq): _*)
@@ -1211,7 +1221,7 @@ object IvfGraph {
     val loaded = fromBlocks(model, blocks)
     // tombstones/ absent on pre-r7 layouts: nothing pending by definition
     try {
-      val tomb = spark.read.parquet(s"$path/tombstones")
+      val tomb = spark.read.parquet(s"$dir/tombstones")
         .select(col("id").cast("long")).as[Long].collect()
       if (tomb.nonEmpty) loaded.delete(tomb)
     } catch { case _: org.apache.spark.sql.AnalysisException => }

@@ -43,12 +43,23 @@ final case class MatView(
     keys: Seq[String],
     measures: Seq[Measure]) {
 
-  /** Aggregate one inserted block and append its partial states. */
+  private val fs = FsOps(spark)
+
+  /** The live partial-log directory: the committed epoch under the
+    * pointer flip ([[EpochStore]]), or `path` itself for a legacy
+    * artifact written before the store existed.
+    */
+  private def dataDir: String = EpochStore.resolve(fs, path)
+
+  /** Aggregate one inserted block and append its partial states. An
+    * append needs no flip: a crashed insert leaves only uncommitted
+    * task files under `_temporary`, which readers never adopt.
+    */
   def insert(batch: DataFrame): Unit =
     ProjectionCatalog.partialAgg(batch, keys, measures)
-      .write.mode("append").parquet(path)
+      .write.mode("append").parquet(dataDir)
 
-  private def partials: DataFrame = spark.read.parquet(path)
+  private def partials: DataFrame = spark.read.parquet(dataDir)
 
   /** Merge partial states (no finalize): same schema as the stored rows,
     * one row per key. Used by both [[read]] and [[compact]].
@@ -81,11 +92,20 @@ final case class MatView(
     m.select(finalCols: _*)
   }
 
-  /** OPTIMIZE FINAL: bound the partial log at one row per key. */
+  /** OPTIMIZE FINAL: bound the partial log at one row per key. The
+    * collapsed log is built BESIDE the live one and committed by a
+    * pointer flip — a kill anywhere before the flip leaves the old
+    * partial log serving exactly (the retired `rm(dst); move(src,
+    * dst)` swap here was the r15 verdict's matview crash window: a
+    * kill between the two left the view EMPTY while its base kept
+    * serving); a kill after the flip leaves the new log serving, with
+    * the superseded directory swept by the next commit.
+    */
   def compact(): Unit = {
-    val tmp = path + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    MatView.replaceDir(tmp, path)
+    val m = merged // plans against the CURRENT epoch — write-beside
+    EpochStore.commit(fs, path)(dir =>
+      m.write.mode("overwrite").parquet(dir))
+    MatView.dropLegacyRootFiles(fs, path) // after the flip: invisible
   }
 
   /** Stored partial rows (for bounds checks / inspection). */
@@ -96,25 +116,32 @@ object MatView {
 
   /** Create from an initial load of the base (the CREATE .. AS SELECT
     * backfill); subsequent [[MatView.insert]] calls never touch the base
-    * again.
+    * again. Committed as an epoch under the pointer flip, so a kill
+    * mid-backfill never leaves a half-written artifact a reader would
+    * adopt (direct `mode("overwrite")` onto the live dir — Spark's
+    * delete-then-write — did).
     */
   def create(spark: SparkSession, path: String, keys: Seq[String],
       measures: Seq[Measure], initial: DataFrame): MatView = {
     val mv = MatView(spark, path, keys, measures)
-    ProjectionCatalog.partialAgg(initial, keys, measures)
-      .write.mode("overwrite").parquet(path)
+    val fs = FsOps(spark)
+    EpochStore.commit(fs, path)(dir =>
+      ProjectionCatalog.partialAgg(initial, keys, measures)
+        .write.mode("overwrite").parquet(dir))
+    dropLegacyRootFiles(fs, path)
     mv
   }
 
-  private[operators] def replaceDir(from: String, to: String): Unit = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    def rm(p: Path): Unit = if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally w.close()
+  /** Root-level FILES of the pre-epoch layout (partial-log parquet,
+    * `_SUCCESS`, crc companions) become invisible the moment a pointer
+    * commits; drop them so a migrated store does not leak their bytes.
+    * Strictly after the flip — a crash mid-drop leaves invisible
+    * garbage, never a wrong read. Directories are left alone
+    * ([[EpochStore]]'s sweep owns epoch dirs; foreign dirs are not
+    * ours to delete).
+    */
+  private[operators] def dropLegacyRootFiles(fs: FsOps, root: String): Unit =
+    fs.listChildren(root).foreach { case (n, isDir) =>
+      if (!isDir) fs.rmTree(s"$root/$n")
     }
-    rm(Paths.get(to))
-    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
-  }
 }

@@ -29,20 +29,28 @@ import scala.util.Try
   */
 final case class MvccCatalog(spark: SparkSession, root: String) {
 
-  private def dataPath(t: String) = s"$root/$t/data"
+  private val fs = FsOps(spark)
+
+  private def dataRoot(t: String) = s"$root/$t/data"
+
+  /** The live data directory: the committed epoch under the pointer
+    * flip ([[EpochStore]] — [[create]]/[[compact]] mint epochs), or
+    * the data root itself for a legacy pre-epoch table.
+    */
+  private def dataPath(t: String) = EpochStore.resolve(fs, dataRoot(t))
+
   private def tombPath(t: String) = s"$root/$t/tombstones"
 
-  /** Recursive delete; the walk stream is closed (try-with-resources). */
-  private def rm(p: String): Unit = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    val pp = Paths.get(p)
-    if (Files.exists(pp)) {
-      val walk = Files.walk(pp)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
+  /** `__v=N` partition dirs (and stray files) of the pre-epoch layout,
+    * invisible once a pointer commits; dropped strictly AFTER a flip so
+    * a migrated table does not leak their bytes. Epoch dirs and
+    * `_commits` belong to [[EpochStore]]'s sweep.
+    */
+  private def dropLegacyData(t: String): Unit =
+    fs.listChildren(dataRoot(t)).foreach { case (n, isDir) =>
+      if (n.startsWith("__v=") || !isDir && n != "_commits")
+        fs.rmTree(s"${dataRoot(t)}/$n")
     }
-  }
 
   /** COMMIT CONTRACT (exactly-once sink semantics): one commit = one
     * version, and committing a version that already exists REPLACES it.
@@ -56,9 +64,15 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     * scale: `asOf` snapshot filters become partition prunes.
     */
   def create(table: String, df: DataFrame, version: Long): Unit = {
-    rm(s"$root/$table")
-    df.withColumn("__v", lit(version)).write.mode("overwrite")
-      .partitionBy("__v").parquet(dataPath(table))
+    // write-beside + flip (never rm-first: a kill mid-create used to
+    // leave the table GONE; now the old state serves until the flip)
+    EpochStore.commit(fs, dataRoot(table))(dir =>
+      df.withColumn("__v", lit(version)).write.mode("overwrite")
+        .partitionBy("__v").parquet(dir))
+    // destruction strictly after the flip: the replaced generation's
+    // tombstones and any legacy-layout data are invisible now
+    fs.rmTree(tombPath(table))
+    dropLegacyData(table)
   }
 
   def append(table: String, df: DataFrame, version: Long): Unit =
@@ -143,20 +157,19 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     * would recompute from the already-deleted source and lose the table).
     */
   def compact(table: String, key: Seq[String], version: Long): Unit = {
-    import java.nio.file._
-    val tmp = s"$root/$table/__compact_tmp"
-    val trash = s"$root/$table/__compact_trash"
-    read(table, key).drop("__v").withColumn("__v", lit(version))
-      .write.mode("overwrite").partitionBy("__v").parquet(tmp)
-    // rename-swap: the old data dir is moved aside (recoverable) before
-    // the new one takes its place; a crash between the two renames leaves
-    // both __compact_tmp and __compact_trash intact for manual recovery.
-    // (A filesystem can't make the pair atomic; a production variant
-    // would use a manifest/_last_committed pointer instead.)
-    rm(trash)
-    Files.move(Paths.get(dataPath(table)), Paths.get(trash), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(dataPath(table)), StandardCopyOption.ATOMIC_MOVE)
-    rm(trash)
-    rm(tombPath(table))
+    // the snapshot plans against the CURRENT epoch and is written
+    // BESIDE it; the pointer flip is the commit point (this retires
+    // the old move-aside/move-in rename pair, whose crash window left
+    // the data dir ABSENT between the two renames). A kill before the
+    // flip: the old epoch + tombstones serve the same net state. A
+    // kill after the flip but before the tombstone delete below is
+    // also correct: compacted rows carry `__v = version` > every
+    // outstanding `__tv`, so stale tombstones filter nothing.
+    val snapshot = read(table, key).drop("__v").withColumn("__v", lit(version))
+    EpochStore.commit(fs, dataRoot(table))(dir =>
+      snapshot.write.mode("overwrite").partitionBy("__v").parquet(dir))
+    // destruction strictly after the flip
+    fs.rmTree(tombPath(table))
+    dropLegacyData(table)
   }
 }

@@ -235,11 +235,17 @@ object PqIndex {
   def save(model: Model, encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    model.codebooks.zipWithIndex.flatMap { case (cb, mm) =>
-      cb.zipWithIndex.map { case (c, kk) => (mm, kk, c) }
-    }.toSeq.toDF("m", "k", "centroid")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    encoded.write.mode("overwrite").parquet(s"$path/codes")
+    // codebooks + codes commit as ONE epoch under a pointer flip
+    // (EpochStore): a kill mid-save leaves the previous index serving,
+    // never codes encoded against codebooks that were not written
+    EpochStore.commit(FsOps(spark), path) { dir =>
+      model.codebooks.zipWithIndex.flatMap { case (cb, mm) =>
+        cb.zipWithIndex.map { case (c, kk) => (mm, kk, c) }
+      }.toSeq.toDF("m", "k", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      encoded.write.mode("overwrite").parquet(s"$dir/codes")
+    }
+    ()
   }
 
   /** Reload a [[save]]d index: (model, encoded table). Codebook content
@@ -251,14 +257,15 @@ object PqIndex {
     */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): (Model, DataFrame) = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/codebooks")
+    val dir = EpochStore.resolve(FsOps(spark), path)
+    val rows = spark.read.parquet(s"$dir/codebooks")
       .select(col("m").cast("int"), col("k").cast("int"), col("centroid"))
       .as[(Int, Int, Array[Float])].collect()
     val nm = rows.map(_._1).max + 1
     val nk = rows.map(_._2).max + 1
     val cbs = Array.ofDim[Array[Float]](nm, nk)
     rows.foreach { case (mm, kk, c) => cbs(mm)(kk) = c }
-    (Model(cbs), spark.read.parquet(s"$path/codes"))
+    (Model(cbs), spark.read.parquet(s"$dir/codes"))
   }
 
   def search(model: Model, encoded: DataFrame, embCol: String, idCol: String,

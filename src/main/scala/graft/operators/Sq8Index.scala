@@ -68,19 +68,25 @@ object Sq8Index {
   def save(model: Model, encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    model.mins.indices.map(i => (i, model.mins(i), model.scales(i))).toDF(
-      "dim", "mn", "scale").write.mode("overwrite").parquet(s"$path/bounds")
-    encoded.write.mode("overwrite").parquet(s"$path/codes")
+    // bounds + codes commit as ONE epoch under a pointer flip
+    // (EpochStore) — same re-save crash posture as PqIndex.save
+    EpochStore.commit(FsOps(spark), path) { dir =>
+      model.mins.indices.map(i => (i, model.mins(i), model.scales(i))).toDF(
+        "dim", "mn", "scale").write.mode("overwrite").parquet(s"$dir/bounds")
+      encoded.write.mode("overwrite").parquet(s"$dir/codes")
+    }
+    ()
   }
 
   /** Reload a [[save]]d index: (model, encoded table, row count). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Model, DataFrame, Long) = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/bounds")
+    val dir = EpochStore.resolve(FsOps(spark), path)
+    val rows = spark.read.parquet(s"$dir/bounds")
       .select(col("dim").cast("int"), col("mn"), col("scale"))
       .as[(Int, Float, Float)].collect().sortBy(_._1)
-    val enc = spark.read.parquet(s"$path/codes")
+    val enc = spark.read.parquet(s"$dir/codes")
     (Model(rows.map(_._2), rows.map(_._3)), enc, enc.count())
   }
 
