@@ -1190,25 +1190,55 @@ final case class Catalog(spark: SparkSession, root: String) {
     if (dirs.nonEmpty) {
       val gone = !dirs.map(d => col("file").contains(s"/$d/")).reduce(_ || _)
       if (hasDeletes(table)) {
-        val keep = spark.read.parquet(deletesDir(table)).filter(gone)
-        if (keep.isEmpty) fs.rmTree(deletesDir(table))
+        val dir = deletesDir(table)
+        val before = fs.listFiles(dir).map(_._1)
+        val keep = spark.read.parquet(dir).filter(gone)
+        if (keep.isEmpty) fs.rmTree(dir)
         else {
+          // add-first, the compactMask ordering: mask entries are a SET
+          // and the dropped ones reference files the rewrite just
+          // replaced (they filter nothing), so every crash window —
+          // originals only, originals+keep, keep+partial originals —
+          // anti-joins to identical reads. The retired rm-then-move
+          // swap had a NO-MASK window in which live entries for
+          // UNTOUCHED partitions vanished: silent resurrection on
+          // listing-served tables, and a post-crash refreshManifest
+          // would have adopted the maskless tree.
           val tmp = path(table) + "__mask_tmp"
           keep.write.mode("overwrite").parquet(tmp)
-          fs.replaceDir(tmp, deletesDir(table))
+          fs.listFiles(tmp).map(_._1).filter(_.endsWith(".parquet"))
+            .foreach(f =>
+              fs.move(f, s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"))
+          before.foreach(fs.rmTree)
+          fs.rmTree(tmp)
         }
       }
-      patchBatches(table).foreach { b =>
-        val keep = spark.read.parquet(b).filter(gone)
-        if (keep.isEmpty) fs.rmTree(b)
-        else {
-          val tmp = path(table) + "__patch_tmp"
-          keep.write.mode("overwrite").parquet(tmp)
-          fs.replaceDir(tmp, b)
+      val batches = patchBatches(table)
+      if (batches.nonEmpty) {
+        // install-first, the compactPatches ordering: each surviving
+        // batch rewrites under a FRESH seq preserving the batches'
+        // relative order, then the originals are deleted (add-first
+        // INSIDE a batch dir would be wrong here: applyPatches joins
+        // per batch on (file, pos), so a duplicated entry within one
+        // dir duplicates fact rows). In the crash windows a read
+        // applies originals then rewrites — same values for the same
+        // (file, pos), so sequential application is value-identical.
+        val maxSeq = seqOf(batches.last)
+        val installed = batches.zipWithIndex.flatMap { case (b, i) =>
+          val keep = spark.read.parquet(b).filter(gone)
+          if (keep.isEmpty) None
+          else {
+            val tmp = path(table) + "__patch_tmp"
+            keep.write.mode("overwrite").parquet(tmp)
+            val dst = s"${patchesDir(table)}/seq=${maxSeq + 1 + i}"
+            fs.move(tmp, dst)
+            Some(dst)
+          }
         }
+        batches.foreach(fs.rmTree)
+        if (installed.isEmpty && fs.isDir(patchesDir(table)))
+          fs.rmTree(patchesDir(table))
       }
-      if (fs.isDir(patchesDir(table)) && patchBatches(table).isEmpty)
-        fs.rmTree(patchesDir(table))
     }
 
   /** Partition columns of a table as laid out on disk (nested
