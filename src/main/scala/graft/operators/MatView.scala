@@ -28,10 +28,13 @@ import org.apache.spark.sql.graft.ProjectionCatalog.Measure
   *   - [[compact]]    = `OPTIMIZE TABLE .. FINAL`: collapse history to
   *     one row per key so the partial log stays bounded by
   *     |keys| regardless of insert count;
-  *   - streaming: `writeStream.foreachBatch((b, _) => mv.insert(b))`
-  *     gives the continuous MV population path (spec-gated in
-  *     MatViewSpec) with exactly-once-per-batch append semantics under
-  *     Spark's batch-id dedup contract.
+  *   - streaming: `writeStream.foreachBatch((b, id) => mv.insertBatch(b,
+  *     id))` gives the continuous MV population path (spec-gated in
+  *     MatViewSpec, replay included) with exactly-once-per-batch
+  *     semantics — partials land as a dynamic overwrite of their own
+  *     `__bid=N` partition, so a foreachBatch replay rewrites instead
+  *     of double counting. (Plain [[insert]] is the ad-hoc
+  *     at-least-once append; it used to carry this claim unearned.)
   *
   * Exactness matches the projection contract: integral/decimal-cast sums
   * and counts/min/max are exact under any insert split; double sums
@@ -51,15 +54,58 @@ final case class MatView(
     */
   private def dataDir: String = EpochStore.resolve(fs, path)
 
-  /** Aggregate one inserted block and append its partial states. An
-    * append needs no flip: a crashed insert leaves only uncommitted
-    * task files under `_temporary`, which readers never adopt.
+  /** Aggregate one inserted block and append its partial states (the
+    * AD-HOC insert: at-least-once — a caller that retries it double
+    * counts; streaming population uses [[insertBatch]]). An append
+    * needs no flip: a crashed insert leaves only uncommitted task
+    * files under `_temporary`, which readers never adopt.
     */
-  def insert(batch: DataFrame): Unit =
+  def insert(batch: DataFrame): Unit = {
+    ensureBidLayout()
     ProjectionCatalog.partialAgg(batch, keys, measures)
-      .write.mode("append").parquet(dataDir)
+      .withColumn("__bid", lit(MatView.AdhocBid))
+      .write.mode("append").partitionBy("__bid").parquet(dataDir)
+  }
 
-  private def partials: DataFrame = spark.read.parquet(dataDir)
+  /** Streaming population with EXACTLY-ONCE-per-batch semantics: the
+    * partial rows land partitioned by the stream's batch id, as a
+    * dynamic-partition overwrite of exactly their own `__bid=N`
+    * directory — a foreachBatch REPLAY after failure rewrites the same
+    * directory to the same contents instead of double counting (the
+    * same idempotent-sink pattern [[MvccCatalog.append]] uses; the
+    * plain [[insert]] append is at-least-once and previously carried
+    * this claim without earning it). Caveat shared by every folding
+    * sink: [[compact]] erases batch-dir identity, so run it while the
+    * stream is stopped — a replay of a batch the fold already absorbed
+    * would re-apply it.
+    */
+  def insertBatch(batch: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0,
+      "insertBatch: stream batch ids are non-negative (ad-hoc inserts use insert())")
+    ensureBidLayout()
+    ProjectionCatalog.partialAgg(batch, keys, measures)
+      .withColumn("__bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bid").parquet(dataDir)
+  }
+
+  /** Pre-r16 artifacts stored the partial log FLAT; `__bid=N`
+    * partition dirs cannot mix with flat files in one directory
+    * (Spark's partition discovery refuses conflicting structures), so
+    * the first write into a flat legacy store folds it under the flip
+    * first — one compact, after which every layout is bid-partitioned.
+    */
+  private def ensureBidLayout(): Unit =
+    if (!EpochStore.isEpochal(fs, path) &&
+        fs.listChildren(path).exists { case (n, d) =>
+          !d && n.endsWith(".parquet") })
+      compact()
+
+  private def partials: DataFrame = {
+    val df = spark.read.parquet(dataDir)
+    if (df.columns.contains("__bid")) df.drop("__bid") else df
+  }
 
   /** Merge partial states (no finalize): same schema as the stored rows,
     * one row per key. Used by both [[read]] and [[compact]].
@@ -104,7 +150,8 @@ final case class MatView(
   def compact(): Unit = {
     val m = merged // plans against the CURRENT epoch — write-beside
     EpochStore.commit(fs, path)(dir =>
-      m.write.mode("overwrite").parquet(dir))
+      m.withColumn("__bid", lit(MatView.BackfillBid))
+        .write.mode("overwrite").partitionBy("__bid").parquet(dir))
     MatView.dropLegacyRootFiles(fs, path) // after the flip: invisible
   }
 
@@ -127,10 +174,20 @@ object MatView {
     val fs = FsOps(spark)
     EpochStore.commit(fs, path)(dir =>
       ProjectionCatalog.partialAgg(initial, keys, measures)
-        .write.mode("overwrite").parquet(dir))
+        .withColumn("__bid", lit(BackfillBid))
+        .write.mode("overwrite").partitionBy("__bid").parquet(dir))
     dropLegacyRootFiles(fs, path)
     mv
   }
+
+  /** Partition-slot ids for non-stream partial rows: the CREATE
+    * backfill / compact output, and ad-hoc [[MatView.insert]] appends.
+    * Negative so they can never collide with a stream's batch ids
+    * (a collision under [[MatView.insertBatch]]'s dynamic overwrite
+    * would silently REPLACE an unrelated batch's rows).
+    */
+  private[operators] val BackfillBid = -1L
+  private[operators] val AdhocBid = -2L
 
   /** Root-level FILES of the pre-epoch layout (partial-log parquet,
     * `_SUCCESS`, crc companions) become invisible the moment a pointer

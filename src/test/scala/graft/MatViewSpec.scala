@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ProjectionCatalog.Measure
 import org.apache.spark.sql.types.DecimalType
@@ -84,10 +86,15 @@ class MatViewSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double)]
     val mv = MatView(spark, freshPath("str"), Seq("k"), measures)
+    var lastBatch: org.apache.spark.sql.DataFrame = null
+    var lastId = -1L
     val q = ms.toDS().toDF("k", "v", "d")
       .writeStream.outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        mv.insert(b)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        mv.insertBatch(b, id)
+        lastBatch = b.sparkSession.createDataFrame(
+          b.collect().toIndexedSeq.asJava, b.schema)
+        lastId = id
       }.start()
     try {
       ms.addData(("a", 1L, 0.25), ("a", 2L, 0.5), ("b", 10L, 1.0))
@@ -96,13 +103,23 @@ class MatViewSpec extends AnyFunSuite {
       q.processAllAvailable()
       ms.addData(("a", 3L, 1.25))
       q.processAllAvailable()
-      val got = mv.read().select($"k", $"sum_v", $"cnt",
+      def state() = mv.read().select($"k", $"sum_v", $"cnt",
         $"sum_d".cast("double").as("sd"))
         .orderBy("k").collect().map(_.toSeq).toSeq
-      assert(got == Seq(
+      val want = Seq(
         Seq("a", 6L, 3L, 2.0),
         Seq("b", 30L, 2L, 3.0),
-        Seq("c", 5L, 1L, 0.75)))
+        Seq("c", 5L, 1L, 0.75))
+      assert(state() == want)
+      // foreachBatch REPLAY (its at-least-once delivery): re-running
+      // the last batch with its own id must NOT double count — the
+      // dynamic overwrite rewrites __bid=N to the same contents (the
+      // plain append insert() would have doubled key "a" here)
+      mv.insertBatch(lastBatch, lastId)
+      assert(state() == want)
+      // OPTIMIZE FINAL between batches keeps the answers
+      mv.compact()
+      assert(state() == want)
     } finally q.stop()
   }
 }
