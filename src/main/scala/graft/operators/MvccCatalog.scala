@@ -152,7 +152,8 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
   }
 
   /** Apply tombstones + LWW physically; history before `version` is gone.
-    * The snapshot is written to a TEMP directory first and swapped in —
+    * The snapshot is written into a fresh epoch directory BESIDE the
+    * live one and committed by the [[EpochStore]] pointer flip —
     * caching alone is not a durability guarantee (an evicted partition
     * would recompute from the already-deleted source and lose the table).
     */
