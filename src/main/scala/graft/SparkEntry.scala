@@ -22,7 +22,8 @@ object SparkEntry {
       Round9Queries.defs ++ ProjectionQueries.defs ++ EngineQueries.defs ++
       Round10Queries.defs ++ Round11Queries.defs ++ Round12Queries.defs ++
       Round12Queries.defsPartitionOps ++ Round13Queries.defs ++
-      Round14Queries.defs ++ Round15Queries.defs ++ Round16Queries.defs
+      Round14Queries.defs ++ Round15Queries.defs ++ Round16Queries.defs ++
+      Round17Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7 v0.1 slice: Vector-SQL text with DISTANCE + NeuralArray

@@ -357,22 +357,21 @@ final case class Catalog(spark: SparkSession, root: String) {
     loadManifest(table) match {
       case Some(m) =>
         if (m.remove.nonEmpty) {
-          m.remove.foreach { rel =>
-            val abs = s"${path(table)}/$rel"
-            fs.rmTree(abs)
-            dropEmptyAncestors(parentOf(abs), path(table))
-          }
+          m.remove.foreach(destroyRel(table, _))
           commitManifest(table, m.seq, m.entries, Nil)
         }
         val known = m.entries.map(_.rel).toSet
         Seq(deletesDir(table), patchesDir(table)).foreach { d =>
           fs.listFiles(d).foreach { case (p, _, _) =>
             fs.relativeTo(path(table), p).foreach { rel =>
-              if (rel.endsWith(".parquet") && !known.contains(rel)) {
-                val abs = s"${path(table)}/$rel"
-                fs.rmTree(abs)
-                dropEmptyAncestors(parentOf(abs), path(table))
-              }
+              // ANY uncommitted file goes, not just parquet: the
+              // sidecar dirs are wholly protocol-owned (committed
+              // state lists every file, `_SUCCESS` included), and a
+              // parquet-only sweep left a crashed fold's batch dir as
+              // a `_SUCCESS`-only husk that the disk-level
+              // patchBatches listing then fed to spark.read as an
+              // unreadable empty batch (found by the ChaosSoak sweep)
+              if (!known.contains(rel)) destroyRel(table, rel)
             }
           }
         }
@@ -383,30 +382,98 @@ final case class Catalog(spark: SparkSession, root: String) {
     }
   }
 
-  /** Recommit after a mutation whose destructive work fully replaced
-    * or removed the directories under `replacedPrefixes` (table-
-    * relative) and/or rewrote the sidecar dirs: their old entries
-    * drop, their CURRENT files adopt via scoped relists. Orphan-safe
-    * because every named prefix was rmTree'd or replace-swapped by the
-    * caller (nothing uncommitted can survive inside) and the sidecar
-    * dirs were swept at [[beginMutation]].
+  /** The one-flip recommit + deferred destruction every manifested
+    * mutation that REPLACES state routes through (r16 verdict item 1 —
+    * this retires the destroy-then-recommit shape whose mid-window
+    * kill left reads failing loud until refreshManifest):
+    *
+    *   1. the caller has already written its new files IN PLACE beside
+    *      the old ones (fresh UUID names — invisible orphans, or for
+    *      sidecar folds a value-identical superset, until the flip);
+    *   2. ONE commit adopts `adds` and drops every entry named by
+    *      `removeRels` — THE atomicity point;
+    *   3. destruction strictly after: the removed files, their
+    *      emptied ancestor dirs, and sidecar dirs left without
+    *      parquet; then a second commit clears the pending-remove
+    *      list. A kill anywhere in 3 is finished by the next
+    *      mutation's reconcile ([[beginMutation]]).
+    *
+    * Every kill point leaves reads SERVING — the old committed state
+    * before 2, the new one after it — never refusing, never torn.
     */
-  private def commitScoped(table: String, m: Manifest.State,
-      replacedPrefixes: Seq[String]): Manifest.State = {
-    def under(rel: String): Boolean = {
-      val head = rel.split('/').head
-      head == "_deletes" || head == "_patches" ||
-        replacedPrefixes.exists(p => rel == p || rel.startsWith(p + "/"))
+  private def commitFlip(table: String, prev: Manifest.State,
+      adds: Seq[Manifest.Entry], removeRels: Seq[String]): Unit = {
+    val removeSet = removeRels.toSet
+    val kept = prev.entries.filterNot(e => removeSet.contains(e.rel))
+    val st = commitManifest(table, prev.seq, kept ++ adds,
+      removeSet.toSeq.sorted)
+    removeSet.foreach(destroyRel(table, _))
+    Seq(deletesDir(table), patchesDir(table)).foreach { d =>
+      if (fs.isDir(d) && !fs.hasParquetUnder(d)) fs.rmTree(d)
     }
-    val kept = m.entries.filterNot(e => under(e.rel))
-    val adopted =
-      (replacedPrefixes.map(p => s"${path(table)}/$p") ++
-        Seq(deletesDir(table), patchesDir(table)))
-        .flatMap(fs.listFiles)
-        .flatMap { case (p, len, mt) =>
-          fs.relativeTo(path(table), p).map(Manifest.Entry(_, len, mt))
-        }
+    commitManifest(table, st.seq, st.entries, Nil)
+  }
+
+  /** Destroy one manifest-named file: the file, its checksum companion
+    * (Spark's committer leaves `.name.crc` siblings on the local
+    * scheme that are never manifest entries — left behind they keep an
+    * emptied partition directory alive and leak bytes per mutation),
+    * and any ancestor directories this empties. The ONE destruction
+    * primitive every remove-list consumer shares.
+    */
+  private def destroyRel(table: String, rel: String): Unit = {
+    val abs = s"${path(table)}/$rel"
+    fs.rmTree(abs)
+    val slash = rel.lastIndexOf('/')
+    val crcRel =
+      if (slash < 0) s".$rel.crc"
+      else s"${rel.substring(0, slash + 1)}.${rel.substring(slash + 1)}.crc"
+    fs.rmTree(s"${path(table)}/$crcRel")
+    dropEmptyAncestors(parentOf(abs), path(table))
+  }
+
+  /** Table-relative rels of every manifest entry under any of `dirs`
+    * (table-relative directory prefixes).
+    */
+  private def entriesUnder(m: Manifest.State,
+      dirs: Seq[String]): Seq[String] =
+    m.entries.map(_.rel).filter(rel =>
+      dirs.exists(d => rel == d || rel.startsWith(d + "/")))
+
+  /** Recommit after a partition-directory ARRIVAL (attach / copy-in /
+    * move-in): entries under `rel` drop and the directory's CURRENT
+    * files adopt via one scoped relist — orphan-safe because the dir
+    * arrived WHOLESALE (moved or copied as one tree into a previously
+    * absent path, so everything inside is this op's intended state).
+    * Runs AFTER the physical arrival: a kill before it leaves the new
+    * files unserved ("the attach never happened") — reads keep
+    * serving the old state.
+    */
+  private def commitAdopt(table: String, m: Manifest.State,
+      rel: String): Unit = {
+    val kept = m.entries.filterNot(e =>
+      e.rel == rel || e.rel.startsWith(rel + "/"))
+    val adopted = fs.listFiles(s"${path(table)}/$rel")
+      .flatMap { case (p, len, mt) =>
+        fs.relativeTo(path(table), p).map(Manifest.Entry(_, len, mt))
+      }
     commitManifest(table, m.seq, kept ++ adopted, Nil)
+    ()
+  }
+
+  /** Recommit BEFORE a partition-directory DEPARTURE (detach /
+    * move-out): entries under `rel` leave the live set first, THEN the
+    * caller moves the directory. A kill between the two leaves the
+    * not-yet-moved files as invisible orphans and the op re-runnable —
+    * reads serve at every point (the departed-first order replaces the
+    * old move-then-recommit shape, whose mid-window kill left the
+    * manifest naming moved files: fail-loud until refreshManifest).
+    */
+  private def commitRetire(table: String, m: Manifest.State,
+      rel: String): Unit = {
+    commitManifest(table, m.seq, m.entries.filterNot(e =>
+      e.rel == rel || e.rel.startsWith(rel + "/")), Nil)
+    ()
   }
 
   /** Repair hatch: re-establish the manifest from the tree (finishing
@@ -425,13 +492,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     // the snapshot's NAME, which parses independently of its bytes
     try
       loadManifest(table).foreach { m =>
-        if (m.remove.nonEmpty) {
-          m.remove.foreach { rel =>
-            val abs = s"${path(table)}/$rel"
-            fs.rmTree(abs)
-            dropEmptyAncestors(parentOf(abs), path(table))
-          }
-        }
+        if (m.remove.nonEmpty) m.remove.foreach(destroyRel(table, _))
       }
     catch { case _: IllegalStateException => () }
     val prevSeq = Manifest.latestMeta(fs, path(table))
@@ -451,11 +512,8 @@ final case class Catalog(spark: SparkSession, root: String) {
       beginMutation(table)
       val live = loadManifest(table).map(_.entries.map(_.rel).toSet)
         .getOrElse(Set.empty)
-      treeEntries(table).map(_.rel).filterNot(live).foreach { rel =>
-        val abs = s"${path(table)}/$rel"
-        fs.rmTree(abs)
-        dropEmptyAncestors(parentOf(abs), path(table))
-      }
+      treeEntries(table).map(_.rel).filterNot(live)
+        .foreach(destroyRel(table, _))
     }
 
   /** Masked/patched read with FILE-level pruning of the sidecar tax:
@@ -1012,20 +1070,32 @@ final case class Catalog(spark: SparkSession, root: String) {
     val tmp = path(table) + "__patchfold"
     folded.write.mode("overwrite").parquet(tmp)
     // crash-safe order: INSTALL the folded batch first (sequenced after
-    // every original), then delete the originals. In the crash window a
+    // every original), then retire the originals. In the crash window a
     // read applies originals-then-folded, which is value-identical —
     // replacement is flag-gated, so the folded batch overrides exactly
     // where any original assigned and nowhere else. Deleting first would
     // leave a window where the table silently serves pre-update values.
-    fs.move(tmp, s"${patchesDir(table)}/seq=${seqOf(batches.last) + 1}")
-    batches.foreach(fs.rmTree)
-    invalidateProjections(table)
-    // manifest: one scoped recommit (sidecar sections relist whole).
-    // Crash mid-fold: the manifest still names the ORIGINAL batches —
-    // correct reads while the folded dir is an invisible orphan; crash
-    // mid-removal: fail-loud (missing batch file) + refreshManifest,
-    // never a silent pre-update read.
-    m0.foreach(m => commitScoped(table, m, Nil))
+    val dst = s"${patchesDir(table)}/seq=${seqOf(batches.last) + 1}"
+    fs.move(tmp, dst)
+    m0 match {
+      case Some(prev) =>
+        // MANIFESTED: ONE flip adopts the folded batch and drops the
+        // originals' entries; destruction strictly after. Until the
+        // flip the manifest serves the original batches exactly (the
+        // folded dir is an invisible orphan); after it the folded
+        // batch serves with the originals as a reconcile to-do —
+        // every kill point serves, nothing fails loud.
+        val adds = fs.listFiles(dst).flatMap { case (p, len, mt) =>
+          fs.relativeTo(path(table), p).map(Manifest.Entry(_, len, mt))
+        }
+        val removes = batches.flatMap(b =>
+          fs.listFiles(b).flatMap(e => fs.relativeTo(path(table), e._1)))
+        invalidateProjections(table)
+        commitFlip(table, prev, adds, removes)
+      case None =>
+        batches.foreach(fs.rmTree)
+        invalidateProjections(table)
+    }
   }
 
   /** Coalesce the deletion-mask sidecar: every lightweight delete
@@ -1040,24 +1110,36 @@ final case class Catalog(spark: SparkSession, root: String) {
     val m0 = beginMutation(table)
     if (!hasDeletes(table)) return
     val dir = deletesDir(table)
-    val before = fs.listFiles(dir).map(_._1)
+    val before = fs.listFiles(dir)
     val tmp = path(table) + "__maskfold"
     spark.read.parquet(dir).distinct()
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     // crash-safe order: entries are a SET, so ADD the folded file first,
-    // then remove the originals — every crash window leaves a superset
+    // then retire the originals — every crash window leaves a superset
     // of the mask, which anti-joins to identical reads (a swap would
     // have a no-mask window where deleted rows resurface)
-    fs.listFiles(tmp).map(_._1).filter(_.endsWith(".parquet"))
-      .foreach(f => fs.move(f, s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"))
-    before.foreach(fs.rmTree)
+    val adds = fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))
+      .flatMap { case (f, len, mt) =>
+        val dst = s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"
+        fs.move(f, dst)
+        fs.relativeTo(path(table), dst).map(Manifest.Entry(_, len, mt))
+      }
     fs.rmTree(tmp)
-    invalidateProjections(table)
-    // crash posture mirrors compactPatches: pre-commit windows serve
-    // the original mask files (the folded one is an orphan — and
-    // because the fold is add-first, even the TREE stays a correct
-    // superset throughout); mid-removal windows fail loud.
-    m0.foreach(m => commitScoped(table, m, Nil))
+    m0 match {
+      case Some(prev) =>
+        // MANIFESTED: ONE flip adopts the folded file and drops the
+        // originals' entries; destruction strictly after — every kill
+        // point serves (the tree is an add-first superset throughout,
+        // and the manifest names exactly one consistent mask set on
+        // either side of the commit).
+        val removes = before.flatMap(e =>
+          fs.relativeTo(path(table), e._1))
+        invalidateProjections(table)
+        commitFlip(table, prev, adds, removes)
+      case None =>
+        before.foreach(e => fs.rmTree(e._1))
+        invalidateProjections(table)
+    }
   }
 
   /** ClickHouse `ALTER TABLE t APPLY DELETED MASK [IN PARTITION p]`:
@@ -1136,16 +1218,28 @@ final case class Catalog(spark: SparkSession, root: String) {
           s"applyDeletedMask: leaf '$d' of '$table' still has live rows " +
             "under its mask — refusing to remove it (stale or " +
             "irreconcilable mask entries; OPTIMIZE the table instead)")
-        fs.rmTree(leaf)
-        dropEmptyAncestors(parentOf(leaf), path(table))
       }
-      if (still.nonEmpty) dropSidecarsUnder(table, still)
-      invalidateProjections(table)
-      // the zero-survivor leaves were removed outright after
-      // mutatePruned's own commit — recommit them out (same scoped
-      // rule and crash posture as mutatePruned)
-      if (still.nonEmpty)
-        loadManifest(table).foreach(m => commitScoped(table, m, still))
+      if (still.nonEmpty) loadManifest(table) match {
+        case Some(m) =>
+          // MANIFESTED: fold write-beside, then the zero-survivor
+          // leaves and the superseded sidecar files drop in ONE flip
+          // (mutatePruned committed its own leaves already; this is
+          // the same shape for the all-masked remainder)
+          val (sideAdds, sideRemoves) = foldSidecars(table, still,
+            defer = true)
+          invalidateProjections(table)
+          commitFlip(table, m, sideAdds,
+            entriesUnder(m, still) ++ sideRemoves)
+        case None =>
+          still.foreach { d =>
+            val leaf = s"${path(table)}/$d"
+            fs.rmTree(leaf)
+            dropEmptyAncestors(parentOf(leaf), path(table))
+          }
+          foldSidecars(table, still, defer = false)
+          invalidateProjections(table)
+      }
+      else invalidateProjections(table)
     }
   }
 
@@ -1185,61 +1279,94 @@ final case class Catalog(spark: SparkSession, root: String) {
     * entries are applied, and the fresh files carry new UUID names a
     * stale entry can never match — this is sidecar hygiene, not
     * correctness. Entries for untouched partitions stay live.
+    *
+    * Two modes. `defer = false` (listing-served tables): surviving
+    * entries rewrite under fresh names and the originals are deleted
+    * inline, with the per-kind crash orderings argued below. `defer =
+    * true` (manifested tables — r16 verdict item 1): the SAME
+    * write-beside happens, but nothing is destroyed — the new files
+    * and the superseded rels return for the caller's ONE
+    * [[commitFlip]], making the whole fold part of the mutation's
+    * atomic flip; until that commit the manifest serves the original
+    * sidecars exactly, and the new files are invisible (a crash before
+    * the flip leaves them as the uncommitted orphans
+    * [[beginMutation]]'s sidecar sweep removes).
     */
-  private def dropSidecarsUnder(table: String, dirs: Seq[String]): Unit =
-    if (dirs.nonEmpty) {
-      val gone = !dirs.map(d => col("file").contains(s"/$d/")).reduce(_ || _)
-      if (hasDeletes(table)) {
-        val dir = deletesDir(table)
-        val before = fs.listFiles(dir).map(_._1)
-        val keep = spark.read.parquet(dir).filter(gone)
-        if (keep.isEmpty) fs.rmTree(dir)
+  private def foldSidecars(table: String, dirs: Seq[String],
+      defer: Boolean): (Seq[Manifest.Entry], Seq[String]) = {
+    if (dirs.isEmpty) return (Nil, Nil)
+    val adds = Seq.newBuilder[Manifest.Entry]
+    val removes = Seq.newBuilder[String]
+    def relOf(p: String): String = fs.relativeTo(path(table), p).getOrElse(
+      throw new IllegalStateException(
+        s"foldSidecars: '$p' does not relativize under '${path(table)}'"))
+    val gone = !dirs.map(d => col("file").contains(s"/$d/")).reduce(_ || _)
+    if (hasDeletes(table)) {
+      val dir = deletesDir(table)
+      val before = fs.listFiles(dir)
+      val keep = spark.read.parquet(dir).filter(gone)
+      if (keep.isEmpty) {
+        if (defer) removes ++= before.map(e => relOf(e._1))
+        else fs.rmTree(dir)
+      } else {
+        // add-first, the compactMask ordering: mask entries are a SET
+        // and the dropped ones reference files the rewrite just
+        // replaced (they filter nothing), so every crash window —
+        // originals only, originals+keep, keep+partial originals —
+        // anti-joins to identical reads. The retired rm-then-move
+        // swap had a NO-MASK window in which live entries for
+        // UNTOUCHED partitions vanished: silent resurrection on
+        // listing-served tables, and a post-crash refreshManifest
+        // would have adopted the maskless tree.
+        val tmp = path(table) + "__mask_tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))
+          .foreach { case (f, len, mt) =>
+            val dst = s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"
+            fs.move(f, dst)
+            if (defer) adds += Manifest.Entry(relOf(dst), len, mt)
+          }
+        if (defer) removes ++= before.map(e => relOf(e._1))
+        else before.foreach(e => fs.rmTree(e._1))
+        fs.rmTree(tmp)
+      }
+    }
+    val batches = patchBatches(table)
+    if (batches.nonEmpty) {
+      // install-first, the compactPatches ordering: each surviving
+      // batch rewrites under a FRESH seq preserving the batches'
+      // relative order, then the originals are deleted (add-first
+      // INSIDE a batch dir would be wrong here: applyPatches joins
+      // per batch on (file, pos), so a duplicated entry within one
+      // dir duplicates fact rows). In the crash windows a read
+      // applies originals then rewrites — same values for the same
+      // (file, pos), so sequential application is value-identical.
+      val maxSeq = seqOf(batches.last)
+      val installed = batches.zipWithIndex.flatMap { case (b, i) =>
+        val keep = spark.read.parquet(b).filter(gone)
+        if (keep.isEmpty) None
         else {
-          // add-first, the compactMask ordering: mask entries are a SET
-          // and the dropped ones reference files the rewrite just
-          // replaced (they filter nothing), so every crash window —
-          // originals only, originals+keep, keep+partial originals —
-          // anti-joins to identical reads. The retired rm-then-move
-          // swap had a NO-MASK window in which live entries for
-          // UNTOUCHED partitions vanished: silent resurrection on
-          // listing-served tables, and a post-crash refreshManifest
-          // would have adopted the maskless tree.
-          val tmp = path(table) + "__mask_tmp"
+          val tmp = path(table) + "__patch_tmp"
           keep.write.mode("overwrite").parquet(tmp)
-          fs.listFiles(tmp).map(_._1).filter(_.endsWith(".parquet"))
-            .foreach(f =>
-              fs.move(f, s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"))
-          before.foreach(fs.rmTree)
-          fs.rmTree(tmp)
+          val dst = s"${patchesDir(table)}/seq=${maxSeq + 1 + i}"
+          fs.move(tmp, dst)
+          if (defer)
+            adds ++= fs.listFiles(dst).map { case (p, len, mt) =>
+              Manifest.Entry(relOf(p), len, mt)
+            }
+          Some(dst)
         }
       }
-      val batches = patchBatches(table)
-      if (batches.nonEmpty) {
-        // install-first, the compactPatches ordering: each surviving
-        // batch rewrites under a FRESH seq preserving the batches'
-        // relative order, then the originals are deleted (add-first
-        // INSIDE a batch dir would be wrong here: applyPatches joins
-        // per batch on (file, pos), so a duplicated entry within one
-        // dir duplicates fact rows). In the crash windows a read
-        // applies originals then rewrites — same values for the same
-        // (file, pos), so sequential application is value-identical.
-        val maxSeq = seqOf(batches.last)
-        val installed = batches.zipWithIndex.flatMap { case (b, i) =>
-          val keep = spark.read.parquet(b).filter(gone)
-          if (keep.isEmpty) None
-          else {
-            val tmp = path(table) + "__patch_tmp"
-            keep.write.mode("overwrite").parquet(tmp)
-            val dst = s"${patchesDir(table)}/seq=${maxSeq + 1 + i}"
-            fs.move(tmp, dst)
-            Some(dst)
-          }
-        }
+      if (defer)
+        removes ++= batches.flatMap(b => fs.listFiles(b).map(e => relOf(e._1)))
+      else {
         batches.foreach(fs.rmTree)
         if (installed.isEmpty && fs.isDir(patchesDir(table)))
           fs.rmTree(patchesDir(table))
       }
     }
+    (adds.result(), removes.result())
+  }
 
   /** Partition columns of a table as laid out on disk (nested
     * `col=value` directory levels, outermost first). Rewrite paths
@@ -1306,11 +1433,7 @@ final case class Catalog(spark: SparkSession, root: String) {
         val st = commitManifest(table, prev.seq, moved, removeRels)
         // 3. destruction, strictly after the flip (a kill anywhere
         //    below is finished by the next mutation's reconcile)
-        removeRels.foreach { rel =>
-          val abs = s"${path(table)}/$rel"
-          fs.rmTree(abs)
-          dropEmptyAncestors(parentOf(abs), path(table))
-        }
+        removeRels.foreach(destroyRel(table, _))
         Seq(deletesDir(table), patchesDir(table)).foreach { d =>
           if (fs.isDir(d) && !fs.hasParquetUnder(d)) fs.rmTree(d)
         }
@@ -1374,31 +1497,54 @@ final case class Catalog(spark: SparkSession, root: String) {
     val tmp = path(table) + "__mut"
     out.write.mode("overwrite").options(opts(table))
       .partitionBy(parts: _*).parquet(tmp)
-    affected.foreach { vs =>
-      val src = s"$tmp/${dirOf(vs)}"
-      val dst = s"${path(table)}/${dirOf(vs)}"
-      if (fs.exists(src)) fs.replaceDir(src, dst)
-      else { // every row of this leaf was deleted
-        fs.rmTree(dst)
-        // an ancestor left empty would break later layout detection
-        // (partitionColsOf descends the first `col=` child it finds)
-        dropEmptyAncestors(parentOf(dst), path(table))
-      }
+    val affectedDirs = affected.map(dirOf).toSeq
+    m0 match {
+      case Some(prev) =>
+        // MANIFESTED: the pruned mutation is ONE atomic flip, exactly
+        // writeReplacing's shape scoped to the affected leaves (r16
+        // verdict item 1 — the previous destroy-then-recommit left a
+        // mid-window kill failing loud until refreshManifest).
+        // 1. the rewritten leaves' files move in BESIDE the old ones
+        //    (fresh UUID names — invisible until the flip; a leaf whose
+        //    every row was deleted contributes nothing);
+        val moved = fs.listFiles(tmp).flatMap { case (p, len, mt) =>
+          fs.relativeTo(tmp, p).filter(fs.isDataRel).map { rel =>
+            val dst = s"${path(table)}/$rel"
+            fs.mkdirs(parentOf(dst))
+            fs.move(p, dst)
+            Manifest.Entry(rel, len, mt)
+          }
+        }
+        fs.rmTree(tmp)
+        // 2. sidecar fold, write-beside (entries under the rewritten
+        //    leaves are materialized by the rewrite; survivors land
+        //    under fresh names, originals stay until the flip);
+        val (sideAdds, sideRemoves) = foldSidecars(table, affectedDirs,
+          defer = true)
+        invalidateProjections(table)
+        // 3. THE FLIP + deferred destruction: old leaf files and old
+        //    sidecar files out, new ones in, one commit. Every kill
+        //    point serves — old state before the commit, new after.
+        commitFlip(table, prev, moved ++ sideAdds,
+          entriesUnder(prev, affectedDirs) ++ sideRemoves)
+      case None =>
+        // LEGACY (listing-served): the in-place per-leaf swap, whose
+        // crash window can leave a leaf partial — documented since r13.
+        affected.foreach { vs =>
+          val src = s"$tmp/${dirOf(vs)}"
+          val dst = s"${path(table)}/${dirOf(vs)}"
+          if (fs.exists(src)) fs.replaceDir(src, dst)
+          else { // every row of this leaf was deleted
+            fs.rmTree(dst)
+            // an ancestor left empty would break later layout detection
+            // (partitionColsOf descends the first `col=` child it finds)
+            dropEmptyAncestors(parentOf(dst), path(table))
+          }
+        }
+        fs.rmTree(tmp)
+        foldSidecars(table, affectedDirs, defer = false)
+        invalidateProjections(table)
     }
-    fs.rmTree(tmp)
-    dropSidecarsUnder(table, affected.map(dirOf).toSeq)
-    invalidateProjections(table)
-    // one commit for the whole pruned mutation: every affected leaf was
-    // replace-swapped or removed outright and the sidecar dirs were
-    // rewritten whole, so the scoped relists adopt exactly the intended
-    // state. Crash window (mid-FS-work): the manifest still names the
-    // pre-mutation files, some now destroyed — reads fail LOUD (missing
-    // file), never serve a torn mix; refreshManifest is the documented
-    // repair. The flip-everything alternative (old+new coexisting per
-    // leaf) is writeReplacing's shape; per-leaf mutations keep the
-    // pruned economics and trade the window from torn-reads (legacy) to
-    // fail-loud.
-    m0.foreach(m => commitScoped(table, m, affected.map(dirOf).toSeq))
   }
 
   private def parentOf(p: String): String = p.substring(0, p.lastIndexOf('/'))
@@ -1498,15 +1644,33 @@ final case class Catalog(spark: SparkSession, root: String) {
       "dropPartition would be a silent no-op")
     val dir = partitionPath(table, segs)
     if (fs.exists(dir)) {
-      fs.rmTree(dir)
-      // a leaf drop may leave empty ancestor directories behind
-      dropEmptyAncestors(parentOf(dir), path(table))
-      // sidecar hygiene: entries under the dropped directory are applied
-      // by definition (the rows are gone) — remove them so a later
-      // ATTACH into the same partition can never meet a stale entry
-      dropSidecarsUnder(table, Seq(relSeg(segs)))
-      invalidateProjections(table)
-      m0.foreach(m => commitScoped(table, m, Seq(relSeg(segs))))
+      m0 match {
+        case Some(prev) =>
+          // MANIFESTED: sidecar fold write-beside, then ONE flip that
+          // drops the partition's entries and the superseded sidecar
+          // files together — destruction strictly after (the dir's
+          // remaining bytes, if a crash interrupts, are invisible
+          // orphans finished by the next reconcile). Sidecar entries
+          // under the dropped directory are applied by definition (the
+          // rows are gone); removing them means a later ATTACH into
+          // the same partition can never meet a stale entry.
+          val rel = relSeg(segs)
+          val (sideAdds, sideRemoves) =
+            foldSidecars(table, Seq(rel), defer = true)
+          invalidateProjections(table)
+          commitFlip(table, prev, sideAdds,
+            entriesUnder(prev, Seq(rel)) ++ sideRemoves)
+          // the flip's per-file removal leaves the (possibly orphan-
+          // holding) directory: the drop semantics say it is GONE
+          fs.rmTree(dir)
+          dropEmptyAncestors(parentOf(dir), path(table))
+        case None =>
+          fs.rmTree(dir)
+          // a leaf drop may leave empty ancestor directories behind
+          dropEmptyAncestors(parentOf(dir), path(table))
+          foldSidecars(table, Seq(relSeg(segs)), defer = false)
+          invalidateProjections(table)
+      }
     }
   }
 
@@ -1582,15 +1746,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     require(!fs.exists(dst),
       s"partition '${segs.map(_._2).mkString(",")}' of '$table' is " +
         "already detached — ATTACH or remove it first")
+    // DEPARTURE order: the leaf leaves the live set FIRST, then the
+    // directory moves. A kill between the two leaves the files as
+    // invisible orphans and this DETACH re-runnable (src still there,
+    // dst still absent) — reads serve at every point. The old
+    // move-then-recommit order failed loud in that window.
+    m0.foreach(m => commitRetire(table, m, relSeg(segs)))
     fs.mkdirs(detachedDir(table))
     fs.move(src, dst)
     dropEmptyAncestors(parentOf(src), path(table))
     invalidateProjections(table)
-    // leaf gone from the live set (relist of the moved-out dir is
-    // empty); crash between move and commit: the manifest names moved
-    // files — fail-loud read, re-running DETACH is refused (src gone) —
-    // refreshManifest is the repair, documented with the op
-    m0.foreach(m => commitScoped(table, m, Seq(relSeg(segs))))
   }
 
   /** `ALTER TABLE t ATTACH PARTITION v`: bring a detached partition back. */
@@ -1609,11 +1774,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     fs.mkdirs(parentOf(dst))
     fs.move(src, dst)
     invalidateProjections(table)
-    // the moved-in dir arrived wholesale from _detached — a scoped
-    // relist adopts exactly its files. Crash between move and commit:
-    // leaf present but unserved ("attach not yet happened") — re-ATTACH
-    // is refused (dst exists); refreshManifest repairs.
-    m0.foreach(m => commitScoped(table, m, Seq(relSeg(segs))))
+    // ARRIVAL order: move, then adopt. Crash between the two: leaf
+    // present but unserved ("attach not yet happened") — reads keep
+    // serving; re-ATTACH is refused (dst exists), refreshManifest
+    // finishes the adoption.
+    m0.foreach(m => commitAdopt(table, m, relSeg(segs)))
   }
 
   /** `ALTER TABLE dst ATTACH|REPLACE PARTITION v FROM src`: COPY the
@@ -1645,7 +1810,7 @@ final case class Catalog(spark: SparkSession, root: String) {
     invalidateProjections(dst)
     // a crash mid-copy leaves a partial leaf UNSERVED (strictly better
     // than the legacy visible-partial); REPLACE re-runs clean
-    m0.foreach(m => commitScoped(dst, m, Seq(relSeg(segs))))
+    m0.foreach(m => commitAdopt(dst, m, relSeg(segs)))
   }
 
   /** `ALTER TABLE src MOVE PARTITION v TO TABLE dst`: the directory
@@ -1667,13 +1832,18 @@ final case class Catalog(spark: SparkSession, root: String) {
     require(!fs.exists(to),
       s"partition '${segs.map(_._2).mkString(",")}' already exists on " +
         s"'$dst' — DROP or REPLACE it")
+    // departure commits FIRST (see detachPartition), arrival adopts
+    // AFTER the move: every kill point serves on both tables — between
+    // the two commits the partition is "in transit" (gone from src's
+    // live set, not yet in dst's), the same intermediate state the
+    // DETACH+ATTACH pair it decomposes into would show.
+    mSrc.foreach(m => commitRetire(src, m, relSeg(segs)))
     fs.mkdirs(parentOf(to))
     fs.move(from, to)
     dropEmptyAncestors(parentOf(from), path(src))
     invalidateProjections(src)
     invalidateProjections(dst)
-    mSrc.foreach(m => commitScoped(src, m, Seq(relSeg(segs))))
-    mDst.foreach(m => commitScoped(dst, m, Seq(relSeg(segs))))
+    mDst.foreach(m => commitAdopt(dst, m, relSeg(segs)))
   }
 
   // ---- backups (CH ALTER ... FREEZE family) ------------------------------
@@ -1827,10 +1997,19 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   def killMutations(table: String): Unit = {
     val m0 = beginMutation(table)
-    fs.rmTree(deletesDir(table))
-    fs.rmTree(patchesDir(table))
-    invalidateProjections(table)
-    m0.foreach(m => commitScoped(table, m, Nil))
+    m0 match {
+      case Some(prev) =>
+        // ONE flip drops every sidecar entry; destruction strictly
+        // after (the old destroy-then-recommit failed loud on a kill
+        // between the two)
+        invalidateProjections(table)
+        commitFlip(table, prev, Nil,
+          entriesUnder(prev, Seq("_deletes", "_patches")))
+      case None =>
+        fs.rmTree(deletesDir(table))
+        fs.rmTree(patchesDir(table))
+        invalidateProjections(table)
+    }
   }
 
   /** ClickHouse `system.parts` analog: the physical parts (parquet

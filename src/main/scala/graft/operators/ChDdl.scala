@@ -740,6 +740,12 @@ object ChDdl {
         // driver-serialized so nothing races the window. Spec-pinned in
         // DdlSpec.)
         val tmp = s"__xchg_${mvBindSeq.incrementAndGet()}"
+        // self-exchange would defeat the up-front validation: rename 1
+        // moves `a` into the temp slot and deregisters it, so rename 2
+        // (a -> a) would fail its unknown-table require with `a`
+        // stranded in the slot — refuse before touching anything
+        require(key(cat, a) != key(cat, b),
+          s"ChDdl: EXCHANGE TABLES needs two distinct tables (got '$a')")
         def registered(t: String) =
           defs.contains(key(cat, t)) || mvDefs.contains(key(cat, t))
         require(registered(a), s"ChDdl: unknown table '$a'")

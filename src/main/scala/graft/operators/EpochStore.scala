@@ -10,10 +10,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   1. build the new artifact into a FRESH epoch directory
   *      (`e<seq>-<uuid>/`) beside the live one — the live epoch keeps
   *      serving during the whole build;
-  *   2. COMMIT: write a pointer file naming the new epoch into
-  *      `_commits/` (tmp-then-rename under a fresh name; readers take
-  *      the highest sequence, so a half-written tmp is never eligible
-  *      and the rename is the one atomicity point);
+  *   2. COMMIT: create the pointer file `ptr-<seq>` in `_commits/` via
+  *      create-if-absent — the CAS (see the concurrency contract
+  *      below); readers take the highest committed sequence;
   *   3. only then destroy superseded epoch directories. A crash before
   *      2 leaves the old pointer serving the old epoch exactly; a crash
   *      after 2 leaves the new epoch serving, with the stale directory
@@ -25,60 +24,104 @@ import java.nio.charset.StandardCharsets.UTF_8
   * directly onto the live directory (delete-then-write: a kill
   * mid-write leaves a PARTIAL artifact that a reader would adopt).
   *
+  * CONCURRENCY CONTRACT (optimistic, Delta's commit shape — a public
+  * design). Mutations within one process stay driver-serialized, but
+  * the reference's deployment runs ingest and compaction as SEPARATE
+  * jobs over one store; two processes must not silently lose an
+  * update. The commit point is [[FsOps.createIfAbsent]] on the
+  * deterministic name `ptr-<seq>` — CONTENT-ATOMIC (staged bytes,
+  * linked/renamed into place), so a pointer either exists complete or
+  * not at all. Two writers that both derived their build from
+  * sequence N both target N+1, exactly one claims the pointer, and
+  * the loser throws [[ConcurrentCommitException]] — it re-reads and
+  * retries, or surfaces the refusal. No interleaving yields a silent
+  * lost update: a commit either names its own epoch at a sequence
+  * nothing else claimed, or it fails loudly. (The winner's post-flip
+  * sweep may delete a same-sequence loser's half-built epoch dir
+  * mid-build; that loser's write or CAS then errors — the same loud
+  * refusal, just earlier.) Crash artifacts are an unclaimed epoch
+  * build dir (swept when the live sequence reaches it) and a staged
+  * `.tmp-` file (hygiene) — never a partial pointer. Pre-CAS pointers
+  * (`ptr-<seq>-<uuid>`, tmp-then-renamed, so complete by construction)
+  * are still honored for artifacts written by earlier builds.
+  *
   * Authority follows the manifest rule, scoped to what a pointer can
-  * say: a store WITH a `_commits` pointer resolves to exactly the
+  * say: a store WITH a committed pointer resolves to exactly the
   * committed epoch (uncommitted epoch dirs are invisible); a store
   * WITHOUT one is a legacy artifact and resolves to its root, listing
-  * as before; a pointer that names a MISSING directory is corruption
-  * and fails loud — never a fallback that could adopt a half-built
-  * epoch.
+  * as before; a pointer that names a MISSING directory — or whose
+  * bytes do not parse (content-atomic claims cannot be truncated by a
+  * crash, so unparseable means corrupt) — fails loud. Never a
+  * fallback that could adopt a half-built epoch.
   *
   * Readers that resolved an epoch stay pinned to it lazily (a
   * DataFrame holds paths, not content) — the same documented hazard as
-  * the manifest's remove list: mutations are driver-serialized, and a
-  * commit only sweeps epochs SUPERSEDED at its flip, so the window is
-  * one epoch wide, identical to the table story.
+  * the manifest's remove list: a commit only sweeps epochs SUPERSEDED
+  * at its flip, so the window is one epoch wide, identical to the
+  * table story.
   */
 object EpochStore {
 
-  private val PtrRe = "ptr-([0-9]{20})-[0-9a-f]{8}".r
+  private val PtrCasRe = "ptr-([0-9]{20})".r
+  private val PtrLegacyRe = "ptr-([0-9]{20})-[0-9a-f]{8}".r
   private val EpochRe = "e[0-9]{20}-[0-9a-f]{8}".r
 
   private def commitsDir(root: String) = root + "/_commits"
 
   private def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
 
-  /** (pointer name, epoch dir name) of the highest-seq commit, via ONE
-    * listing of the small `_commits` dir; None = no commit pointer
-    * (legacy store, or nothing committed yet).
+  private def seqOf(ptrName: String): Long = {
+    val digits = ptrName match {
+      case PtrCasRe(s) => s
+      case PtrLegacyRe(s) => s
+      case _ => throw new IllegalStateException(
+        s"epoch store: not a pointer name: '$ptrName'")
+    }
+    digits.toLongOption.getOrElse(throw new IllegalStateException(
+      s"epoch store: pointer '$ptrName' claims a sequence past Long " +
+        "range — the store is corrupt (protocol sequences start at 1)"))
+  }
+
+  /** All pointer names in the `_commits` dir (both formats), plus the
+    * max sequence any of them claims (0 when none) — ONE listing.
     */
-  private def latest(fs: FsOps, root: String): Option[(String, String)] = {
-    val ptrs = fs.listFiles(commitsDir(root)).flatMap { case (p, _, _) =>
+  private def pointers(fs: FsOps, root: String): Seq[String] =
+    fs.listFiles(commitsDir(root)).flatMap { case (p, _, _) =>
       nameOf(p) match {
-        case n @ PtrRe(_) => Some(n)
+        case n @ PtrCasRe(_) => Some(n)
+        case n @ PtrLegacyRe(_) => Some(n)
         case _ => None // .tmp- leftovers, foreign files: never eligible
       }
     }
+
+  /** (pointer name, epoch dir name) of the highest-seq pointer; None =
+    * no pointer (legacy store, or nothing committed yet). Pointers are
+    * content-atomic claims, so an unreadable one is CORRUPTION and
+    * fails loud — resolving around it could adopt the wrong epoch.
+    */
+  private def latest(fs: FsOps, root: String): Option[(String, String)] = {
+    val ptrs = pointers(fs, root)
     if (ptrs.isEmpty) None
     else {
-      val n = ptrs.max // zero-padded seq: name order IS seq order
-      val text = new String(
-        fs.readBytes(s"${commitsDir(root)}/$n"), UTF_8)
+      // max by NAME: both formats zero-pad the sequence to 20 digits,
+      // so name order IS seq order (no seq parse — resolution must
+      // reach the loud unreadable-bytes path even for a pointer whose
+      // claimed digits overflow a Long). At one seq a CAS pointer and
+      // a legacy pointer cannot both be live protocol outputs, but the
+      // order resolves deterministically anyway (the -uuid form sorts
+      // after the bare form — a fixed order both sides of any race
+      // agree on is what matters).
+      val n = ptrs.max
+      val text = new String(fs.readBytes(s"${commitsDir(root)}/$n"), UTF_8)
       val lines = text.split('\n')
-      if (lines.length != 3 || lines(0) != "graft-epoch 1" ||
-          lines(2) != "end" || !EpochRe.pattern.matcher(lines(1)).matches())
-        throw new IllegalStateException(
-          s"epoch store: pointer '$n' of '$root' is unreadable — " +
-            "inspect the store (resolving by listing could adopt a " +
-            "half-built epoch)")
-      Some((n, lines(1)))
+      val valid = lines.length == 3 && lines(0) == "graft-epoch 1" &&
+        lines(2) == "end" && EpochRe.pattern.matcher(lines(1)).matches()
+      if (valid) Some((n, lines(1)))
+      else throw new IllegalStateException(
+        s"epoch store: pointer '$n' of '$root' is unreadable — " +
+          "inspect the store (resolving by listing could adopt a " +
+          "half-built epoch)")
     }
-  }
-
-  private def seqOf(ptrName: String): Long = ptrName match {
-    case PtrRe(s) => s.toLong
-    case _ => throw new IllegalStateException(
-      s"epoch store: not a pointer name: '$ptrName'")
   }
 
   /** The directory readers serve: the committed epoch when a pointer
@@ -96,51 +139,72 @@ object EpochStore {
     case None => root
   }
 
-  /** True when the store has a commit pointer (epoch layout). */
+  /** True when the store has a committed pointer (epoch layout). */
   def isEpochal(fs: FsOps, root: String): Boolean =
     latest(fs, root).isDefined
 
   /** Write-beside + flip: `write` builds the artifact into a fresh
-    * epoch dir; the pointer rename is the commit point; superseded
-    * epochs (and stale pointers/tmps beyond retention) are swept
-    * strictly after. Returns the committed epoch dir.
+    * epoch dir; the create-if-absent of `ptr-<seq>` is the commit
+    * point (throws [[ConcurrentCommitException]] when another writer
+    * claimed the sequence first — see the class doc's concurrency
+    * contract); superseded epochs (and stale pointers/tmps beyond
+    * retention) are swept strictly after. Returns the committed epoch
+    * dir.
     */
   def commit(fs: FsOps, root: String)(write: String => Unit): String = {
-    val prev = latest(fs, root)
-    val seq = prev.map(p => seqOf(p._1)).getOrElse(0L) + 1
+    // target one past the committed sequence (pointers are all
+    // committed claims — content-atomic); a racer's claim is always
+    // detected by the CAS because racers target the SAME sequence
+    val seq = pointers(fs, root).map(seqOf).maxOption.getOrElse(0L) + 1
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val epoch = f"e$seq%020d-$uuid"
     val dir = s"$root/$epoch"
     write(dir)
-    // COMMIT: tmp-then-rename under a fresh name (readers take the
-    // highest seq — a crash before this rename leaves the old epoch
-    // serving; the unreferenced build dir is swept by the next commit)
     val cd = commitsDir(root)
     fs.mkdirs(cd)
     val bytes = s"graft-epoch 1\n$epoch\nend".getBytes(UTF_8)
-    fs.writeBytes(s"$cd/.tmp-$uuid", bytes)
-    fs.move(s"$cd/.tmp-$uuid", s"$cd/ptr-" + f"$seq%020d" + s"-$uuid")
+    // THE COMMIT — the content-atomic CAS (a crash leaves at most a
+    // staged .tmp- file, never a partial pointer)
+    if (!fs.createIfAbsent(s"$cd/ptr-" + f"$seq%020d", bytes)) {
+      fs.rmTree(dir) // our build: unreferenced, safe to drop
+      throw new ConcurrentCommitException(
+        s"epoch store: sequence $seq of '$root' was claimed by a " +
+          "concurrent writer — re-read the store and retry the commit")
+    }
     sweep(fs, root, epoch, seq)
     dir
   }
 
-  /** Destruction, strictly after the flip: epoch dirs the new pointer
-    * does not name (committed-and-superseded or crashed builds), stale
-    * pointers beyond the last [[Keep]], and tmp leftovers. Never
-    * touches legacy (non-`e<seq>-`) names, so a store migrated from
-    * the root layout keeps its old files until the caller removes them.
+  /** Destruction, strictly after the flip: epoch dirs AT OR BELOW the
+    * live sequence that the new pointer does not name (committed-and-
+    * superseded epochs, crashed builds — a real crashed build's
+    * sequence is exactly the next target, so the very next commit
+    * reaches it), stale pointers beyond the last [[Keep]], and tmp
+    * leftovers. Dirs ABOVE the live sequence are spared: they are a
+    * concurrent writer's in-flight build — deleting one whose CAS then
+    * SUCCEEDS would commit a pointer to a missing directory, turning a
+    * refusal into corruption. (A same-sequence in-flight build is
+    * swept: its sequence is already claimed, its CAS can only fail.)
+    * Never touches legacy (non-`e<seq>-`) names, so a store migrated
+    * from the root layout keeps its old files until the caller removes
+    * them.
     */
   private[operators] val Keep = 3
+
+  private val EpochSeqRe = "e([0-9]{20})-[0-9a-f]{8}".r
 
   private def sweep(fs: FsOps, root: String, liveEpoch: String,
       liveSeq: Long): Unit = {
     fs.listChildren(root).foreach { case (n, isDir) =>
-      if (isDir && n != liveEpoch && EpochRe.pattern.matcher(n).matches())
-        fs.rmTree(s"$root/$n")
+      if (isDir && n != liveEpoch) n match {
+        case EpochSeqRe(s) if s.toLong <= liveSeq => fs.rmTree(s"$root/$n")
+        case _ => ()
+      }
     }
     fs.listFiles(commitsDir(root)).foreach { case (p, _, _) =>
       nameOf(p) match {
-        case n @ PtrRe(_) if seqOf(n) <= liveSeq - Keep => fs.rmTree(p)
+        case n @ (PtrCasRe(_) | PtrLegacyRe(_)) if seqOf(n) <= liveSeq - Keep =>
+          fs.rmTree(p)
         case n if n.startsWith(".tmp-") => fs.rmTree(p)
         case _ => ()
       }

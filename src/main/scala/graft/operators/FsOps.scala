@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, FileUtil, LocalFileSystem, Path => HPath}
+import org.apache.hadoop.fs.{FileSystem, FileUtil, LocalFileSystem, RawLocalFileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 
 /** Filesystem facade for [[Catalog]]'s directory-level table operations
@@ -30,8 +30,14 @@ import org.apache.spark.sql.SparkSession
   * On the local scheme the checksummed `LocalFileSystem` is unwrapped to
   * its raw form: graft's tables must not grow `.crc` sidecars that
   * `java.nio` writers (and Spark's committers) would not produce.
+  *
+  * NOT final: the chaos harness ([[graft.ChaosSoak.CrashFsOps]],
+  * CrashWindowSpec) overrides the MUTATING operations to throw after an
+  * operation budget — the executable form of every crash-window
+  * ordering argument in the commit protocols (kill the "process" at
+  * each step, assert reads still serve a committed state).
   */
-final class FsOps(conf: Configuration) {
+class FsOps(conf: Configuration) {
 
   private def fs(p: HPath): FileSystem = p.getFileSystem(conf) match {
     case l: LocalFileSystem => l.getRaw
@@ -182,6 +188,69 @@ final class FsOps(conf: Configuration) {
     try out.write(bytes) finally out.close()
   }
 
+  /** Atomic CONTENT-COMPLETE create-if-absent of a small file — the
+    * COMPARE-AND-SWAP primitive of the optimistic commit protocols
+    * ([[Manifest]] seal files, [[EpochStore]] pointers): of N writers
+    * naming the same path, exactly one claims it, the rest see `false`
+    * and refuse their commit loudly. The claim appears with its FULL
+    * bytes in one atomic step (staged to a `.tmp-` sibling first):
+    * there is no observable "created but not yet written" state — the
+    * property the protocols' correctness rests on, because a reader or
+    * a racing writer that could see a half-claim cannot tell a crashed
+    * claimant from an in-flight one, and skipping past an in-flight
+    * commit is a silently lost update (the ConcurrencySpec 8-writer
+    * hammer CAUGHT exactly that against an earlier create-then-write
+    * shape). Bindings, with atomicity delegated to the store — the
+    * same posture as [[move]]'s S3 note and the same delegation
+    * Delta's LogStore makes (a public design):
+    *
+    *   - local scheme: stage + `link(2)` — the kernel's atomic
+    *     fail-if-exists primitive that also carries content (Hadoop's
+    *     local `create(overwrite=false)` is check-then-create and its
+    *     rename overwrites, so neither can be the CAS here);
+    *   - everything else: stage + `FileSystem.rename`, which is atomic
+    *     and fails on an existing destination at the HDFS NameNode;
+    *     object-store connectors map it to their conditional
+    *     operations per their documented semantics.
+    *
+    * A crash leaves at most a staged `.tmp-` sibling (never eligible,
+    * swept by the protocols' hygiene). A racer's hygiene sweeping OUR
+    * stage mid-claim surfaces as `false` — the same loud refusal.
+    */
+  def createIfAbsent(p: String, bytes: Array[Byte]): Boolean = {
+    val h = new HPath(p)
+    val f = fs(h)
+    val stageName = s".tmp-claim-${java.util.UUID.randomUUID().toString.take(8)}"
+    f match {
+      case r: RawLocalFileSystem =>
+        val dst = new java.io.File(r.makeQualified(h).toUri.getPath)
+        Option(dst.getParentFile).foreach(_.mkdirs())
+        if (dst.exists()) false
+        else {
+          val tmp = new java.io.File(dst.getParentFile, stageName)
+          val out = new java.io.FileOutputStream(tmp)
+          try out.write(bytes) finally out.close()
+          try {
+            java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.nio.file.NoSuchFileException => false // stage swept
+          } finally { tmp.delete(); () }
+        }
+      case _ =>
+        if (f.exists(h)) false
+        else {
+          val tmp = new HPath(h.getParent, stageName)
+          val out = f.create(tmp, false)
+          try out.write(bytes) finally out.close()
+          // HDFS rename: atomic, false when the destination exists
+          try f.rename(tmp, h)
+          finally { if (f.exists(tmp)) f.delete(tmp, false); () }
+        }
+    }
+  }
+
   /** Recursive delete; no-op when absent. */
   def rmTree(p: String): Unit = {
     val h = new HPath(p)
@@ -224,6 +293,18 @@ final class FsOps(conf: Configuration) {
 }
 
 object FsOps {
+
+  /** Chaos-injection seam: every store binds its FsOps through this
+    * factory, so the crash harness can hand ALL of them (Catalog,
+    * MvccCatalog, MatView, the index stores) an instance whose
+    * mutating operations die mid-protocol — simulating a process kill
+    * at each step. Production code never touches it; the harness
+    * resets it around each run (post-kill assertions bind a fresh
+    * real FsOps through the restored default).
+    */
+  @volatile private[graft] var factory: Configuration => FsOps =
+    conf => new FsOps(conf)
+
   def apply(spark: SparkSession): FsOps =
-    new FsOps(spark.sessionState.newHadoopConf())
+    factory(spark.sessionState.newHadoopConf())
 }

@@ -34,8 +34,8 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   *     and a listing would adopt them as data. Stale/absent → listing;
   *     present-but-broken → error, never a wrong read.
   *
-  * Commit protocol (all driver-serialized, like every Catalog
-  * mutation):
+  * Commit protocol (driver-serialized within a process, optimistic
+  * across processes — see the concurrency contract below):
   *
   *   1. write new files into the tree (fresh UUID names — never
   *      colliding with live ones);
@@ -47,10 +47,35 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   *      [[Catalog]]'s reconcile pass finishes before the next mutation.
   *
   * Snapshot files are immutable and written tmp-then-rename under
-  * fresh names (`snap-<seq>-<uuid>.gz`); readers take the highest seq,
-  * so a half-written tmp is never eligible and the flip is the one
-  * atomicity point. The last [[Keep]] snapshots are retained for
-  * post-mortems; older ones are pruned at commit.
+  * fresh names (`snap-<seq>-<uuid>.gz`), so a snapshot BODY is never
+  * partial under a final name. The commit point is a separate SEAL
+  * file: `seal-<seq>`, created via [[FsOps.createIfAbsent]], whose
+  * bytes name the winning snapshot of that sequence. The last [[Keep]]
+  * snapshot/seal pairs are retained for post-mortems; older ones are
+  * pruned at commit.
+  *
+  * CONCURRENCY CONTRACT (optimistic, Delta's commit shape — a public
+  * design). The reference's deployment runs continuous ingest beside
+  * compaction/serving jobs; two PROCESSES may mutate one table. Two
+  * writers whose states both derive from sequence N both target N+1 —
+  * ALWAYS one past the committed sequence, never past an unsealed
+  * snapshot (an orphan snapshot is indistinguishable from a commit in
+  * flight; leapfrogging it would silently drop its update the moment
+  * it seals) — and the deterministic seal name makes the
+  * create-if-absent the CAS: exactly one wins, the loser throws
+  * [[ConcurrentCommitException]] (re-read, recompute, retry — or
+  * surface the refusal). A writer whose base state is STALE (a commit
+  * landed since its read) is refused up front by the same exception.
+  * No interleaving loses an update silently. Seals are CONTENT-ATOMIC
+  * ([[FsOps.createIfAbsent]] stages the bytes and links/renames them
+  * into place), so a seal either exists complete or not at all; the
+  * only crash artifacts are an UNSEALED snapshot (an orphan no reader
+  * adopts, retired by retention) and a staged `.tmp-` file (hygiene).
+  * A seal that does not parse, or that names a missing snapshot, is
+  * CORRUPTION and fails loud. Stores written before seals existed
+  * (snapshots only) resolve by highest snapshot name exactly as
+  * before — sound, because every snapshot of that era was
+  * tmp-then-renamed by a serialized writer.
   *
   * Format: gzipped text, one `<len>\t<mtime>\t<rel>` line per file,
   * table-relative paths, terminated by an `end` marker (a truncated
@@ -77,25 +102,77 @@ object Manifest {
   def dir(tableDir: String): String = tableDir + "/_manifest"
 
   private val SnapRe = "snap-([0-9]{20})-[0-9a-f]{8}\\.gz".r
+  private val SealRe = "seal-([0-9]{20})".r
 
-  /** (name, len) of the highest-seq snapshot, via ONE listing of the
-    * `_manifest` directory; None when the directory is absent or holds
-    * no snapshot (a table that never committed one — the legacy path).
+  /** One listing of the `_manifest` dir, partitioned into snapshot
+    * files (name -> len) and seal names.
+    */
+  private def listing(fs: FsOps,
+      tableDir: String): (Map[String, Long], Seq[String]) = {
+    val snaps = Map.newBuilder[String, Long]
+    val seals = Seq.newBuilder[String]
+    fs.listFiles(dir(tableDir)).foreach { case (p, len, _) =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      name match {
+        case SnapRe(_) => snaps += ((name, len))
+        case SealRe(_) => seals += name
+        case _ => () // .tmp- leftovers, foreign files: never eligible
+      }
+    }
+    (snaps.result(), seals.result())
+  }
+
+  private def sealSeq(sealName: String): Long = sealName match {
+    case SealRe(s) => s.toLong
+    case _ => throw new IllegalStateException(
+      s"manifest: not a seal name: '$sealName'")
+  }
+
+  /** The snapshot a seal names. Seals are CONTENT-ATOMIC
+    * ([[FsOps.createIfAbsent]] stages then links/renames), so a seal
+    * that exists is complete by construction — an unparseable one is
+    * CORRUPTION and fails loud, never a skip (skipping would either
+    * adopt the wrong snapshot or silently drop an in-flight commit).
+    */
+  private def sealTarget(fs: FsOps, tableDir: String,
+      sealName: String): String = {
+    val text = new String(
+      fs.readBytes(s"${dir(tableDir)}/$sealName"), UTF_8)
+    val lines = text.split('\n')
+    val valid = lines.length == 3 && lines(0) == "graft-seal 1" &&
+      lines(2) == "end" && SnapRe.pattern.matcher(lines(1)).matches()
+    if (valid) lines(1)
+    else throw new IllegalStateException(
+      s"manifest: seal '$sealName' of '$tableDir' is unreadable — " +
+        "inspect the _manifest directory (resolving around it could " +
+        "adopt the wrong snapshot)")
+  }
+
+  /** (name, len) of the latest COMMITTED snapshot, via ONE listing of
+    * the `_manifest` directory plus one tiny seal read; None when
+    * nothing is committed (absent dir, or a table that never
+    * committed). When seals exist they are authoritative and unsealed
+    * snapshots are crash orphans; a store with snapshots but NO seals
+    * predates the seal protocol and resolves by highest snapshot name
+    * (sound: its writers tmp-then-renamed serially). A seal naming a
+    * missing snapshot is corruption and fails loud (retention prunes
+    * pairs together, so it cannot arise from normal operation).
     */
   def latestMeta(fs: FsOps, tableDir: String): Option[(String, Long)] = {
-    val files = fs.listFiles(dir(tableDir))
-    if (files.isEmpty) None
-    else {
-      val snaps = files.flatMap { case (p, len, _) =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        name match {
-          case SnapRe(_) => Some((name, len))
-          case _ => None // .tmp- leftovers, foreign files: never eligible
-        }
-      }
-      // name order IS seq order (zero-padded); uuid breaks ties, but a
-      // driver-serialized writer never produces two files of one seq
+    val (snaps, seals) = listing(fs, tableDir)
+    if (seals.isEmpty) {
+      // pre-seal store: name order IS seq order (zero-padded)
       if (snaps.isEmpty) None else Some(snaps.maxBy(_._1))
+    } else {
+      val sl = seals.max
+      val snapName = sealTarget(fs, tableDir, sl)
+      snaps.get(snapName) match {
+        case Some(len) => Some((snapName, len))
+        case None => throw new IllegalStateException(
+          s"manifest: seal '$sl' of '$tableDir' names missing " +
+            s"snapshot '$snapName' — the manifest is corrupt; " +
+            "inspect the tree and run refreshManifest")
+      }
     }
   }
 
@@ -155,9 +232,16 @@ object Manifest {
     State(seqOf(name), name, len, entries, remove)
   }
 
-  /** Write snapshot `prevSeq + 1` — THE commit point. Returns the new
-    * state; prunes snapshots older than the last [[Keep]] and any
-    * `.tmp-` leftovers from crashed commits.
+  /** Commit a new snapshot — the caller's state derives from
+    * `prevSeq`. The target sequence is one past the COMMITTED
+    * sequence (see the class doc for why orphan snapshots must not
+    * lift it); the seal create-if-absent is THE commit point. Throws
+    * [[ConcurrentCommitException]] when a commit landed past `prevSeq`
+    * since the caller's read (stale base state) or when a racer claims
+    * the target sequence first — in both cases nothing was committed
+    * and nothing was lost: re-read, recompute, retry. Returns the new
+    * state; prunes snapshot/seal pairs older than the last [[Keep]]
+    * and `.tmp-` leftovers from crashed commits.
     */
   def commit(fs: FsOps, tableDir: String, prevSeq: Long,
       entries: Seq[Entry], remove: Seq[String]): State = {
@@ -178,7 +262,28 @@ object Manifest {
     val gz = new GZIPOutputStream(bout)
     gz.write(sb.toString.getBytes(UTF_8)); gz.close()
     val bytes = bout.toByteArray
-    val seq = prevSeq + 1
+    // stale-base refusal: a commit that landed since the caller's read
+    // means `entries` was computed without it — sealing ours would
+    // silently drop that writer's mutation. ONE listing feeds both
+    // this check and the target-sequence computation.
+    val (snaps, seals) = listing(fs, tableDir)
+    val committed: Option[Long] =
+      if (seals.isEmpty) snaps.keysIterator.map(seqOf).maxOption
+      else Some(sealSeq(seals.max))
+    committed.foreach { c =>
+      if (c > prevSeq) throw new ConcurrentCommitException(
+        s"manifest: '$tableDir' advanced to $c past the caller's base " +
+          s"$prevSeq — a concurrent writer committed; re-read the " +
+          "table state and retry the mutation")
+    }
+    // target ONE past the committed sequence — never past an orphan
+    // snapshot: an unsealed snapshot is indistinguishable from a
+    // commit IN FLIGHT, and leapfrogging it with entries derived from
+    // the committed state would silently drop its update the moment it
+    // seals (the ConcurrencySpec 8-writer hammer caught exactly this
+    // against an earlier max-over-everything target). Racing writers
+    // thus always target the SAME sequence and the seal CAS picks one.
+    val seq = math.max(committed.getOrElse(0L), prevSeq) + 1
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val name = f"snap-$seq%020d-$uuid.gz"
     val d = dir(tableDir)
@@ -186,11 +291,24 @@ object Manifest {
     val tmp = s"$d/.tmp-$uuid"
     fs.writeBytes(tmp, bytes)
     fs.move(tmp, s"$d/$name")
-    // retention + tmp hygiene — never the snapshot just written
+    // THE COMMIT — the content-atomic CAS on the deterministic seal
+    // name (a crash leaves at most an unsealed snapshot + a staged
+    // .tmp- file, never a partial seal)
+    val sealBytes = s"graft-seal 1\n$name\nend".getBytes(UTF_8)
+    if (!fs.createIfAbsent(s"$d/seal-" + f"$seq%020d", sealBytes)) {
+      fs.rmTree(s"$d/$name") // our snapshot: unsealed, safe to drop
+      throw new ConcurrentCommitException(
+        s"manifest: sequence $seq of '$tableDir' was sealed by a " +
+          "concurrent writer — re-read the table state and retry")
+    }
+    // retention + tmp hygiene — never the pair just written. A racing
+    // writer's .tmp- staging file may be removed here; its rename then
+    // fails loudly, which is within the concurrency contract.
     fs.listFiles(d).foreach { case (p, _, _) =>
       val n = p.substring(p.lastIndexOf('/') + 1)
       n match {
         case SnapRe(_) if seqOf(n) <= seq - Keep => fs.rmTree(p)
+        case SealRe(_) if sealSeq(n) <= seq - Keep => fs.rmTree(p)
         case _ if n.startsWith(".tmp-") && n != s".tmp-$uuid" => fs.rmTree(p)
         case _ => ()
       }
@@ -198,3 +316,13 @@ object Manifest {
     State(seq, name, bytes.length.toLong, sorted, remove)
   }
 }
+
+/** A commit lost the optimistic-concurrency race ([[Manifest]] /
+  * [[EpochStore]]): another writer committed past the caller's base
+  * state, or claimed the target sequence first. Nothing was committed
+  * by the refused writer and nothing was lost by the winner — re-read
+  * the state, recompute, retry. Extends IllegalStateException so
+  * existing broad handlers classify it as the loud-refusal family.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)

@@ -190,15 +190,20 @@ object MatView {
   private[operators] val AdhocBid = -2L
 
   /** Root-level FILES of the pre-epoch layout (partial-log parquet,
-    * `_SUCCESS`, crc companions) become invisible the moment a pointer
-    * commits; drop them so a migrated store does not leak their bytes.
-    * Strictly after the flip — a crash mid-drop leaves invisible
-    * garbage, never a wrong read. Directories are left alone
-    * ([[EpochStore]]'s sweep owns epoch dirs; foreign dirs are not
-    * ours to delete).
+    * `_SUCCESS`, crc companions) AND root-level `__bid=*` partition
+    * dirs (a view populated through the bare constructor writes its
+    * partial log at the root until the first flip — without this they
+    * leak forever, the exact `__v=*` shape
+    * [[MvccCatalog.dropLegacyData]] already handles) become invisible
+    * the moment a pointer commits; drop them so a migrated store does
+    * not leak their bytes. Strictly after the flip — a crash mid-drop
+    * leaves invisible garbage, never a wrong read. Other directories
+    * are left alone ([[EpochStore]]'s sweep owns epoch dirs; foreign
+    * dirs are not ours to delete).
     */
   private[operators] def dropLegacyRootFiles(fs: FsOps, root: String): Unit =
     fs.listChildren(root).foreach { case (n, isDir) =>
-      if (!isDir) fs.rmTree(s"$root/$n")
+      if (!isDir || n.startsWith("__bid="))
+        fs.rmTree(s"$root/$n")
     }
 }

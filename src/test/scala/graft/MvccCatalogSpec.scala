@@ -97,4 +97,32 @@ class MvccCatalogSpec extends AnyFunSuite {
     assert(s2.topK(q, 10).toSeq == after)
     ServingCache.evict(s"packed#$key#vec_id#embedding")
   }
+
+  test("tombstones flip WITH the epoch: re-create below an old __tv is crash-proof") {
+    val cat = freshCat("tombflip")
+    val fs = graft.operators.FsOps(spark)
+    val rows = spark.range(50).select(col("id").as("k"), (col("id") % 10).as("v"))
+    cat.create("t", rows, version = 4)
+    cat.deleteWhere("t", col("k") < 40, Seq("k"), version = 5)
+    assert(cat.read("t", Seq("k")).count() === 10)
+    // the tombstones live INSIDE the committed epoch — flip-scoped
+    // state, not a sibling dir a post-flip cleanup has to remember
+    assert(fs.listFiles(s"${cat.root}/t/data")
+      .exists(_._1.contains("/_tombstones/")))
+    assert(!fs.exists(s"${cat.root}/t/tombstones"))
+    // re-create at version 1, BELOW the outstanding __tv = 5. Under the
+    // old layout a kill between create's flip and its tombstone cleanup
+    // left the stale __tv anti-joining every new row (new __v = 1 <= 5)
+    // — wrong reads in the crash window. Now the flip itself retires
+    // them: the fresh epoch carries no _tombstones, and nothing after
+    // the flip has to run for this to hold.
+    cat.create("t", rows, version = 1)
+    assert(cat.read("t", Seq("k")).count() === 50)
+    // a stale LEGACY-layout tombstone dir (pre-epoch debris whose
+    // hygiene pass never ran — the simulated kill): invisible, because
+    // an epochal store resolves tombstones inside its epoch only
+    rows.select(col("k")).withColumn("__tv", lit(5L))
+      .write.partitionBy("__tv").parquet(s"${cat.root}/t/tombstones")
+    assert(cat.read("t", Seq("k")).count() === 50)
+  }
 }
