@@ -148,6 +148,94 @@ object ChaosSoak {
     k - 1
   }
 
+  /** TWO-WRITER chaos (the r17 multi-writer contract, executed): sweep
+    * victim A's kill points exactly like [[sweepKillPoints]] — but
+    * WHILE a live peer B (real FsOps, every statement wrapped in
+    * [[graft.operators.Optimistic.retryOnConflict]]) runs its own
+    * statement stream against the same table from another thread. A is
+    * the MAINTENANCE writer (one per table by contract), B the ingest
+    * peer; their statements must COMMUTE (predicates/values off
+    * immutable keys) so the reference states are interleaving-free.
+    * Invariants at every kill point, from a fresh process:
+    *
+    *   - B's statements ALL land — a victim's death never takes a
+    *     peer's committed work with it, and never wedges the peer
+    *     (orphan claims are allocated past, in-flight debris survives
+    *     the grace window);
+    *   - A is ATOMIC: the read serves afterB or afterBoth, never a
+    *     torn in-between, never refusing;
+    *   - recovery (retry A against the landed state) = afterBoth.
+    *
+    * `mkB` must CONSTRUCT its store bindings eagerly (before the crash
+    * seam installs — an instance binds its FsOps at construction) and
+    * return the statement-stream thunk. `maxPoints` bounds the sweep
+    * for gate-suite use; 0 = exhaustive (the soak battery).
+    */
+  def sweepConcurrentKillPoints[A](spark: SparkSession, label: String,
+      srcRoot: String, stepA: String => Unit, mkB: String => () => Unit,
+      observe: String => A, maxPoints: Int = 0): Int = {
+    import graft.operators.Optimistic
+    val real = FsOps(spark)
+    val base = srcRoot.stripSuffix("/") + "__cchaos"
+    real.rmTree(base)
+    def stage(tag: String): String = {
+      val w = s"$base/$tag"
+      real.copyTree(srcRoot, w)
+      w
+    }
+    // reference states on clean stages (the statements commute, so
+    // serial order is irrelevant)
+    val wb = stage("bonly"); mkB(wb)(); val obsB = observe(wb)
+    val wboth = stage("both"); mkB(wboth)()
+    Optimistic.retryOnConflict(attempts = 40)(stepA(wboth))
+    val obsBoth = observe(wboth)
+    require(obsB != obsBoth,
+      s"$label: A must change the observation or atomicity is untestable")
+    var k = 0
+    var crashed = true
+    var contended = 0
+    while (crashed && (maxPoints == 0 || k < maxPoints)) {
+      val w = stage(s"k$k")
+      val errsB = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val streamB = mkB(w) // binds B's stores to the REAL factory now
+      val tb = new Thread(() =>
+        try streamB() catch { case t: Throwable => errsB.add(t) })
+      val budget = new AtomicInteger(k)
+      FsOps.factory = conf => new CrashFsOps(conf, budget, base)
+      crashed =
+        try {
+          tb.start()
+          try { Optimistic.retryOnConflict(attempts = 40)(stepA(w)); false }
+          catch { case _: SimulatedCrash => true }
+        } finally {
+          resetSeam()
+          tb.join(300000)
+        }
+      if (!errsB.isEmpty) throw new IllegalStateException(
+        s"$label kill@$k: peer B failed — a victim's death must never " +
+          s"wedge a live writer: ${errsB.peek()}", errsB.peek())
+      if (crashed) {
+        val got = observe(w)
+        if (got == obsB) contended += 1
+        require(got == obsB || got == obsBoth,
+          s"$label kill@$k: read is neither afterB nor afterBoth " +
+            s"(victim torn or peer lost):\n  got $got")
+        if (got != obsBoth) {
+          Optimistic.retryOnConflict(attempts = 40)(stepA(w))
+          require(observe(w) == obsBoth,
+            s"$label kill@$k: recovery did not land afterBoth")
+        }
+      } else require(observe(w) == obsBoth,
+        s"$label kill@$k: completed run is not afterBoth")
+      real.rmTree(w)
+      k += 1
+    }
+    real.rmTree(base)
+    println(f"$label%-34s ${k - 1}%3d kill points beside a live peer, " +
+      s"all serving (A absent at $contended)")
+    k - 1
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -200,6 +288,40 @@ object ChaosSoak {
     catStep("killMutations")(_.killMutations("t"))
     catStep("optimize(writeReplacing)")(c =>
       c.replaceContents("t", c.readRaw("t")))
+
+    // ---- TWO-WRITER chaos: maintenance victim beside live ingest -----
+    // the r17 multi-writer contract executed: kill the heavy writer at
+    // every step while an ingest peer commits through the same table
+    spark.conf.set("spark.graft.sidecarSweepGraceMs", "600000")
+    try {
+      val ccSeed = s"$root/cc"
+      locally {
+        val cat = Catalog(spark, ccSeed)
+        val df = spark.range(150).select(col("id"),
+          (col("id") % 3).cast("string").as("day"), (col("id") % 97).as("n"))
+        cat.create("t", df.repartition(1), Seq("day"))
+        cat.deleteWhereLight("t", col("id") % 10 === 9) // live mask
+        cat.updateWhereLight("t", col("id") % 10 === 8,
+          Map("n" -> lit(-8L))) // live patch batch
+      }
+      def ccObs(w: String): Seq[String] =
+        Catalog(spark, w).readRaw("t").select("id", "day", "n")
+          .collect().map(_.toString).sorted.toSeq
+      total += sweepConcurrentKillPoints(spark,
+        "catalog.deleteWhere+livePeer", ccSeed,
+        w => Catalog(spark, w).deleteWhere("t", col("id") % 10 === 4),
+        w => {
+          val cat = Catalog(spark, w) // binds the REAL factory eagerly
+          () => Seq[() => Unit](
+            () => cat.deleteWhereLight("t", col("id") % 10 === 7),
+            () => cat.updateWhereLight("t", col("id") % 10 === 2,
+              Map("n" -> (col("id") % 50))),
+            () => cat.deleteWhereLight("t", col("id") % 10 === 1)
+          ).foreach(op =>
+            graft.operators.Optimistic.retryOnConflict(attempts = 40)(op()))
+        },
+        ccObs)
+    } finally spark.conf.unset("spark.graft.sidecarSweepGraceMs")
 
     // detach + attach need a sidecar-free table (partition ops refuse
     // outstanding lightweight mutations by contract)

@@ -31,6 +31,49 @@ import org.apache.spark.sql.functions._
   * connector — the O(directory) cost claims are properties of the CALL
   * PATTERN (listings per partition, renames per directory), not of a
   * local-disk assumption.
+  *
+  * CONCURRENCY CONTRACT (the [[Manifest]]/[[EpochStore]] optimistic
+  * protocol, surfaced at this API). Writers on DIFFERENT tables never
+  * contend (state is per-table). Two writers on ONE table:
+  *
+  *   - every mutation re-reads committed state at entry
+  *     (`beginMutation`) and commits through the seal CAS — a racer
+  *     whose base went stale throws [[ConcurrentCommitException]] with
+  *     NOTHING committed or destroyed; wrap mutations in
+  *     [[Optimistic.retryOnConflict]] to land both sides. A refusal
+  *     arriving after a mutation's flip already committed (the
+  *     hygiene recommit) is swallowed internally — a retry wrapper
+  *     never double-applies a landed mutation.
+  *   - set `spark.graft.sidecarSweepGraceMs` above the longest
+  *     statement duration: the crash-debris sweep cannot tell an
+  *     in-flight concurrent statement's uncommitted files from a
+  *     crashed one's except by age (Delta's vacuum-retention posture —
+  *     a public design). The 0 default keeps single-writer-per-table
+  *     eager hygiene.
+  *   - folds, reads, and preconditions all consume the COMMITTED
+  *     sidecar set ([[snapOf]]) — young uncommitted debris is
+  *     invisible everywhere until its commit lands; patch-batch
+  *     directories are additionally claim-allocated
+  *     (`claimPatchSeq`) because `seq=N` is a deterministic shared
+  *     path the CAS alone cannot protect.
+  *
+  * Semantics under interleaving are those of SOME serial order of the
+  * committed statements (each commits against the state it re-read;
+  * losers retry against the winner's state). Statements whose EFFECT
+  * depends on unordered peers (two updates assigning one cell) keep
+  * last-committer-wins, exactly like the single-writer LWW story.
+  *
+  * Writer ROLES: any number of concurrent INGEST statements
+  * (deleteWhereLight / updateWhereLight / create-append) interleave
+  * freely, beside at most ONE MAINTENANCE writer per table (the
+  * fold/rewrite family — OPTIMIZE, compactMask/compactPatches,
+  * applyDeletedMask, the heavy mutations, partition ops): folds stage
+  * through deterministic per-table sibling dirs (`<table>__maskfold`
+  * …), so two concurrent folds contend on staging and may fail LOUD
+  * mid-job — never corrupting committed state (adoption still
+  * serializes through the CAS, and every fold's adds are its own
+  * moved files) — exactly the reference deployment's one-background-
+  * merger shape.
   */
 final case class Catalog(spark: SparkSession, root: String) {
 
@@ -353,6 +396,15 @@ final case class Catalog(spark: SparkSession, root: String) {
     * Read paths never call this: reads are manifest-served and correct
     * against any crash state without writing anything.
     */
+  /** The concurrent-writer grace window (class doc): 0 = single-writer
+    * eager hygiene (every uncommitted sidecar file is crash debris the
+    * moment a mutator enters); > 0 = concurrent deployments, where age
+    * is the only signal separating crash debris from an in-flight
+    * peer's files.
+    */
+  private def sidecarSweepGraceMs: Long = spark.conf
+    .get("spark.graft.sidecarSweepGraceMs", "0").trim.toLong
+
   private def beginMutation(table: String): Option[Manifest.State] = {
     loadManifest(table) match {
       case Some(m) =>
@@ -361,8 +413,23 @@ final case class Catalog(spark: SparkSession, root: String) {
           commitManifest(table, m.seq, m.entries, Nil)
         }
         val known = m.entries.map(_.rel).toSet
+        // CONCURRENT-WRITER GRACE (Delta's vacuum-retention posture, a
+        // public design): with a second writer live on this table, an
+        // uncommitted sidecar file may be an IN-FLIGHT statement's —
+        // indistinguishable from a crashed one by anything but age.
+        // Sweeping it would let the victim seal a manifest naming a
+        // missing file (reads fail loud; the refreshManifest heal then
+        // silently drops the statement — a lost update). Deployments
+        // running concurrent writers on one table set the grace above
+        // their max statement duration; the 0 default keeps the
+        // single-writer-per-table eager hygiene exactly as before.
+        // Folds and reads never adopt young debris either way — both
+        // consume the COMMITTED sidecar set ([[snapOf]]), never a disk
+        // listing, on manifested tables.
+        val graceMs = sidecarSweepGraceMs
+        val now = System.currentTimeMillis()
         Seq(deletesDir(table), patchesDir(table)).foreach { d =>
-          fs.listFiles(d).foreach { case (p, _, _) =>
+          fs.listFiles(d).foreach { case (p, _, mt) =>
             fs.relativeTo(path(table), p).foreach { rel =>
               // ANY uncommitted file goes, not just parquet: the
               // sidecar dirs are wholly protocol-owned (committed
@@ -371,7 +438,8 @@ final case class Catalog(spark: SparkSession, root: String) {
               // a `_SUCCESS`-only husk that the disk-level
               // patchBatches listing then fed to spark.read as an
               // unreadable empty batch (found by the ChaosSoak sweep)
-              if (!known.contains(rel)) destroyRel(table, rel)
+              if (!known.contains(rel) && now - mt >= graceMs)
+                destroyRel(table, rel)
             }
           }
         }
@@ -405,13 +473,37 @@ final case class Catalog(spark: SparkSession, root: String) {
       adds: Seq[Manifest.Entry], removeRels: Seq[String]): Unit = {
     val removeSet = removeRels.toSet
     val kept = prev.entries.filterNot(e => removeSet.contains(e.rel))
-    val st = commitManifest(table, prev.seq, kept ++ adds,
-      removeSet.toSeq.sorted)
+    val st =
+      try commitManifest(table, prev.seq, kept ++ adds,
+        removeSet.toSeq.sorted)
+      catch {
+        case e: ConcurrentCommitException =>
+          // the flip was REFUSED: nothing committed, the old state
+          // serves untouched, and `adds` are files THIS mutation wrote
+          // under fresh names (never another writer's — every add
+          // derivation is own-writes-only by construction). Destroy
+          // them before surfacing the refusal so a retry loop does not
+          // leak one uncommitted file set per attempt.
+          adds.foreach(a => destroyRel(table, a.rel))
+          throw e
+      }
     removeSet.foreach(destroyRel(table, _))
-    Seq(deletesDir(table), patchesDir(table)).foreach { d =>
-      if (fs.isDir(d) && !fs.hasParquetUnder(d)) fs.rmTree(d)
-    }
-    commitManifest(table, st.seq, st.entries, Nil)
+    // emptied-sidecar-dir cleanup is single-writer-only cosmetics:
+    // under concurrency (grace > 0) a peer's append may have JUST
+    // created the dir with only its _temporary staging inside —
+    // removing it would fail the peer's legitimate job mid-commit
+    if (sidecarSweepGraceMs == 0L)
+      Seq(deletesDir(table), patchesDir(table)).foreach { d =>
+        if (fs.isDir(d) && !fs.hasParquetUnder(d)) fs.rmTree(d)
+      }
+    // hygiene commit (clears the pending-remove list). A refusal here
+    // is SWALLOWED, not surfaced: the flip above already committed the
+    // mutation — rethrowing would make a retry wrapper re-apply a
+    // LANDED mutation (double-apply) — and the refusal itself proves a
+    // successor committed past us, whose beginMutation reconcile owns
+    // exactly this cleanup (destroyRel is idempotent).
+    try { commitManifest(table, st.seq, st.entries, Nil); () }
+    catch { case _: ConcurrentCommitException => () }
   }
 
   /** Destroy one manifest-named file: the file, its checksum companion
@@ -718,8 +810,13 @@ final case class Catalog(spark: SparkSession, root: String) {
 
   private def deletesDir(table: String) = path(table) + "/_deletes"
 
-  /** True when the table carries deletion-mask entries. */
-  def hasDeletes(table: String): Boolean = fs.hasParquetUnder(deletesDir(table))
+  /** True when the table carries COMMITTED deletion-mask entries —
+    * the same authority reads and folds answer to (manifest-scoped on
+    * manifested tables; a concurrent statement's young uncommitted
+    * files under a sweep grace window count for nothing until their
+    * commit lands).
+    */
+  def hasDeletes(table: String): Boolean = snapOf(table).maskParquet.nonEmpty
 
   /** ClickHouse lightweight `DELETE FROM t WHERE p` semantics: record the
     * matching rows' (file, row position) in a `_deletes` mask sidecar
@@ -748,7 +845,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     m.foreach { prev =>
       // delta = this statement's mask files (one small-dir diff); a
       // crash before this commit leaves them as swept-away orphans —
-      // the statement never happened, exactly the flip contract
+      // the statement never happened, exactly the flip contract.
+      // Under concurrent writers the diff may ALSO pick up a peer's
+      // just-landed mask files (Spark appends surface whole at job
+      // commit, never partially): adopting them commits the peer's
+      // delete — mask entries are self-describing (file, pos) facts,
+      // so whichever writer names them first is equivalent to the
+      // peer's own commit; the peer's retry then diffs to nothing.
+      // This is also why a REFUSED delete must NOT destroy `added`
+      // (it may contain the peer's files) — its own orphans wait for
+      // the grace sweep instead.
       val added = fs.listFiles(deletesDir(table))
         .filterNot { case (p, _, _) => before.contains(p) }
         .flatMap { case (p, len, mt) =>
@@ -777,9 +883,6 @@ final case class Catalog(spark: SparkSession, root: String) {
     *     an unbounded driver collect past the user's knob, and a mask
     *     past the cap is the signal to OPTIMIZE anyway.
     */
-  private def applyMask(table: String, scan: DataFrame): DataFrame =
-    applyMask(table, scan, fs.listFiles(deletesDir(table)))
-
   private def applyMask(table: String, scan: DataFrame,
       maskListing: Seq[(String, Long, Long)]): DataFrame = {
     val parquets = maskListing.filter(_._1.endsWith(".parquet"))
@@ -813,7 +916,9 @@ final case class Catalog(spark: SparkSession, root: String) {
             Bridge.toExpr(col(Catalog.FileCol)),
             Bridge.toExpr(col(Catalog.PosCol)), bc)))
       } else {
-        val m = spark.read.parquet(deletesDir(table))
+        // same authority rule as the probe branch: the listing's exact
+        // files, never the directory (grace-deferred young debris)
+        val m = spark.read.parquet(parquets.map(_._1): _*)
           .select(col("file").as(Catalog.FileCol),
             col("pos").as(Catalog.PosCol))
         val side = if (entries > maxEntries) m.hint("shuffle_hash")
@@ -870,7 +975,12 @@ final case class Catalog(spark: SparkSession, root: String) {
     Catalog.maskProbeCache.get(probeKey(table)) match {
       case Some((s, bc)) if s == sig => bc
       case _ =>
-        val grouped = spark.read.parquet(deletesDir(table))
+        // read exactly the signature's files, never the directory: the
+        // sig IS the authoritative (manifest-scoped) mask set, and a
+        // dir read under a sweep grace window could fold a concurrent
+        // statement's young uncommitted entries into the probe
+        val grouped = spark.read.parquet(
+            sig.map(_._1).filter(_.endsWith(".parquet")): _*)
           .groupBy("file")
           .agg(sort_array(collect_list(col("pos"))).as("ps"))
           .collect()
@@ -884,8 +994,10 @@ final case class Catalog(spark: SparkSession, root: String) {
 
   private def patchesDir(table: String) = path(table) + "/_patches"
 
-  /** True when the table carries outstanding update patches. */
-  def hasPatches(table: String): Boolean = patchBatches(table).nonEmpty
+  /** True when the table carries COMMITTED update patches (the
+    * [[hasDeletes]] authority rule).
+    */
+  def hasPatches(table: String): Boolean = snapOf(table).batches.nonEmpty
 
   /** Outstanding patch batch directories (absolute paths), in
     * application order.
@@ -897,6 +1009,47 @@ final case class Catalog(spark: SparkSession, root: String) {
       .map(n => s"$d/$n")
   }
 
+  /** Highest patch sequence visible on DISK — committed or not:
+    * `seq=K` batch directories AND outstanding `.claim-K` files both
+    * count (a crashed claimant's orphan claim blocks its sequence
+    * until the grace sweep retires it; allocating PAST it keeps
+    * concurrent writers live — the orphan burns one sequence number,
+    * and gaps are harmless because batches apply in sorted order).
+    */
+  private def diskPatchSeqMax(table: String): Long = {
+    val dirs = patchBatches(table).map(seqOf)
+    val claims = fs.listFiles(patchesDir(table)).flatMap { case (p, _, _) =>
+      val n = p.substring(p.lastIndexOf('/') + 1)
+      if (n.startsWith(".claim-")) n.stripPrefix(".claim-").toLongOption
+      else None
+    }
+    (dirs ++ claims).foldLeft(-1L)(math.max)
+  }
+
+  /** Claim a patch-batch sequence before writing its directory — the
+    * file-level mutual exclusion concurrent patch ALLOCATORS need:
+    * `_patches/seq=N` is a deterministic path, and two writers that
+    * both computed N would clobber each other's files BEFORE any
+    * manifest CAS could refuse one (the commit protocol protects the
+    * commit point, not a shared staging path). The claim is
+    * [[FsOps.createIfAbsent]] on `.claim-N` beside the batch dirs;
+    * the loser throws [[ConcurrentCommitException]] — retry recomputes
+    * from fresh state and targets the next free sequence. Claims are
+    * never committed: they only need to hold while the claiming
+    * statement is in flight, and hygiene retires them with the other
+    * uncommitted sidecar debris (after the grace window — the same
+    * window that keeps the claimed DIR safe, so the two expire
+    * together). Dot-prefixed: invisible to Spark listings, [[Snap]]
+    * construction, and [[FsOps.isDataRel]] alike.
+    */
+  private def claimPatchSeq(table: String, seq: Long): Unit =
+    if (!fs.createIfAbsent(s"${patchesDir(table)}/.claim-$seq",
+        java.util.UUID.randomUUID().toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      throw new ConcurrentCommitException(
+        s"patch batch seq=$seq of '$table' was claimed by a concurrent " +
+          "writer — re-read the table state and retry the mutation")
+
   /** Columns with OUTSTANDING patch assignments on `table` — what a
     * footer-statistics consumer ([[SkipStats]] via EXPLAIN INDEXES) must
     * flag: the minmax/bloom metadata predates the patch values, so
@@ -904,9 +1057,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     * stay exact — predicates evaluate after patch application).
     */
   def patchedColumns(table: String): Set[String] =
-    patchBatches(table).flatMap { b =>
-      spark.read.parquet(b).columns.filterNot(c =>
-        c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
+    snapOf(table).batches.flatMap { case (_, bfs) =>
+      spark.read.parquet(
+          bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*)
+        .columns.filterNot(c =>
+          c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
     }.toSet
 
   /** ClickHouse lightweight `UPDATE t SET a = e WHERE p` (25.x "patch
@@ -938,8 +1093,13 @@ final case class Catalog(spark: SparkSession, root: String) {
         assignments.toSeq.sortBy(_._1).map { case (c, v) =>
           v.cast(cur.schema(c).dataType).as(c)
         }: _*)
-    val seq = patchBatches(table).lastOption
-      .map(seqOf(_) + 1).getOrElse(0L)
+    // disk max over dirs AND claims (not just committed): never reuse
+    // an orphan dir's or an outstanding claim's seq. The claim makes
+    // concurrent updaters loud-or-correct — without it two statements
+    // computing one seq overwrite each other's batch files before any
+    // manifest CAS can refuse either.
+    val seq = diskPatchSeqMax(table) + 1
+    claimPatchSeq(table, seq)
     val batchDir = s"${patchesDir(table)}/seq=$seq"
     hits.write.mode("overwrite").parquet(batchDir)
     invalidateProjections(table)
@@ -968,14 +1128,13 @@ final case class Catalog(spark: SparkSession, root: String) {
     * which is what lets K batches with different assignment sets fold
     * into one.
     */
-  private def applyPatches(table: String, df0: DataFrame): DataFrame =
-    applyPatches(table, df0,
-      patchBatches(table).map(d => (d, fs.listFiles(d))))
-
   private def applyPatches(table: String, df0: DataFrame,
       batches: Seq[(String, Seq[(String, Long, Long)])]): DataFrame =
-    batches.foldLeft(df0) { case (df, (dir, listing)) =>
-      val p = spark.read.parquet(dir)
+    batches.foldLeft(df0) { case (df, (_, listing)) =>
+      // the batch's exact files, never its directory (see applyMask's
+      // authority note — grace-deferred young debris must stay unread)
+      val p = spark.read.parquet(
+        listing.filter(_._1.endsWith(".parquet")).map(_._1): _*)
       val cols = p.columns.toSeq
       val assigned = cols.filterNot(c =>
         c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
@@ -1016,9 +1175,14 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   def compactPatches(table: String): Unit = {
     val m0 = beginMutation(table)
-    val batches = patchBatches(table)
+    // COMMITTED batch set (see compactMask's authority note)
+    val s0 = snapOf(table)
+    val batches = s0.batches.map(_._1)
     if (batches.length <= 1) return
-    val frames = batches.map(b => spark.read.parquet(b))
+    val frames = s0.batches.map { case (_, bfs) =>
+      spark.read.parquet(
+        bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*)
+    }
     def valueCols(df: DataFrame): Seq[String] =
       df.columns.toSeq.filterNot(c =>
         c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
@@ -1075,7 +1239,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     // replacement is flag-gated, so the folded batch overrides exactly
     // where any original assigned and nowhere else. Deleting first would
     // leave a window where the table silently serves pre-update values.
-    val dst = s"${patchesDir(table)}/seq=${seqOf(batches.last) + 1}"
+    // allocate past committed AND disk (orphan dirs, outstanding
+    // claims), claim vs racers
+    val foldSeq = math.max(seqOf(batches.last), diskPatchSeqMax(table)) + 1
+    claimPatchSeq(table, foldSeq)
+    val dst = s"${patchesDir(table)}/seq=$foldSeq"
     fs.move(tmp, dst)
     m0 match {
       case Some(prev) =>
@@ -1088,8 +1256,8 @@ final case class Catalog(spark: SparkSession, root: String) {
         val adds = fs.listFiles(dst).flatMap { case (p, len, mt) =>
           fs.relativeTo(path(table), p).map(Manifest.Entry(_, len, mt))
         }
-        val removes = batches.flatMap(b =>
-          fs.listFiles(b).flatMap(e => fs.relativeTo(path(table), e._1)))
+        val removes = s0.batches.flatMap(_._2.flatMap(e =>
+          fs.relativeTo(path(table), e._1)))
         invalidateProjections(table)
         commitFlip(table, prev, adds, removes)
       case None =>
@@ -1108,11 +1276,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   def compactMask(table: String): Unit = {
     val m0 = beginMutation(table)
-    if (!hasDeletes(table)) return
+    // COMMITTED sidecar set, not a disk listing: with a sweep grace
+    // window a concurrent statement's young uncommitted mask files may
+    // exist on disk, and folding them in would adopt a statement that
+    // never committed — folds follow the same authority rule as reads
+    val s0 = snapOf(table)
+    if (s0.maskParquet.isEmpty) return
     val dir = deletesDir(table)
-    val before = fs.listFiles(dir)
+    val before = s0.mask
     val tmp = path(table) + "__maskfold"
-    spark.read.parquet(dir).distinct()
+    spark.read.parquet(s0.maskParquet.map(_._1): _*).distinct()
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     // crash-safe order: entries are a SET, so ADD the folded file first,
     // then retire the originals — every crash window leaves a superset
@@ -1156,13 +1329,16 @@ final case class Catalog(spark: SparkSession, root: String) {
       segs: Seq[(String, String)] = Nil): Unit = {
     beginMutation(table) // sweep first: an uncommitted orphan mask file
     // must not be materialized as if its statement had committed
-    if (!hasDeletes(table)) return
+    // (committed-set scoping below covers the grace window where the
+    // sweep deliberately leaves young debris in place)
+    if (snapOf(table).maskParquet.isEmpty) return
     if (partitionColsOf(table).isEmpty) {
       writeReplacing(table, readRaw(table))
       return
     }
     def maskDirs(): Seq[String] =
-      spark.read.parquet(deletesDir(table)).select("file").distinct()
+      spark.read.parquet(snapOf(table).maskParquet.map(_._1): _*)
+        .select("file").distinct()
         .collect().map { r =>
           normUri(r.getString(0)).stripPrefix(normUri(path(table)))
             .stripPrefix("/")
@@ -1196,23 +1372,27 @@ final case class Catalog(spark: SparkSession, root: String) {
       col(kv(0)) === lit(kv(1))
     }.reduce(_ && _)).reduce(_ || _)
     mutatePruned(table, cond)(identity) // leaves with survivors rewrite
-    if (hasDeletes(table)) {
+    if (snapOf(table).maskParquet.nonEmpty) {
       // entries still standing under `want` belong to leaves with ZERO
       // surviving rows (the pruning scan cannot see them): the masked
       // read of such a leaf is empty, so the directory goes outright —
       // but that inference rests on the name->predicate round-trip, so
       // VERIFY it against the leaf's own bytes before deleting anything:
       // a masked read of just this leaf's files must come back empty.
+      val sNow = snapOf(table)
       val still = maskDirs().filter(want.contains)
       still.foreach { d =>
         val leaf = s"${path(table)}/$d"
-        val files = fs.listFiles(leaf).map(_._1).filter(_.endsWith(".parquet"))
+        // committed data files of the leaf (a concurrent writer's
+        // uncommitted files must not spuriously fail the verify)
+        val leafQ = fs.qualify(path(table)).stripSuffix("/") + s"/$d/"
+        val files = sNow.data.map(_._1).filter(_.startsWith(leafQ))
         val empty = files.isEmpty || {
           val tagged = spark.read.option("basePath", fs.qualify(path(table)))
             .parquet(files: _*)
             .withColumn(Catalog.FileCol, col("_metadata.file_path"))
             .withColumn(Catalog.PosCol, col("_metadata.row_index"))
-          applyMask(table, tagged).isEmpty
+          applyMask(table, tagged, sNow.mask).isEmpty
         }
         require(empty,
           s"applyDeletedMask: leaf '$d' of '$table' still has live rows " +
@@ -1301,10 +1481,16 @@ final case class Catalog(spark: SparkSession, root: String) {
       throw new IllegalStateException(
         s"foldSidecars: '$p' does not relativize under '${path(table)}'"))
     val gone = !dirs.map(d => col("file").contains(s"/$d/")).reduce(_ || _)
-    if (hasDeletes(table)) {
+    // COMMITTED sidecar set (manifest-scoped when manifested), never a
+    // disk listing — see compactMask: under a sweep grace window a
+    // concurrent statement's young uncommitted files must be invisible
+    // to folds exactly as they are to reads
+    val s0 = snapOf(table)
+    if (s0.maskParquet.nonEmpty) {
       val dir = deletesDir(table)
-      val before = fs.listFiles(dir)
-      val keep = spark.read.parquet(dir).filter(gone)
+      val before = s0.mask
+      val keep = spark.read.parquet(s0.maskParquet.map(_._1): _*)
+        .filter(gone)
       if (keep.isEmpty) {
         if (defer) removes ++= before.map(e => relOf(e._1))
         else fs.rmTree(dir)
@@ -1331,7 +1517,7 @@ final case class Catalog(spark: SparkSession, root: String) {
         fs.rmTree(tmp)
       }
     }
-    val batches = patchBatches(table)
+    val batches = s0.batches
     if (batches.nonEmpty) {
       // install-first, the compactPatches ordering: each surviving
       // batch rewrites under a FRESH seq preserving the batches'
@@ -1341,14 +1527,22 @@ final case class Catalog(spark: SparkSession, root: String) {
       // dir duplicates fact rows). In the crash windows a read
       // applies originals then rewrites — same values for the same
       // (file, pos), so sequential application is value-identical.
-      val maxSeq = seqOf(batches.last)
-      val installed = batches.zipWithIndex.flatMap { case (b, i) =>
-        val keep = spark.read.parquet(b).filter(gone)
+      // Allocation starts past BOTH the committed max and anything on
+      // disk — orphan dirs (an orphan at committed+1 would otherwise
+      // receive a move-into-existing-dir) and outstanding claims —
+      // and each fresh seq is CLAIMED ([[claimPatchSeq]]) against
+      // concurrent allocators.
+      val maxSeq = math.max(seqOf(batches.last._1), diskPatchSeqMax(table))
+      val installed = batches.zipWithIndex.flatMap { case ((b, bfs), i) =>
+        val keep = spark.read.parquet(
+          bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*).filter(gone)
         if (keep.isEmpty) None
         else {
           val tmp = path(table) + "__patch_tmp"
           keep.write.mode("overwrite").parquet(tmp)
-          val dst = s"${patchesDir(table)}/seq=${maxSeq + 1 + i}"
+          val seq = maxSeq + 1 + i
+          claimPatchSeq(table, seq)
+          val dst = s"${patchesDir(table)}/seq=$seq"
           fs.move(tmp, dst)
           if (defer)
             adds ++= fs.listFiles(dst).map { case (p, len, mt) =>
@@ -1358,9 +1552,9 @@ final case class Catalog(spark: SparkSession, root: String) {
         }
       }
       if (defer)
-        removes ++= batches.flatMap(b => fs.listFiles(b).map(e => relOf(e._1)))
+        removes ++= batches.flatMap(_._2.map(e => relOf(e._1)))
       else {
-        batches.foreach(fs.rmTree)
+        batches.foreach { case (b, _) => fs.rmTree(b) }
         if (installed.isEmpty && fs.isDir(patchesDir(table)))
           fs.rmTree(patchesDir(table))
       }
@@ -1428,18 +1622,33 @@ final case class Catalog(spark: SparkSession, root: String) {
             Manifest.Entry(rel, len, mt)
           }
         }
-        // 2. THE FLIP — the one atomicity point
+        // 2. THE FLIP — the one atomicity point. On a refusal the old
+        //    state serves untouched and `moved` are this rewrite's own
+        //    fresh-named files: destroy them (else a retry loop leaks
+        //    a full rewrite's bytes per refused attempt).
         val removeRels = prev.entries.map(_.rel)
-        val st = commitManifest(table, prev.seq, moved, removeRels)
+        val st =
+          try commitManifest(table, prev.seq, moved, removeRels)
+          catch {
+            case e: ConcurrentCommitException =>
+              moved.foreach(a => destroyRel(table, a.rel))
+              fs.rmTree(tmp)
+              throw e
+          }
         // 3. destruction, strictly after the flip (a kill anywhere
         //    below is finished by the next mutation's reconcile)
         removeRels.foreach(destroyRel(table, _))
-        Seq(deletesDir(table), patchesDir(table)).foreach { d =>
-          if (fs.isDir(d) && !fs.hasParquetUnder(d)) fs.rmTree(d)
-        }
+        // single-writer-only cosmetics — see commitFlip's note
+        if (sidecarSweepGraceMs == 0L)
+          Seq(deletesDir(table), patchesDir(table)).foreach { d =>
+            if (fs.isDir(d) && !fs.hasParquetUnder(d)) fs.rmTree(d)
+          }
         fs.rmTree(tmp)
         invalidateProjections(table)
-        commitManifest(table, st.seq, moved, Nil)
+        // hygiene commit — refusal swallowed; see commitFlip: the flip
+        // landed, and the refusing successor's reconcile owns cleanup
+        try { commitManifest(table, st.seq, moved, Nil); () }
+        catch { case _: ConcurrentCommitException => () }
       case None =>
         fs.listChildren(path(table)).foreach { case (c, _) =>
           if (!Catalog.PreservedSubtrees.contains(c))
@@ -1708,10 +1917,16 @@ final case class Catalog(spark: SparkSession, root: String) {
       segs: Seq[(String, String)]): Unit = {
     val seg = s"/${relSeg(segs)}/"
     def hits(df: DataFrame) = !df.filter(col("file").contains(seg)).isEmpty
-    val masked = hasDeletes(table) &&
-      hits(spark.read.parquet(deletesDir(table)))
-    val patched = patchBatches(table)
-      .exists(b => hits(spark.read.parquet(b)))
+    // committed sidecar set — the precondition is about COMMITTED
+    // mutations; young uncommitted debris neither blocks nor escapes
+    // (its statement never happened)
+    val s0 = snapOf(table)
+    val masked = s0.maskParquet.nonEmpty &&
+      hits(spark.read.parquet(s0.maskParquet.map(_._1): _*))
+    val patched = s0.batches.exists { case (_, bfs) =>
+      hits(spark.read.parquet(
+        bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*))
+    }
     require(!masked && !patched,
       s"partition '${segs.map(_._2).mkString(",")}' of '$table' has " +
         "outstanding lightweight mutations — OPTIMIZE the table first, " +
@@ -2067,18 +2282,21 @@ final case class Catalog(spark: SparkSession, root: String) {
     import spark.implicits._
     val rows: Seq[(String, String, Long, Long, Long)] =
       fs.listDirNames(root).flatMap { table =>
+        // committed sidecar view (and never a dir read a grace-window
+        // husk could crash)
+        val s0 = snapOf(table)
         val del =
-          if (!hasDeletes(table)) Nil
-          else {
-            val d = deletesDir(table)
-            Seq((table, "delete_mask", 1L,
-              spark.read.parquet(d).count(), fs.treeBytes(d)))
-          }
-        val pat = patchBatches(table) match {
-          case Nil => Nil
+          if (s0.maskParquet.isEmpty) Nil
+          else Seq((table, "delete_mask", 1L,
+            spark.read.parquet(s0.maskParquet.map(_._1): _*).count(),
+            s0.mask.map(_._2).sum))
+        val pat = s0.batches match {
+          case Seq() => Nil
           case bs => Seq((table, "update_patch", bs.size.toLong,
-            bs.map(b => spark.read.parquet(b).count()).sum,
-            fs.treeBytes(patchesDir(table))))
+            bs.map { case (_, bfs) => spark.read.parquet(
+              bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*).count()
+            }.sum,
+            bs.flatMap(_._2.map(_._2)).sum))
         }
         del ++ pat
       }.sortBy(r => (r._1, r._2))

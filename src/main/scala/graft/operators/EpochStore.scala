@@ -201,11 +201,18 @@ object EpochStore {
         case _ => ()
       }
     }
-    fs.listFiles(commitsDir(root)).foreach { case (p, _, _) =>
+    // tmps younger than a minute are a concurrent commit's staging
+    // window (milliseconds-long) — sweeping one fails a legitimate
+    // claim spuriously; a crashed claim's tmp ages past the floor
+    // before the next sweep in any real sequence ([[Manifest]]'s
+    // retention applies the same floor)
+    val nowMs = System.currentTimeMillis()
+    fs.listFiles(commitsDir(root)).foreach { case (p, _, mt) =>
       nameOf(p) match {
         case n @ (PtrCasRe(_) | PtrLegacyRe(_)) if seqOf(n) <= liveSeq - Keep =>
           fs.rmTree(p)
-        case n if n.startsWith(".tmp-") => fs.rmTree(p)
+        case n if n.startsWith(".tmp-") && nowMs - mt >= 60000L =>
+          fs.rmTree(p)
         case _ => ()
       }
     }

@@ -301,15 +301,22 @@ object Manifest {
         s"manifest: sequence $seq of '$tableDir' was sealed by a " +
           "concurrent writer — re-read the table state and retry")
     }
-    // retention + tmp hygiene — never the pair just written. A racing
-    // writer's .tmp- staging file may be removed here; its rename then
-    // fails loudly, which is within the concurrency contract.
-    fs.listFiles(d).foreach { case (p, _, _) =>
+    // retention + tmp hygiene — never the pair just written. Tmps
+    // younger than a minute are left alone: a racing writer's staging
+    // file lives for milliseconds between its write and its rename,
+    // and sweeping it would fail a LEGITIMATE commit mid-flight (loud,
+    // but spurious — the writer lost no race). A crashed commit's tmp
+    // is older than any real staging window by the time the next
+    // commit runs retention, so hygiene still converges.
+    val tmpGraceMs = 60000L
+    val nowMs = System.currentTimeMillis()
+    fs.listFiles(d).foreach { case (p, _, mt) =>
       val n = p.substring(p.lastIndexOf('/') + 1)
       n match {
         case SnapRe(_) if seqOf(n) <= seq - Keep => fs.rmTree(p)
         case SealRe(_) if sealSeq(n) <= seq - Keep => fs.rmTree(p)
-        case _ if n.startsWith(".tmp-") && n != s".tmp-$uuid" => fs.rmTree(p)
+        case _ if n.startsWith(".tmp-") && n != s".tmp-$uuid" &&
+          nowMs - mt >= tmpGraceMs => fs.rmTree(p)
         case _ => ()
       }
     }

@@ -230,13 +230,122 @@ class ConcurrencySpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] { EpochStore.resolve(fs, root) }
     assert(e.getMessage.contains("unreadable"))
     // a staged .tmp- claim leftover is hygiene, not corruption: swept
-    // by the next commit, invisible to resolution
+    // by the next commit (once older than the in-flight staging floor
+    // — a FRESH tmp may be a concurrent claim mid-link and is spared;
+    // age the planted one like real crash debris), invisible to
+    // resolution
     fs.rmTree(s"$root/_commits/" + f"ptr-${5L}%020d")
     fs.writeBytes(s"$root/_commits/.tmp-claim-deadbeef",
       "half".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/_commits/.tmp-claim-deadbeef"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
     assert(EpochStore.resolve(fs, root) == d1)
     val d2 = EpochStore.commit(fs, root)(put("two"))
     assert(EpochStore.resolve(fs, root) == d2)
     assert(!fs.exists(s"$root/_commits/.tmp-claim-deadbeef"))
+  }
+
+  // ---- the contract surfaced at the Catalog API --------------------------
+
+  test("catalog: two writers on one table — retryOnConflict lands every statement") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Catalog, Optimistic}
+    val root = tmp("conc-cat")
+    // concurrent sidecar writers on one table require the sweep grace
+    // (Catalog scaladoc): the debris sweep cannot tell an in-flight
+    // peer's uncommitted files from a crashed statement's except by age
+    spark.conf.set("spark.graft.sidecarSweepGraceMs", "600000")
+    try {
+      val a = Catalog(spark, root)
+      val b = Catalog(spark, root)
+      a.create("t", spark.range(400).select(col("id"),
+        (col("id") % 4).cast("string").as("g"), (col("id") % 100).as("n"))
+        .repartition(2), Seq("g"))
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val errs = new ConcurrentLinkedQueue[Throwable]
+      val retried = new AtomicInteger(0)
+      def writer(cat: Catalog, ids: Seq[Long], update: Boolean) =
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try ids.foreach { k =>
+              var attempts = 0
+              Optimistic.retryOnConflict(attempts = 40) {
+                attempts += 1
+                if (attempts > 1) retried.incrementAndGet()
+                if (update)
+                  cat.updateWhereLight("t", col("id") === k,
+                    Map("n" -> lit(-1L)))
+                else cat.deleteWhereLight("t", col("id") === k)
+              }
+            } catch { case th: Throwable => errs.add(th) }
+          }
+        })
+      val deletes = Seq(3L, 7L, 11L, 13L)
+      val updates = Seq(4L, 8L, 12L, 16L) // disjoint rows: effects commute
+      val fa = writer(a, deletes, update = false)
+      val fb = writer(b, updates, update = true)
+      start.countDown()
+      fa.get(300, TimeUnit.SECONDS); fb.get(300, TimeUnit.SECONDS)
+      pool.shutdown()
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+      val got = a.readRaw("t").select("id", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got.size == 400 - deletes.size)
+      deletes.foreach(k => assert(!got.contains(k), s"delete of $k lost"))
+      updates.foreach(k => assert(got(k) == -1L, s"update of $k lost"))
+      info(s"statements retried under contention: ${retried.get()}")
+    } finally spark.conf.unset("spark.graft.sidecarSweepGraceMs")
+  }
+
+  test("catalog: a refused heavy flip destroys its own adds; plain retry lands") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Catalog
+    val root = tmp("conc-flip")
+    val real = FsOps(spark)
+    val seed = Catalog(spark, root)
+    seed.create("t", spark.range(120).select(col("id"),
+      (col("id") % 3).cast("string").as("g"), (col("id") % 97).as("n"))
+      .repartition(1), Seq("g"))
+    seed.deleteWhereLight("t", col("n") > 90) // a live mask: the fold runs too
+    val tableDir = s"$root/t"
+    def committedRels() = Manifest.load(real, tableDir).get.entries
+      .map(_.rel).filter(r => r.endsWith(".parquet")).toSet
+    def treeRels() = real.listFiles(tableDir)
+      .flatMap(e => real.relativeTo(tableDir, e._1))
+      .filter(_.endsWith(".parquet")).toSet
+    val before = seed.readRaw("t").count()
+    // inject a competing no-op commit the instant the mutation tries to
+    // seal — the deterministic version of the hammer's interleaving
+    val injected = new AtomicInteger(0)
+    FsOps.factory = conf => new FsOps(conf) {
+      override def createIfAbsent(p: String, b: Array[Byte]): Boolean = {
+        if (p.contains("/_manifest/seal-") && injected.getAndIncrement() == 0) {
+          val cur = Manifest.load(real, tableDir).get
+          Manifest.commit(real, tableDir, cur.seq, cur.entries, Nil)
+        }
+        super.createIfAbsent(p, b)
+      }
+    }
+    try {
+      val cat = Catalog(spark, root)
+      intercept[ConcurrentCommitException] {
+        cat.deleteWhere("t", col("n") < 10)
+      }
+      // the refused flip left NOTHING adopted and NOTHING leaked: the
+      // tree's parquet set is exactly the committed set, and reads
+      // serve the pre-mutation state
+      assert(treeRels() == committedRels(),
+        "refused flip leaked uncommitted files or destroyed live ones")
+      assert(Catalog(spark, root).readRaw("t").count() == before)
+      // a plain retry (fresh read of the advanced state) lands
+      Catalog(spark, root).deleteWhere("t", col("n") < 10)
+    } finally FsOps.factory = conf => new FsOps(conf)
+    val after = Catalog(spark, root).readRaw("t")
+    assert(after.filter(col("n") < 10).count() == 0)
+    assert(treeRels() == committedRels())
   }
 }

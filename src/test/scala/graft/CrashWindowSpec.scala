@@ -64,4 +64,31 @@ class CrashWindowSpec extends AnyFunSuite {
   test("DROP PARTITION: every kill point serves; sidecar fold flips with it") {
     sweep("dropPartition")(_.dropPartition("t", "day", "1"))
   }
+
+  test("two writers: victim killed at early steps never loses or wedges the peer") {
+    // gate-suite subset of ChaosSoak.sweepConcurrentKillPoints (the
+    // soak main sweeps the victim exhaustively): the heavy DELETE dies
+    // at each of the first kill points while an ingest peer commits
+    // through the same table; B's statements all land, A stays atomic,
+    // retrying A lands the combined state
+    spark.conf.set("spark.graft.sidecarSweepGraceMs", "600000")
+    try {
+      val n = ChaosSoak.sweepConcurrentKillPoints(spark,
+        "deleteWhere+livePeer", seed,
+        // predicates key on the immutable id so A and B COMMUTE (B
+        // updates n, so an n-predicate on A would order-depend)
+        w => Catalog(spark, w).deleteWhere("t", col("id") % 10 === 4),
+        w => {
+          val cat = Catalog(spark, w)
+          () => Seq[() => Unit](
+            () => cat.deleteWhereLight("t", col("id") % 10 === 7),
+            () => cat.updateWhereLight("t", col("id") % 10 === 2,
+              Map("n" -> (col("id") % 50)))
+          ).foreach(op =>
+            graft.operators.Optimistic.retryOnConflict(attempts = 40)(op()))
+        },
+        obs, maxPoints = 8)
+      assert(n > 0)
+    } finally spark.conf.unset("spark.graft.sidecarSweepGraceMs")
+  }
 }

@@ -915,8 +915,10 @@ class MaskSpec extends AnyFunSuite {
     Files.write(bogus.resolve("junk.parquet"), Array[Byte](1, 2, 3))
     // snap path (table is over SplitReadMinFiles, so readRaw -> snap)
     intercept[IllegalStateException] { cat.readRaw("t") }
-    // legacy dir-name path
-    intercept[NumberFormatException] { cat.hasPatches("t") }
+    // hasPatches answers from the same snap construction since the
+    // committed-set scoping (r17) — the r14 "one fail mode" rule is
+    // now literal: both paths ARE one code path
+    intercept[IllegalStateException] { cat.hasPatches("t") }
   }
 
   test("sidecar-fold crash windows read identically (add/install-first)") {
