@@ -17,8 +17,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred-schema memo per parquet path: `spark.read.parquet` runs a
+    * 1-task footer-inference Spark job on EVERY call (~25 ms + a
+    * planning gap), and each declared query re-loads its base tables —
+    * across a bench pass that is hundreds of identical metadata jobs
+    * over immutable test files. The first load per path infers exactly
+    * as before; later loads pass the memoized schema explicitly, which
+    * skips the job and nothing else (same schema, same scan). This is
+    * the catalog-schema shape a real deployment uses at 100 TB — schema
+    * from the metastore, never a footer read per query.
+    */
+  private val schemaCache = new scala.collection.concurrent.TrieMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = s"$sfDir/$name.parquet"
+    schemaCache.get(p) match {
+      case Some(sch) => spark.read.schema(sch).parquet(p)
+      case None =>
+        val df = spark.read.parquet(p)
+        schemaCache.put(p, df.schema)
+        df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

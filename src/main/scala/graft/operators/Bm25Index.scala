@@ -1050,8 +1050,11 @@ object Bm25Index {
     import spark.implicits._
     // committed epoch of a flip-saved artifact, or the path itself
     // for a pre-epoch (legacy) layout
-    val dir = EpochStore.resolve(FsOps(spark), path)
-    val stats = spark.read.parquet(s"$dir/stats")
+    val fsOps = FsOps(spark)
+    val dir = EpochStore.resolve(fsOps, path)
+    // FastRead: schema from one driver-side footer, no plan-time
+    // inference job — load fires four reads per query execution
+    val stats = FastRead.dir(spark, fsOps, s"$dir/stats")
     // meta_names/meta_kinds absent on pre-r8 artifacts: meta-less layout
     val (names, kinds) =
       if (stats.schema.fieldNames.contains("meta_names"))
@@ -1064,7 +1067,7 @@ object Bm25Index {
       .select(col("doc_count").cast("long"), col("sum_dl").cast("long"),
         col("shards").cast("int"))
       .as[(Long, Long, Int)].head()
-    val keyed = spark.read.parquet(s"$dir/postings")
+    val keyed = FastRead.dir(spark, fsOps, s"$dir/postings")
       .select(col("shard").cast("int"), col("term"), col("df").cast("long"),
         col("doc_id").cast("long"), col("tf").cast("int"), col("dl").cast("long"))
       .as[(Int, String, Long, Long, Int, Long)]
@@ -1085,7 +1088,7 @@ object Bm25Index {
         // shard keys, so this is a co-partitioned zip, no shuffle of the
         // postings
         val kindsB = kinds
-        val metaKeyed = spark.read.parquet(s"$dir/meta")
+        val metaKeyed = FastRead.dir(spark, fsOps, s"$dir/meta")
           .select((col("shard").cast("int") +: col("doc_id").cast("long") +:
             names.map(col).toSeq): _*)
           .rdd.map { row =>
@@ -1112,7 +1115,7 @@ object Bm25Index {
     val ix = new Bm25Index(blocks, nDocs, sumDl, names, kinds, bytes)
     // tombstones/ absent on foreign layouts: nothing pending by definition
     try {
-      val tomb = spark.read.parquet(s"$dir/tombstones")
+      val tomb = FastRead.dir(spark, fsOps, s"$dir/tombstones")
         .select(col("id").cast("long")).as[Long].collect()
       if (tomb.nonEmpty) ix.delete(tomb)
     } catch { case _: org.apache.spark.sql.AnalysisException => }

@@ -720,16 +720,27 @@ final case class Catalog(spark: SparkSession, root: String) {
     * folds add + remove files), so a hit is always current state.
     */
   private def sidecarFileUris(table: String, s: Snap): Set[String] = {
-    val sides =
-      (if (s.maskParquet.nonEmpty) Seq(deletesDir(table)) else Nil) ++
-        s.batches.map(_._1)
+    // the snap's exact COMMITTED files (the authority rule every other
+    // sidecar consumer follows), in ONE read with a one-column explicit
+    // schema — parquet binds columns by name, so the shared `file`
+    // column reads from mask and patch files alike; the per-DIRECTORY
+    // spark.read this replaces paid a listing + a footer-inference job
+    // per sidecar dir on every memo miss
+    val files = s.maskParquet.map(_._1) ++
+      s.batches.flatMap(_._2.map(_._1).filter(_.endsWith(".parquet")))
     val sig = s.mask +: s.batches.map(_._2)
     Catalog.sidecarUriCache.get(path(table)) match {
       case Some((c, uris)) if c == sig => uris
       case _ =>
-        val uris = sides.flatMap(d => spark.read.parquet(d)
-          .select("file").distinct()
-          .collect().map(r => normUri(r.getString(0)))).toSet
+        val uris =
+          if (files.isEmpty) Set.empty[String]
+          else spark.read
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file",
+                org.apache.spark.sql.types.StringType))))
+            .parquet(files: _*)
+            .select("file").distinct()
+            .collect().map(r => normUri(r.getString(0))).toSet
         Catalog.sidecarUriCache.put(path(table), (sig, uris))
         uris
     }
@@ -917,8 +928,10 @@ final case class Catalog(spark: SparkSession, root: String) {
             Bridge.toExpr(col(Catalog.PosCol)), bc)))
       } else {
         // same authority rule as the probe branch: the listing's exact
-        // files, never the directory (grace-deferred young debris)
-        val m = spark.read.parquet(parquets.map(_._1): _*)
+        // files, never the directory (grace-deferred young debris);
+        // explicit fixed schema — no footer-inference job (MaskSchema)
+        val m = spark.read.schema(Catalog.MaskSchema)
+          .parquet(parquets.map(_._1): _*)
           .select(col("file").as(Catalog.FileCol),
             col("pos").as(Catalog.PosCol))
         val side = if (entries > maxEntries) m.hint("shuffle_hash")
@@ -979,7 +992,7 @@ final case class Catalog(spark: SparkSession, root: String) {
         // sig IS the authoritative (manifest-scoped) mask set, and a
         // dir read under a sweep grace window could fold a concurrent
         // statement's young uncommitted entries into the probe
-        val grouped = spark.read.parquet(
+        val grouped = spark.read.schema(Catalog.MaskSchema).parquet(
             sig.map(_._1).filter(_.endsWith(".parquet")): _*)
           .groupBy("file")
           .agg(sort_array(collect_list(col("pos"))).as("ps"))
@@ -1132,9 +1145,15 @@ final case class Catalog(spark: SparkSession, root: String) {
       batches: Seq[(String, Seq[(String, Long, Long)])]): DataFrame =
     batches.foldLeft(df0) { case (df, (_, listing)) =>
       // the batch's exact files, never its directory (see applyMask's
-      // authority note — grace-deferred young debris must stay unread)
-      val p = spark.read.parquet(
-        listing.filter(_._1.endsWith(".parquet")).map(_._1): _*)
+      // authority note — grace-deferred young debris must stay unread);
+      // schema resolved from one footer DRIVER-SIDE (a batch's columns
+      // vary per statement, but one write job produced the whole batch)
+      // — no 1-task inference job per batch per read construction
+      val pfs = listing.filter(_._1.endsWith(".parquet"))
+      val p = spark.read
+        .schema(org.apache.spark.sql.graft.PreListedScan
+          .footerSchemaOf(spark, pfs))
+        .parquet(pfs.map(_._1): _*)
       val cols = p.columns.toSeq
       val assigned = cols.filterNot(c =>
         c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
@@ -1180,8 +1199,11 @@ final case class Catalog(spark: SparkSession, root: String) {
     val batches = s0.batches.map(_._1)
     if (batches.length <= 1) return
     val frames = s0.batches.map { case (_, bfs) =>
-      spark.read.parquet(
-        bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*)
+      val pfs = bfs.filter(_._1.endsWith(".parquet"))
+      spark.read
+        .schema(org.apache.spark.sql.graft.PreListedScan
+          .footerSchemaOf(spark, pfs))
+        .parquet(pfs.map(_._1): _*)
     }
     def valueCols(df: DataFrame): Seq[String] =
       df.columns.toSeq.filterNot(c =>
@@ -1285,7 +1307,8 @@ final case class Catalog(spark: SparkSession, root: String) {
     val dir = deletesDir(table)
     val before = s0.mask
     val tmp = path(table) + "__maskfold"
-    spark.read.parquet(s0.maskParquet.map(_._1): _*).distinct()
+    spark.read.schema(Catalog.MaskSchema)
+      .parquet(s0.maskParquet.map(_._1): _*).distinct()
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     // crash-safe order: entries are a SET, so ADD the folded file first,
     // then retire the originals — every crash window leaves a superset
@@ -1337,7 +1360,8 @@ final case class Catalog(spark: SparkSession, root: String) {
       return
     }
     def maskDirs(): Seq[String] =
-      spark.read.parquet(snapOf(table).maskParquet.map(_._1): _*)
+      spark.read.schema(Catalog.MaskSchema)
+        .parquet(snapOf(table).maskParquet.map(_._1): _*)
         .select("file").distinct()
         .collect().map { r =>
           normUri(r.getString(0)).stripPrefix(normUri(path(table)))
@@ -1489,7 +1513,8 @@ final case class Catalog(spark: SparkSession, root: String) {
     if (s0.maskParquet.nonEmpty) {
       val dir = deletesDir(table)
       val before = s0.mask
-      val keep = spark.read.parquet(s0.maskParquet.map(_._1): _*)
+      val keep = spark.read.schema(Catalog.MaskSchema)
+        .parquet(s0.maskParquet.map(_._1): _*)
         .filter(gone)
       if (keep.isEmpty) {
         if (defer) removes ++= before.map(e => relOf(e._1))
@@ -1534,8 +1559,11 @@ final case class Catalog(spark: SparkSession, root: String) {
       // concurrent allocators.
       val maxSeq = math.max(seqOf(batches.last._1), diskPatchSeqMax(table))
       val installed = batches.zipWithIndex.flatMap { case ((b, bfs), i) =>
-        val keep = spark.read.parquet(
-          bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*).filter(gone)
+        val pfs = bfs.filter(_._1.endsWith(".parquet"))
+        val keep = spark.read
+          .schema(org.apache.spark.sql.graft.PreListedScan
+            .footerSchemaOf(spark, pfs))
+          .parquet(pfs.map(_._1): _*).filter(gone)
         if (keep.isEmpty) None
         else {
           val tmp = path(table) + "__patch_tmp"
@@ -2308,6 +2336,23 @@ object Catalog {
   /** Internal row-identity columns threaded through tagged reads. */
   private[operators] val FileCol = "__graft_file"
   private[operators] val PosCol = "__graft_pos"
+
+  /** The deletion-mask sidecar's fixed on-disk schema. Every mask
+    * writer emits exactly these columns ([[Catalog.deleteWhereLight]]
+    * selects (file, pos); folds are filters/distincts of the same), so
+    * mask readers pass the schema EXPLICITLY: `spark.read.parquet`
+    * without one fires a 1-task footer-inference Spark job at plan
+    * time — R17JobProf measured ~25 ms job + a 50-100 ms planning gap
+    * per statement, once per mask read in every mutation lifecycle —
+    * for a schema that is a compile-time constant. Nullable fields,
+    * matching the `asNullable` relaxation inference would apply;
+    * parquet columns bind by NAME, so written column order is free.
+    */
+  private[operators] val MaskSchema = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
 
   /** Table-dir children a full rewrite-and-swap must leave standing:
     * `_shadow` FREEZE backups and `_detached` parked partitions are

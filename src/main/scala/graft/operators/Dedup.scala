@@ -177,8 +177,13 @@ object Dedup {
     *      collision can never flag a span — exactness is content-judged,
     *      the hash only routes.
     */
-  private def exactSubstrDuplicationPositions(toks: DataFrame, l: Int): DataFrame = {
+  private def exactSubstrDuplicationPositions(toks0: DataFrame, l: Int): DataFrame = {
     require(l >= 2, s"window length must be >= 2 tokens, got $l")
+    // parallelism floor: the gram build is the heavy map phase and runs
+    // over however many partitions the doc scan produced — ONE for a
+    // single-file table (R17JobProf: 3 × 0.6 s single-task jobs in
+    // q238); no-op at scale (see Par.fan)
+    val toks = Par.fan(toks0)
     val grams = toks
       .select(col("doc_id"),
         posexplode(when(col("n_tokens") >= l,

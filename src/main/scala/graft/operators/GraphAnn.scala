@@ -1164,20 +1164,23 @@ object IvfGraph {
     import spark.implicits._
     // committed epoch of a flip-saved artifact, or the path itself for
     // a pre-epoch (legacy) layout — never a half-written re-save
-    val dir = EpochStore.resolve(FsOps(spark), path)
+    val fsOps = FsOps(spark)
+    val dir = EpochStore.resolve(fsOps, path)
+    // FastRead throughout load: schema from one driver-side footer per
+    // sub-dir, no plan-time inference job (four reads per execution)
     val model = AnnIndex.Model(
-      spark.read.parquet(s"$dir/centroids").orderBy("centroid_id")
+      FastRead.dir(spark, fsOps, s"$dir/centroids").orderBy("centroid_id")
         .select("centroid").as[Array[Double]].collect())
     val k = model.centroids.length
     // meta_schema/ absent on pre-r8 layouts: meta-less by definition
     val nk: Array[(String, Int)] =
-      try spark.read.parquet(s"$dir/meta_schema").orderBy("ord")
+      try FastRead.dir(spark, fsOps, s"$dir/meta_schema").orderBy("ord")
         .select(col("name"), col("kind").cast("int"))
         .as[(String, Int)].collect()
       catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
     val names = nk.map(_._1)
     val kinds = nk.map(_._2)
-    val keyed = spark.read.parquet(s"$dir/nodes")
+    val keyed = FastRead.dir(spark, fsOps, s"$dir/nodes")
       .select((col("cluster_id").cast("int") +: col("pos").cast("int") +:
         col("id").cast("long") +: col("vec") +: col("nbrs") +:
         names.map(col).toSeq): _*)
@@ -1221,7 +1224,7 @@ object IvfGraph {
     val loaded = fromBlocks(model, blocks)
     // tombstones/ absent on pre-r7 layouts: nothing pending by definition
     try {
-      val tomb = spark.read.parquet(s"$dir/tombstones")
+      val tomb = FastRead.dir(spark, fsOps, s"$dir/tombstones")
         .select(col("id").cast("long")).as[Long].collect()
       if (tomb.nonEmpty) loaded.delete(tomb)
     } catch { case _: org.apache.spark.sql.AnalysisException => }

@@ -51,7 +51,11 @@ object LangId {
   /** (lang, g, lpm): top-K grams per language with micro-nat NLL. */
   def profiles(docs: DataFrame, langCol: String, textCol: String,
       n: Int = 2, topK: Int = 64): DataFrame = {
-    val g = docs.select(col(langCol).as("lang"), lower(col(textCol)).as("__lc"))
+    // parallelism floor: the corpus gram explosion + count is the heavy
+    // map phase (R17JobProf: q213's profile build was one 2.6 s
+    // single-task job over a 1-partition scan); no-op at scale (Par.fan)
+    val g = Par.fan(
+        docs.select(col(langCol).as("lang"), lower(col(textCol)).as("__lc")))
       .select(col("lang"), explode(grams(col("__lc"), n)).as("g"))
     val cnt = g.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
     // rank AND per-lang total from ONE window pass over the per-lang gram

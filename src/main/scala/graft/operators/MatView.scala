@@ -103,7 +103,8 @@ final case class MatView(
       compact()
 
   private def partials: DataFrame = {
-    val df = spark.read.parquet(dataDir)
+    // FastRead: no plan-time schema-inference job per read
+    val df = FastRead.dir(spark, fs, dataDir)
     if (df.columns.contains("__bid")) df.drop("__bid") else df
   }
 

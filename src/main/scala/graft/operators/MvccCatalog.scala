@@ -113,7 +113,7 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     */
   private def tombstones(table: String): Option[DataFrame] = {
     val p = tombPath(table)
-    if (fs.hasParquetUnder(p)) Some(spark.read.parquet(p)) else None
+    if (fs.hasParquetUnder(p)) Some(FastRead.dir(spark, fs, p)) else None
   }
 
   /** The deleted keys (with their deleting version `__tv`) — the SERVING
@@ -146,7 +146,7 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     * commit version (time travel).
     */
   def read(table: String, key: Seq[String], asOf: Option[Long] = None): DataFrame = {
-    val dataAll = spark.read.parquet(dataPath(table))
+    val dataAll = FastRead.dir(spark, fs, dataPath(table))
     val data = asOf.fold(dataAll)(v => dataAll.filter(col("__v") <= v))
     val afterDeletes = tombstones(table) match {
       case Some(tAll) =>
@@ -176,7 +176,7 @@ final case class MvccCatalog(spark: SparkSession, root: String) {
     * extracting.
     */
   def currentVersion(table: String): Long = {
-    val dv = Try(spark.read.parquet(dataPath(table))
+    val dv = Try(FastRead.dir(spark, fs, dataPath(table))
       .agg(max(col("__v")).cast("long")).head().getLong(0)).getOrElse(0L)
     val tv = tombstones(table)
       .flatMap(t => Try(t.agg(max(col("__tv")).cast("long")).head().getLong(0)).toOption)

@@ -257,15 +257,17 @@ object PqIndex {
     */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): (Model, DataFrame) = {
     import spark.implicits._
-    val dir = EpochStore.resolve(FsOps(spark), path)
-    val rows = spark.read.parquet(s"$dir/codebooks")
+    val fsOps = FsOps(spark)
+    val dir = EpochStore.resolve(fsOps, path)
+    // FastRead: no plan-time schema-inference job per sub-dir
+    val rows = FastRead.dir(spark, fsOps, s"$dir/codebooks")
       .select(col("m").cast("int"), col("k").cast("int"), col("centroid"))
       .as[(Int, Int, Array[Float])].collect()
     val nm = rows.map(_._1).max + 1
     val nk = rows.map(_._2).max + 1
     val cbs = Array.ofDim[Array[Float]](nm, nk)
     rows.foreach { case (mm, kk, c) => cbs(mm)(kk) = c }
-    (Model(cbs), spark.read.parquet(s"$dir/codes"))
+    (Model(cbs), FastRead.dir(spark, fsOps, s"$dir/codes"))
   }
 
   def search(model: Model, encoded: DataFrame, embCol: String, idCol: String,

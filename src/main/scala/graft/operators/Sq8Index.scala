@@ -82,11 +82,13 @@ object Sq8Index {
   def load(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Model, DataFrame, Long) = {
     import spark.implicits._
-    val dir = EpochStore.resolve(FsOps(spark), path)
-    val rows = spark.read.parquet(s"$dir/bounds")
+    val fsOps = FsOps(spark)
+    val dir = EpochStore.resolve(fsOps, path)
+    // FastRead: no plan-time schema-inference job per sub-dir
+    val rows = FastRead.dir(spark, fsOps, s"$dir/bounds")
       .select(col("dim").cast("int"), col("mn"), col("scale"))
       .as[(Int, Float, Float)].collect().sortBy(_._1)
-    val enc = spark.read.parquet(s"$dir/codes")
+    val enc = FastRead.dir(spark, fsOps, s"$dir/codes")
     (Model(rows.map(_._2), rows.map(_._3)), enc, enc.count())
   }
 

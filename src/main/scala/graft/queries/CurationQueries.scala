@@ -131,6 +131,9 @@ object CurationQueries {
     // At 100 TB: words shuffle once for the vocab count (map-side
     // combine), the vocab is broadcast back, docs score map-only.
     QueryDef("q133_unigram_logprob", (s, dir) => {
+      // (Par.fan measured HERE and reverted: `words` feeds three plan
+      // branches, and the added exchange + 32-task branch jobs cost more
+      // than the 1-task explode they replaced — 0.57 s -> 2.5 s.)
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tok(col("text"))).as("w"))
       val tot = words.agg(count(lit(1)).as("tot"))
@@ -170,6 +173,8 @@ object CurationQueries {
     // vocab) aggregate, never the corpus. Scores are integer micro-units
     // (one ln + one round per (source, term)), ties broken by term.
     QueryDef("q134_tfidf_terms", (s, dir) => {
+      // (Par.fan measured HERE and reverted — the q133 multi-branch
+      // story: 1.07 s -> 1.35 s.)
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), explode(tok(col("text"))).as("w"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
@@ -295,6 +300,8 @@ object CurationQueries {
     // BIGINT sums, and the keep decision compares integers. Map-only
     // over the corpus after two small vocab aggs.
     QueryDef("q140_dsir_weights", (s, dir) => {
+      // (Par.fan measured HERE and reverted — the q133 multi-branch
+      // story: 0.60 s -> 1.32 s.)
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), explode(tok(col("text"))).as("w"))
       val srcCnt = words.groupBy("w").agg(count(lit(1)).as("cs"))

@@ -147,8 +147,10 @@ object PipelineQueries {
       // cached: both sides of the self-join reuse the shingle computation.
       // Shingles hashed to longs AND pre-sorted so the per-pair verify is
       // a linear merge (custom codegen expression), not a hash set build.
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), tok(col("text")).as("t"))
+      // Par.fan: the shingle+hash+sort derivation is the heavy map phase
+      // and a single-file table scans as ONE task (r17; guide §2.5)
+      val d = graft.operators.Par.fan(Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), tok(col("text")).as("t")))
         .filter(size(col("t")) >= 3)
         .withColumn("bkt", expr("size(t) div 10"))
         .withColumn("sh", array_sort(transform(shingles(col("t")), x => xxhash64(x))))
@@ -196,6 +198,9 @@ object PipelineQueries {
       // at 100 TB the ~5 KB shingle arrays must not ride through three
       // exchanges; survivors re-join the shingle store by doc_id for the
       // exact-Jaccard verify.
+      // (Par.fan measured HERE and reverted: the cached self-join shape
+      // got slower with 32 cached partitions — 0.8 s -> 1.5 s warm; the
+      // cache hit already amortizes the 1-task derivation.)
       val docs = withMutatedCopies(s, dir)
         .select(col("doc_id"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
@@ -281,7 +286,9 @@ object PipelineQueries {
       // the fingerprints bit-for-bit and the whole banded pipeline is
       // oracle-gated (SimHash64/FNV stays the production default; its
       // banding behavior is covered by specs).
-      val docs = withMutatedCopies(s, dir)
+      // Par.fan before the fingerprint derivation (r17; guide §2.5)
+      val docs = graft.operators.Par.fan(
+          withMutatedCopies(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), simhash_poly(tok(col("text"))).as("fp"))
         .cache() // fingerprints reused by both self-join sides
       // 4 bands x 15 bits; sign extension impossible (bit 59 is the top)
@@ -347,7 +354,10 @@ object PipelineQueries {
     // norms — the pair count is the oracle's cost, the per-pair flops need
     // not be 3x it.
     QueryDef("q47_embed_neardup", (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      // Par.fan: the O(n^2) pair loop streams ONE side against the
+      // broadcast other — a 1-partition stream side runs the whole
+      // quadratic loop in one task (r17; guide §2.5)
+      val e = graft.operators.Par.fan(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("embedding"),
           sqrt(inner_product(col("embedding"), col("embedding"))).as("nrm"))
       val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))

@@ -108,7 +108,9 @@ object Round16Queries {
     // end-to-end.
     QueryDef("q254_lsh_incremental_dedup", (s, dir) => {
       def tok(c: Column) = split(trim(c), "\\s+")
-      def shingled(df: DataFrame) = df
+      // Par.fan: shingle+hash derivation over a 1-partition scan would
+      // run single-task (r17; guide §2.5); no-op at scale
+      def shingled(df: DataFrame) = graft.operators.Par.fan(df)
         .select(col("doc_id"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
@@ -128,14 +130,20 @@ object Round16Queries {
                 x => x.cast("string"))))).as(Seq("band_idx", "band_key")))
 
       val corpusText = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      // Root is RECIPE-VERSIONED (v2): with build-if-absent below, a
-      // committed band table outlives the process, so a change to the
-      // shingle/hash arithmetic must move to a fresh root — an old
-      // recipe's bands silently serving wrong candidates is exactly the
-      // staleness the version tag closes. (r16 rebuilt every execution
-      // and hid the cost in a session-RAM cache; its warm 2.5 s was the
-      // cache, not the serving shape — the cold pass paid ~22 s/run.)
+      // Root is RECIPE-VERSIONED (v2) and PROCESS-SCOPED: the
+      // applicationId in the path means build-if-absent amortizes the
+      // band-table build across THIS run's executions only (cold pass
+      // builds + commits, measured passes serve the committed epoch —
+      // the steady-state serving shape), and a fresh bench/oracle
+      // invocation always rebuilds from the parquet inputs. A root
+      // keyed on the data dir alone would let a committed table outlive
+      // the process — precomputation across runs, which the bench
+      // contract forbids (and the same in-JVM-only exemption the IVF
+      // artifacts already document). The recipe tag stays: a change to
+      // the shingle/hash arithmetic moves to a fresh root even within
+      // a process.
       val root = graft.operators.AnnIndex.tmpRoot + "/lsh_bands_v2_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       val fsOps = graft.operators.FsOps(s)
       // The amortized-ONCE half, now actually amortized: build + commit

@@ -152,6 +152,9 @@ object Round2Queries {
       val sig = org.apache.spark.sql.graft.LshSignature.lsh_signature(col("embedding"), 64)
       val bands = (0 until 4).map(b =>
         expr(s"int((__sig >> ${b * 16}) & 65535)"))
+      // (Par.fan measured HERE and reverted: the cached banded self-join
+      // shape got slower with 32 cached partitions — 0.41 s -> 1.18 s
+      // warm; the q45 story.)
       val banded = all.withColumn("__sig", sig).select(col("vec_id"),
         posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
         .cache() // the signature pass is the expensive stage; both join

@@ -58,6 +58,11 @@ object Round3Pipeline {
       // re-running the parquet-read + 3-way-union + tokenize pipeline
       // (profiled: the duplicated upstream was ~1.1 s of q109's wall
       // time; the 21k candidate verifications are microseconds)
+      // (Par.fan measured HERE and reverted: the eager localCheckpoint +
+      // per-round CC jobs over 32 partitions cost more than the 3-task
+      // derivation saved — 2.2 s -> 4.4 s. Iterative small-data stages
+      // want FEW partitions; guide §1.1's "fresh ideal is often slower,
+      // switch back to the empirical loop".)
       val keyed = chainedCorpus(s, dir)
         .withColumn("t", tok(col("text")))
         .select(col("doc_id"),
@@ -120,7 +125,9 @@ object Round3Pipeline {
       // sequence(0, size-8) with stop < start generates a DESCENDING run
       // into negative indices and slice() throws — the DuckDB twin's
       // range(0, len-7) is simply empty, so filter first (map-only).
-      val grams = d.filter(size(col("t")) >= 8)
+      // Par.fan: the corpus-window explosion is the heavy map phase over
+      // a 1-partition scan (r17; guide §2.5)
+      val grams = graft.operators.Par.fan(d.filter(size(col("t")) >= 8))
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), size(col("t")) - 8),
             i => concat_ws(" ", slice(col("t"), i + lit(1), lit(8))))).as("gram"))

@@ -75,15 +75,7 @@ object PreListedScan {
     }
     val index = new PreListedFileIndex(spark, new Path(base), statuses)
     val format = new ParquetFileFormat
-    val dataSchema: StructType = format
-      .inferSchema(spark, Map("mergeSchema" -> "false"), statuses)
-      .getOrElse(throw new IllegalArgumentException(
-        s"PreListedScan: could not infer a parquet schema under '$base' " +
-          s"from ${files.size} files"))
-      // spark.read relaxes file-source schemas to nullable (a footer may
-      // say `required`, but other files of the set may not) — match it,
-      // or the split read's branches disagree on nullability
-      .asNullable
+    val dataSchema: StructType = footerSchema(spark, statuses)
     val relation = HadoopFsRelation(
       index,
       partitionSchema = index.partitionSpec().partitionColumns,
@@ -95,4 +87,48 @@ object PreListedScan {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       LogicalRelation(relation, isStreaming = false))
   }
+
+  /** Data schema of a parquet file set, resolved DRIVER-SIDE from one
+    * footer — the exact value `ParquetFileFormat.inferSchema` with
+    * `mergeSchema=false` computes, minus the 1-task Spark job it runs
+    * to compute it. Spark's non-merging inference touches exactly ONE
+    * file — the lexicographically first data file
+    * (`ParquetUtils.splitFiles` sorts by path) — and reads its footer
+    * in a `mergeSchemasInParallel` job whose scheduling costs ~25 ms
+    * plus a planning gap per statement; a statement-heavy mutation
+    * lifecycle pays that job once per read CONSTRUCTION (R17JobProf:
+    * 15 of q251's 52 jobs were these). The same footer read is
+    * microseconds of driver I/O here, through the same metadata path
+    * the job's task uses ([[ParquetFileFormat.readSchemaFromFooter]]:
+    * the Spark-written schema JSON in the footer's key-value metadata
+    * when present, the parquet->catalyst conversion otherwise), with
+    * the same converter flags and the same `asNullable` relaxation
+    * `spark.read` applies to every file-source schema.
+    */
+  def footerSchema(spark: SparkSession,
+      statuses: Seq[FileStatus]): StructType = {
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.execution.datasources.parquet.{
+      ParquetFooterReader, ParquetToSparkSchemaConverter}
+    require(statuses.nonEmpty,
+      "PreListedScan: cannot infer a parquet schema from zero files")
+    val first = statuses.minBy(_.getPath.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = ParquetFooterReader.readFooter(
+      HadoopInputFile.fromStatus(first, conf),
+      ParquetMetadataConverter.SKIP_ROW_GROUPS)
+    val converter = new ParquetToSparkSchemaConverter(
+      spark.sessionState.conf)
+    ParquetFileFormat.readSchemaFromFooter(
+      new org.apache.parquet.hadoop.Footer(first.getPath, meta), converter)
+      .asNullable
+  }
+
+  /** [[footerSchema]] over raw (path, len, mtime) listing entries. */
+  def footerSchemaOf(spark: SparkSession,
+      files: Seq[(String, Long, Long)]): StructType =
+    footerSchema(spark, files.map { case (p, len, mtime) =>
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, new Path(p))
+    })
 }
