@@ -1007,6 +1007,7 @@ object Bm25Index {
         .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/postings")
       Seq((ix.docCount, ix.sumDl, p.toLong, ix.metaNames.toSeq, ix.metaKinds.toSeq))
         .toDF("doc_count", "sum_dl", "shards", "meta_names", "meta_kinds")
+        .coalesce(1) // one stats row; skip the multi-task local write
         .write.mode("overwrite").parquet(s"$dir/stats")
       if (ix.metaNames.nonEmpty) {
         val names = ix.metaNames
@@ -1032,7 +1033,9 @@ object Bm25Index {
         spark.createDataFrame(rows, schema)
           .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/meta")
       }
-      ix.tombstoneSnapshot.toSeq.toDF("id")
+      // coalesce(1): bounded metadata (pending tombstones) — a local
+      // write otherwise fans to leafNodeDefaultParallelism one-row tasks
+      ix.tombstoneSnapshot.toSeq.toDF("id").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/tombstones")
     }
     ()

@@ -1516,7 +1516,19 @@ final case class Catalog(spark: SparkSession, root: String) {
       val keep = spark.read.schema(Catalog.MaskSchema)
         .parquet(s0.maskParquet.map(_._1): _*)
         .filter(gone)
-      if (keep.isEmpty) {
+      // execute the keep plan ONCE: write first, read emptiness off the
+      // written footers driver-side (r17 — the old isEmpty probe ran
+      // the same scan+filter a second time; at scale that is a second
+      // data-proportional pass over the mask set). The tmp dir is a
+      // SIBLING of the table dir, invisible to reads, and a kill
+      // between the write and its consumption is the same orphan-tmp
+      // window the write-beside shape always had.
+      val tmp = path(table) + "__mask_tmp"
+      keep.write.mode("overwrite").parquet(tmp)
+      val tmpFiles = fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))
+      if (org.apache.spark.sql.graft.PreListedScan
+          .footerRowCount(spark, tmpFiles) == 0L) {
+        fs.rmTree(tmp)
         if (defer) removes ++= before.map(e => relOf(e._1))
         else fs.rmTree(dir)
       } else {
@@ -1529,14 +1541,11 @@ final case class Catalog(spark: SparkSession, root: String) {
         // UNTOUCHED partitions vanished: silent resurrection on
         // listing-served tables, and a post-crash refreshManifest
         // would have adopted the maskless tree.
-        val tmp = path(table) + "__mask_tmp"
-        keep.write.mode("overwrite").parquet(tmp)
-        fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))
-          .foreach { case (f, len, mt) =>
-            val dst = s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"
-            fs.move(f, dst)
-            if (defer) adds += Manifest.Entry(relOf(dst), len, mt)
-          }
+        tmpFiles.foreach { case (f, len, mt) =>
+          val dst = s"$dir/${f.substring(f.lastIndexOf('/') + 1)}"
+          fs.move(f, dst)
+          if (defer) adds += Manifest.Entry(relOf(dst), len, mt)
+        }
         if (defer) removes ++= before.map(e => relOf(e._1))
         else before.foreach(e => fs.rmTree(e._1))
         fs.rmTree(tmp)
@@ -1564,10 +1573,15 @@ final case class Catalog(spark: SparkSession, root: String) {
           .schema(org.apache.spark.sql.graft.PreListedScan
             .footerSchemaOf(spark, pfs))
           .parquet(pfs.map(_._1): _*).filter(gone)
-        if (keep.isEmpty) None
-        else {
-          val tmp = path(table) + "__patch_tmp"
-          keep.write.mode("overwrite").parquet(tmp)
+        // one execution of the keep plan (r17, the mask-branch shape):
+        // write first, branch on the written footers' row count
+        val tmp = path(table) + "__patch_tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        if (org.apache.spark.sql.graft.PreListedScan.footerRowCount(spark,
+            fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))) == 0L) {
+          fs.rmTree(tmp)
+          None
+        } else {
           val seq = maxSeq + 1 + i
           claimPatchSeq(table, seq)
           val dst = s"${patchesDir(table)}/seq=$seq"

@@ -195,9 +195,17 @@ object Dedup {
     val candHashes = grams.groupBy(xxhash64(col("g")).as("h"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") > 1).select("h")
     // the candidate set is small whenever the corpus is mostly unique
-    // (AQE picks the broadcast at runtime from its actual size)
+    // (AQE picks the broadcast at runtime from its actual size).
+    // MATERIALIZE it (r17): `cand` feeds two consumers (the true-dup
+    // group and the final semi-join), and the gram explosion above is
+    // the data-proportional map phase — without the checkpoint each
+    // consumer re-runs it, three corpus passes instead of two. The
+    // checkpoint holds CANDIDATE rows only (bounded by the duplicated
+    // span count, never the corpus; MEMORY_AND_DISK so an adversarial
+    // corpus spills instead of OOMing).
     val cand = grams.join(candHashes,
       xxhash64(grams("g")) === candHashes("h"), "left_semi")
+      .localCheckpoint(true)
     val dup = cand.groupBy(col("g"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") > 1).select("g")
     cand.join(dup, Seq("g"), "left_semi")

@@ -1139,16 +1139,21 @@ object IvfGraph {
     EpochStore.commit(FsOps(spark), path) { dir =>
       spark.createDataFrame(nodeRows, schema)
         .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/nodes")
+      // coalesce(1) on the bounded metadata tables (schema rows, k
+      // centroids, pending tombstones): a local-relation write otherwise
+      // fans out to leafNodeDefaultParallelism tasks — R17JobProf
+      // measured the 8-row centroids write at 479 ms / 16 tasks, almost
+      // all of it per-task commit overhead for one-row files
       nk.zipWithIndex.map { case ((n, kd), ord) => (ord, n, kd) }.toSeq
-        .toDF("ord", "name", "kind")
+        .toDF("ord", "name", "kind").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/meta_schema")
       g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-        .toDF("centroid_id", "centroid")
+        .toDF("centroid_id", "centroid").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/centroids")
       // pending serve-time tombstones are part of the serving state: a
       // reload without them would resurrect deleted ids (written even
       // when empty so load never guesses)
-      g.tombstoneSnapshot.toSeq.toDF("id")
+      g.tombstoneSnapshot.toSeq.toDF("id").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/tombstones")
     }
     ()

@@ -242,6 +242,7 @@ object PqIndex {
       model.codebooks.zipWithIndex.flatMap { case (cb, mm) =>
         cb.zipWithIndex.map { case (c, kk) => (mm, kk, c) }
       }.toSeq.toDF("m", "k", "centroid")
+        .coalesce(1) // m*k codebook rows, bounded by construction
         .write.mode("overwrite").parquet(s"$dir/codebooks")
       encoded.write.mode("overwrite").parquet(s"$dir/codes")
     }

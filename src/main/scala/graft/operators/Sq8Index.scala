@@ -72,7 +72,9 @@ object Sq8Index {
     // (EpochStore) — same re-save crash posture as PqIndex.save
     EpochStore.commit(FsOps(spark), path) { dir =>
       model.mins.indices.map(i => (i, model.mins(i), model.scales(i))).toDF(
-        "dim", "mn", "scale").write.mode("overwrite").parquet(s"$dir/bounds")
+        "dim", "mn", "scale")
+        .coalesce(1) // dim rows, bounded by construction
+        .write.mode("overwrite").parquet(s"$dir/bounds")
       encoded.write.mode("overwrite").parquet(s"$dir/codes")
     }
     ()

@@ -201,17 +201,19 @@ object PipelineQueries {
       // (Par.fan measured HERE and reverted: the cached self-join shape
       // got slower with 32 cached partitions — 0.8 s -> 1.5 s warm; the
       // cache hit already amortizes the 1-task derivation.)
+      // poly_hash_arr / minhash_sig: codegen drop-ins for the previous
+      // interpreted HOF chains (bit-identical by construction — see
+      // PolyHashArr/MinHashSig scaladoc; the DuckDB twin still computes
+      // the same folds, so this stays oracle-gated end-to-end)
       val docs = withMutatedCopies(s, dir)
         .select(col("doc_id"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingles(col("t")).as("sh"))
-        .withColumn("hv", expr(
-          "transform(sh, s -> aggregate(sequence(1, length(s)), 0L, " +
-            "(acc, i) -> (acc * 257 + ascii(substring(s, i, 1))) % 2147483647))"))
+        .withColumn("hv", org.apache.spark.sql.graft.GraftColumns
+          .poly_hash_arr(col("sh"), 2147483647L))
         .cache()
-      val sigs = docs.withColumn("sig", expr(
-        "transform(sequence(0, 15), h -> " +
-          "array_min(transform(hv, x -> (x * (2*h + 1) + 7919*h + 13) % 2147483647)))"))
+      val sigs = docs.withColumn("sig", org.apache.spark.sql.graft
+        .GraftColumns.minhash_sig(col("hv"), 16, 2147483647L))
       val bands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)),
           bIdx => concat_ws(",",

@@ -110,19 +110,20 @@ object Round16Queries {
       def tok(c: Column) = split(trim(c), "\\s+")
       // Par.fan: shingle+hash derivation over a 1-partition scan would
       // run single-task (r17; guide §2.5); no-op at scale
+      // poly_hash_arr / minhash_sig: codegen drop-ins for the previous
+      // interpreted HOF chains (bit-identical — see PolyHashArr/
+      // MinHashSig scaladoc; the DuckDB twin computes the same folds)
       def shingled(df: DataFrame) = graft.operators.Par.fan(df)
         .select(col("doc_id"), tok(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           array_distinct(transform(sequence(lit(0), size(col("t")) - 3),
             i => concat_ws(" ", slice(col("t"), i + lit(1), lit(3))))).as("sh"))
-        .withColumn("hv", expr(
-          "transform(sh, s -> aggregate(sequence(1, length(s)), 0L, " +
-            "(acc, i) -> (acc * 257 + ascii(substring(s, i, 1))) % 2147483647))"))
+        .withColumn("hv", org.apache.spark.sql.graft.GraftColumns
+          .poly_hash_arr(col("sh"), 2147483647L))
       def banded(df: DataFrame) = df
-        .withColumn("sig", expr(
-          "transform(sequence(0, 15), h -> " +
-            "array_min(transform(hv, x -> (x * (2*h + 1) + 7919*h + 13) % 2147483647)))"))
+        .withColumn("sig", org.apache.spark.sql.graft.GraftColumns
+          .minhash_sig(col("hv"), 16, 2147483647L))
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(3)),
             bIdx => concat_ws(",",

@@ -131,4 +131,29 @@ object PreListedScan {
     footerSchema(spark, files.map { case (p, len, mtime) =>
       new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, new Path(p))
     })
+
+  /** Total row count of a parquet file set, summed from footer block
+    * metadata DRIVER-SIDE — no Spark job. Lets a write-then-decide
+    * caller (e.g. a sidecar fold that must branch on "did anything
+    * survive the filter?") execute its plan ONCE and read the emptiness
+    * off the files it just wrote, instead of running `isEmpty` (a full
+    * plan execution) before the write runs the same plan again — at
+    * scale that probe is a second data-proportional pass.
+    */
+  def footerRowCount(spark: SparkSession,
+      files: Seq[(String, Long, Long)]): Long = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFooterReader
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { case (p, len, mtime) =>
+      val st = new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime,
+        new Path(p))
+      ParquetFooterReader.readFooter(
+        HadoopInputFile.fromStatus(st, conf),
+        ParquetMetadataConverter.NO_FILTER)
+        .getBlocks.asScala.map(_.getRowCount).sum
+    }.sum
+  }
 }

@@ -62,6 +62,131 @@ case class SimHashPoly(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-element polynomial string hash over a string array:
+  * `h(s) = fold(chars(s), 0L, (acc, c) -> (acc * 257 + codepoint(c)) % mod)`
+  * — EXACTLY the value the catalyst higher-order chain
+  * `transform(sh, s -> aggregate(sequence(1, length(s)), 0L,
+  * (acc, i) -> (acc * 257 + ascii(substring(s, i, 1))) % mod))`
+  * computes (Spark's `ascii` returns the code point of a 1-char
+  * substring; iteration here steps code points for the same value on
+  * non-BMP input), and the same fold DuckDB's `list_reduce` oracle twin
+  * computes. Exists because catalyst HOF lambdas evaluate INTERPRETED
+  * per element (no whole-stage codegen), and the shingle-hash pass is
+  * the data-proportional map phase of the LSH dedup queries — R17
+  * profiling showed it dominating their 32-task stages. This is a
+  * drop-in codegen replacement, bit-identical by construction and
+  * oracle-gated end-to-end wherever it is used.
+  */
+case class PolyHashArr(child: Expression, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(mod > 0, s"poly_hash_arr: modulus must be positive, got $mod")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_hash_arr"
+
+  override def nullSafeEval(a: Any): Any =
+    PolyHashArr.compute(a.asInstanceOf[ArrayData], mod)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.PolyHashArr.compute($c, ${mod}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PolyHashArr {
+  /** Static so generated code can call it with a single invoke. */
+  def compute(arr: ArrayData, mod: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // input arrays here are produced by transform/concat (never null
+      // elements); a null element hashes like the HOF chain would —
+      // aggregate over a null string yields null, but nullIntolerant
+      // arrays from our producers make this unreachable in practice
+      val s = arr.getUTF8String(i).toString
+      var h = 0L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h = (h * 257 + cp) % mod
+        j += Character.charCount(cp)
+      }
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Carter-Wegman minhash signature over pre-hashed shingle values:
+  * `sig[h] = array_min(transform(hv, x -> (x*(2h+1) + 7919h + 13) % mod))`
+  * for h in 0..nHashes-1 — EXACTLY the catalyst chain
+  * `transform(sequence(0, N-1), h -> array_min(transform(hv, ...)))`
+  * the LSH dedup queries previously spelled inline (and the same affine
+  * rehash family their DuckDB oracle twins compute). An empty input
+  * yields all-null elements, matching `array_min` over an empty array.
+  * Codegen replacement for the same reason as [[PolyHashArr]]: HOF
+  * lambdas evaluate interpreted per element, and this chain is
+  * nHashes × |hv| element evaluations per row on the dedup map phase.
+  */
+case class MinHashSig(child: Expression, nHashes: Int, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nHashes > 0 && mod > 0,
+    s"minhash_sig: need nHashes > 0 and mod > 0, got $nHashes, $mod")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashSig.compute(a.asInstanceOf[ArrayData], nHashes, mod)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MinHashSig.compute($c, $nHashes, ${mod}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSig {
+  /** Static so generated code can call it with a single invoke. */
+  def compute(hv: ArrayData, nHashes: Int, mod: Long): ArrayData = {
+    val n = hv.numElements()
+    // collect non-null inputs once (array_min SKIPS null elements; an
+    // all-null or empty input yields a null min per slot)
+    val xs = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!hv.isNullAt(i)) { xs(m) = hv.getLong(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](nHashes))
+    }
+    val out = new Array[Long](nHashes)
+    var h = 0
+    while (h < nHashes) {
+      val a = 2L * h + 1
+      val b = 7919L * h + 13
+      var best = Long.MaxValue
+      i = 0
+      while (i < m) {
+        val v = (xs(i) * a + b) % mod
+        if (v < best) best = v
+        i += 1
+      }
+      out(h) = best
+      h += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object SimHashPoly {
   final val Bits = 60
   private final val M = 2147483647L
