@@ -38,57 +38,79 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       maxRounds: Int = 50): DataFrame = {
+    // r17: the loop runs on co-partitioned RDDs, not DataFrames. Each
+    // DataFrame round paid Catalyst analysis + AQE stage planning + a
+    // broadcast-build job PER ROUND (~0.4 s/round of pure fixed cost at
+    // sf0.1, most of q109's wall); an RDD round is one narrow join over
+    // a pinned partitioning plus ONE shuffle of just the label updates,
+    // with no planning at all. Semantics are the r16 shape verbatim —
+    // min over {own label} ∪ {neighbors' labels}, convergence = no
+    // label decreased, edge endpoints missing from `nodes` count as
+    // changed (prev = MaxValue) until they hold a real previous label —
+    // all pinned by DedupSpec.
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
-    val tE = System.nanoTime()
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint(true)
-    if (dbg) System.err.println(f"[cc] edges materialized ${(System.nanoTime()-tE)/1e9}%.3fs")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    val tl = System.nanoTime()
-    var labels = nodes.select(col("id"), col("id").as("canonical"))
-      .localCheckpoint(true)
-    if (dbg) System.err.println(f"[cc] labels init ${(System.nanoTime()-tl)/1e9}%.3fs")
+    val tE = System.nanoTime()
+    val raw = pairs
+      .select(col("i").cast("long"), col("j").cast("long")).as[(Long, Long)]
+      .rdd.flatMap { case (i, j) => Iterator((i, j), (j, i)) }
+      .persist(sl)
+    // SIZE the round partitioning from the measured edge count, never a
+    // constant (guide §2): an iterative loop pays task+stage fixed costs
+    // every round, so tiny graphs must run in few partitions (measured:
+    // 32-partition rounds cost ~0.42 s each on a 45k-edge graph, ~90% of
+    // it scheduling) while a 100 TB near-dup graph still fans out —
+    // ~4M directed edges (~64 MB) per partition, capped well above the
+    // session's parallelism so huge graphs are not throttled to the
+    // core count.
+    val nEdges = raw.count()
+    val p = math.max(1L, math.min(nEdges / 4000000L + 1,
+      16L * spark.sparkContext.defaultParallelism)).toInt
+    val part = new org.apache.spark.HashPartitioner(p)
+    val edges = raw.partitionBy(part).persist(sl)
+    var labels = nodes.select(col("id").cast("long")).as[Long]
+      .rdd.map(id => (id, id)).reduceByKey(part, math.min(_: Long, _: Long))
+    var cached: org.apache.spark.rdd.RDD[_] = labels.persist(sl)
+    if (dbg) System.err.println(f"[cc] edges+labels staged ${(System.nanoTime()-tE)/1e9}%.3fs p=$p")
 
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val tr = System.nanoTime()
-      // one round = min over {own label} ∪ {neighbors' labels}: the union
-      // feeds a single hash aggregate on id (isolated nodes survive via
-      // their self row), so a round is one broadcast-or-shuffle join plus
-      // one groupBy — no left-join repair pass. min(canonical) under the
-      // agg tracks the previous label so the convergence test rides the
-      // same action that materializes the round.
-      val next = edges
-        .join(labels.select(col("id").as("src"), col("canonical").as("slbl")), "src")
-        .select(col("dst").as("id"), col("slbl").as("lbl"), lit(null).cast("long").as("prev"))
-        .unionByName(labels.select(col("id"), col("canonical").as("lbl"),
-          col("canonical").as("prev")))
-        .groupBy("id")
-        // coalesce to MaxValue: an edge endpoint missing from `nodes` has
-        // no self row, so min(prev) is NULL — without the coalesce it
-        // would be EXCLUDED from the convergence test (NULL comparison)
-        // while still appearing in the output, allowing premature
-        // "convergence" with unstable labels. MaxValue counts it as
-        // changed until it has a real previous-round label.
-        .agg(min(col("lbl")).as("canonical"),
-          coalesce(min(col("prev")), lit(Long.MaxValue)).as("prev"))
-        .localCheckpoint(false)
-      // ONE job per round: the UN-limited count computes every partition
-      // of the lazily-checkpointed `next` (completing the checkpoint —
-      // lineage truncates only after a full materialization; a limit(1)
-      // would short-circuit and leave it partial) and its result IS the
-      // convergence test. The old shape paid two jobs per round (eager
-      // checkpoint count + separate convergence probe), and per-round job
-      // overhead × diameter was most of q109's wall time.
-      converged = next.filter(col("canonical") < col("prev")).count() == 0
-      labels = next.drop("prev")
+      // labels is `part`-partitioned on id and edges on src, so the
+      // join is narrow; only the propagated (dst, label) updates cross
+      // the wire in the reduceByKey, and the fullOuterJoin back onto
+      // labels is narrow again (both sides `part`-partitioned).
+      val cand = edges.join(labels)
+        .map { case (_, (dst, slbl)) => (dst, slbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val next = labels.fullOuterJoin(cand, part)
+        .mapValues { case (own, nb) =>
+          val prev = own.getOrElse(Long.MaxValue) // no self row yet
+          (nb.fold(prev)(x => math.min(prev, x)), prev)
+        }.persist(sl)
+      // truncate lineage at the round boundary (the count below
+      // materializes it): task binaries otherwise re-serialize the
+      // whole round chain every iteration
+      next.localCheckpoint()
+      // ONE job per round: the count materializes the round AND is the
+      // convergence test (a label strictly below its previous value
+      // means another round may still propagate).
+      converged = next.filter { case (_, (nl, ol)) => nl < ol }.count() == 0
+      cached.unpersist(false)
+      cached = next
+      labels = next.mapValues(_._1)
       round += 1
       if (dbg) System.err.println(f"[cc] round $round ${(System.nanoTime()-tr)/1e9}%.3fs converged=$converged")
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    labels
+    val out = labels.toDF("id", "canonical")
+    raw.unpersist(false)
+    edges.unpersist(false)
+    out
   }
 
   /** Exact-substring duplication (Lee et al. 2022, "Deduplicating
