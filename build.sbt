@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the ONE metric JSON line runMain graft.Bench prints
+// from a bounded stdout tail. Under the default LoggedOutput strategy the
+// forked JVM's stdout is re-logged "[info] "-prefixed and sbt appends a
+// "[success] Total time ..." epilogue AFTER it — the driver's parser has
+// failed on that framing since round 1 (BENCH_r*.json "parsed": null).
+// StdoutOutput passes the child's stdout/stderr through raw, and
+// showSuccess drops the epilogue, so the metric line is the LAST stdout
+// line exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not another setting —
+// the lintUnused warning it triggers is a false positive (and its [warn]
+// block would land on stdout right before the metric line).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
