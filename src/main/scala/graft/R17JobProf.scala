@@ -35,7 +35,10 @@ object R17JobProf {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val j = J(e.jobId, e.time)
         j.nTasks = e.stageInfos.map(_.numTasks).sum
-        j.desc = e.stageInfos.lastOption.map(_.name).getOrElse("")
+        val label = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        j.desc = label.map(_ + " | ").getOrElse("") +
+          e.stageInfos.lastOption.map(_.name).getOrElse("")
         jobs.put(e.jobId, j); order.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {

@@ -87,6 +87,7 @@ final case class Catalog(spark: SparkSession, root: String) {
   def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite").options(opts(table))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+    evictSidecarMemos(table)
     invalidateProjections(table)
     // overwrite wiped the dir (any prior manifest, orphans and all), so
     // the fresh tree IS the exact live set — the one place a full
@@ -139,12 +140,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   private def invalidateProjections(table: String): Unit = {
     org.apache.spark.sql.graft.ProjectionCatalog.invalidate(path(table))
-    // sidecar-memo hygiene: the signature checks alone keep hits
-    // correct, but a dropped/killed sidecar would otherwise leave its
-    // last entry in the maps forever
-    Catalog.sidecarUriCache.remove(path(table))
-    Catalog.maskProbeCache.remove(probeKey(table))
-    Catalog.maskCountCache.remove(path(table))
+    // The sidecar memos (sidecarUriCache, maskProbeCache, maskCountCache,
+    // patchProbeCache) are deliberately NOT evicted here: every lookup
+    // re-validates its entry against the fresh sidecar listing signature
+    // (path, bytes, mtime — fresh UUID names on every write), so a stale
+    // entry can never serve. Evicting them on EVERY mutation forced a
+    // probe re-fold job + driver gap per statement even when that
+    // statement never touched the mask (a lightweight UPDATE evicted the
+    // mask probe; R17JobProf: one 2-stage fold job per statement of
+    // q251's lifecycle). [[create]]'s overwrite — the one path that
+    // destroys a table wholesale — still evicts, so a dropped table's
+    // last entries do not outlive it ([[evictSidecarMemos]]).
     // manifest memo: commits re-put the fresh state right after; paths
     // that DESTROY the manifest (create's overwrite, drops) must not
     // leave the old parse behind
@@ -154,6 +160,21 @@ final case class Catalog(spark: SparkSession, root: String) {
     // to stop cross-session Dataset reuse)
     Catalog.readFrameCache.keys
       .filter(_._2 == path(table)).foreach(Catalog.readFrameCache.remove)
+    ()
+  }
+
+  /** Hygiene eviction of the signature-validated sidecar memos — only
+    * for paths that destroy the table wholesale (entries would otherwise
+    * sit in the maps for the process lifetime; correctness never needs
+    * this, the listing signatures do that work).
+    */
+  private def evictSidecarMemos(table: String): Unit = {
+    Catalog.sidecarUriCache.remove(path(table))
+    Catalog.maskProbeCache.remove(probeKey(table))
+    Catalog.maskCountCache.remove(path(table))
+    Catalog.patchProbeCache.keys
+      .filter(_.startsWith(probeKey(table) + "/"))
+      .foreach(Catalog.patchProbeCache.remove)
     ()
   }
 
@@ -798,6 +819,24 @@ final case class Catalog(spark: SparkSession, root: String) {
     else df.hint("shuffle_hash")
   }
 
+  /** Within-broadcast-policy gate for a sidecar file set — shared by
+    * the probe paths and the r18 DRIVER-side folds (the same argument
+    * that lets the values broadcast lets a fold hold them): broadcast
+    * enabled, bytes within the cap, entry count (from footers — dense
+    * runs delta-encode, the byte gate alone is blind to them) within
+    * the probe ceiling. `entries` is by-name: callers skip the footer
+    * reads when a cheaper gate already failed.
+    */
+  private def withinProbePolicy(bytes: Long, entries: => Long): Boolean = {
+    val (thr, cap) = sidecarThresholds
+    thr > 0 && bytes <= math.max(thr, cap) && entries <= maskProbeMaxEntries
+  }
+
+  private def maskProbeMaxEntries: Long = spark.conf
+    .get("spark.graft.maskProbeMaxEntries",
+      Catalog.DefaultMaskProbeMaxEntries.toString)
+    .trim.toLongOption.getOrElse(Catalog.DefaultMaskProbeMaxEntries)
+
   /** (autoBroadcastJoinThreshold, graft sidecar cap) in bytes — the one
     * policy pair [[sidecarSide]] and the grouped mask probe share.
     */
@@ -910,10 +949,7 @@ final case class Catalog(spark: SparkSession, root: String) {
       // memoized on the listing); past it, the anti-join runs
       // shuffle_hash unconditionally — both sides stay distributed.
       val entries = maskEntryCount(table, parquets)
-      val maxEntries = spark.conf
-        .get("spark.graft.maskProbeMaxEntries",
-          Catalog.DefaultMaskProbeMaxEntries.toString)
-        .trim.toLongOption.getOrElse(Catalog.DefaultMaskProbeMaxEntries)
+      val maxEntries = maskProbeMaxEntries
       if (thr > 0 && bytes <= math.max(thr, cap) && entries <= maxEntries) {
         val bc = maskProbeGroups(table, maskListing)
         // codegen gate, not a UDF: WideProbeSoak measured the UDF row
@@ -991,13 +1027,24 @@ final case class Catalog(spark: SparkSession, root: String) {
         // read exactly the signature's files, never the directory: the
         // sig IS the authoritative (manifest-scoped) mask set, and a
         // dir read under a sweep grace window could fold a concurrent
-        // statement's young uncommitted entries into the probe
-        val grouped = spark.read.schema(Catalog.MaskSchema).parquet(
+        // statement's young uncommitted entries into the probe.
+        // ONE single-stage job (scan + collect, no exchange): the
+        // grouping and per-file sort run driver-side on the rows the
+        // broadcast was going to hold anyway — the groupBy/sort_array
+        // shape this replaces shuffled the mask and, under AQE, cost a
+        // 2-job stage-materialization pair per fold (R17JobProf).
+        val rows = spark.read.schema(Catalog.MaskSchema).parquet(
             sig.map(_._1).filter(_.endsWith(".parquet")): _*)
-          .groupBy("file")
-          .agg(sort_array(collect_list(col("pos"))).as("ps"))
-          .collect()
-          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+          .queryExecution.executedPlan.executeCollect()
+        val byFile = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuilder.ofLong]
+        rows.foreach { r =>
+          byFile.getOrElseUpdate(r.getUTF8String(0).toString,
+            new scala.collection.mutable.ArrayBuilder.ofLong) += r.getLong(1)
+        }
+        val grouped = byFile.iterator.map { case (f, b) =>
+          val a = b.result(); java.util.Arrays.sort(a); f -> a
+        }.toMap
         val bc = spark.sparkContext.broadcast(grouped)
         Catalog.maskProbeCache.put(probeKey(table), (sig, bc))
         bc
@@ -1143,41 +1190,125 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   private def applyPatches(table: String, df0: DataFrame,
       batches: Seq[(String, Seq[(String, Long, Long)])]): DataFrame =
-    batches.foldLeft(df0) { case (df, (_, listing)) =>
+    batches.foldLeft(df0) { case (df, (bdir, listing)) =>
       // the batch's exact files, never its directory (see applyMask's
       // authority note — grace-deferred young debris must stay unread);
       // schema resolved from one footer DRIVER-SIDE (a batch's columns
       // vary per statement, but one write job produced the whole batch)
       // — no 1-task inference job per batch per read construction
       val pfs = listing.filter(_._1.endsWith(".parquet"))
-      val p = spark.read
-        .schema(org.apache.spark.sql.graft.PreListedScan
-          .footerSchemaOf(spark, pfs))
-        .parquet(pfs.map(_._1): _*)
-      val cols = p.columns.toSeq
+      val schema = org.apache.spark.sql.graft.PreListedScan
+        .footerSchemaOf(spark, pfs)
+      val cols = schema.fieldNames.toSeq
       val assigned = cols.filterNot(c =>
         c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
-      val pr = p.select(
-        col("file").as(Catalog.FileCol) +: col("pos").as(Catalog.PosCol) +:
-          lit(true).as("__patch_hit") +:
-          assigned.flatMap { c =>
-            col(c).as(s"__patch_$c") +:
-              (if (cols.contains(Catalog.SetPrefix + c))
-                 Seq(col(Catalog.SetPrefix + c).as(s"__patch_set_$c"))
-               else Nil)
-          }: _*)
-      df.join(sidecarSide(pr, listing.map(_._2).sum),
-          Seq(Catalog.FileCol, Catalog.PosCol), "left")
-        .select(df.columns.toIndexedSeq.map { c =>
+      val bytes = listing.map(_._2).sum
+      val (thr, cap) = sidecarThresholds
+      val maxEntries = maskProbeMaxEntries
+      // PROBE path (the mask gate's patch-side sibling, r17 verdict item
+      // 2): a batch within the broadcast policy applies as a codegen
+      // per-column rewrite against a broadcast Map[file -> sorted (pos,
+      // values)] — no BroadcastExchange (under AQE a separate
+      // stage-materialization job per batch per action), no join/project
+      // machinery between scan and consumer, bit-identical values
+      // (MaskSpec pins probe-vs-join equivalence). Gated like applyMask:
+      // byte policy + footer ROW COUNT (dense batches delta-encode), and
+      // additionally on value types matching the frame's — the join's
+      // `when` would coerce, the probe returns stored values verbatim.
+      val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val entries = org.apache.spark.sql.graft.PreListedScan
+        .footerRowCount(spark, pfs)
+      val probeOk = thr > 0 && bytes <= math.max(thr, cap) &&
+        entries <= maxEntries &&
+        assigned.forall(c => dfTypes.get(c).forall(t =>
+          org.apache.spark.sql.graft.Bridge.sameType(t, schema(c).dataType)))
+      if (probeOk) {
+        import org.apache.spark.sql.graft.{Bridge, PatchProbeValue}
+        val bc = patchProbeHits(bdir, pfs, schema)
+        df.select(df.columns.toIndexedSeq.map { c =>
           if (assigned.contains(c)) {
-            val hit =
+            val setOrd =
               if (cols.contains(Catalog.SetPrefix + c))
-                col("__patch_hit") && col(s"__patch_set_$c")
-              else col("__patch_hit")
-            when(hit, col(s"__patch_$c")).otherwise(col(c)).as(c)
+                schema.fieldIndex(Catalog.SetPrefix + c)
+              else -1
+            Bridge.toColumn(PatchProbeValue(
+              Bridge.toExpr(col(Catalog.FileCol)),
+              Bridge.toExpr(col(Catalog.PosCol)),
+              Bridge.toExpr(col(c)),
+              schema.fieldIndex(c), setOrd, bc)).as(c)
           } else col(c)
         }: _*)
+      } else {
+        val p = spark.read.schema(schema).parquet(pfs.map(_._1): _*)
+        val pr = p.select(
+          col("file").as(Catalog.FileCol) +: col("pos").as(Catalog.PosCol) +:
+            lit(true).as("__patch_hit") +:
+            assigned.flatMap { c =>
+              col(c).as(s"__patch_$c") +:
+                (if (cols.contains(Catalog.SetPrefix + c))
+                   Seq(col(Catalog.SetPrefix + c).as(s"__patch_set_$c"))
+                 else Nil)
+            }: _*)
+        // the mask path's dense-entry guard, mirrored (r18): a few-KB
+        // delta-encoded batch can carry millions of entries — past the
+        // entry ceiling both sides stay distributed
+        val side = if (entries > maxEntries) pr.hint("shuffle_hash")
+          else sidecarSide(pr, bytes)
+        df.join(side, Seq(Catalog.FileCol, Catalog.PosCol), "left")
+          .select(df.columns.toIndexedSeq.map { c =>
+            if (assigned.contains(c)) {
+              val hit =
+                if (cols.contains(Catalog.SetPrefix + c))
+                  col("__patch_hit") && col(s"__patch_set_$c")
+                else col("__patch_hit")
+              when(hit, col(s"__patch_$c")).otherwise(col(c)).as(c)
+            } else col(c)
+          }: _*)
+      }
     }
+
+  /** The collected patch batch (file -> positions sorted, with the
+    * batch's internal rows aligned) as a broadcast, memoized per batch
+    * DIRECTORY on its file-listing signature — batch dirs are immutable
+    * once committed (folds install FRESH seq dirs), so a hit is always
+    * current. One single-stage Spark job on a miss (scan + collect, no
+    * exchange); grouping and the per-file sort run driver-side, bounded
+    * by the same policy gates that allowed the broadcast. Keyed with
+    * the applicationId like [[Catalog.maskProbeCache]] — the value is
+    * context-bound.
+    */
+  private def patchProbeHits(batchDir: String,
+      pfs: Seq[(String, Long, Long)],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.broadcast.Broadcast[
+        Map[String, org.apache.spark.sql.graft.PatchFileHits]] = {
+    val key = spark.sparkContext.applicationId + ":" + batchDir
+    Catalog.patchProbeCache.get(key) match {
+      case Some((sig, bc)) if sig == pfs => bc
+      case _ =>
+        val fileIdx = schema.fieldIndex("file")
+        val posIdx = schema.fieldIndex("pos")
+        val rows = spark.read.schema(schema).parquet(pfs.map(_._1): _*)
+          .queryExecution.executedPlan.executeCollect()
+        val byFile = scala.collection.mutable.HashMap.empty[String,
+          scala.collection.mutable.ArrayBuffer[
+            (Long, org.apache.spark.sql.catalyst.InternalRow)]]
+        rows.foreach { r =>
+          byFile.getOrElseUpdate(r.getUTF8String(fileIdx).toString,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((r.getLong(posIdx), r))
+        }
+        val m: Map[String, org.apache.spark.sql.graft.PatchFileHits] =
+          byFile.iterator.map { case (f, buf) =>
+            val sorted = buf.sortBy(_._1)
+            f -> new org.apache.spark.sql.graft.PatchFileHits(
+              sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+          }.toMap
+        val bc = spark.sparkContext.broadcast(m)
+        Catalog.patchProbeCache.put(key, (pfs, bc))
+        bc
+    }
+  }
 
   /** Fold K outstanding patch batches into ONE without touching data
     * (r12 verdict item 1): per (file, pos, column) the LAST assigning
@@ -1198,19 +1329,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     val s0 = snapOf(table)
     val batches = s0.batches.map(_._1)
     if (batches.length <= 1) return
-    val frames = s0.batches.map { case (_, bfs) =>
-      val pfs = bfs.filter(_._1.endsWith(".parquet"))
-      spark.read
-        .schema(org.apache.spark.sql.graft.PreListedScan
-          .footerSchemaOf(spark, pfs))
-        .parquet(pfs.map(_._1): _*)
+    val schemas = s0.batches.map { case (_, bfs) =>
+      org.apache.spark.sql.graft.PreListedScan.footerSchemaOf(spark,
+        bfs.filter(_._1.endsWith(".parquet")))
     }
-    def valueCols(df: DataFrame): Seq[String] =
-      df.columns.toSeq.filterNot(c =>
+    def valueColsOf(s: org.apache.spark.sql.types.StructType): Seq[String] =
+      s.fieldNames.toSeq.filterNot(c =>
         c == "file" || c == "pos" || c.startsWith(Catalog.SetPrefix))
-    val allCols = frames.flatMap(valueCols).distinct.sorted
+    val allCols = schemas.flatMap(valueColsOf).distinct.sorted
     val typeOf = allCols.map { c =>
-      c -> frames.find(_.columns.contains(c)).get.schema(c).dataType
+      c -> schemas.find(_.fieldNames.contains(c)).get(c).dataType
     }.toMap
     // the fold's last-writer pick is max(struct(seq, value)) — map-typed
     // values have no ordering, so they cannot fold (loud, with the fix)
@@ -1219,42 +1347,116 @@ final case class Catalog(spark: SparkSession, root: String) {
       s"compactPatches: map-typed patch column(s) " +
         s"${unorderable.mkString(", ")} have no ordering to fold with — " +
         "OPTIMIZE the table to materialize them instead")
-    // long format: every batch row widened to the full column set with
-    // its batch sequence + per-column presence
-    val widened = frames.zip(batches).map { case (p, b) =>
-      val vs = valueCols(p)
-      val hasFlags = p.columns.toSet
-      p.select(col("file") +: col("pos") +: lit(seqOf(b)).as("__seq") +:
-        allCols.flatMap { c =>
-          if (!vs.contains(c))
-            Seq(lit(null).cast(typeOf(c)).as(c), lit(false).as(Catalog.SetPrefix + c))
-          else Seq(col(c),
-            (if (hasFlags.contains(Catalog.SetPrefix + c))
-               col(Catalog.SetPrefix + c) else lit(true)).as(Catalog.SetPrefix + c))
-        }: _*)
-    }.reduce(_ unionByName _)
-    // per column: max over (assigned ? seq : -1, value) — the struct
-    // ordering picks the last ASSIGNING batch's value; rows no batch
-    // assigned stay at seq -1 with a NULL value and flag false
-    val folded = widened.groupBy(col("file"), col("pos"))
-      .agg(
-        max(struct(
-          when(col(Catalog.SetPrefix + allCols.head), col("__seq"))
-            .otherwise(lit(-1L)).as("s"),
-          col(allCols.head).as("v"))).as("__m0"),
-        allCols.tail.zipWithIndex.map { case (c, i) =>
-          max(struct(
-            when(col(Catalog.SetPrefix + c), col("__seq"))
-              .otherwise(lit(-1L)).as("s"),
-            col(c).as("v"))).as(s"__m${i + 1}")
-        }: _*)
-      .select(col("file") +: col("pos") +:
-        allCols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(col(s"__m$i.v").as(c),
-            (col(s"__m$i.s") >= 0).as(Catalog.SetPrefix + c))
-        }: _*)
+    // DRIVER fold when EVERY batch is within the broadcast policy and
+    // the column types agree across batches (r18): the memoized
+    // collected batches fold in memory — batches ascending, an
+    // ASSIGNING hit (set flag true, or a flagless single-statement
+    // batch) overwrites, exactly the max(struct(seq, value)) pick of
+    // the distributed shape below — and the folded batch writes as one
+    // LocalTableScan job: no K-way union scan, no groupBy exchange, no
+    // AQE stage pair per fold.
     val tmp = path(table) + "__patchfold"
-    folded.write.mode("overwrite").parquet(tmp)
+    val driverOk = s0.batches.zip(schemas).forall { case ((_, bfs), sch) =>
+      withinProbePolicy(bfs.map(_._2).sum,
+        org.apache.spark.sql.graft.PreListedScan.footerRowCount(spark,
+          bfs.filter(_._1.endsWith(".parquet")))) &&
+        valueColsOf(sch).forall(c =>
+          org.apache.spark.sql.graft.Bridge.sameType(sch(c).dataType, typeOf(c)))
+    }
+    if (driverOk) {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      val nC = allCols.length
+      val colIdx = allCols.zipWithIndex.toMap
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(String, Long), (Array[Any], Array[Boolean])]
+      s0.batches.zip(schemas).foreach { case ((b, bfs), sch) =>
+        val pfs = bfs.filter(_._1.endsWith(".parquet"))
+        val hits = patchProbeHits(b, pfs, sch).value
+        val ords = valueColsOf(sch).map { c =>
+          (colIdx(c), sch.fieldIndex(c),
+            if (sch.fieldNames.contains(Catalog.SetPrefix + c))
+              sch.fieldIndex(Catalog.SetPrefix + c) else -1,
+            typeOf(c))
+        }
+        hits.toSeq.sortBy(_._1).foreach { case (f, fh) =>
+          var i = 0
+          while (i < fh.pos.length) {
+            val row = fh.rows(i)
+            val slot = acc.getOrElseUpdate((f, fh.pos(i)),
+              (Array.fill[Any](nC)(null), new Array[Boolean](nC)))
+            ords.foreach { case (ci, vo, so, dt) =>
+              if (so < 0 || row.getBoolean(so)) {
+                slot._1(ci) = if (row.isNullAt(vo)) null else row.get(vo, dt)
+                slot._2(ci) = true
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType) +:
+        org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType) +:
+        allCols.flatMap(c => Seq(
+          org.apache.spark.sql.types.StructField(c, typeOf(c)),
+          org.apache.spark.sql.types.StructField(Catalog.SetPrefix + c,
+            org.apache.spark.sql.types.BooleanType))))
+      val rows = acc.iterator.map { case ((f, p), (vals, flags)) =>
+        val arr = new Array[Any](2 + 2 * nC)
+        arr(0) = org.apache.spark.unsafe.types.UTF8String.fromString(f)
+        arr(1) = p
+        var i = 0
+        while (i < nC) {
+          arr(2 + 2 * i) = vals(i); arr(3 + 2 * i) = flags(i); i += 1
+        }
+        new GenericInternalRow(arr): InternalRow
+      }.toVector
+      org.apache.spark.sql.graft.Bridge.localFrame(spark, outSchema, rows)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    } else {
+      val frames = s0.batches.zip(schemas).map { case ((_, bfs), sch) =>
+        spark.read.schema(sch)
+          .parquet(bfs.filter(_._1.endsWith(".parquet")).map(_._1): _*)
+      }
+      // long format: every batch row widened to the full column set with
+      // its batch sequence + per-column presence
+      val widened = frames.zip(batches).map { case (p, b) =>
+        val vs = valueColsOf(p.schema)
+        val hasFlags = p.columns.toSet
+        p.select(col("file") +: col("pos") +: lit(seqOf(b)).as("__seq") +:
+          allCols.flatMap { c =>
+            if (!vs.contains(c))
+              Seq(lit(null).cast(typeOf(c)).as(c), lit(false).as(Catalog.SetPrefix + c))
+            else Seq(col(c),
+              (if (hasFlags.contains(Catalog.SetPrefix + c))
+                 col(Catalog.SetPrefix + c) else lit(true)).as(Catalog.SetPrefix + c))
+          }: _*)
+      }.reduce(_ unionByName _)
+      // per column: max over (assigned ? seq : -1, value) — the struct
+      // ordering picks the last ASSIGNING batch's value; rows no batch
+      // assigned stay at seq -1 with a NULL value and flag false
+      val folded = widened.groupBy(col("file"), col("pos"))
+        .agg(
+          max(struct(
+            when(col(Catalog.SetPrefix + allCols.head), col("__seq"))
+              .otherwise(lit(-1L)).as("s"),
+            col(allCols.head).as("v"))).as("__m0"),
+          allCols.tail.zipWithIndex.map { case (c, i) =>
+            max(struct(
+              when(col(Catalog.SetPrefix + c), col("__seq"))
+                .otherwise(lit(-1L)).as("s"),
+              col(c).as("v"))).as(s"__m${i + 1}")
+          }: _*)
+        .select(col("file") +: col("pos") +:
+          allCols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(col(s"__m$i.v").as(c),
+              (col(s"__m$i.s") >= 0).as(Catalog.SetPrefix + c))
+          }: _*)
+      folded.write.mode("overwrite").parquet(tmp)
+    }
     // crash-safe order: INSTALL the folded batch first (sequenced after
     // every original), then retire the originals. In the crash window a
     // read applies originals-then-folded, which is value-identical —
@@ -1307,7 +1509,30 @@ final case class Catalog(spark: SparkSession, root: String) {
     val dir = deletesDir(table)
     val before = s0.mask
     val tmp = path(table) + "__maskfold"
-    spark.read.schema(Catalog.MaskSchema)
+    if (withinProbePolicy(s0.maskParquet.map(_._2).sum,
+        maskEntryCount(table, s0.maskParquet))) {
+      // DRIVER fold (r18): the probe map — memoized from the reads that
+      // accumulated this mask, or one single-stage collect — already
+      // holds every entry; distinct (positions are per-file sorted, so
+      // consecutive-dedup) is a driver pass, the write one
+      // LocalTableScan job: no sidecar scan job, no distinct exchange,
+      // no AQE stage pair. Beyond the policy the distributed fold
+      // below stands unchanged.
+      val grouped = maskProbeGroups(table, s0.mask).value
+      val rows = grouped.toSeq.sortBy(_._1).iterator.flatMap {
+        case (f, ps) =>
+          val fu = org.apache.spark.unsafe.types.UTF8String.fromString(f)
+          var prev = Long.MinValue // positions are row indices (>= 0)
+          ps.iterator.filter { p =>
+            val fresh = p != prev; prev = p; fresh
+          }.map(p =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](fu, p)): org.apache.spark.sql.catalyst.InternalRow)
+      }.toVector
+      org.apache.spark.sql.graft.Bridge
+        .localFrame(spark, Catalog.MaskSchema, rows)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    } else spark.read.schema(Catalog.MaskSchema)
       .parquet(s0.maskParquet.map(_._1): _*).distinct()
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     // crash-safe order: entries are a SET, so ADD the folded file first,
@@ -1513,25 +1738,58 @@ final case class Catalog(spark: SparkSession, root: String) {
     if (s0.maskParquet.nonEmpty) {
       val dir = deletesDir(table)
       val before = s0.mask
-      val keep = spark.read.schema(Catalog.MaskSchema)
-        .parquet(s0.maskParquet.map(_._1): _*)
-        .filter(gone)
-      // execute the keep plan ONCE: write first, read emptiness off the
-      // written footers driver-side (r17 — the old isEmpty probe ran
-      // the same scan+filter a second time; at scale that is a second
-      // data-proportional pass over the mask set). The tmp dir is a
-      // SIBLING of the table dir, invisible to reads, and a kill
-      // between the write and its consumption is the same orphan-tmp
-      // window the write-beside shape always had.
+      // DRIVER fold within the broadcast policy (r18): the memoized
+      // probe map holds every entry, so the keep filter — the same
+      // `gone` predicate, evaluated on the same stored file strings —
+      // is a driver pass, and an ALL-DROPPED fold skips the write
+      // outright (the r17 shape wrote an empty tmp per fold and left
+      // an orphan-tmp crash window a fold with zero survivors never
+      // needed — the ADVICE item). Beyond the policy the write-first
+      // distributed shape below stands.
       val tmp = path(table) + "__mask_tmp"
-      keep.write.mode("overwrite").parquet(tmp)
-      val tmpFiles = fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))
-      if (org.apache.spark.sql.graft.PreListedScan
-          .footerRowCount(spark, tmpFiles) == 0L) {
-        fs.rmTree(tmp)
+      val driverKeep: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+        if (withinProbePolicy(s0.maskParquet.map(_._2).sum,
+            maskEntryCount(table, s0.maskParquet))) {
+          val grouped = maskProbeGroups(table, before).value
+          Some(grouped.toSeq.sortBy(_._1).iterator.flatMap { case (f, ps) =>
+            if (dirs.exists(d => f.contains(s"/$d/"))) Iterator.empty
+            else {
+              val fu = org.apache.spark.unsafe.types.UTF8String.fromString(f)
+              ps.iterator.map(p =>
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(Array[Any](fu, p))
+                  : org.apache.spark.sql.catalyst.InternalRow)
+            }
+          }.toVector)
+        } else None
+      val empty = driverKeep match {
+        case Some(rows) =>
+          if (rows.nonEmpty)
+            org.apache.spark.sql.graft.Bridge
+              .localFrame(spark, Catalog.MaskSchema, rows)
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+          rows.isEmpty
+        case None =>
+          // execute the keep plan ONCE: write first, read emptiness off
+          // the written footers driver-side (r17 — the old isEmpty probe
+          // ran the same scan+filter a second time; at scale that is a
+          // second data-proportional pass over the mask set). The tmp
+          // dir is a SIBLING of the table dir, invisible to reads, and
+          // a kill between the write and its consumption is the same
+          // orphan-tmp window the write-beside shape always had.
+          val keep = spark.read.schema(Catalog.MaskSchema)
+            .parquet(s0.maskParquet.map(_._1): _*)
+            .filter(gone)
+          keep.write.mode("overwrite").parquet(tmp)
+          org.apache.spark.sql.graft.PreListedScan.footerRowCount(spark,
+            fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))) == 0L
+      }
+      if (empty) {
+        if (driverKeep.isEmpty) fs.rmTree(tmp)
         if (defer) removes ++= before.map(e => relOf(e._1))
         else fs.rmTree(dir)
       } else {
+        val tmpFiles = fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))
         // add-first, the compactMask ordering: mask entries are a SET
         // and the dropped ones reference files the rewrite just
         // replaced (they filter nothing), so every crash window —
@@ -1569,17 +1827,38 @@ final case class Catalog(spark: SparkSession, root: String) {
       val maxSeq = math.max(seqOf(batches.last._1), diskPatchSeqMax(table))
       val installed = batches.zipWithIndex.flatMap { case ((b, bfs), i) =>
         val pfs = bfs.filter(_._1.endsWith(".parquet"))
-        val keep = spark.read
-          .schema(org.apache.spark.sql.graft.PreListedScan
-            .footerSchemaOf(spark, pfs))
-          .parquet(pfs.map(_._1): _*).filter(gone)
-        // one execution of the keep plan (r17, the mask-branch shape):
-        // write first, branch on the written footers' row count
+        val schema = org.apache.spark.sql.graft.PreListedScan
+          .footerSchemaOf(spark, pfs)
         val tmp = path(table) + "__patch_tmp"
-        keep.write.mode("overwrite").parquet(tmp)
-        if (org.apache.spark.sql.graft.PreListedScan.footerRowCount(spark,
-            fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))) == 0L) {
-          fs.rmTree(tmp)
+        // DRIVER fold within the broadcast policy (r18, the mask-branch
+        // shape): keep-filter the memoized collected batch in memory;
+        // an all-dropped batch skips its write outright. Beyond the
+        // policy: write first, branch on the written footers' row count
+        // (r17 — one execution of the keep plan either way).
+        val empty =
+          if (withinProbePolicy(bfs.map(_._2).sum,
+              org.apache.spark.sql.graft.PreListedScan
+                .footerRowCount(spark, pfs))) {
+            val hits = patchProbeHits(b, pfs, schema).value
+            val keep = hits.toSeq.sortBy(_._1).iterator.flatMap {
+              case (f, fh) =>
+                if (dirs.exists(d => f.contains(s"/$d/"))) Iterator.empty
+                else fh.rows.iterator
+            }.toVector
+            if (keep.nonEmpty)
+              org.apache.spark.sql.graft.Bridge.localFrame(spark, schema, keep)
+                .coalesce(1).write.mode("overwrite").parquet(tmp)
+            keep.isEmpty
+          } else {
+            val keep = spark.read.schema(schema)
+              .parquet(pfs.map(_._1): _*).filter(gone)
+            keep.write.mode("overwrite").parquet(tmp)
+            val e = org.apache.spark.sql.graft.PreListedScan.footerRowCount(
+              spark, fs.listFiles(tmp).filter(_._1.endsWith(".parquet"))) == 0L
+            if (e) fs.rmTree(tmp)
+            e
+          }
+        if (empty) {
           None
         } else {
           val seq = maxSeq + 1 + i
@@ -2415,6 +2694,18 @@ object Catalog {
   private[operators] val maskCountCache =
     new scala.collection.concurrent.TrieMap[
       String, (Seq[(String, Long, Long)], Long)]
+
+  /** [[Catalog.patchProbeHits]] memo: `applicationId:batchDir` ->
+    * (batch file listing at compute time, broadcast collected batch).
+    * Same validity scheme as [[maskProbeCache]] (applicationId in the
+    * key because the value is context-bound); size is O(outstanding
+    * patch batches), each bounded by the broadcast policy.
+    */
+  private[operators] val patchProbeCache =
+    new scala.collection.concurrent.TrieMap[String,
+      (Seq[(String, Long, Long)],
+        org.apache.spark.broadcast.Broadcast[
+          Map[String, org.apache.spark.sql.graft.PatchFileHits]])]
 
   /** [[Catalog.loadManifest]] memo: table path -> latest parsed
     * manifest state. Validity = the latest snapshot file's (name, len)

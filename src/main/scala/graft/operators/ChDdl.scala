@@ -542,6 +542,20 @@ object ChDdl {
 
   def execute(cat: Catalog, text: String): DataFrame = {
     val spark = cat.spark
+    // label every job this statement launches (guide §1.5) — statement
+    // lifecycles run many small jobs, and the profiler/UI otherwise shows
+    // only anonymous AQE stage-materialization callsites. Thread-local,
+    // reset in executeLabeled's finally; jobs of a RETURNED lazy SELECT
+    // run after that and stay unlabeled (the caller's action, not ours).
+    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+    spark.sparkContext.setJobDescription(
+      "chddl: " + text.replaceAll("\\s+", " ").trim.take(80))
+    try executeUnlabeled(cat, text)
+    finally spark.sparkContext.setJobDescription(prev)
+  }
+
+  private def executeUnlabeled(cat: Catalog, text: String): DataFrame = {
+    val spark = cat.spark
     val toks = lex(text)
     val i0 = nextNonWs(toks, 0)
     val head = if (i0 < toks.length && toks(i0).kind == WORD)

@@ -49,4 +49,21 @@ object Bridge {
     */
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** DataFrame over driver-held INTERNAL rows (a `LocalRelation`) —
+    * the write side of graft's driver-side sidecar folds: a fold whose
+    * inputs are already collected on the driver (the probe broadcast
+    * maps) writes its result as one LocalTableScan job instead of
+    * re-scanning + shuffling the sidecar files. `Dataset.ofRows` and
+    * `LocalRelation(attrs, InternalRow)` are `private[sql]`.
+    */
+  def localFrame(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        rows))
 }

@@ -298,6 +298,21 @@ class MaskSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.length
 
+  /** Patch-batch APPLICATIONS in the optimized read plan: distinct
+    * broadcast batch maps referenced by `patch_probe_value` expressions
+    * (the within-policy probe path, r18) plus join nodes (the
+    * beyond-policy fallback).
+    */
+  private def patchApplications(cat: Catalog, table: String): Int = {
+    val ids = scala.collection.mutable.Set.empty[Long]
+    cat.readRaw(table).queryExecution.optimizedPlan.foreach(node =>
+      node.expressions.foreach(_.foreach {
+        case p: org.apache.spark.sql.graft.PatchProbeValue => ids += p.bc.id
+        case _ => ()
+      }))
+    ids.size + readJoinCount(cat, table)
+  }
+
   test("compactPatches: K batches fold to ONE, bit-identical, zero data bytes") {
     val cat = freshCat("fold1")
     val base = spark.range(2000).select(
@@ -313,7 +328,9 @@ class MaskSpec extends AnyFunSuite {
     def batches() = cat.mutations().filter(col("kind") === "update_patch")
       .select("batches").head().getLong(0)
     assert(batches() == 3)
-    assert(readJoinCount(cat, "t") == 3) // K joins before the fold
+    // K probe applications before the fold — and ZERO joins: within the
+    // broadcast policy each batch applies as a codegen probe (r18)
+    assert(patchApplications(cat, "t") == 3 && readJoinCount(cat, "t") == 0)
     val before = cat.readRaw("t").orderBy("id").collect().toSeq
     val data = dataFiles(cat, "t")
     cat.compactPatches("t")
@@ -325,13 +342,52 @@ class MaskSpec extends AnyFunSuite {
     // from not-assigned (s keeps its batch-2-or-base value)
     val byId = after.map(r => r.getAs[Long]("id") -> r.getAs[String]("s")).toMap
     assert(byId(14L) == null && byId(13L) != null)
-    // read cost: ONE patch join after the fold (was 3)
-    assert(readJoinCount(cat, "t") == 1)
+    // read cost: ONE patch application after the fold (was 3)
+    assert(patchApplications(cat, "t") == 1)
     // a batch appended after the fold sequences AFTER it
     cat.updateWhereLight("t", col("id") === 13, Map("s" -> lit("late")))
     val late = cat.readRaw("t").filter(col("id") === 13)
       .head().getAs[String]("s")
     assert(late == "late" && batches() == 2)
+  }
+
+  test("patch probe: join-free within policy, bit-identical to the join path") {
+    val cat = freshCat("pprobe1")
+    val base = spark.range(3000).select(
+      col("id"), (col("id") % 100).as("n"),
+      concat(lit("s"), col("id") % 7).as("s"))
+    cat.create("t", base)
+    // a null assignment AND a later batch that re-assigns a column the
+    // first one nulled — the probe must reproduce sequential application
+    cat.updateWhereLight("t", col("id") % 5 === 0,
+      Map("n" -> (col("n") + 1000), "s" -> lit(null)))
+    cat.updateWhereLight("t", col("id") % 3 === 0, Map("s" -> lit("x")))
+    val probe = cat.readRaw("t")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("patch_probe_value") &&
+      !plan.toLowerCase.contains("join"))
+    val got = probe.orderBy("id").collect().toSeq
+    // the SAME state forced through the join path must read identically
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      spark.conf.set("spark.graft.sidecarBroadcastBytes", "1")
+      val joined = cat.readRaw("t")
+      assert(joined.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty)
+      assert(joined.orderBy("id").collect().toSeq == got)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.sidecarBroadcastBytes")
+    }
+    // and both match the from-first-principles expectation
+    val expect = base
+      .withColumn("s", when(col("id") % 5 === 0, lit(null)).otherwise(col("s")))
+      .withColumn("s", when(col("id") % 3 === 0, lit("x")).otherwise(col("s")))
+      .withColumn("n", when(col("id") % 5 === 0, col("n") + 1000).otherwise(col("n")))
+      .select("id", "n", "s")
+    assert(got == expect.orderBy("id").collect().toSeq)
   }
 
   test("sidecar joins honor autoBroadcastJoinThreshold (no forced hint)") {
@@ -347,8 +403,13 @@ class MaskSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastHashJoin"))
       assert(cat.readRaw("t").count() == 2000 - 667) // results unchanged
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      // tiny sidecars back within policy: mask AND patch apply join-free
+      // as broadcast probes (r18 — the patch side no longer pays a
+      // BroadcastExchange per batch per action)
       val plan2 = cat.readRaw("t").queryExecution.executedPlan.toString
-      assert(plan2.contains("BroadcastHashJoin")) // tiny sidecar: hint back
+      assert(!plan2.toLowerCase.contains("join") &&
+        plan2.contains("mask_probe_live") &&
+        plan2.contains("patch_probe_value"))
       // over the graft cap (forced low): shuffle_hash, never a sort of
       // the fact side, never an unbounded broadcast
       spark.conf.set("spark.graft.sidecarBroadcastBytes", "1")
@@ -628,7 +689,7 @@ class MaskSpec extends AnyFunSuite {
     assert(cat.readRaw("t").orderBy("id").collect().toSeq == expected)
   }
 
-  test("sidecar file-list planning job caches across reads, evicts on mutation") {
+  test("sidecar file-list planning job caches across reads, revalidates on mutation") {
     val cat = freshCat("cache1")
     val base = spark.range(20000).select(
       col("id"),
@@ -647,13 +708,15 @@ class MaskSpec extends AnyFunSuite {
     assert(cat.readRaw("t").count() == c1)
     assert(graft.operators.TestAccess.sidecarUriCacheRef(tp).exists(
       _ eq ref.get))
-    // a mutation evicts (and the FS-listing signature would reject the
-    // stale entry even without the evict): the next read sees net state
+    // a mutation leaves the entry in place (r18 — eager eviction forced
+    // a re-fold job per statement even when the sidecars were
+    // untouched): the FS-listing signature rejects the stale tuple and
+    // the next read `put`s a FRESH one, seeing net state
     cat.deleteWhereLight("t", col("day") === "d6" && col("n") > 50)
-    assert(!graft.operators.TestAccess.sidecarUriCacheHas(tp))
     val c2 = cat.readRaw("t").count()
     assert(c2 < c1)
-    assert(graft.operators.TestAccess.sidecarUriCacheHas(tp))
+    assert(graft.operators.TestAccess.sidecarUriCacheRef(tp).exists(
+      r => !(r eq ref.get)))
     // external writer: duplicate a mask file under a new name — same
     // URI set, CHANGED file set. Under the manifest contract the copy
     // is invisible until refreshManifest adopts it; the adoption bumps
@@ -669,10 +732,11 @@ class MaskSpec extends AnyFunSuite {
     assert(cat.readRaw("t").count() == c2)
     assert(graft.operators.TestAccess.sidecarUriCacheRef(tp).exists(
       r => !(r eq ref2)))
-    // OPTIMIZE folds everything: sidecars gone, memo entry gone
+    // OPTIMIZE folds everything: sidecars gone — a clean read never
+    // consults the memo (the stale entry is hygiene-evicted only by a
+    // table re-create), and serves exact
     cat.replaceContents("t", cat.readRaw("t"))
     assert(!cat.hasDeletes("t"))
-    assert(!graft.operators.TestAccess.sidecarUriCacheHas(tp))
     assert(cat.readRaw("t").count() == c2)
   }
 
@@ -727,10 +791,13 @@ class MaskSpec extends AnyFunSuite {
     assert(ref.nonEmpty)
     assert(cat.readRaw("t").orderBy("id").collect().toSeq == expect)
     assert(graft.operators.TestAccess.maskProbeRef(tp).exists(_ eq ref.get))
-    // a further delete evicts; the next read folds the new epoch
+    // a further delete: the stale tuple stays (r18 — no eager eviction)
+    // but its listing signature no longer matches, so the next read
+    // folds the new epoch into a FRESH tuple
     cat.deleteWhereLight("t", col("id") === 1)
-    assert(!graft.operators.TestAccess.maskProbeRef(tp).isDefined)
     assert(cat.readRaw("t").count() == 3199)
+    assert(graft.operators.TestAccess.maskProbeRef(tp).exists(
+      r => !(r eq ref.get)))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // broadcasting disabled: the probe must not smuggle a broadcast
