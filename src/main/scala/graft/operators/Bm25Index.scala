@@ -995,48 +995,54 @@ object Bm25Index {
     // overwrites the live artifact in place — a kill mid-save leaves
     // the previous index serving, never postings newer than stats
     EpochStore.commit(FsOps(spark), path) { dir =>
-      ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
-        it.flatMap { b =>
-          (0 until b.terms.length).iterator.flatMap { ti =>
-            (b.starts(ti) until b.starts(ti + 1)).iterator.map { j =>
-              (shard, b.terms(ti), b.dfs(ti), b.docIds(j), b.tfs(j), b.dls(j))
-            }
-          }
-        }
-      }.toDF("shard", "term", "df", "doc_id", "tf", "dl")
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/postings")
-      Seq((ix.docCount, ix.sumDl, p.toLong, ix.metaNames.toSeq, ix.metaKinds.toSeq))
-        .toDF("doc_count", "sum_dl", "shards", "meta_names", "meta_kinds")
-        .coalesce(1) // one stats row; skip the multi-task local write
-        .write.mode("overwrite").parquet(s"$dir/stats")
-      if (ix.metaNames.nonEmpty) {
-        val names = ix.metaNames
-        val schema = org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField("shard",
-            org.apache.spark.sql.types.IntegerType, nullable = false) +:
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType, nullable = false) +:
-            names.zip(ix.metaKinds).map { case (n, kd) =>
-              org.apache.spark.sql.types.StructField(
-                n, MetaPredicate.storageTypeOf(kd), nullable = false)
-            }.toSeq)
-        val rows = ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
+      // the four artifact parts write to DISJOINT sub-dirs — run them as
+      // concurrent jobs (guide §2.6; Par.jobs): serially each paid its
+      // own driver gap while the cluster idled through the small
+      // writes' tails (R17JobProf: ~970 ms serial wall for this block)
+      Par.jobs(
+        () => ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
           it.flatMap { b =>
-            val cols = names.map(b.meta(_))
-            Iterator.tabulate(b.metaDocs.length) { i =>
-              org.apache.spark.sql.Row.fromSeq(
-                shard +: b.metaDocs(i) +:
-                  cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
+            (0 until b.terms.length).iterator.flatMap { ti =>
+              (b.starts(ti) until b.starts(ti + 1)).iterator.map { j =>
+                (shard, b.terms(ti), b.dfs(ti), b.docIds(j), b.tfs(j), b.dls(j))
+              }
             }
           }
-        }
-        spark.createDataFrame(rows, schema)
-          .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/meta")
-      }
-      // coalesce(1): bounded metadata (pending tombstones) — a local
-      // write otherwise fans to leafNodeDefaultParallelism one-row tasks
-      ix.tombstoneSnapshot.toSeq.toDF("id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/tombstones")
+        }.toDF("shard", "term", "df", "doc_id", "tf", "dl")
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/postings"),
+        () => Seq((ix.docCount, ix.sumDl, p.toLong, ix.metaNames.toSeq,
+            ix.metaKinds.toSeq))
+          .toDF("doc_count", "sum_dl", "shards", "meta_names", "meta_kinds")
+          .coalesce(1) // one stats row; skip the multi-task local write
+          .write.mode("overwrite").parquet(s"$dir/stats"),
+        () => if (ix.metaNames.nonEmpty) {
+          val names = ix.metaNames
+          val schema = org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("shard",
+              org.apache.spark.sql.types.IntegerType, nullable = false) +:
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType, nullable = false) +:
+              names.zip(ix.metaKinds).map { case (n, kd) =>
+                org.apache.spark.sql.types.StructField(
+                  n, MetaPredicate.storageTypeOf(kd), nullable = false)
+              }.toSeq)
+          val rows = ix.blocksRdd.mapPartitionsWithIndex { (shard, it) =>
+            it.flatMap { b =>
+              val cols = names.map(b.meta(_))
+              Iterator.tabulate(b.metaDocs.length) { i =>
+                org.apache.spark.sql.Row.fromSeq(
+                  shard +: b.metaDocs(i) +:
+                    cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
+              }
+            }
+          }
+          spark.createDataFrame(rows, schema)
+            .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/meta")
+        },
+        // coalesce(1): bounded metadata (pending tombstones) — a local
+        // write otherwise fans to leafNodeDefaultParallelism one-row tasks
+        () => ix.tombstoneSnapshot.toSeq.toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/tombstones"))
     }
     ()
   }
@@ -1058,18 +1064,21 @@ object Bm25Index {
     // FastRead: schema from one driver-side footer, no plan-time
     // inference job — load fires four reads per query execution
     val stats = FastRead.dir(spark, fsOps, s"$dir/stats")
-    // meta_names/meta_kinds absent on pre-r8 artifacts: meta-less layout
+    // meta_names/meta_kinds absent on pre-r8 artifacts: meta-less layout.
+    // ONE head() for the whole one-row table — the split reads paid two
+    // driver gaps + two jobs for five cells (R17JobProf q147)
+    val hasMeta = stats.schema.fieldNames.contains("meta_names")
+    val base = Seq(col("doc_count").cast("long"), col("sum_dl").cast("long"),
+      col("shards").cast("int"))
+    val statsRow = stats.select(
+      (if (hasMeta) base ++ Seq(col("meta_names"), col("meta_kinds"))
+       else base): _*).head()
     val (names, kinds) =
-      if (stats.schema.fieldNames.contains("meta_names"))
-        stats.select(col("meta_names"), col("meta_kinds"))
-          .as[(Seq[String], Seq[Int])].head() match {
-          case (n, k) => (n.toArray, k.toArray)
-        }
+      if (hasMeta)
+        (statsRow.getSeq[String](3).toArray, statsRow.getSeq[Int](4).toArray)
       else (Array.empty[String], Array.empty[Int])
-    val (nDocs, sumDl, p) = stats
-      .select(col("doc_count").cast("long"), col("sum_dl").cast("long"),
-        col("shards").cast("int"))
-      .as[(Long, Long, Int)].head()
+    val (nDocs, sumDl, p) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getInt(2))
     val keyed = FastRead.dir(spark, fsOps, s"$dir/postings")
       .select(col("shard").cast("int"), col("term"), col("df").cast("long"),
         col("doc_id").cast("long"), col("tf").cast("int"), col("dl").cast("long"))

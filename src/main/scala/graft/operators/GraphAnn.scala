@@ -1122,39 +1122,63 @@ object IvfGraph {
           org.apache.spark.sql.types.StructField(
             n, MetaPredicate.storageTypeOf(kd), nullable = false)
         })
+    // INTERNAL rows, no per-cell runtime converters (r18): primitive
+    // arrays wrap via UnsafeArrayData.fromPrimitiveArray (one memcpy),
+    // meta cells through MetaPredicate.internalStoredValueAt — the
+    // Row.fromSeq shape this replaces re-converted every vector element
+    // through CatalystTypeConverters on the hot save path.
+    val metaN = names.length
     val nodeRows = g.blocks.flatMap { case (cid, gr) =>
       val cols = names.map(gr.meta(_))
       Iterator.tabulate(gr.ids.length) { i =>
         val v = new Array[Float](gr.dim)
         System.arraycopy(gr.vecs, i * gr.dim, v, 0, gr.dim)
-        org.apache.spark.sql.Row.fromSeq(
-          cid +: i +: gr.ids(i) +: v.toSeq +: gr.nbrs(i).toSeq +:
-            cols.toSeq.map(MetaPredicate.storedValueAt(_, i)))
+        val arr = new Array[Any](5 + metaN)
+        arr(0) = cid
+        arr(1) = i
+        arr(2) = gr.ids(i)
+        arr(3) = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(v)
+        arr(4) = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(gr.nbrs(i))
+        var j = 0
+        while (j < metaN) {
+          arr(5 + j) = MetaPredicate.internalStoredValueAt(cols(j), i)
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
     // the four artifact parts commit as ONE epoch under a pointer flip
     // (EpochStore): a re-save over a served path never overwrites the
     // live artifact in place — a kill mid-save leaves the previous
-    // index serving, never a nodes/ newer than its centroids/
+    // index serving, never a nodes/ newer than its centroids/.
+    // They write to DISJOINT sub-dirs — concurrent jobs (guide §2.6;
+    // Par.jobs): serially each paid its own driver gap while the small
+    // writes ran one task each (R17JobProf: ~950 ms serial wall here).
     EpochStore.commit(FsOps(spark), path) { dir =>
-      spark.createDataFrame(nodeRows, schema)
-        .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/nodes")
-      // coalesce(1) on the bounded metadata tables (schema rows, k
-      // centroids, pending tombstones): a local-relation write otherwise
-      // fans out to leafNodeDefaultParallelism tasks — R17JobProf
-      // measured the 8-row centroids write at 479 ms / 16 tasks, almost
-      // all of it per-task commit overhead for one-row files
-      nk.zipWithIndex.map { case ((n, kd), ord) => (ord, n, kd) }.toSeq
-        .toDF("ord", "name", "kind").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/meta_schema")
-      g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-        .toDF("centroid_id", "centroid").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/centroids")
-      // pending serve-time tombstones are part of the serving state: a
-      // reload without them would resurrect deleted ids (written even
-      // when empty so load never guesses)
-      g.tombstoneSnapshot.toSeq.toDF("id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/tombstones")
+      Par.jobs(
+        () => org.apache.spark.sql.graft.Bridge
+          .internalFrame(spark, schema, nodeRows)
+          .write.mode("overwrite").partitionBy("cluster_id")
+          .parquet(s"$dir/nodes"),
+        // coalesce(1) on the bounded metadata tables (schema rows, k
+        // centroids, pending tombstones): a local-relation write otherwise
+        // fans out to leafNodeDefaultParallelism tasks — R17JobProf
+        // measured the 8-row centroids write at 479 ms / 16 tasks, almost
+        // all of it per-task commit overhead for one-row files
+        () => nk.zipWithIndex.map { case ((n, kd), ord) => (ord, n, kd) }.toSeq
+          .toDF("ord", "name", "kind").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/meta_schema"),
+        () => g.model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+          .toDF("centroid_id", "centroid").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/centroids"),
+        // pending serve-time tombstones are part of the serving state: a
+        // reload without them would resurrect deleted ids (written even
+        // when empty so load never guesses)
+        () => g.tombstoneSnapshot.toSeq.toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/tombstones"))
     }
     ()
   }
@@ -1172,20 +1196,24 @@ object IvfGraph {
     val fsOps = FsOps(spark)
     val dir = EpochStore.resolve(fsOps, path)
     // FastRead throughout load: schema from one driver-side footer per
-    // sub-dir, no plan-time inference job (four reads per execution)
+    // sub-dir, no plan-time inference job (four reads per execution).
+    // The tiny bounded tables collect UNSORTED in one job each and sort
+    // driver-side — the orderBy shape paid an exchange + an AQE
+    // stage-materialization job per read for <= k rows (r18).
     val model = AnnIndex.Model(
-      FastRead.dir(spark, fsOps, s"$dir/centroids").orderBy("centroid_id")
-        .select("centroid").as[Array[Double]].collect())
+      FastRead.dir(spark, fsOps, s"$dir/centroids")
+        .select(col("centroid_id").cast("int"), col("centroid"))
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
     val k = model.centroids.length
     // meta_schema/ absent on pre-r8 layouts: meta-less by definition
     val nk: Array[(String, Int)] =
-      try FastRead.dir(spark, fsOps, s"$dir/meta_schema").orderBy("ord")
-        .select(col("name"), col("kind").cast("int"))
-        .as[(String, Int)].collect()
+      try FastRead.dir(spark, fsOps, s"$dir/meta_schema")
+        .select(col("ord").cast("int"), col("name"), col("kind").cast("int"))
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getInt(2)))
       catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
     val names = nk.map(_._1)
     val kinds = nk.map(_._2)
-    val keyed = FastRead.dir(spark, fsOps, s"$dir/nodes")
+    val rowsRdd = FastRead.dir(spark, fsOps, s"$dir/nodes")
       .select((col("cluster_id").cast("int") +: col("pos").cast("int") +:
         col("id").cast("long") +: col("vec") +: col("nbrs") +:
         names.map(col).toSeq): _*)
@@ -1199,7 +1227,33 @@ object IvfGraph {
         (row.getInt(0), (row.getInt(1), row.getLong(2),
           row.getSeq[Float](3).toArray, row.getSeq[Int](4).toArray, m))
       }
-      .partitionBy(new org.apache.spark.HashPartitioner(k))
+    // NO-SHUFFLE reassembly when the saved layout provably arrives
+    // whole (r18; guide §2.4 "remove shuffles outright" — the write
+    // already placed every cluster in its own directory, so shuffling
+    // the vectors BACK onto cluster keys re-moved the whole index):
+    // save writes exactly one file per cluster dir (each cluster lives
+    // in one build partition), and a parquet file no larger than
+    // Spark's own split ceiling is never split across scan tasks — so
+    // each task of the plain scan holds whole clusters and can
+    // assemble them in place. Oversized files (possible at real scale)
+    // or multi-file dirs (a foreign writer) fall back to the shuffled
+    // path; the assembly's pos==i check stays loud either way. The
+    // no-shuffle blocks carry no partitioner — append into a LOADED
+    // index then cogroups wide (documented; serving loads are
+    // read-mostly, and the r17 shape shuffled every load instead).
+    val nodeFiles = fsOps.listFiles(s"$dir/nodes")
+      .filter(_._1.endsWith(".parquet"))
+    val openCost = org.apache.spark.sql.graft.Bridge
+      .filesOpenCostInBytes(spark)
+    val msb = org.apache.spark.sql.graft.Bridge.maxSplitBytes(spark,
+      nodeFiles.map(_._2 + openCost).sum)
+    val aligned = nodeFiles.nonEmpty &&
+      nodeFiles.forall(_._2 <= msb) &&
+      nodeFiles.groupBy(e => e._1.substring(0, e._1.lastIndexOf('/')))
+        .forall(_._2.length == 1)
+    val keyed =
+      if (aligned) rowsRdd
+      else rowsRdd.partitionBy(new org.apache.spark.HashPartitioner(k))
     val blocks = keyed.mapPartitions({ it =>
       it.toArray.groupBy(_._1).iterator.map { case (cid, rows) =>
         val sorted = rows.map(_._2).sortBy(_._1)

@@ -404,6 +404,25 @@ object MetaPredicate {
     case v                => v
   }
 
+  /** [[storedValueAt]] in Catalyst INTERNAL form (UTF8String / ArrayData)
+    * — the index save paths build InternalRows directly (r18), skipping
+    * the per-row runtime converters `createDataFrame(RDD[Row], schema)`
+    * runs for every cell.
+    */
+  private[operators] def internalStoredValueAt(c: Col, i: Int): Any =
+    valueAt(c, i) match {
+      case s: String =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case a: Array[String] =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          a.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)
+            : Any))
+      case a: Array[Long] =>
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(a)
+      case v => v // Long / Double / Boolean box as-is
+    }
+
   /** Inverse of [[storedValueAt]]: a stored artifact cell back to the
     * widened in-memory value [[packCol]] expects. No re-sort — the saved
     * slices were sorted (see [[storedValueAt]]) and parquet preserves

@@ -29,4 +29,33 @@ object Par {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
+
+  /** Run INDEPENDENT Spark actions concurrently from driver threads
+    * (guide §2.6 "overlap independent jobs": actions are only
+    * sequential because driver code calls them sequentially). Used by
+    * the index save paths, whose 3–4 artifact-part writes go to
+    * disjoint directories: run serially each pays its own full driver
+    * gap (plan + commit + scheduling) while the cluster idles through
+    * the small writes' tails — R17JobProf measured the four q148 save
+    * writes at ~950 ms serial wall. Threads inherit the caller's
+    * Spark local properties (job group/description are
+    * InheritableThreadLocal). All work is awaited; the FIRST failure
+    * rethrows after every thread finished, so a caller's abort
+    * semantics (e.g. EpochStore's uncommitted-epoch cleanup) see no
+    * half-running stragglers.
+    */
+  def jobs(work: (() => Unit)*): Unit =
+    if (work.length <= 1) work.foreach(_())
+    else {
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val threads = work.map { w =>
+        new Thread(() =>
+          try w() catch {
+            case t: Throwable => failure.compareAndSet(null, t)
+          })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
+    }
 }

@@ -167,8 +167,14 @@ object Round16Queries {
         array_join(slice(tok(col("text")), lit(1),
           size(tok(col("text"))) - 3), " ").as("text"))
       val inSh = shingled(incomingText).cache()
-      val cands = banded(inSh)
-        .select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
+      // broadcast the BATCH side of the band-key probe (r18; guide §3.1
+      // — pick the strategy deliberately): the batch is bounded by the
+      // ingest micro-batch while the committed band table is
+      // corpus-sized, so the probe must never shuffle the corpus bands
+      // onto band keys (the r17 plan did exactly that — a shuffle of
+      // both sides per served batch)
+      val cands = broadcast(banded(inSh)
+        .select(col("band_idx"), col("band_key"), col("doc_id").as("i")))
         .join(corpusBands.select(col("band_idx"), col("band_key"),
           col("doc_id").as("j")), Seq("band_idx", "band_key"))
         .select("i", "j").dropDuplicates("i", "j")

@@ -66,4 +66,37 @@ object Bridge {
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
         org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
         rows))
+
+  /** DataFrame over an RDD of INTERNAL rows — `internalCreateDataFrame`
+    * is `private[sql]`. The index save paths (r18) build internal rows
+    * directly (primitive arrays via `UnsafeArrayData.fromPrimitiveArray`,
+    * strings as UTF8String), skipping the per-row, per-cell runtime
+    * converters that `createDataFrame(RDD[Row], schema)` applies.
+    */
+  def internalFrame(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema)
+
+  /** Spark's own scan-split ceiling for a file set of the given total
+    * size (`FilePartition.maxSplitBytes` is `private[sql]`): a parquet
+    * file no larger than this is never split across scan tasks. The
+    * no-shuffle index reload (r18) uses it to prove each saved cluster
+    * file arrives WHOLE in exactly one task before skipping the
+    * reassembly shuffle; past it the shuffled path stands.
+    * `totalScanBytes` must already include the per-file open cost.
+    */
+  def maxSplitBytes(spark: org.apache.spark.sql.SparkSession,
+      totalScanBytes: Long): Long =
+    org.apache.spark.sql.execution.datasources.FilePartition.maxSplitBytes(
+      spark, totalScanBytes)
+
+  /** `spark.sql.files.openCostInBytes` (the conf accessor is
+    * `private[sql]`).
+    */
+  def filesOpenCostInBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.filesOpenCostInBytes
 }

@@ -81,7 +81,12 @@ case class PolyHashArr(child: Expression, mod: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(mod > 0, s"poly_hash_arr: modulus must be positive, got $mod")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: a null ELEMENT hashes to null, exactly like the HOF
+  // chain (aggregate over sequence(1, length(null)) is null) — r17
+  // ADVICE: the previous containsNull=false + unguarded getUTF8String
+  // would NPE where the chain yields null (unreachable from current
+  // producers, but a semantic divergence a future caller could trip)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "poly_hash_arr"
 
@@ -97,27 +102,47 @@ case class PolyHashArr(child: Expression, mod: Long)
 
 object PolyHashArr {
   /** Static so generated code can call it with a single invoke. */
+  private def hashOne(s: String, mod: Long): Long = {
+    var h = 0L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      h = (h * 257 + cp) % mod
+      j += Character.charCount(cp)
+    }
+    h
+  }
+
   def compute(arr: ArrayData, mod: Long): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    // null-element probe first: a null ELEMENT hashes to null — the
+    // exact HOF-chain value (aggregate over a null string is null).
+    // Our producers (transform/concat_ws) never emit null elements, so
+    // the common case stays on the primitive unboxed path; the boxed
+    // path only exists so a future caller cannot trip the r17 NPE
+    // divergence (ADVICE item, PolyHashSpec pins it).
+    var hasNull = false
     var i = 0
-    while (i < n) {
-      // input arrays here are produced by transform/concat (never null
-      // elements); a null element hashes like the HOF chain would —
-      // aggregate over a null string yields null, but nullIntolerant
-      // arrays from our producers make this unreachable in practice
-      val s = arr.getUTF8String(i).toString
-      var h = 0L
-      var j = 0
-      while (j < s.length) {
-        val cp = s.codePointAt(j)
-        h = (h * 257 + cp) % mod
-        j += Character.charCount(cp)
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = hashOne(arr.getUTF8String(i).toString, mod)
+        i += 1
       }
-      out(i) = h
-      i += 1
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (arr.isNullAt(i)) null
+          else hashOne(arr.getUTF8String(i).toString, mod)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 }
 

@@ -61,6 +61,27 @@ class PolyHashSpec extends AnyFunSuite {
     }
   }
 
+  test("poly_hash_arr: a null ELEMENT hashes to null, like the HOF chain") {
+    // r17 ADVICE: the unguarded getUTF8String NPE'd here while the HOF
+    // chain yields a null element — pin the chain's value (r18 fix)
+    val withNulls = Seq(
+      Tuple1(Seq[String]("ab", null, "cd")),
+      Tuple1(Seq[String](null))).toDF("sh")
+    val hof = expr(
+      "transform(sh, s -> aggregate(sequence(1, length(s)), 0L, " +
+        "(acc, i) -> (acc * 257 + ascii(substring(s, i, 1))) % 2147483647))")
+    val rows = withNulls
+      .withColumn("a", org.apache.spark.sql.graft.GraftColumns
+        .poly_hash_arr(col("sh"), M))
+      .withColumn("b", hof)
+      .select("a", "b").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"null-element mismatch: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+    }
+    assert(rows(0).getSeq[Any](0)(1) == null)
+  }
+
   test("minhash_sig: null elements are skipped exactly like array_min") {
     val withNulls = Seq(Tuple1(Seq[java.lang.Long](5L, null, 9L)),
       Tuple1(Seq[java.lang.Long](null, null)))
